@@ -1,0 +1,18 @@
+"""airbyte_spark — a PySpark-native CDC / incremental-ingest engine.
+
+A from-scratch reimplementation of the *semantics* of Airbyte's sync
+protocol (reference: Newton-School/airbyte) as one Spark application:
+
+    changelog tail -> schema reconcile -> vectorized normalize
+        -> last-writer-wins dedup -> key-partitioned COW MERGE
+        -> epoch-tagged atomic commit + high-water-mark state
+
+The storage layer (`airbyte_spark.lake`) is a minimal copy-on-write
+snapshot table format on Parquet with Iceberg-equivalent semantics
+(atomic snapshot commits, schema evolution by field-id, epoch tags in
+the snapshot summary) because no Iceberg runtime jar is available in
+this sandbox.  Every API is designed so a real Iceberg catalog can be
+swapped in (see lake/table.py docstring).
+"""
+
+__version__ = "0.1.0"

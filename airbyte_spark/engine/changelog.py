@@ -1,0 +1,125 @@
+"""Deterministic, distributed change-event generator.
+
+The reference tests CDC with replay fixtures
+(base-normalization/integration_tests/resources/test_simple_streams/
+data_input/messages*.txt) — fixed message files replayed through the
+pipeline.  At 10^10-event scale a fixture file is impossible, so the
+analog is a *seeded generative* changelog: every row is a pure
+function of (lsn, seed), computed JVM-side from ``spark.range`` —
+no Python per row, no driver data, reproducible at any scale and any
+parallelism.
+
+Event shape mirrors a Debezium change event flattened
+(DebeziumEventUtils.java:24-66: after-image + op + lsn + ts_ms):
+
+    (lsn bigint, op string in {i,u,d}, repo, path, commit, lang,
+     content string, ts timestamp)
+
+Repos are Zipf(1)-skewed: repo rank r is drawn with p(r) ~ 1/(r+1)
+via inverse-CDF on a hash-uniform, so a handful of hot repos dominate
+— the skew that the salted/partial-agg dedup stage must survive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CHANGELOG_COLS = ["lsn", "op", "repo", "path", "commit", "lang", "content", "ts"]
+
+_EXTS = ["py", "rs", "go", "java", "js", "md", "sql", "c"]
+EXT_TO_LANG = {
+    "py": "python", "rs": "rust", "go": "go", "java": "java",
+    "js": "javascript", "md": "markdown", "sql": "sql", "c": "c",
+}
+
+
+def _u01(col, seed: int):
+    """Deterministic uniform [0,1) from a column + seed, JVM-side."""
+    return (F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(1_000_000)) / 1_000_000.0)
+
+
+def changelog(
+    spark: SparkSession,
+    n_events: int,
+    *,
+    seed: int = 42,
+    n_repos: int = 100,
+    paths_per_repo: int = 200,
+    p_delete: float = 0.05,
+    p_insert: float = 0.30,
+    start_lsn: int = 0,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """n_events change events with lsn in [start_lsn, start_lsn+n)."""
+    rng = spark.range(start_lsn, start_lsn + n_events, 1, parallelism or spark.sparkContext.defaultParallelism)
+    lsn = F.col("id")
+
+    # Zipf(1) repo rank via inverse CDF: P(rank<=k) = ln(k+1)/ln(N+1)
+    u_repo = _u01(lsn, seed)
+    repo_rank = F.floor(F.exp(u_repo * F.log(F.lit(float(n_repos + 1))))).cast("long") - 1
+    repo_rank = F.least(F.greatest(repo_rank, F.lit(0)), F.lit(n_repos - 1))
+
+    path_id = F.pmod(F.xxhash64(lsn, F.lit(seed + 1)), F.lit(paths_per_repo))
+    ext = F.element_at(
+        F.array(*[F.lit(e) for e in _EXTS]), (path_id % len(_EXTS) + 1).cast("int")
+    )
+
+    u_op = _u01(lsn, seed + 2)
+    op = (
+        F.when(u_op < p_delete, F.lit("d"))
+        .when(u_op < p_delete + p_insert, F.lit("i"))
+        .otherwise(F.lit("u"))
+    )
+
+    commit = F.lower(F.hex(F.xxhash64(lsn, F.lit(seed + 3))))
+    # variable-length pseudo-random content: 1x-16x a 16-char block
+    block = F.lower(F.hex(F.xxhash64(lsn, F.lit(seed + 4))))
+    reps = (F.pmod(F.xxhash64(lsn, F.lit(seed + 5)), F.lit(16)) + 1).cast("int")
+    content = F.concat(
+        F.lit("// "), commit, F.lit("\n"), F.repeat(F.concat(block, F.lit("\n")), reps)
+    )
+
+    return rng.select(
+        lsn.alias("lsn"),
+        op.alias("op"),
+        F.concat(F.lit("repo-"), repo_rank.cast("string")).alias("repo"),
+        F.concat(
+            F.lit("src/d"), (path_id % 7).cast("string"), F.lit("/f"),
+            path_id.cast("string"), F.lit("."), ext,
+        ).alias("path"),
+        commit.alias("commit"),
+        F.element_at(
+            F.create_map(*[F.lit(x) for kv in EXT_TO_LANG.items() for x in kv]), ext
+        ).alias("lang"),
+        content.alias("content"),
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.make_dt_interval(secs=lsn.cast("double"))).alias("ts"),
+    )
+
+
+def base_table(
+    spark: SparkSession,
+    n_rows: int,
+    *,
+    seed: int = 7,
+    n_repos: int = 100,
+    paths_per_repo: int = 200,
+) -> DataFrame:
+    """Deterministic bootstrap snapshot of the source-code repo table
+    (repo, path, commit, lang, content) — the BASELINE.json input
+    shape.  One row per key, keys drawn from the same space as the
+    changelog so events update/delete real rows."""
+    ev = changelog(
+        spark,
+        n_rows,
+        seed=seed,
+        n_repos=n_repos,
+        paths_per_repo=paths_per_repo,
+        p_delete=0.0,
+        p_insert=1.0,
+    )
+    from airbyte_spark.engine.dedup import lww_dedup
+
+    return lww_dedup(ev, ["repo", "path"], ["lsn"]).select(
+        "repo", "path", "commit", "lang", "content"
+    )

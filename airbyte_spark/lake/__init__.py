@@ -1,0 +1,1 @@
+from airbyte_spark.lake.table import LakeTable  # noqa: F401

@@ -1,0 +1,153 @@
+"""Transaction log for the copy-on-write lake table format.
+
+Semantics mirror Iceberg's snapshot model (the reference lands data
+through an embedded-Spark Iceberg sink, destination-iceberg/
+IcebergConsumer.java:113-195 — two-phase tmp-table commit there; here
+an atomic snapshot swap):
+
+* A table is a directory; ``_log/v{N:012d}.json`` files are immutable
+  snapshots; the highest N is the current table state.
+* A snapshot lists the live data files (with their bucket and the
+  schema version they were written under), the full schema history,
+  and per-stream **epoch tags** — the last committed ingest epoch,
+  which is what makes replayed microbatches idempotent (the analog of
+  Airbyte's "state emitted only after records are durably committed",
+  airbyte-protocol.md:467-479).
+* Commit = write temp file + ``os.link`` to the versioned name.
+  ``link`` fails if the version already exists, giving optimistic
+  concurrency (same shape as Iceberg's atomic metadata swap).
+
+Only driver-side metadata lives here: at 100 TB the log holds file
+*entries*, never data, and a snapshot with ~10^5 files is a few MB of
+JSON.  (A production swap-in would replace this module with an
+Iceberg REST/Hive catalog; the LakeTable API above it is unchanged.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+LOG_DIR = "_log"
+
+
+@dataclass(frozen=True)
+class FileEntry:
+    path: str  # relative to table root
+    bucket: int
+    rows: int
+    bytes: int
+    schema_version: int
+
+    def to_json(self) -> dict[str, Any]:
+        return {
+            "path": self.path,
+            "bucket": self.bucket,
+            "rows": self.rows,
+            "bytes": self.bytes,
+            "schema_version": self.schema_version,
+        }
+
+    @staticmethod
+    def from_json(d: dict[str, Any]) -> "FileEntry":
+        return FileEntry(d["path"], d["bucket"], d["rows"], d["bytes"], d["schema_version"])
+
+
+@dataclass
+class Snapshot:
+    version: int
+    schema_version: int
+    # schema history: version (as str key in json) -> list of
+    # {"id": int, "name": str, "type": <spark datatype json value>}
+    schemas: dict[int, list[dict[str, Any]]]
+    n_buckets: int
+    key_cols: list[str]
+    files: list[FileEntry] = field(default_factory=list)
+    epochs: dict[str, int] = field(default_factory=dict)
+    summary: dict[str, Any] = field(default_factory=dict)
+
+    @property
+    def fields(self) -> list[dict[str, Any]]:
+        return self.schemas[self.schema_version]
+
+    def to_json(self) -> dict[str, Any]:
+        return {
+            "version": self.version,
+            "schema_version": self.schema_version,
+            "schemas": {str(k): v for k, v in self.schemas.items()},
+            "n_buckets": self.n_buckets,
+            "key_cols": self.key_cols,
+            "files": [f.to_json() for f in self.files],
+            "epochs": self.epochs,
+            "summary": self.summary,
+        }
+
+    @staticmethod
+    def from_json(d: dict[str, Any]) -> "Snapshot":
+        return Snapshot(
+            version=d["version"],
+            schema_version=d["schema_version"],
+            schemas={int(k): v for k, v in d["schemas"].items()},
+            n_buckets=d["n_buckets"],
+            key_cols=d["key_cols"],
+            files=[FileEntry.from_json(f) for f in d["files"]],
+            epochs=d["epochs"],
+            summary=d.get("summary", {}),
+        )
+
+
+class CommitConflict(Exception):
+    """Another writer committed this version first (optimistic retry)."""
+
+
+def _log_path(root: str) -> str:
+    return os.path.join(root, LOG_DIR)
+
+
+def _version_file(root: str, version: int) -> str:
+    return os.path.join(_log_path(root), f"v{version:012d}.json")
+
+
+def latest_version(root: str) -> int | None:
+    log = _log_path(root)
+    if not os.path.isdir(log):
+        return None
+    versions = [
+        int(name[1:13])
+        for name in os.listdir(log)
+        if name.startswith("v") and name.endswith(".json")
+    ]
+    return max(versions) if versions else None
+
+
+def read_snapshot(root: str, version: int | None = None) -> Snapshot | None:
+    if version is None:
+        version = latest_version(root)
+        if version is None:
+            return None
+    with open(_version_file(root, version)) as fh:
+        return Snapshot.from_json(json.load(fh))
+
+
+def commit_snapshot(root: str, snap: Snapshot) -> None:
+    """Atomically publish ``snap`` as version ``snap.version``.
+
+    Raises CommitConflict if that version already exists — callers
+    reload the latest snapshot, re-derive their changes, and retry.
+    """
+    log = _log_path(root)
+    os.makedirs(log, exist_ok=True)
+    tmp = os.path.join(log, f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as fh:
+        json.dump(snap.to_json(), fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, _version_file(root, snap.version))
+    except FileExistsError as exc:
+        raise CommitConflict(f"version {snap.version} already committed") from exc
+    finally:
+        os.unlink(tmp)

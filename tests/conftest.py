@@ -1,0 +1,13 @@
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest
+
+from airbyte_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    return get_spark("airbyte-spark-tests", cpus=4, shuffle_partitions=8)
