@@ -1,0 +1,74 @@
+"""Last-writer-wins dedup — the heart of incremental-dedup sync mode.
+
+Reference semantics: base-normalization stream_processor.py:884-899 +
+:973-1008 — `row_number() over (partition by unique_key order by
+cursor desc, _ab_cdc_updated_at desc, _ab_cdc_log_pos desc,
+emitted_at desc) = 1`, deterministic tie-break chain.
+
+Two physical strategies, because this is THE skew-sensitive stage at
+10^10 events with Zipf-hot repos:
+
+* ``max_by`` (default): `groupBy(keys).agg(max_by(struct(*), order))`.
+  Hash aggregation with **map-side partial combine** — each task
+  reduces its slice to one row per local key before the shuffle, so a
+  hot key ships one row per upstream task, not its full event stream.
+  This is inherently skew-resistant and sort-free.
+* ``window``: the literal translation of the reference's row_number
+  window.  Requires a full sort of each key's events in one task —
+  kept for parity/verification and for callers who need the full
+  ordered history (SCD2).  For hot keys use ``salt`` to pre-reduce:
+  stage 1 groups on (keys, salt) and keeps each salt-lane's winner,
+  stage 2 reduces the <=salt survivors per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def lww_dedup(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    *,
+    method: str = "max_by",
+    salt: int | None = None,
+) -> DataFrame:
+    """One row per key: the row with the max (order_cols) tuple.
+
+    order_cols must form a total order per key (our changelog's lsn is
+    globally unique; pass ["lsn"] or ["lsn","ts"]).
+    """
+    if method == "max_by":
+        if salt:
+            df = _reduce_max_by(
+                df.withColumn("_salt", F.pmod(F.xxhash64(*order_cols), F.lit(salt))),
+                keys + ["_salt"],
+                order_cols,
+            ).drop("_salt")
+        return _reduce_max_by(df, keys, order_cols)
+    if method == "window":
+        if salt:
+            df = df.withColumn("_salt", F.pmod(F.xxhash64(*order_cols), F.lit(salt)))
+            df = _window_top1(df, keys + ["_salt"], order_cols).drop("_salt")
+        return _window_top1(df, keys, order_cols)
+    raise ValueError(f"unknown method {method}")
+
+
+def _reduce_max_by(df: DataFrame, keys: list[str], order_cols: list[str]) -> DataFrame:
+    payload = [c for c in df.columns if c not in keys]
+    return (
+        df.groupBy(*keys)
+        .agg(F.max_by(F.struct(*payload), F.struct(*order_cols)).alias("_winner"))
+        .select(*keys, "_winner.*")
+    )
+
+
+def _window_top1(df: DataFrame, keys: list[str], order_cols: list[str]) -> DataFrame:
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_cols])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

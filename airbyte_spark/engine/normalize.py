@@ -1,0 +1,74 @@
+"""Vectorized row normalization (the dbt-normalization analog).
+
+Reference: base-normalization stream_processor.py:675-704 computes a
+row hash (`md5(concat(cols))` via dbt_utils.surrogate_key) and casts
+every column per the JSON schema (:471-673).  Our normalization stage
+is mandated by BASELINE.json's input_hint: sha256 content hash, lang
+tag, path canonicalization — all vectorized, zero per-row Python.
+
+Strategy per column:
+* content_sha256: Spark's built-in ``sha2`` — JVM whole-stage
+  codegen; faster than any Python UDF, even Arrow-batched.
+* lang: extension -> language lookup via a literal MAP expression
+  (JVM-side) with the changelog's lang column as fallback.
+* path canonicalization: true POSIX normpath semantics ('..'
+  resolution) are not regex-expressible, so this is the one genuine
+  pandas/Arrow UDF — batch-vectorized over pandas string methods.
+"""
+
+from __future__ import annotations
+
+import posixpath
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from airbyte_spark.engine.changelog import EXT_TO_LANG
+
+
+@pandas_udf("string")
+def canonicalize_path(paths: pd.Series) -> pd.Series:
+    """Vectorized POSIX path canonicalization: backslashes -> '/',
+    collapse '//', resolve '.'/'..', strip leading './'."""
+    cleaned = paths.str.replace("\\", "/", regex=False).str.lstrip("/")
+    # normpath is C-level; .map over a pandas series stays in one
+    # Arrow batch per task (no per-row Python round trip to the JVM).
+    return cleaned.map(lambda p: posixpath.normpath(p) if p else p)
+
+
+def _lang_expr(path_col: str, fallback_col: str | None) -> F.Column:
+    ext = F.element_at(F.split(F.col(path_col), r"\."), -1)
+    m = F.create_map(*[F.lit(x) for kv in EXT_TO_LANG.items() for x in kv])
+    tagged = F.element_at(m, ext)
+    if fallback_col:
+        return F.coalesce(tagged, F.col(fallback_col), F.lit("unknown"))
+    return F.coalesce(tagged, F.lit("unknown"))
+
+
+def canonicalize_keys(df: DataFrame, *, path_col: str = "path") -> DataFrame:
+    """Key normalization — MUST run before LWW dedup, because two
+    spellings of one path have to land on the same (repo, path) key."""
+    return df.withColumn(path_col, canonicalize_path(F.col(path_col)))
+
+
+def enrich(df: DataFrame, *, path_col: str = "path",
+           content_col: str = "content", lang_col: str = "lang") -> DataFrame:
+    """Payload normalization — runs AFTER dedup so only per-key
+    winners pay for hashing (at 10^10 events with hot keys this skips
+    the bulk of the sha256 work)."""
+    return (
+        df.withColumn(lang_col, _lang_expr(path_col, lang_col))
+        .withColumn("content_sha256", F.sha2(F.coalesce(F.col(content_col), F.lit("")), 256))
+    )
+
+
+def normalize_batch(df: DataFrame, *, path_col: str = "path",
+                    content_col: str = "content", lang_col: str = "lang") -> DataFrame:
+    """Apply the three mandated normalizations; adds content_sha256,
+    rewrites path (canonical) and lang (tagged)."""
+    return enrich(
+        canonicalize_keys(df, path_col=path_col),
+        path_col=path_col, content_col=content_col, lang_col=lang_col,
+    )

@@ -1,0 +1,214 @@
+"""The CDC apply pipeline: one microbatch end-to-end.
+
+The reference's five processes (source container -> worker pipe ->
+destination container -> normalization container -> warehouse) collapse
+into this single flow per batch (SURVEY.md §3.3):
+
+    changelog batch
+      -> canonicalize keys (Arrow UDF)           [normalize.py]
+      -> LWW dedup per (repo,path) by lsn        [dedup.py]
+      -> payload enrich: lang tag + sha256        [normalize.py]
+      -> schema reconcile (add/widen/rename)      [schema_evolution.py]
+      -> COW MERGE, epoch-tagged atomic commit    [lake/table.py]
+      -> HWM/lineage state write                  [state.py]
+
+Sync modes mirror the protocol's destination_sync_mode matrix
+(airbyte-protocol.md:395-420): overwrite / append / append_dedup
+(default — the flagship incremental-deduped mode).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType, TimestampType
+
+from airbyte_spark.engine import normalize
+from airbyte_spark.engine.dedup import lww_dedup
+from airbyte_spark.engine.schema_evolution import reconcile
+from airbyte_spark.engine.state import StateStore
+from airbyte_spark.lake.table import LakeTable, MergeResult
+
+KEYS = ["repo", "path"]
+ORDER = ["lsn", "ts"]
+
+# columns that exist on change events but are engine-internal
+ENGINE_COLS = {"op": "string"}
+
+FINAL_SCHEMA = StructType(
+    [
+        StructField("repo", StringType()),
+        StructField("path", StringType()),
+        StructField("commit", StringType()),
+        StructField("lang", StringType()),
+        StructField("content", StringType()),
+        StructField("content_sha256", StringType()),
+        StructField("last_lsn", LongType()),
+        StructField("updated_at", TimestampType()),
+    ]
+)
+
+
+@dataclass
+class BatchStats:
+    epoch: int
+    committed: bool
+    events: int
+    upserts_after_dedup: int
+    max_lsn: int | None
+    merge: MergeResult | None
+
+
+class CdcPipeline:
+    def __init__(
+        self,
+        table_root: str,
+        *,
+        stream: str = "default",
+        n_buckets: int = 32,
+        state_root: str | None = None,
+        dedup_method: str = "max_by",
+        rename_hints: dict[str, str] | None = None,
+    ):
+        self.table_root = table_root
+        self.stream = stream
+        self.n_buckets = n_buckets
+        self.dedup_method = dedup_method
+        self.rename_hints = rename_hints or {}
+        self.state = StateStore(state_root or f"{table_root}/_state")
+
+    # ------------------------------------------------------------------
+    def table(self) -> LakeTable:
+        return LakeTable(self.table_root)
+
+    def bootstrap(self, spark: SparkSession, base: DataFrame | None = None) -> LakeTable:
+        """First sync = snapshot load (the Debezium initial-snapshot
+        analog, cdc.md:9-11 / PostgresSource.java:339-410): land the
+        base table, then tail the changelog from lsn 0."""
+        if not LakeTable.exists(self.table_root):
+            t = LakeTable.create(self.table_root, FINAL_SCHEMA, KEYS, self.n_buckets)
+        else:
+            t = LakeTable(self.table_root)
+        if base is not None:
+            df = normalize.normalize_batch(base)
+            df = df.withColumn("last_lsn", F.lit(-1).cast("long")).withColumn(
+                "updated_at", F.lit(None).cast("timestamp")
+            )
+            t.overwrite(spark, df)
+        return t
+
+    # ------------------------------------------------------------------
+    def prepare_batch(self, batch: DataFrame) -> DataFrame:
+        """Normalize + LWW-reduce a raw changelog batch to one row per
+        key, in final-table column names (+ the op column)."""
+        df = normalize.canonicalize_keys(batch)
+        df = lww_dedup(df, KEYS, ORDER, method=self.dedup_method)
+        df = normalize.enrich(df)
+        return df.withColumnRenamed("lsn", "last_lsn").withColumnRenamed("ts", "updated_at")
+
+    def apply_batch(
+        self, spark: SparkSession, batch: DataFrame, epoch: int
+    ) -> BatchStats:
+        """Apply one changelog microbatch exactly-once."""
+        t = self.table()
+        if t.last_epoch(self.stream) >= epoch:
+            # already committed (kill/resume replay) — cheap driver-side
+            # skip before any job runs
+            return BatchStats(epoch, False, 0, 0, None, None)
+
+        prepared = self.prepare_batch(batch)
+        prepared.persist()
+        try:
+            agg = prepared.agg(
+                F.count(F.lit(1)).alias("n"), F.max("last_lsn").alias("mx")
+            ).collect()[0]
+            n, max_lsn = agg["n"], agg["mx"]
+            if n == 0:
+                # empty batch still advances the epoch (heartbeat-style
+                # progress without data, DebeziumRecordIterator.java:112-128)
+                merge_res = t.merge(
+                    spark, spark.createDataFrame([], t.schema()),
+                    epoch=epoch, stream=self.stream,
+                )
+                return BatchStats(epoch, merge_res.committed, 0, 0, None, merge_res)
+
+            reconcile(
+                t,
+                prepared.drop("op"),
+                rename_hints=self.rename_hints,
+                extra_cols=ENGINE_COLS,
+            )
+            merge_res = t.merge(
+                spark, prepared, op_col="op", epoch=epoch, stream=self.stream
+            )
+        finally:
+            prepared.unpersist()
+
+        if merge_res.committed:
+            self.state.commit(
+                self.stream, epoch=epoch, max_lsn=max_lsn, rows=n,
+            )
+        return BatchStats(epoch, merge_res.committed, -1, n, max_lsn, merge_res)
+
+    # ------------------------------------------------------------------
+    def replay(
+        self,
+        spark: SparkSession,
+        events: DataFrame,
+        *,
+        batch_lsns: int,
+        start_epoch: int = 0,
+        max_batches: int | None = None,
+        fail_after: int | None = None,
+    ) -> list[BatchStats]:
+        """Batch-mode bounded replay: slice the changelog into epochs of
+        ``batch_lsns`` LSNs each and apply in order — the analog of the
+        reference's bounded Debezium run to a captured target position
+        (DebeziumRecordIterator.java:86-141).  ``fail_after`` injects a
+        crash after N committed batches (for kill/resume tests)."""
+        bounds = events.agg(
+            F.min("lsn").alias("lo"), F.max("lsn").alias("hi")
+        ).collect()[0]
+        if bounds["lo"] is None:
+            return []
+        stats: list[BatchStats] = []
+        lo, hi = bounds["lo"], bounds["hi"]
+        epoch = start_epoch
+        applied = 0
+        start = lo
+        while start <= hi:
+            end = start + batch_lsns
+            batch = events.filter((F.col("lsn") >= start) & (F.col("lsn") < end))
+            st = self.apply_batch(spark, batch, epoch)
+            stats.append(st)
+            if st.committed:
+                applied += 1
+                if fail_after is not None and applied >= fail_after:
+                    raise RuntimeError(f"injected failure after {applied} batches")
+            epoch += 1
+            start = end
+            if max_batches is not None and len(stats) >= max_batches:
+                break
+        return stats
+
+    def lineage(self) -> dict[str, Any]:
+        """Per-partition (bucket) lineage from the current snapshot +
+        cumulative state: which buckets hold how many rows/files, last
+        committed epoch, max LSN."""
+        snap = self.table().snapshot()
+        buckets: dict[int, dict[str, int]] = {}
+        for f in snap.files:
+            b = buckets.setdefault(f.bucket, {"rows": 0, "files": 0, "bytes": 0})
+            b["rows"] += f.rows
+            b["files"] += 1
+            b["bytes"] += f.bytes
+        return {
+            "stream": self.stream,
+            "snapshot_version": snap.version,
+            "epoch": snap.epochs.get(self.stream, -1),
+            "state": self.state.load(self.stream),
+            "buckets": buckets,
+        }

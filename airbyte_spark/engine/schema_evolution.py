@@ -1,0 +1,124 @@
+"""Schema reconciler: evolving batch schemas -> one stable table schema.
+
+Reference parity: the JSON-Schema->Avro converter
+(base-java-s3 JsonToAvroSchemaConverter.java:103-293, union/widen
+rules) + normalization's star_intersect macro
+(star_intersect.sql:1-40: intersecting columns from the existing
+relation, new columns from the incoming one) + the schema-change
+replay fixture (messages_schema_change.txt: add column, drop column,
+widen id int->float mid-stream).
+
+Given an incoming batch schema and the table's current schema:
+* new column            -> ALTER TABLE ADD (null for old rows)
+* widenable type drift  -> ALTER TABLE widen (old files cast on read)
+* narrowable drift      -> batch side cast (table type already wider)
+* incompatible drift    -> both sides to string (the protocol's
+  "destinations may fall back to string", supported-data-types.md:156-159)
+* renames cannot be detected from data alone (old name disappears,
+  new appears — indistinguishable from drop+add), so they arrive as
+  explicit hints, mirroring that the reference *resets* streams on
+  rename (cdc.md:27) — we do better but only with a declared intent.
+
+All of this is driver-side metadata work — no data job runs here.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    AtomicType,
+    DataType,
+    DateType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+    TimestampType,
+)
+
+from airbyte_spark.lake.table import LakeTable
+
+# widening lattice: a type may widen to anything later in its chain
+_WIDEN_CHAINS: list[list[type]] = [
+    [ShortType, IntegerType, LongType, FloatType, DoubleType],
+    [DateType, TimestampType],
+]
+
+
+def _widen_rank(dt: DataType) -> tuple[int, int] | None:
+    for ci, chain in enumerate(_WIDEN_CHAINS):
+        for ri, t in enumerate(chain):
+            if isinstance(dt, t) and type(dt) is t:
+                return (ci, ri)
+    return None
+
+
+def can_widen(src: DataType, dst: DataType) -> bool:
+    a, b = _widen_rank(src), _widen_rank(dst)
+    return a is not None and b is not None and a[0] == b[0] and a[1] < b[1]
+
+
+@dataclass
+class ReconcileReport:
+    added: list[str] = field(default_factory=list)
+    widened: list[str] = field(default_factory=list)
+    renamed: list[tuple[str, str]] = field(default_factory=list)
+    stringified: list[str] = field(default_factory=list)
+
+    @property
+    def changed(self) -> bool:
+        return bool(self.added or self.widened or self.renamed or self.stringified)
+
+
+def reconcile(
+    table: LakeTable,
+    batch: DataFrame,
+    *,
+    rename_hints: dict[str, str] | None = None,
+    extra_cols: dict[str, str] | None = None,
+) -> ReconcileReport:
+    """Evolve ``table`` so that ``batch``'s schema (minus engine
+    columns like op/lsn, declared via ``extra_cols``) fits.  Returns
+    what changed; the caller then re-aligns the batch by name (the
+    lake's _align handles missing -> null and casts)."""
+    rename_hints = rename_hints or {}
+    ignore = set(extra_cols or ())
+    report = ReconcileReport()
+    changes: list[tuple] = []
+
+    tschema = {f.name: f.dataType for f in table.schema().fields}
+    for old, new in rename_hints.items():
+        if old in tschema and new not in tschema:
+            changes.append(("rename", old, new))
+            tschema[new] = tschema.pop(old)
+            report.renamed.append((old, new))
+
+    for f in batch.schema.fields:
+        if f.name in ignore:
+            continue
+        cur = tschema.get(f.name)
+        if cur is None:
+            changes.append(("add", f.name, f.dataType))
+            report.added.append(f.name)
+        elif cur != f.dataType:
+            if can_widen(cur, f.dataType):
+                changes.append(("widen", f.name, f.dataType))
+                report.widened.append(f.name)
+            elif can_widen(f.dataType, cur):
+                pass  # batch narrower: cast on align, no DDL
+            elif isinstance(cur, StringType):
+                pass  # table already at the string fallback
+            elif isinstance(cur, AtomicType) and isinstance(f.dataType, AtomicType):
+                changes.append(("widen", f.name, StringType()))
+                report.stringified.append(f.name)
+            else:
+                raise ValueError(
+                    f"incompatible drift on {f.name}: {cur} vs {f.dataType}"
+                )
+    if changes:
+        table.evolve(changes)
+    return report

@@ -1,0 +1,68 @@
+"""High-water-mark / lineage state store.
+
+Reference parity: StateDecoratingIterator.java:113-224 +
+CursorManager.java (per-stream currentMaxCursor bookkeeping) and the
+GLOBAL state doc shape (connector_state_manager.py:25-196: shared
+offset + per-stream states).
+
+The *authoritative* exactly-once gate lives in the lake snapshot's
+epoch tags (committed atomically with the data).  This store is the
+observability/state sidecar: one JSON doc per stream recording the
+last epoch, max LSN, cumulative rows, and per-bucket lineage — what
+BASELINE.json calls the "checkpointed state store recording
+per-partition high-water marks and lineage".  It is written strictly
+AFTER the lake commit (state never runs ahead of data —
+DebeziumStateDecoratingIterator.java:63-79), so on crash it can only
+lag, and replay is epoch-gated anyway.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Any
+
+
+class StateStore:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, stream: str) -> str:
+        return os.path.join(self.root, f"{stream}.json")
+
+    def load(self, stream: str = "default") -> dict[str, Any]:
+        try:
+            with open(self._path(stream)) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return {"stream": stream, "epoch": -1, "max_lsn": -1,
+                    "rows_applied": 0, "batches": 0, "buckets": {}}
+
+    def commit(
+        self,
+        stream: str,
+        *,
+        epoch: int,
+        max_lsn: int | None,
+        rows: int,
+        bucket_rows: dict[int, int] | None = None,
+    ) -> dict[str, Any]:
+        st = self.load(stream)
+        st["epoch"] = max(st["epoch"], epoch)
+        if max_lsn is not None:
+            st["max_lsn"] = max(st["max_lsn"], max_lsn)
+        st["rows_applied"] += rows
+        st["batches"] += 1
+        if bucket_rows:
+            for b, n in bucket_rows.items():
+                st["buckets"][str(b)] = n
+        # atomic replace so a crash mid-write never corrupts state
+        fd, tmp = tempfile.mkstemp(dir=self.root)
+        with os.fdopen(fd, "w") as fh:
+            json.dump(st, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, self._path(stream))
+        return st

@@ -1,0 +1,101 @@
+"""Structured Streaming front end: bounded changelog tail -> MERGE.
+
+Reference parity (SURVEY.md §2.6): the reference is micro-batch CDC —
+a bounded Debezium run per sync, stopping at a target WAL position
+captured at start (AirbyteDebeziumHandler.java:30-157,
+DebeziumRecordIterator.java:86-217).  The Spark-native equivalent:
+
+* changelog chunks land as parquet files in a directory (a stand-in
+  for a Kafka/binlog tail; the file source is what the reference's
+  own S3 mtime-cursor source does, source-s3/.../stream.py:38-311);
+* ``readStream`` over that directory with ``Trigger.AvailableNow`` =
+  "tail up to the position captured at start, then stop";
+* ``maxFilesPerTrigger`` bounds each microbatch (the 10k-event
+  Debezium queue analog);
+* ``foreachBatch`` applies the CDC pipeline; Spark's checkpoint gives
+  at-least-once batch replay with a STABLE batchId, and the lake's
+  epoch gate turns that into exactly-once table state.  MERGE cannot
+  be a direct streaming sink (SURVEY.md §7 risk list) — foreachBatch
+  is the supported shape.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from airbyte_spark.engine.changelog import CHANGELOG_COLS
+from airbyte_spark.engine.pipeline import BatchStats, CdcPipeline
+
+CHANGELOG_DDL = (
+    "lsn long, op string, repo string, path string, commit string, "
+    "lang string, content string, ts timestamp"
+)
+
+
+def write_changelog_chunks(
+    events: DataFrame, out_dir: str, *, chunk_lsns: int, lo: int, hi: int
+) -> list[str]:
+    """Land a changelog as ordered parquet chunk files (the 'tail').
+    One subdir write per chunk so arrival order == lsn order."""
+    from pyspark.sql import functions as F
+
+    paths = []
+    start = lo
+    i = 0
+    while start <= hi:
+        end = start + chunk_lsns
+        p = os.path.join(out_dir, f"chunk-{i:06d}")
+        (
+            events.filter((F.col("lsn") >= start) & (F.col("lsn") < end))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(p)
+        )
+        paths.append(p)
+        start = end
+        i += 1
+    return paths
+
+
+def run_stream(
+    spark: SparkSession,
+    pipeline: CdcPipeline,
+    changelog_dir: str,
+    checkpoint_dir: str,
+    *,
+    max_files_per_trigger: int | None = None,
+    on_batch: Callable[[BatchStats], None] | None = None,
+) -> list[BatchStats]:
+    """One bounded sync run (Trigger.AvailableNow).  Returns per-batch
+    stats.  Safe to re-run after a kill: the streaming checkpoint
+    replays uncommitted batches with the same batchId and the epoch
+    gate skips the committed ones."""
+    stats: list[BatchStats] = []
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        st = pipeline.apply_batch(batch_df.sparkSession, batch_df, int(batch_id))
+        stats.append(st)
+        if on_batch is not None:
+            on_batch(st)
+
+    reader = (
+        spark.readStream.schema(CHANGELOG_DDL)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    sdf = reader.parquet(changelog_dir)
+
+    q = (
+        sdf.select(*CHANGELOG_COLS)
+        .writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stats

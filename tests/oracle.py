@@ -1,0 +1,85 @@
+"""Pure-Python sequential-replay oracle.
+
+The reference verifies normalization with golden final-state checks
+(dbt data tests asserting row counts / PK uniqueness after replaying
+messages.txt).  Our oracle is stronger: apply every change event one
+at a time in LSN order to a dict, and demand the engine's final table
+equals it row-for-row including content sha256 — the BASELINE.json
+per-row invariant.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import posixpath
+
+from airbyte_spark.engine.changelog import EXT_TO_LANG
+
+
+def _canon(path: str) -> str:
+    return posixpath.normpath(path.replace("\\", "/").lstrip("/")) if path else path
+
+
+def _lang(path: str, fallback: str | None) -> str:
+    ext = path.rsplit(".", 1)[-1] if "." in path else ""
+    return EXT_TO_LANG.get(ext) or fallback or "unknown"
+
+
+def _sha(content: str | None) -> str:
+    return hashlib.sha256((content or "").encode()).hexdigest()
+
+
+def replay_oracle(base_rows, event_rows) -> dict:
+    """base_rows: dicts (repo,path,commit,lang,content); event_rows:
+    dicts (lsn,op,repo,path,commit,lang,content,ts) in any order.
+    Returns {(repo, canon_path): expected final row dict}."""
+    state: dict = {}
+    for r in base_rows:
+        p = _canon(r["path"])
+        state[(r["repo"], p)] = {
+            "repo": r["repo"],
+            "path": p,
+            "commit": r["commit"],
+            "lang": _lang(p, r.get("lang")),
+            "content": r["content"],
+            "content_sha256": _sha(r["content"]),
+            "last_lsn": -1,
+        }
+    for e in sorted(event_rows, key=lambda e: e["lsn"]):
+        p = _canon(e["path"])
+        key = (e["repo"], p)
+        if e["op"] == "d":
+            state.pop(key, None)
+        else:
+            state[key] = {
+                "repo": e["repo"],
+                "path": p,
+                "commit": e["commit"],
+                "lang": _lang(p, e.get("lang")),
+                "content": e["content"],
+                "content_sha256": _sha(e["content"]),
+                "last_lsn": e["lsn"],
+            }
+    return state
+
+
+def table_state(table, spark) -> dict:
+    return {
+        (r["repo"], r["path"]): {
+            k: r[k]
+            for k in ("repo", "path", "commit", "lang", "content",
+                      "content_sha256", "last_lsn")
+        }
+        for r in table.read(spark).collect()
+    }
+
+
+def assert_states_equal(expected: dict, actual: dict) -> None:
+    assert set(expected) == set(actual), (
+        f"key sets differ: {len(expected)} expected vs {len(actual)} actual; "
+        f"missing={list(set(expected)-set(actual))[:5]} "
+        f"extra={list(set(actual)-set(expected))[:5]}"
+    )
+    for k, exp in expected.items():
+        act = actual[k]
+        assert act == exp, f"row mismatch at {k}:\n expected {exp}\n actual   {act}"

@@ -1,0 +1,112 @@
+"""End-to-end CDC replay vs sequential oracle, incl. kill/resume.
+
+Models the reference's multi-run replay sequences
+(base-normalization/integration_tests: first run -> incremental run ->
+schema-change run, with golden final-state checks) plus the
+destination acceptance test's testIncrementalDedupeSync.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from airbyte_spark.engine.changelog import base_table, changelog
+from airbyte_spark.engine.pipeline import CdcPipeline
+from tests.oracle import assert_states_equal, replay_oracle, table_state
+
+N_BASE = 1500
+N_EVENTS = 4000
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    base = base_table(spark, N_BASE, n_repos=40, paths_per_repo=60)
+    events = changelog(spark, N_EVENTS, n_repos=40, paths_per_repo=60)
+    base_rows = [r.asDict() for r in base.collect()]
+    event_rows = [r.asDict() for r in events.collect()]
+    return base, events, replay_oracle(base_rows, event_rows)
+
+
+def test_bootstrap_then_replay_matches_oracle(spark, tmp_path, data):
+    base, events, expected = data
+    pipe = CdcPipeline(str(tmp_path / "t"), n_buckets=16)
+    t = pipe.bootstrap(spark, base)
+    stats = pipe.replay(spark, events, batch_lsns=1000)
+    assert all(s.committed for s in stats)
+    assert_states_equal(expected, table_state(t, spark))
+    # lineage: per-bucket rows recorded, epochs advanced
+    lin = pipe.lineage()
+    assert lin["epoch"] == len(stats) - 1
+    assert sum(b["rows"] for b in lin["buckets"].values()) == len(expected)
+
+
+def test_kill_resume_exactly_once(spark, tmp_path, data):
+    base, events, expected = data
+    pipe = CdcPipeline(str(tmp_path / "t"), n_buckets=16)
+    t = pipe.bootstrap(spark, base)
+    # crash after 2 committed batches
+    with pytest.raises(RuntimeError, match="injected failure"):
+        pipe.replay(spark, events, batch_lsns=1000, fail_after=2)
+    v_crash = t.snapshot().version
+    # resume = at-least-once replay of EVERYTHING from epoch 0
+    stats = pipe.replay(spark, events, batch_lsns=1000)
+    # first two epochs must be skipped (idempotent), rest committed
+    assert [s.committed for s in stats] == [False, False, True, True]
+    assert_states_equal(expected, table_state(t, spark))
+    # replaying a third time is a full no-op: no new snapshots
+    v_done = t.snapshot().version
+    stats2 = pipe.replay(spark, events, batch_lsns=1000)
+    assert not any(s.committed for s in stats2)
+    assert t.snapshot().version == v_done > v_crash
+
+
+def test_delete_only_batch(spark, tmp_path):
+    base = base_table(spark, 200, n_repos=5, paths_per_repo=20)
+    pipe = CdcPipeline(str(tmp_path / "t"), n_buckets=8)
+    t = pipe.bootstrap(spark, base)
+    n0 = t.read(spark).count()
+    # delete every key we can see in the base table via synthetic events
+    keys = base.select("repo", "path").limit(50).collect()
+    ev = spark.createDataFrame(
+        [
+            (i, "d", k["repo"], k["path"], "cx", "python", None, None)
+            for i, k in enumerate(keys)
+        ],
+        "lsn long, op string, repo string, path string, commit string, lang string, content string, ts timestamp",
+    )
+    pipe.apply_batch(spark, ev, epoch=0)
+    assert t.read(spark).count() == n0 - len(keys)
+
+
+def test_schema_evolution_mid_stream(spark, tmp_path):
+    base = base_table(spark, 100, n_repos=4, paths_per_repo=10)
+    pipe = CdcPipeline(str(tmp_path / "t"), n_buckets=4)
+    t = pipe.bootstrap(spark, base)
+    # batch 0: normal
+    ev0 = changelog(spark, 50, n_repos=4, paths_per_repo=10)
+    pipe.apply_batch(spark, ev0, epoch=0)
+    # batch 1: adds a column "stars" (long)
+    ev1 = changelog(spark, 50, start_lsn=50, n_repos=4, paths_per_repo=10).withColumn(
+        "stars", (F.col("lsn") % 5).cast("long")
+    )
+    pipe.apply_batch(spark, ev1, epoch=1)
+    assert "stars" in t.read(spark).columns
+    # old rows: null stars; new rows: populated
+    rows = t.read(spark).collect()
+    assert any(r["stars"] is not None for r in rows)
+    assert any(r["stars"] is None for r in rows)
+    # batch 2: widens stars long -> double
+    ev2 = changelog(spark, 50, start_lsn=100, n_repos=4, paths_per_repo=10).withColumn(
+        "stars", F.col("lsn") / 2.0
+    )
+    pipe.apply_batch(spark, ev2, epoch=2)
+    assert dict(t.read(spark).dtypes)["stars"] == "double"
+    # batch 3: rename via hint
+    pipe3 = CdcPipeline(
+        str(tmp_path / "t"), n_buckets=4, rename_hints={"stars": "stargazers"}
+    )
+    ev3 = changelog(spark, 50, start_lsn=150, n_repos=4, paths_per_repo=10).withColumn(
+        "stargazers", F.col("lsn") / 3.0
+    )
+    pipe3.apply_batch(spark, ev3, epoch=3)
+    cols = t.read(spark).columns
+    assert "stargazers" in cols and "stars" not in cols
