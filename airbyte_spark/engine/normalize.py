@@ -24,11 +24,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
 
 from airbyte_spark.engine.changelog import EXT_TO_LANG
 
 
-@pandas_udf("string")
+# NB: DataType instance, not a DDL string — string return types are
+# parsed eagerly and would require an active SparkSession at import.
+@pandas_udf(StringType())
 def canonicalize_path(paths: pd.Series) -> pd.Series:
     """Vectorized POSIX path canonicalization: backslashes -> '/',
     collapse '//', resolve '.'/'..', strip leading './'."""

@@ -1,0 +1,73 @@
+"""Structured Streaming bounded-tail sync: exactly-once incl. kill/resume.
+
+Models the reference's bounded Debezium run + the connector acceptance
+tests' sequential-read invariants (test_incremental.py:152-262:
+second sync from saved state only applies new records)."""
+
+import pytest
+from pyspark.errors.exceptions.captured import StreamingQueryException
+
+from airbyte_spark.engine.changelog import base_table, changelog
+from airbyte_spark.engine.pipeline import CdcPipeline
+from airbyte_spark.streaming.runner import run_stream, write_changelog_chunks
+from tests.oracle import assert_states_equal, replay_oracle, table_state
+
+N_BASE = 800
+N_EVENTS = 2400
+
+
+@pytest.fixture(scope="module")
+def setup(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("stream")
+    base = base_table(spark, N_BASE, n_repos=20, paths_per_repo=40)
+    events = changelog(spark, N_EVENTS, n_repos=20, paths_per_repo=40)
+    tail_dir = str(root / "tail")
+    write_changelog_chunks(events, tail_dir, chunk_lsns=400, lo=0, hi=N_EVENTS - 1)
+    expected = replay_oracle(
+        [r.asDict() for r in base.collect()],
+        [r.asDict() for r in events.collect()],
+    )
+    return root, base, tail_dir, expected
+
+
+def test_stream_availablenow_matches_oracle(spark, setup):
+    root, base, tail_dir, expected = setup
+    pipe = CdcPipeline(str(root / "t1"), n_buckets=16)
+    t = pipe.bootstrap(spark, base)
+    stats = run_stream(
+        spark, pipe, tail_dir, str(root / "cp1"), max_files_per_trigger=2
+    )
+    assert len(stats) >= 3  # bounded microbatches, not one giant batch
+    assert all(s.committed for s in stats)
+    assert_states_equal(expected, table_state(t, spark))
+    # second sync with nothing new: no-op, no new table version
+    v = t.snapshot().version
+    stats2 = run_stream(spark, pipe, tail_dir, str(root / "cp1"))
+    assert t.snapshot().version == v
+
+
+def test_stream_kill_resume_exactly_once(spark, setup):
+    root, base, tail_dir, expected = setup
+    pipe = CdcPipeline(str(root / "t2"), n_buckets=16)
+    t = pipe.bootstrap(spark, base)
+
+    applied = 0
+
+    def crash_after_two(st):
+        nonlocal applied
+        if st.committed:
+            applied += 1
+            if applied >= 2:
+                raise RuntimeError("injected kill")
+
+    with pytest.raises((StreamingQueryException, Exception)):
+        run_stream(
+            spark, pipe, tail_dir, str(root / "cp2"),
+            max_files_per_trigger=1, on_batch=crash_after_two,
+        )
+    # resume from the same checkpoint: replayed batch is epoch-gated,
+    # remaining batches apply; final state equals the oracle
+    stats = run_stream(
+        spark, pipe, tail_dir, str(root / "cp2"), max_files_per_trigger=1
+    )
+    assert_states_equal(expected, table_state(t, spark))
