@@ -1,0 +1,118 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot-path expressions are JVM built-ins (whole-stage codegen); no
+per-row Python anywhere.  Each operator is exposed both as a
+DataFrame transform and through __spark_entry__.queries() with a
+DuckDB oracle where SQL-expressible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# small multilingual stopword lexicons for the n-gram/stopword
+# language-ID heuristic (public knowledge)
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "por", "con"],
+    "fr": ["le", "la", "de", "et", "un", "est", "que", "pour", "dans", "ce"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "就", "不", "人"],
+}
+
+
+def tokens_expr(col: Column) -> Column:
+    """Whitespace tokenization; empty/blank text -> empty array."""
+    return F.when(
+        F.length(F.trim(col)) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(col), r"\s+"))
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + a BPE-ish subword proxy: count of
+    4-char chunks per token, ceil(len/4) summed (a standard cheap
+    token estimate for budgeting LLM training data)."""
+    toks = tokens_expr(F.col(text_col))
+    bpe = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.ceil(F.length(t) / 4.0).cast("long"),
+    )
+    return df.withColumn("n_tokens", F.size(toks).cast("long")).withColumn(
+        "n_tokens_bpe", bpe
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality signals
+    (Gopher/C4-style filters, public heuristics)."""
+    t = F.col(text_col)
+    toks = tokens_expr(t)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    en = STOPWORDS["en"]
+    stop_hits = F.size(F.filter(toks, lambda x: F.lower(x).isin(*en)))
+    punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    return (
+        df.withColumn("n_tokens", n_tokens.cast("long"))
+        .withColumn(
+            "mean_token_len",
+            F.round(F.when(n_tokens > 0, (F.length(F.regexp_replace(t, r"\s+", "")))
+                           / n_tokens).otherwise(F.lit(0.0)), 4),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.round(F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0)), 4),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.round(F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(F.lit(0.0)), 4),
+        )
+        .withColumn(
+            "quality_ok",
+            (n_tokens >= 5)
+            & (F.col("mean_token_len") >= 2)
+            & (F.col("mean_token_len") <= 15)
+            & (F.col("punct_ratio") <= 0.3),
+        )
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit language ID: score each language by lexicon hits
+    over tokens, pick the argmax (ties broken by language code).
+    Pure array expressions — distributed, no shuffle, no UDF."""
+    toks = tokens_expr(F.lower(F.col(text_col)))
+    scored = F.array(
+        *[
+            F.struct(
+                F.size(F.filter(toks, lambda x: x.isin(*words))).alias("score"),
+                # invert code ordering so array_max's tie-break on the
+                # struct's second field is deterministic (max score,
+                # then lexicographically-smallest code)
+                F.lit(code).alias("code"),
+            )
+            for code, words in sorted(STOPWORDS.items(), reverse=True)
+        ]
+    )
+    best = F.array_max(scored)
+    return df.withColumn(
+        "lang_pred",
+        F.when(best["score"] > 0, best["code"]).otherwise(F.lit("unknown")),
+    ).withColumn("lang_pred_score", best["score"].cast("long"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", shingle: int = 5) -> DataFrame:
+    """Winnowing-style document fingerprint: the minimum md5 over all
+    ``shingle``-token windows (md5 so a SQL oracle can reproduce it
+    byte-for-byte; rolling window via sequence+slice array exprs)."""
+    toks = tokens_expr(F.col(text_col))
+    n = F.size(toks)
+    windows = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - shingle + 1, F.lit(1))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, shingle))),
+    )
+    return df.withColumn(
+        "fingerprint", F.when(n > 0, F.array_min(windows)).otherwise(F.lit(None))
+    )
