@@ -1,0 +1,287 @@
+"""Document deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design: every method is expressed as hash -> group/join, never a
+full O(n^2) cross join.  At 100 TB:
+* exact dedup is one hash-aggregate (map-side combined);
+* n-gram Jaccard goes through an inverted token index (explode +
+  equi-join on token), so cost is sum over tokens of df(token)^2 —
+  bounded by dropping ultra-common tokens (stop_df);
+* MinHash-LSH banding turns near-dup search into an equi-join on
+  (band, band-signature) buckets, the standard sub-quadratic path;
+* SimHash joins on rotated 16-bit blocks (any pair within Hamming
+  distance 3 of 64 bits shares at least one of 4 blocks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by md5(text): canonical id = min(id),
+    group size.  (md5 matches the dbt surrogate-key hashing the
+    reference's normalization uses, stream_processor.py:675-704.)"""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row per distinct text (the min-id winner)."""
+    w = exact_dups(df, text_col, id_col).select(
+        F.col("canonical_id").alias(id_col)
+    )
+    return df.join(w, id_col, "left_semi")
+
+
+def _tokens(text_col: str):
+    from airbyte_spark.analytics.text import tokens_expr
+
+    return tokens_expr(F.lower(F.col(text_col)))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_token_df: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by n-gram-set Jaccard via an inverted
+    index: explode distinct n-grams, self-join on the n-gram, count
+    co-occurrences, Jaccard = inter / (|A| + |B| - inter).
+    ``max_token_df`` drops n-grams appearing in more than that many
+    docs (the classic inverted-index hot-key guard)."""
+    toks = _tokens(text_col)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
+    ).otherwise(F.array_distinct(toks))
+    docs = df.select(F.col(id_col).alias("id"), grams.alias("grams")).filter(
+        F.size("grams") > 0
+    )
+    sizes = docs.select("id", F.size("grams").alias("sz"))
+    inv = docs.select("id", F.explode("grams").alias("g"))
+    if max_token_df is not None:
+        hot = inv.groupBy("g").count().filter(F.col("count") > max_token_df)
+        inv = inv.join(hot.select("g"), "g", "left_anti")
+    a, b = inv.alias("a"), inv.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnsRenamed({"id": "id1", "sz": "sz1"}), "id1")
+        .join(sizes.withColumnsRenamed({"id": "id2", "sz": "sz2"}), "id2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """MinHash signature per doc: for seed i, min over shingles of
+    xxhash64(shingle, i).  All array expressions — one pass, no
+    shuffle, no UDF."""
+    toks = _tokens(text_col)
+    grams = F.when(
+        F.size(toks) >= shingle,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - shingle + 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, shingle)),
+            )
+        ),
+    ).otherwise(F.array_distinct(toks))
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda s: F.array_min(F.transform(grams, lambda g: F.xxhash64(g, s))),
+    )
+    return df.select(
+        F.col(id_col).alias("id"), sig.alias("sig"), F.size(grams).alias("n_grams")
+    ).filter(F.col("n_grams") > 0)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs with estimated Jaccard
+    (signature agreement rate).  Banding: split the signature into
+    ``bands`` bands of num_hashes/bands rows; docs sharing any band
+    bucket are candidates — an equi-join on (band, hash(band_slice)),
+    sub-quadratic and shuffle-friendly."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sigs = minhash_signatures(
+        df, text_col=text_col, id_col=id_col, shingle=shingle, num_hashes=num_hashes
+    )
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.slice(F.col("sig"), b * r + 1, r))
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.col("a.sig").alias("sig1"),
+            F.col("b.sig").alias("sig2"),
+        )
+        .dropDuplicates(["id1", "id2"])
+    )
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with("sig1", "sig2", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        )
+        / F.lit(float(num_hashes)),
+        4,
+    )
+    return (
+        cand.withColumn("jaccard_est", est)
+        .filter(F.col("jaccard_est") >= threshold)
+        .select("id1", "id2", "jaccard_est")
+    )
+
+
+def simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash: per token, xxhash64 gives 64 bits; each bit
+    votes +1/-1; sign of the vote sum per bit position forms the
+    fingerprint.  Vectorized as a 64-slot aggregate over the token
+    array."""
+    toks = _tokens(text_col)
+    # NB: python wrappers for shiftleft/getbit demand literal ints, so
+    # column bit positions go through call_function (SQL signatures
+    # accept expressions)
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda i: (
+                    F.call_function("getbit", F.xxhash64(t), i.cast("int")) * 2 - 1
+                ).cast("long"),
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    bits = F.aggregate(
+        F.zip_with(
+            votes,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda v, i: F.when(
+                v > 0,
+                F.call_function("shiftleft", F.lit(1).cast("long"), i.cast("int")),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    return df.select(F.col(id_col).alias("id"), bits.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs within Hamming distance ``max_hamming`` of the
+    64-bit SimHash.  Pigeonhole blocking: split into 4 16-bit blocks;
+    any pair with distance <=3 agrees on >=1 block -> equi-join per
+    block, then exact popcount verify."""
+    sh = simhash(df, text_col=text_col, id_col=id_col)
+    blocks = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda b: F.struct(
+                    b.alias("blk"),
+                    F.call_function(
+                        "shiftright", F.col("simhash"), (b * 16).cast("int")
+                    )
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("key"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", "bb.blk", "bb.key")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.col("a.simhash").alias("h1"),
+            F.col("b.simhash").alias("h2"),
+        )
+        .dropDuplicates(["id1", "id2"])
+    )
+    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+    )

@@ -1,0 +1,120 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Treats media as opaque ``binary`` columns plus typed metadata, with
+decode / feature-extraction / resize / frame-sampling implemented as
+Arrow-batched ``mapInPandas`` stages.  The actual codecs (PIL,
+ffmpeg, librosa) are NOT in this container, so the decode kernel is
+STUBBED: ``decode_stub=True`` (default) produces a deterministic fake
+decode derived from the payload bytes — the Spark-side plumbing
+(schema, batch shape, partitioning) is real and tested; a production
+deploy swaps `_decode_image_real` in.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ASSET_SCHEMA = (
+    "asset_id long, kind string, payload binary, width int, height int, "
+    "duration_ms int"
+)
+
+FEATURE_SCHEMA = (
+    "asset_id long, kind string, feat_dim int, features array<float>, "
+    "decode_ok boolean"
+)
+
+
+def make_assets(spark: SparkSession, n: int, *, seed: int = 42) -> DataFrame:
+    """Deterministic synthetic media assets: payload = sha256 chain
+    bytes, metadata derived from the id.  JVM-side generation."""
+    kinds = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.pmod(F.col("id"), F.lit(3)) + 1).cast("int"),
+    )
+    payload = F.sha2(F.concat(F.lit(f"asset-{seed}-"), F.col("id").cast("string")), 256)
+    return spark.range(n).select(
+        F.col("id").alias("asset_id"),
+        kinds.alias("kind"),
+        F.to_binary(payload, F.lit("hex")).alias("payload"),
+        (F.pmod(F.col("id") * 37, F.lit(1920)) + 16).cast("int").alias("width"),
+        (F.pmod(F.col("id") * 53, F.lit(1080)) + 16).cast("int").alias("height"),
+        (F.pmod(F.col("id") * 97, F.lit(60000)) + 1000).cast("int").alias("duration_ms"),
+    )
+
+
+def _decode_image_real(payload: bytes) -> np.ndarray:
+    raise NotImplementedError(
+        "real image decode requires PIL/opencv — not available in this "
+        "container; use decode_stub=True (deterministic fake) instead"
+    )
+
+
+def _decode_stub(payload: bytes, dim: int) -> np.ndarray:
+    """Deterministic fake decode: expand payload bytes into `dim`
+    floats via a sha256 counter stream (stable across runs/partitions)."""
+    out = np.empty(dim, dtype=np.float32)
+    i = 0
+    ctr = 0
+    while i < dim:
+        h = hashlib.sha256(payload + ctr.to_bytes(4, "little")).digest()
+        chunk = np.frombuffer(h, dtype=np.uint8).astype(np.float32) / 255.0
+        take = min(dim - i, len(chunk))
+        out[i : i + take] = chunk[:take]
+        i += take
+        ctr += 1
+    return out
+
+
+def extract_features(
+    assets: DataFrame, *, dim: int = 64, decode_stub: bool = True
+) -> DataFrame:
+    """mapInPandas feature extraction: one Arrow batch in, one out.
+    Batches stay columnar end-to-end; per-batch numpy work only."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            ok = []
+            for payload in pdf["payload"]:
+                try:
+                    vec = (
+                        _decode_stub(bytes(payload), dim)
+                        if decode_stub
+                        else _decode_image_real(bytes(payload))
+                    )
+                    feats.append(vec.tolist())
+                    ok.append(True)
+                except NotImplementedError:
+                    feats.append([0.0] * dim)
+                    ok.append(False)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "kind": pdf["kind"],
+                    "feat_dim": dim,
+                    "features": feats,
+                    "decode_ok": ok,
+                }
+            )
+
+    return assets.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(assets: DataFrame, *, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plumbing for video assets: one output row per
+    sampled timestamp (pure array expressions; the frame decode
+    itself would plug into extract_features)."""
+    v = assets.filter(F.col("kind") == "video")
+    return v.select(
+        "asset_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms))
+        ).alias("frame_ts_ms"),
+    )

@@ -1,0 +1,171 @@
+"""Embedding similarity search: brute-force cosine + LSH scale path.
+
+The embedding column is array<float>.  All arithmetic runs as JVM
+array expressions (zip_with/aggregate) in double precision — no
+Python in the scoring loop.
+
+Scale story: brute-force is the exact baseline (fine when the query
+set is small: queries broadcast, corpus scans once, cost O(|Q|*N)).
+The random-hyperplane LSH variant buckets the corpus by sign
+signature so each query only scores its bucket — the 100 TB path.
+Hyperplanes are seeded literals (deterministic, no Date/random at
+plan time).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_pairs(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """All (query, corpus) cosine similarities >= threshold.
+    ``queries`` is expected to be small -> broadcast; the corpus is
+    scanned exactly once with no shuffle."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    sim = _dot(F.col("qvec"), F.col("cvec")) / (
+        _norm(F.col("qvec")) * _norm(F.col("cvec"))
+    )
+    return (
+        c.crossJoin(q)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(sim, 4))
+        .filter(F.col("cosine") >= threshold)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+def topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine, deterministic
+    tie-break on neighbor id."""
+    pairs = cosine_pairs(corpus, queries, id_col=id_col, vec_col=vec_col,
+                         threshold=-1.0)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random ±1 hyperplanes from sha256 bits."""
+    planes = []
+    for p in range(n_planes):
+        comps: list[float] = []
+        ctr = 0
+        while len(comps) < dim:
+            h = hashlib.sha256(f"{seed}:{p}:{ctr}".encode()).digest()
+            for byte in h:
+                for bit in range(8):
+                    comps.append(1.0 if (byte >> bit) & 1 else -1.0)
+                    if len(comps) == dim:
+                        break
+                if len(comps) == dim:
+                    break
+            ctr += 1
+        planes.append(comps)
+    return planes
+
+
+def lsh_signature(df: DataFrame, *, vec_col: str = "embedding",
+                  n_planes: int = 12, seed: int = 42, dim: int = 64) -> DataFrame:
+    """Random-hyperplane (SRP) signature: bit i = sign(v . plane_i)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(x) for x in plane])
+        bit = (_dot(F.col(vec_col), lit_plane) > 0).cast("long")
+        sig = sig.bitwiseOR(F.shiftleft(bit, i))
+    return df.withColumn("lsh_bucket", sig)
+
+
+def topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors sharing the
+    query's SRP bucket (equi-join on bucket instead of cross join).
+    Recall/cost tradeoff via n_planes (2^n buckets)."""
+    cs = lsh_signature(corpus, vec_col=vec_col, n_planes=n_planes, seed=seed, dim=dim)
+    qs = lsh_signature(queries, vec_col=vec_col, n_planes=n_planes, seed=seed, dim=dim)
+    q = F.broadcast(
+        qs.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.col("lsh_bucket").alias("qb"),
+        )
+    )
+    c = cs.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.col("lsh_bucket").alias("cb"),
+    )
+    sim = _dot(F.col("qvec"), F.col("cvec")) / (
+        _norm(F.col("qvec")) * _norm(F.col("cvec"))
+    )
+    pairs = (
+        c.join(q, F.col("cb") == F.col("qb"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(sim, 4))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
