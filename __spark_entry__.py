@@ -1,38 +1,521 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator from SURVEY.md §2 as
+a (spark, sf_dir) -> DataFrame callable; ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for the SQL-expressible ones.  The CDC engine
+itself (COW merge, epoch exactly-once, streaming kill/resume) is
+verified by `python -m pytest -x -q`; here it appears as
+``cdc_replay_mini`` (rows-only check) plus SQL-expressible proxies of
+its relational core (LWW / HWM / SCD2) over the `events` table.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from airbyte_spark.analytics import dedup as A_dedup
+from airbyte_spark.analytics import similarity as A_sim
+from airbyte_spark.analytics import text as A_text
+from airbyte_spark.engine.dedup import lww_dedup
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# relational core (filter/project/agg/join/window — SURVEY.md §2.5's surface)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark, sf):
+    l = _t(spark, sf, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q3_segment_revenue(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+def q5_nation_revenue(spark, sf):
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf, "nation")
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q6_forecast_revenue(spark, sf):
+    l = _t(spark, sf, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q15_top_suppliers(spark, sf):
+    l = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    rev = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    return (
+        rev.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC relational core as SQL-expressible proxies over `events`
+# ---------------------------------------------------------------------------
+
+def cdc_lww_events(spark, sf):
+    """Last-writer-wins state per user — the engine's dedup stage
+    (map-side-combined max_by, engine/dedup.py) on the events stream."""
+    e = _t(spark, sf, "events").select("user_id", "event_id", "event_type", "value")
+    out = lww_dedup(e, ["user_id"], ["event_id"])
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.round(F.col("value"), 4).alias("last_value"),
+    )
+
+
+def cdc_hwm_events(spark, sf):
+    """Per-key high-water-mark bookkeeping (engine/state.py analog)."""
+    e = _t(spark, sf, "events")
+    return e.groupBy("user_id").agg(
+        F.max("event_id").alias("hwm_event_id"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+def scd2_events(spark, sf):
+    """SCD type-2 history (reference stream_processor.py:884-899:
+    lag/lead + active-row over the key window)."""
+    e = _t(spark, sf, "events").select("user_id", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return (
+        e.withColumn("valid_to_event", F.lead("event_id").over(w))
+        .withColumn("is_current", F.col("valid_to_event").isNull())
+        .select("user_id", "event_id", "event_type", "valid_to_event", "is_current")
+    )
+
+
+def events_minmax_ts(spark, sf):
+    e = _t(spark, sf, "events")
+    return e.agg(F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts"))
+
+
+# ---------------------------------------------------------------------------
+# training-data ops over documents / embeddings
+# ---------------------------------------------------------------------------
+
+def doc_dedup_exact(spark, sf):
+    return A_dedup.exact_dups(_t(spark, sf, "documents"))
+
+
+def doc_token_stats(spark, sf):
+    return A_text.token_count(_t(spark, sf, "documents")).select(
+        "doc_id", "n_tokens", "n_tokens_bpe"
+    )
+
+
+def doc_quality(spark, sf):
+    return A_text.quality_score(_t(spark, sf, "documents")).select(
+        "doc_id", "n_tokens", "mean_token_len", "punct_ratio",
+        "stopword_ratio", "quality_ok",
+    )
+
+
+def doc_lang_id(spark, sf):
+    return A_text.lang_id(_t(spark, sf, "documents")).select(
+        "doc_id", "lang_pred", "lang_pred_score"
+    )
+
+
+def doc_fingerprint(spark, sf):
+    return A_text.fingerprint(_t(spark, sf, "documents")).select(
+        "doc_id", "fingerprint"
+    )
+
+
+def doc_jaccard_pairs(spark, sf):
+    return A_dedup.ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), n=1, threshold=0.5
+    )
+
+
+def doc_minhash_lsh_pairs(spark, sf):
+    return A_dedup.minhash_lsh_pairs(
+        _t(spark, sf, "documents"), shingle=3, threshold=0.35
+    )
+
+
+def doc_simhash_pairs(spark, sf):
+    return A_dedup.simhash_pairs(_t(spark, sf, "documents"), max_hamming=8)
+
+
+def emb_cosine_pairs(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return A_sim.cosine_pairs(e, q, threshold=0.2)
+
+
+def emb_topk(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return A_sim.topk_bruteforce(e, q, k=5)
+
+
+def emb_topk_lsh(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return A_sim.topk_lsh(e, q, k=5, n_planes=4)
+
+
+# ---------------------------------------------------------------------------
+# the CDC engine end-to-end (non-SQL: COW merge + epochs; rows-only check)
+# ---------------------------------------------------------------------------
+
+def cdc_replay_mini(spark, sf):
+    from airbyte_spark.engine.changelog import base_table, changelog
+    from airbyte_spark.engine.pipeline import CdcPipeline
+
+    root = tempfile.mkdtemp(prefix="cdc_entry_")
+    pipe = CdcPipeline(os.path.join(root, "t"), n_buckets=8)
+    t = pipe.bootstrap(spark, base_table(spark, 300, n_repos=10, paths_per_repo=30))
+    pipe.replay(spark, changelog(spark, 900, n_repos=10, paths_per_repo=30),
+                batch_lsns=300)
+    return t.read(spark)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: a full CDC replay (bootstrap -> 3 epochs of changelog
+    -> COW MERGE) returning the final deduped table state."""
+    return cdc_replay_mini(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_segment_revenue": q3_segment_revenue,
+        "q5_nation_revenue": q5_nation_revenue,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q15_top_suppliers": q15_top_suppliers,
+        "cdc_lww_events": cdc_lww_events,
+        "cdc_hwm_events": cdc_hwm_events,
+        "scd2_events": scd2_events,
+        "events_minmax_ts": events_minmax_ts,
+        "doc_dedup_exact": doc_dedup_exact,
+        "doc_token_stats": doc_token_stats,
+        "doc_quality": doc_quality,
+        "doc_lang_id": doc_lang_id,
+        "doc_fingerprint": doc_fingerprint,
+        "doc_jaccard_pairs": doc_jaccard_pairs,
+        "doc_minhash_lsh_pairs": doc_minhash_lsh_pairs,
+        "doc_simhash_pairs": doc_simhash_pairs,
+        "emb_cosine_pairs": emb_cosine_pairs,
+        "emb_topk": emb_topk,
+        "emb_topk_lsh": emb_topk_lsh,
+        "cdc_replay_mini": cdc_replay_mini,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
+_STOP_EN = "['the','a','of','and','to','in','is','that','it','for']"
+
+
+def _lang_case() -> str:
+    from airbyte_spark.analytics.text import STOPWORDS
+
+    scores = {
+        code: (
+            f"len(list_filter({_TOKS}, x -> list_contains("
+            f"[{','.join(repr(w) for w in words)}], x)))"
+        )
+        for code, words in STOPWORDS.items()
+    }
+    # argmax with ties to the lexicographically largest code (matches
+    # array_max over (score, code) structs in analytics/text.py)
+    codes_desc = sorted(scores, reverse=True)
+    whens = []
+    for i, c in enumerate(codes_desc):
+        conds = [f"s_{c} >= s_{o}" for o in codes_desc[i + 1 :]] + [
+            f"s_{c} > s_{o}" for o in codes_desc[:i]
+        ]
+        whens.append(f"WHEN {' AND '.join(conds) if conds else 'TRUE'} THEN '{c}'")
+    case_lang = "CASE " + " ".join(whens) + " END"
+    best = "greatest(" + ", ".join(f"s_{c}" for c in codes_desc) + ")"
+    sel = ", ".join(f"{expr} AS s_{c}" for c, expr in scores.items())
+    return f"""
+WITH scored AS (
+  SELECT doc_id, {sel} FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       CASE WHEN {best} > 0 THEN {case_lang} ELSE 'unknown' END AS lang_pred,
+       CAST({best} AS BIGINT) AS lang_pred_score
+FROM scored
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+  round(avg(l_quantity), 4) AS avg_qty,
+  round(avg(l_extendedprice), 4) AS avg_price,
+  round(avg(l_discount), 4) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "q3_segment_revenue": """
+SELECT c_mktsegment,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  count(DISTINCT o_orderkey) AS n_orders
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY c_mktsegment
+""",
+        "q5_nation_revenue": """
+SELECT n_name,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+""",
+        "q6_forecast_revenue": """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+        "q15_top_suppliers": """
+SELECT s_suppkey, s_name,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1996-07-01'
+GROUP BY s_suppkey, s_name
+""",
+        "cdc_lww_events": """
+SELECT user_id,
+       event_id AS last_event_id,
+       event_type AS last_event_type,
+       round(value, 4) AS last_value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+        "cdc_hwm_events": """
+SELECT user_id,
+       max(event_id) AS hwm_event_id,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY user_id
+""",
+        "scd2_events": """
+SELECT user_id, event_id, event_type,
+       lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS valid_to_event,
+       lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL AS is_current
+FROM events
+""",
+        "events_minmax_ts": """
+SELECT min(ts) AS min_ts, max(ts) AS max_ts FROM events
+""",
+        "doc_dedup_exact": """
+SELECT md5(text) AS text_md5,
+       min(doc_id) AS canonical_id,
+       count(*) AS n_dups
+FROM documents GROUP BY md5(text)
+""",
+        "doc_token_stats": f"""
+SELECT doc_id,
+  CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len({_TOKS}) END AS n_tokens,
+  CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE CAST(list_sum(list_transform({_TOKS},
+            t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) END AS n_tokens_bpe
+FROM documents
+""",
+        "doc_quality": f"""
+WITH q AS (
+  SELECT doc_id, text,
+    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END AS n_tokens,
+    length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct,
+    length(regexp_replace(text, '\\s+', '', 'g')) AS nonspace,
+    len(list_filter({_TOKS}, x -> list_contains({_STOP_EN}, x))) AS stop_hits
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+  round(CASE WHEN n_tokens > 0 THEN nonspace / n_tokens ELSE 0.0 END, 4) AS mean_token_len,
+  round(CASE WHEN length(text) > 0 THEN punct / length(text) ELSE 0.0 END, 4) AS punct_ratio,
+  round(CASE WHEN n_tokens > 0 THEN stop_hits / n_tokens ELSE 0.0 END, 4) AS stopword_ratio,
+  (n_tokens >= 5
+   AND round(CASE WHEN n_tokens > 0 THEN nonspace / n_tokens ELSE 0.0 END, 4) >= 2
+   AND round(CASE WHEN n_tokens > 0 THEN nonspace / n_tokens ELSE 0.0 END, 4) <= 15
+   AND round(CASE WHEN length(text) > 0 THEN punct / length(text) ELSE 0.0 END, 4) <= 0.3
+  ) AS quality_ok
+FROM q
+""",
+        "doc_lang_id": _lang_case(),
+        "doc_fingerprint": f"""
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN [] ELSE {_TOKS} END AS toks
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN len(toks) = 0 THEN NULL
+       ELSE list_min([md5(array_to_string(toks[i:i+4], ' '))
+                      for i in range(1, greatest(len(toks) - 4, 1) + 1)])
+  END AS fingerprint
+FROM d
+""",
+        "doc_jaccard_pairs": f"""
+WITH d AS (
+  SELECT doc_id AS id, list_distinct({_TOKS}) AS grams
+  FROM documents WHERE length(trim(text)) > 0
+),
+s AS (SELECT id, len(grams) AS sz FROM d),
+inv AS (SELECT id, unnest(grams) AS g FROM d),
+inter AS (
+  SELECT a.id AS id1, b.id AS id2, count(*) AS inter
+  FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id1, id2,
+  round(inter / (s1.sz + s2.sz - inter), 4) AS jaccard
+FROM inter
+JOIN s s1 ON id1 = s1.id
+JOIN s s2 ON id2 = s2.id
+WHERE round(inter / (s1.sz + s2.sz - inter), 4) >= 0.5
+""",
+        "emb_cosine_pairs": """
+SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+  round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cosine
+FROM embeddings c, embeddings q
+WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+  AND round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) >= 0.2
+""",
+        "emb_topk": """
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cosine,
+    row_number() OVER (
+      PARTITION BY q.vec_id
+      ORDER BY round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) DESC,
+               c.vec_id ASC
+    ) AS rank
+  FROM embeddings c, embeddings q
+  WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+) WHERE rank <= 5
+""",
+    }

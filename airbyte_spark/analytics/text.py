@@ -88,9 +88,9 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         *[
             F.struct(
                 F.size(F.filter(toks, lambda x: x.isin(*words))).alias("score"),
-                # invert code ordering so array_max's tie-break on the
-                # struct's second field is deterministic (max score,
-                # then lexicographically-smallest code)
+                # array_max compares (score, code) field-by-field, so
+                # ties break to the lexicographically LARGEST code —
+                # deterministic, and mirrored by the SQL oracle
                 F.lit(code).alias("code"),
             )
             for code, words in sorted(STOPWORDS.items(), reverse=True)

@@ -1,0 +1,122 @@
+"""CLI — the spark-submit entrypoint (the reference's
+spec/check/discover/read verb CLI, airbyte_cdk/entrypoint.py:26-147,
+re-imagined as lakehouse-ingest verbs).
+
+  python -m airbyte_spark.cli init --table /t --base-rows 100000
+  python -m airbyte_spark.cli gen-tail --out /tail --events 1000000 --chunks 10
+  python -m airbyte_spark.cli run --table /t --tail /tail --checkpoint /cp
+  python -m airbyte_spark.cli replay --table /t --events 1000000 --batch-lsns 100000
+  python -m airbyte_spark.cli lineage --table /t
+  python -m airbyte_spark.cli compact --table /t
+
+On a cluster: spark-submit --py-files airbyte_spark.zip -m airbyte_spark.cli ...
+(local mode picks cpus from $SPARK_GRAFT_CPUS).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="airbyte-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("init", help="create table + bootstrap base snapshot")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--base-rows", type=int, default=100_000)
+    sp.add_argument("--buckets", type=int, default=64)
+    sp.add_argument("--repos", type=int, default=500)
+    sp.add_argument("--paths-per-repo", type=int, default=400)
+
+    sp = sub.add_parser("gen-tail", help="write a changelog tail as parquet chunks")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--events", type=int, default=1_000_000)
+    sp.add_argument("--chunks", type=int, default=10)
+    sp.add_argument("--start-lsn", type=int, default=0)
+    sp.add_argument("--repos", type=int, default=500)
+    sp.add_argument("--paths-per-repo", type=int, default=400)
+
+    sp = sub.add_parser("run", help="streaming sync: tail dir -> MERGE (AvailableNow)")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--tail", required=True)
+    sp.add_argument("--checkpoint", required=True)
+    sp.add_argument("--max-files-per-trigger", type=int, default=None)
+
+    sp = sub.add_parser("replay", help="batch replay of a generated changelog")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--events", type=int, default=1_000_000)
+    sp.add_argument("--batch-lsns", type=int, default=250_000)
+    sp.add_argument("--start-lsn", type=int, default=0)
+    sp.add_argument("--repos", type=int, default=500)
+    sp.add_argument("--paths-per-repo", type=int, default=400)
+
+    sp = sub.add_parser("lineage", help="per-bucket lineage + state")
+    sp.add_argument("--table", required=True)
+
+    sp = sub.add_parser("compact", help="rewrite fragmented buckets")
+    sp.add_argument("--table", required=True)
+
+    args = p.parse_args(argv)
+
+    from airbyte_spark.engine.changelog import base_table, changelog
+    from airbyte_spark.engine.pipeline import CdcPipeline
+    from airbyte_spark.session import get_spark
+
+    spark = get_spark(f"airbyte-spark-{args.cmd}")
+
+    if args.cmd == "init":
+        pipe = CdcPipeline(args.table, n_buckets=args.buckets)
+        pipe.bootstrap(
+            spark,
+            base_table(spark, args.base_rows, n_repos=args.repos,
+                       paths_per_repo=args.paths_per_repo),
+        )
+        print(json.dumps({"table": args.table, "rows": args.base_rows}))
+    elif args.cmd == "gen-tail":
+        from airbyte_spark.streaming.runner import write_changelog_chunks
+
+        ev = changelog(spark, args.events, start_lsn=args.start_lsn,
+                       n_repos=args.repos, paths_per_repo=args.paths_per_repo)
+        chunk = max(args.events // args.chunks, 1)
+        paths = write_changelog_chunks(
+            ev, args.out, chunk_lsns=chunk,
+            lo=args.start_lsn, hi=args.start_lsn + args.events - 1,
+        )
+        print(json.dumps({"chunks": len(paths), "out": args.out}))
+    elif args.cmd == "run":
+        from airbyte_spark.streaming.runner import run_stream
+
+        pipe = CdcPipeline(args.table)
+        stats = run_stream(
+            spark, pipe, args.tail, args.checkpoint,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
+        print(json.dumps({
+            "batches": len(stats),
+            "committed": sum(1 for s in stats if s.committed),
+            "events": sum(s.events for s in stats if s.events > 0),
+        }))
+    elif args.cmd == "replay":
+        pipe = CdcPipeline(args.table)
+        ev = changelog(spark, args.events, start_lsn=args.start_lsn,
+                       n_repos=args.repos, paths_per_repo=args.paths_per_repo)
+        stats = pipe.replay(spark, ev, batch_lsns=args.batch_lsns)
+        print(json.dumps({
+            "batches": len(stats),
+            "committed": sum(1 for s in stats if s.committed),
+        }))
+    elif args.cmd == "lineage":
+        print(json.dumps(CdcPipeline(args.table).lineage(), indent=2))
+    elif args.cmd == "compact":
+        from airbyte_spark.lake import LakeTable
+
+        v = LakeTable(args.table).compact(spark)
+        print(json.dumps({"compacted_to_version": v}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

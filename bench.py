@@ -1,0 +1,127 @@
+"""Benchmark harness.  Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "extra": {...}}
+
+Covers (a) the headline CDC replay (bootstrap + N epochs of changelog
+-> COW MERGE, events/sec reported in extra) and (b) per-query wall
+times over $SPARK_GRAFT_SF_DIR.  Run scaling evidence separately via
+tools/bench_scaling.py (two parallelism levels, fresh JVMs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_segment_revenue",
+    "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "cdc_lww_events",
+    "scd2_events",
+    "doc_token_stats",
+    "doc_quality",
+    "doc_minhash_lsh_pairs",
+    "doc_simhash_pairs",
+    "emb_topk",
+    "emb_topk_lsh",
+]
+
+
+def _materialize(df) -> int:
+    # noop sink: full computation, no result transfer, no disk
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def bench_cdc_replay(spark, *, n_base: int, n_events: int, n_batches: int,
+                     n_buckets: int, workdir: str) -> dict:
+    from airbyte_spark.engine.changelog import base_table, changelog
+    from airbyte_spark.engine.pipeline import CdcPipeline
+
+    pipe = CdcPipeline(os.path.join(workdir, "table"), n_buckets=n_buckets)
+    t0 = time.time()
+    pipe.bootstrap(
+        spark, base_table(spark, n_base, n_repos=500, paths_per_repo=400)
+    )
+    t_boot = time.time() - t0
+    events = changelog(spark, n_events, n_repos=500, paths_per_repo=400)
+    t1 = time.time()
+    stats = pipe.replay(spark, events, batch_lsns=max(n_events // n_batches, 1))
+    t_replay = time.time() - t1
+    return {
+        "bootstrap_sec": round(t_boot, 2),
+        "replay_sec": round(t_replay, 2),
+        "events": n_events,
+        "batches": len(stats),
+        "events_per_sec": round(n_events / t_replay, 1),
+        "final_rows": sum(
+            b["rows"] for b in CdcPipeline(
+                os.path.join(workdir, "table")
+            ).lineage()["buckets"].values()
+        ),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from airbyte_spark.session import get_spark
+    import __spark_entry__ as E
+
+    spark = get_spark("bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    total0 = time.time()
+    timings: dict[str, float] = {}
+
+    # --- CDC replay headline (sized by sf) -----------------------------
+    n_events = int(2_000_000 * sf * 10) or 20_000  # 2M at sf0.1
+    workdir = tempfile.mkdtemp(prefix="bench_cdc_")
+    try:
+        t0 = time.time()
+        cdc = bench_cdc_replay(
+            spark,
+            n_base=n_events // 4,
+            n_events=n_events,
+            n_batches=4,
+            n_buckets=64,
+            workdir=workdir,
+        )
+        timings["cdc_replay"] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+    # --- per-query timings ---------------------------------------------
+    qs = E.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        _materialize(qs[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(time.time() - total0, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "cdc_replay_plus_queries_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "extra": {"cdc": cdc, "cpus": cpus},
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

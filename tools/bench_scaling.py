@@ -1,0 +1,86 @@
+"""Scaling-efficiency evidence for the north rule.
+
+The rule demands throughput scaling efficiency >= 0.8 between cluster
+sizes N and 4N.  No real cluster exists in this sandbox, so the proxy
+(sanctioned by BASELINE.md) is the same CDC replay job at two local
+parallelism levels — fresh JVM each so nothing is shared.
+
+  efficiency = (throughput_4N / throughput_N) / 4
+
+Writes BENCH/scaling.json and prints a summary table.
+Usage: python tools/bench_scaling.py [n_events] [N] [4N]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, os, shutil, sys, tempfile, time
+sys.path.insert(0, {repo!r})
+from airbyte_spark.session import get_spark
+from bench import bench_cdc_replay
+
+cpus = int(sys.argv[1]); n_events = int(sys.argv[2])
+spark = get_spark("scaling", cpus=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+wd = tempfile.mkdtemp(prefix="scal_")
+try:
+    # untimed warmup so JVM/JIT/codegen startup doesn't pollute the ratio
+    bench_cdc_replay(spark, n_base=5000, n_events=20000, n_batches=2,
+                     n_buckets=64, workdir=os.path.join(wd, "w"))
+    res = bench_cdc_replay(spark, n_base=n_events // 4, n_events=n_events,
+                           n_batches=4, n_buckets=64,
+                           workdir=os.path.join(wd, "m"))
+    print("RESULT " + json.dumps(res))
+finally:
+    shutil.rmtree(wd, ignore_errors=True)
+"""
+
+
+def run_at(cpus: int, n_events: int) -> dict:
+    script = CHILD.format(repo=REPO)
+    out = subprocess.run(
+        [sys.executable, "-c", script, str(cpus), str(n_events)],
+        capture_output=True, text=True, timeout=3600,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[7:])
+    raise RuntimeError(f"child failed (cpus={cpus}):\n{out.stderr[-3000:]}")
+
+
+def main() -> None:
+    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    lo = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    hi = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    r_lo = run_at(lo, n_events)
+    r_hi = run_at(hi, n_events)
+    eff = (r_hi["events_per_sec"] / r_lo["events_per_sec"]) / (hi / lo)
+    result = {
+        "n_events": n_events,
+        "levels": {
+            f"local[{lo}]": r_lo,
+            f"local[{hi}]": r_hi,
+        },
+        "core_ratio": hi / lo,
+        "throughput_ratio": round(r_hi["events_per_sec"] / r_lo["events_per_sec"], 3),
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as fh:
+        json.dump(result, fh, indent=2)
+    print(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    main()

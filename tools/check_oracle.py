@@ -1,0 +1,101 @@
+"""Local emulation of the driver's correctness gate: run each
+queries() entry on Spark and its oracle_sql() on DuckDB at sf0.01,
+compare row count, schema (column names), and order-insensitive
+values.  Usage: python tools/check_oracle.py [sf_dir] [query ...]"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1).copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        elif df[c].dtype in (np.int32, np.int64):
+            df[c] = df[c].astype("int64")
+        elif df[c].dtype == bool:
+            df[c] = df[c].astype(bool)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as E
+    from airbyte_spark.session import get_spark
+
+    spark = get_spark("oracle-check", cpus=8, shuffle_partitions=16)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            got = fn(spark, sf_dir).toPandas()
+        except Exception as exc:
+            failures.append(name)
+            print(f"FAIL {name}: spark error {exc}")
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"ok?  {name}: rows-only ({len(got)} rows)")
+            if len(got) == 0 and name != "doc_dedup_exact":
+                print(f"     WARNING: zero rows")
+            continue
+        try:
+            exp = con.execute(sql).df()
+        except Exception as exc:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error {exc}")
+            continue
+        g, e = normalize(got), normalize(exp)
+        if list(g.columns) != list(e.columns):
+            failures.append(name)
+            print(f"FAIL {name}: columns {list(g.columns)} vs {list(e.columns)}")
+            continue
+        if len(g) != len(e):
+            failures.append(name)
+            print(f"FAIL {name}: rows {len(g)} vs {len(e)}")
+            continue
+        eq = g.equals(e)
+        if not eq:
+            # locate first differing cell for debugging
+            diff = (g != e) & ~(g.isna() & e.isna())
+            cells = list(zip(*np.where(diff)))[:5]
+            failures.append(name)
+            print(f"FAIL {name}: value mismatch at {len(cells)}+ cells")
+            for r, c in cells[:3]:
+                col = g.columns[c]
+                print(f"     row {r} col {col}: spark={g.iloc[r, c]!r} duck={e.iloc[r, c]!r}")
+        else:
+            print(f"OK   {name} ({len(g)} rows)")
+    print(f"\n{'ALL OK' if not failures else 'FAILURES: ' + ', '.join(failures)}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
