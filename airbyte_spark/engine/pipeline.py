@@ -26,11 +26,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType, TimestampType
 
+import json
+
 from airbyte_spark.engine import normalize
 from airbyte_spark.engine.dedup import lww_dedup
 from airbyte_spark.engine.schema_evolution import reconcile
 from airbyte_spark.engine.state import StateStore
 from airbyte_spark.lake.table import LakeTable, MergeResult
+
+# type names allowed in op='s' schema-change event payloads
+_DDL_TYPES = {
+    "short": "smallint", "int": "int", "long": "bigint", "float": "float",
+    "double": "double", "string": "string", "boolean": "boolean",
+    "date": "date", "timestamp": "timestamp",
+}
+
+
+def _parse_ddl_type(name: str):
+    from pyspark.sql.types import _parse_datatype_string
+
+    return _parse_datatype_string(_DDL_TYPES[name])
 
 KEYS = ["repo", "path"]
 ORDER = ["lsn", "ts"]
@@ -72,12 +87,21 @@ class CdcPipeline:
         state_root: str | None = None,
         dedup_method: str = "max_by",
         rename_hints: dict[str, str] | None = None,
+        mode: str = "dedup",
     ):
+        """mode: destination sync mode (airbyte-protocol.md:395-420)
+        - 'dedup'     = incremental + dedup history (MERGE; default)
+        - 'append'    = land every LWW batch winner as-is, no merge
+        - 'overwrite' = replace table content with each batch
+        """
         self.table_root = table_root
         self.stream = stream
         self.n_buckets = n_buckets
         self.dedup_method = dedup_method
         self.rename_hints = rename_hints or {}
+        if mode not in ("dedup", "append", "overwrite"):
+            raise ValueError(f"unknown sync mode {mode}")
+        self.mode = mode
         self.state = StateStore(state_root or f"{table_root}/_state")
 
     # ------------------------------------------------------------------
@@ -119,6 +143,34 @@ class CdcPipeline:
             # skip before any job runs
             return BatchStats(epoch, False, 0, 0, None, None)
 
+        # explicit schema-change events (op='s', FIXTURES.md §2): rows
+        # carrying a JSON DDL payload.  Applied in LSN order BEFORE the
+        # batch's data rows — the same per-sync catalog-fixing
+        # simplification the reference makes (catalog is constant
+        # within one sync run; changes take effect at run boundaries,
+        # messages_schema_change.txt replay).  All are widening ops,
+        # so earlier data rows in the same batch align losslessly.
+        if "schema_change" in batch.columns:
+            s_rows = (
+                batch.filter(F.col("op") == "s")
+                .select("lsn", "schema_change")
+                .collect()
+            )
+            if s_rows:
+                changes = []
+                for r in sorted(s_rows, key=lambda r: r["lsn"]):
+                    c = json.loads(r["schema_change"])
+                    if c["kind"] == "add":
+                        changes.append(("add", c["name"], _parse_ddl_type(c["type"])))
+                    elif c["kind"] == "rename":
+                        changes.append(("rename", c["old"], c["new"]))
+                    elif c["kind"] == "widen":
+                        changes.append(("widen", c["name"], _parse_ddl_type(c["type"])))
+                    else:
+                        raise ValueError(f"unknown schema change {c}")
+                t.evolve(changes)
+            batch = batch.filter(F.col("op") != "s").drop("schema_change")
+
         prepared = self.prepare_batch(batch)
         prepared.persist()
         try:
@@ -141,9 +193,17 @@ class CdcPipeline:
                 rename_hints=self.rename_hints,
                 extra_cols=ENGINE_COLS,
             )
-            merge_res = t.merge(
-                spark, prepared, op_col="op", epoch=epoch, stream=self.stream
-            )
+            if self.mode == "dedup":
+                merge_res = t.merge(
+                    spark, prepared, op_col="op", epoch=epoch, stream=self.stream
+                )
+            else:
+                upserts = prepared.filter(F.col("op") != F.lit("d")).drop("op")
+                if self.mode == "append":
+                    v = t.append(spark, upserts, epoch=epoch, stream=self.stream)
+                else:  # overwrite
+                    v = t.overwrite(spark, upserts, epoch=epoch, stream=self.stream)
+                merge_res = MergeResult(v is not None, v, -1, -1)
         finally:
             prepared.unpersist()
 

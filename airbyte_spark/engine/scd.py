@@ -1,0 +1,42 @@
+"""SCD type-2 history — the reference's incremental-deduped-history
+flagship mode (basic-normalization: scd table with _airbyte_start_at /
+_airbyte_end_at / _airbyte_active_row, stream_processor.py:742-1011).
+
+The history table is append-only (one row per change-event version,
+with validity interval columns closed by the *next* version of the
+same key).  Spark shape: the same lag/row_number windows the dbt
+model generates (stream_processor.py:884-899), run per-batch over the
+union of the batch and the currently-active rows of affected keys.
+
+For the batch engine we expose a simpler, more scalable contract:
+``scd2_from_changelog`` computes the full SCD2 table from a bounded
+changelog in one pass (windows over (repo,path) ordered by lsn) —
+this is what the oracle checks; the incremental variant appends
+closed intervals per epoch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_from_changelog(
+    events: DataFrame,
+    keys: list[str] = ("repo", "path"),
+    order_col: str = "lsn",
+) -> DataFrame:
+    """Full SCD2 from a changelog: every event becomes a version row
+    with [valid_from, valid_to) in LSN space, active = latest
+    non-delete.  Mirrors stream_processor.py:884-899's window spec
+    (lag over key ordered by cursor desc -> here lead asc)."""
+    keys = list(keys)
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).asc())
+    return (
+        events.withColumn("valid_from", F.col(order_col))
+        .withColumn("valid_to", F.lead(order_col).over(w))
+        .withColumn(
+            "active_row",
+            F.col("valid_to").isNull() & (F.col("op") != F.lit("d")),
+        )
+    )

@@ -204,38 +204,46 @@ class LakeTable:
     def _commit(self, snap: Snapshot) -> None:
         commit_snapshot(self.root, snap)
 
-    def overwrite(self, spark: SparkSession, df: DataFrame) -> int:
-        snap = self.snapshot()
-        next_version = snap.version + 1
-        df = _align(df, snap.fields).withColumn(_BUCKET, self._bucket_expr(snap))
-        entries = self._write_data(df, next_version, snap.schema_version, snap.n_buckets)
-        new = Snapshot(
-            version=next_version,
-            schema_version=snap.schema_version,
-            schemas=snap.schemas,
-            n_buckets=snap.n_buckets,
-            key_cols=snap.key_cols,
-            files=entries,
-            epochs=dict(snap.epochs),
-            summary={"operation": "overwrite", "rows": sum(e.rows for e in entries)},
-        )
-        self._commit(new)
-        return next_version
+    def overwrite(
+        self, spark: SparkSession, df: DataFrame,
+        *, epoch: int | None = None, stream: str = "default",
+    ) -> int | None:
+        return self._replace_or_add(spark, df, replace=True, epoch=epoch, stream=stream)
 
-    def append(self, spark: SparkSession, df: DataFrame) -> int:
+    def append(
+        self, spark: SparkSession, df: DataFrame,
+        *, epoch: int | None = None, stream: str = "default",
+    ) -> int | None:
+        return self._replace_or_add(spark, df, replace=False, epoch=epoch, stream=stream)
+
+    def _replace_or_add(
+        self, spark: SparkSession, df: DataFrame,
+        *, replace: bool, epoch: int | None, stream: str,
+    ) -> int | None:
+        """Shared overwrite/append path; epoch-gated like merge so
+        append-mode replay is exactly-once too."""
         snap = self.snapshot()
+        if epoch is not None and snap.epochs.get(stream, -1) >= epoch:
+            return None
         next_version = snap.version + 1
         df = _align(df, snap.fields).withColumn(_BUCKET, self._bucket_expr(snap))
         entries = self._write_data(df, next_version, snap.schema_version, snap.n_buckets)
+        epochs = dict(snap.epochs)
+        if epoch is not None:
+            epochs[stream] = epoch
         new = Snapshot(
             version=next_version,
             schema_version=snap.schema_version,
             schemas=snap.schemas,
             n_buckets=snap.n_buckets,
             key_cols=snap.key_cols,
-            files=snap.files + entries,
-            epochs=dict(snap.epochs),
-            summary={"operation": "append", "rows": sum(e.rows for e in entries)},
+            files=entries if replace else snap.files + entries,
+            epochs=epochs,
+            summary={
+                "operation": "overwrite" if replace else "append",
+                "rows": sum(e.rows for e in entries),
+                "epoch": epoch,
+            },
         )
         self._commit(new)
         return next_version
@@ -344,11 +352,15 @@ class LakeTable:
         fields = [dict(f) for f in snap.fields]
         next_id = max((f["id"] for f in fields), default=0) + 1
         by_name = {f["name"]: f for f in fields}
+        # every branch tolerates re-application (idempotent), so a
+        # crash between evolve and the data commit is safe to replay
         for change in changes:
             kind = change[0]
             if kind == "add":
                 _, name, dt = change
                 if name in by_name:
+                    if by_name[name]["type"] == _dt_to_json_value(dt):
+                        continue  # replayed add
                     raise ValueError(f"column {name} already exists")
                 f = {"id": next_id, "name": name, "type": _dt_to_json_value(dt)}
                 next_id += 1
@@ -356,18 +368,28 @@ class LakeTable:
                 by_name[name] = f
             elif kind == "rename":
                 _, old, new = change
+                if old not in by_name and new in by_name:
+                    continue  # replayed rename
                 f = by_name.pop(old)
                 f["name"] = new
                 by_name[new] = f
             elif kind == "widen":
                 _, name, dt = change
+                if by_name[name]["type"] == _dt_to_json_value(dt):
+                    continue  # replayed widen
                 by_name[name]["type"] = _dt_to_json_value(dt)
             elif kind == "drop":
                 _, name = change
+                if name not in by_name:
+                    continue  # replayed drop
                 f = by_name.pop(name)
                 fields.remove(f)
             else:
                 raise ValueError(f"unknown schema change {kind}")
+        if all(f == g for f, g in zip(fields, snap.fields)) and len(fields) == len(
+            snap.fields
+        ):
+            return snap.schema_version  # fully replayed: no new version
         new_sv = snap.schema_version + 1
         schemas = dict(snap.schemas)
         schemas[new_sv] = fields

@@ -1,0 +1,58 @@
+"""Streaming metrics listener (north rule: per-partition lineage +
+metrics; reference analog: the perf harness's rps/MB-per-sec logging,
+connectors-performance PerformanceTest.java:127-166).
+
+Attaches a StreamingQueryListener that appends one JSON line per
+microbatch progress event: rows, processing rate, batch duration.
+Combined with CdcPipeline.lineage() (per-bucket rows/files/bytes and
+epoch HWMs from the snapshot log) this gives the full
+observability surface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.streaming import StreamingQueryListener
+
+
+class JsonlMetricsListener(StreamingQueryListener):
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+
+    def _write(self, record: dict) -> None:
+        with open(self.path, "a") as fh:
+            fh.write(json.dumps(record) + "\n")
+
+    def onQueryStarted(self, event) -> None:
+        self._write({"event": "started", "id": str(event.id), "name": event.name})
+
+    def onQueryProgress(self, event) -> None:
+        p = event.progress
+        self._write(
+            {
+                "event": "progress",
+                "batch_id": p.batchId,
+                "num_input_rows": p.numInputRows,
+                "rows_per_sec": p.processedRowsPerSecond,
+                "duration_ms": dict(p.durationMs) if p.durationMs else {},
+                "timestamp": p.timestamp,
+            }
+        )
+
+    def onQueryTerminated(self, event) -> None:
+        self._write(
+            {"event": "terminated", "id": str(event.id),
+             "exception": str(event.exception) if event.exception else None}
+        )
+
+    def onQueryIdle(self, event) -> None:  # pragma: no cover
+        pass
+
+
+def attach_metrics(spark, path: str) -> JsonlMetricsListener:
+    listener = JsonlMetricsListener(path)
+    spark.streams.addListener(listener)
+    return listener

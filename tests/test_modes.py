@@ -1,0 +1,61 @@
+"""Sync-mode matrix (airbyte-protocol.md:395-420) + SCD2 history."""
+
+from pyspark.sql import functions as F
+
+from airbyte_spark.engine.changelog import changelog
+from airbyte_spark.engine.pipeline import CdcPipeline
+from airbyte_spark.engine.scd import scd2_from_changelog
+
+
+def test_append_mode_accumulates_and_is_epoch_gated(spark, tmp_path):
+    pipe = CdcPipeline(str(tmp_path / "t"), n_buckets=4, mode="append")
+    t = pipe.bootstrap(spark)
+    ev = changelog(spark, 300, n_repos=5, paths_per_repo=10)
+    s1 = pipe.apply_batch(spark, ev.filter(F.col("lsn") < 150), 0)
+    s2 = pipe.apply_batch(spark, ev.filter(F.col("lsn") >= 150), 1)
+    assert s1.committed and s2.committed
+    n = t.read(spark).count()
+    # append keeps every batch's winners: total = both batches' non-delete rows
+    exp = sum(
+        pipe.prepare_batch(b).filter(F.col("op") != "d").count()
+        for b in (ev.filter(F.col("lsn") < 150), ev.filter(F.col("lsn") >= 150))
+    )
+    assert n == exp
+    # replay must be skipped
+    s3 = pipe.apply_batch(spark, ev.filter(F.col("lsn") < 150), 0)
+    assert not s3.committed
+    assert t.read(spark).count() == n
+
+
+def test_overwrite_mode_replaces(spark, tmp_path):
+    pipe = CdcPipeline(str(tmp_path / "t"), n_buckets=4, mode="overwrite")
+    t = pipe.bootstrap(spark)
+    ev = changelog(spark, 200, n_repos=5, paths_per_repo=10)
+    pipe.apply_batch(spark, ev.filter(F.col("lsn") < 100), 0)
+    pipe.apply_batch(spark, ev.filter(F.col("lsn") >= 100), 1)
+    # table contains exactly batch-1's non-delete winners
+    got = {(r["repo"], r["path"]) for r in t.read(spark).collect()}
+    b1 = pipe.prepare_batch(ev.filter(F.col("lsn") >= 100))
+    exp = {
+        (r["repo"], r["path"])
+        for r in b1.filter(F.col("op") != "d").collect()
+    }
+    assert got == exp
+
+
+def test_scd2_from_changelog(spark):
+    ev = changelog(spark, 400, n_repos=5, paths_per_repo=10)
+    scd = scd2_from_changelog(ev)
+    rows = scd.collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault((r["repo"], r["path"]), []).append(r)
+    for key, versions in by_key.items():
+        versions.sort(key=lambda r: r["lsn"])
+        # intervals chain: valid_to == next valid_from; exactly one
+        # active row iff last op isn't delete
+        for a, b in zip(versions, versions[1:]):
+            assert a["valid_to"] == b["valid_from"]
+        assert versions[-1]["valid_to"] is None
+        n_active = sum(1 for r in versions if r["active_row"])
+        assert n_active == (0 if versions[-1]["op"] == "d" else 1)

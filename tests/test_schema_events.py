@@ -1,0 +1,79 @@
+"""Explicit op='s' schema-change events interleaved in the changelog
+(FIXTURES.md §2; reference replay fixture messages_schema_change.txt:
+add column, widen int->float mid-stream)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from airbyte_spark.engine.changelog import CHANGELOG_COLS, changelog
+from airbyte_spark.engine.pipeline import CdcPipeline
+
+
+def _with_schema_events(spark, events, s_events):
+    """Append op='s' rows (lsn, json payload) to a changelog df."""
+    ev = events.withColumn("schema_change", F.lit(None).cast("string"))
+    rows = [
+        (lsn, "s", None, None, None, None, None, None, json.dumps(payload))
+        for lsn, payload in s_events
+    ]
+    s_df = spark.createDataFrame(
+        rows,
+        "lsn long, op string, repo string, path string, commit string, "
+        "lang string, content string, ts timestamp, schema_change string",
+    )
+    return ev.unionByName(s_df)
+
+
+def test_schema_change_events_applied_in_order(spark, tmp_path):
+    pipe = CdcPipeline(str(tmp_path / "t"), n_buckets=4)
+    t = pipe.bootstrap(spark)
+    ev0 = changelog(spark, 100, n_repos=4, paths_per_repo=10)
+    batch = _with_schema_events(
+        spark,
+        ev0,
+        [
+            (40, {"kind": "add", "name": "stars", "type": "int"}),
+            (60, {"kind": "widen", "name": "stars", "type": "double"}),
+        ],
+    )
+    st = pipe.apply_batch(spark, batch, epoch=0)
+    assert st.committed
+    assert dict(t.read(spark).dtypes)["stars"] == "double"
+    # data rows all have null stars (no data carried the column)
+    assert t.read(spark).filter(F.col("stars").isNotNull()).count() == 0
+
+    # next batch carries the column; rename via event
+    ev1 = changelog(spark, 100, start_lsn=200, n_repos=4, paths_per_repo=10).withColumn(
+        "stars", (F.col("lsn") / 4.0)
+    )
+    batch1 = ev1.withColumn("schema_change", F.lit(None).cast("string")).unionByName(
+        spark.createDataFrame(
+            [(250, "s", None, None, None, None, None, None, None,
+              json.dumps({"kind": "rename", "old": "stars", "new": "stargazers"}))],
+            "lsn long, op string, repo string, path string, commit string, "
+            "lang string, content string, ts timestamp, stars double, "
+            "schema_change string",
+        ).select(*CHANGELOG_COLS, "stars", "schema_change")
+    )
+    pipe2 = CdcPipeline(str(tmp_path / "t"), n_buckets=4,
+                        rename_hints={"stars": "stargazers"})
+    st1 = pipe2.apply_batch(spark, batch1, epoch=1)
+    assert st1.committed
+    cols = dict(t.read(spark).dtypes)
+    assert "stargazers" in cols and "stars" not in cols
+
+
+def test_evolve_is_idempotent_on_replay(spark, tmp_path):
+    from pyspark.sql.types import DoubleType, IntegerType
+
+    pipe = CdcPipeline(str(tmp_path / "t"), n_buckets=4)
+    t = pipe.bootstrap(spark)
+    changes = [("add", "x", IntegerType()), ("widen", "x", DoubleType())]
+    sv1 = t.evolve(changes)
+    v1 = t.snapshot().version
+    # replaying the same changes must not create a new schema version
+    sv2 = t.evolve(changes)
+    assert sv1 == sv2
+    assert t.snapshot().version == v1
