@@ -172,6 +172,10 @@ class CdcPipeline:
             batch = batch.filter(F.col("op") != "s").drop("schema_change")
 
         prepared = self.prepare_batch(batch)
+        # batch columns still using hinted old names -> new names
+        for old, new in self.rename_hints.items():
+            if old in prepared.columns and new not in prepared.columns:
+                prepared = prepared.withColumnRenamed(old, new)
         prepared.persist()
         try:
             agg = prepared.agg(

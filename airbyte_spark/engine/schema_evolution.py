@@ -27,39 +27,10 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
-from pyspark.sql.types import (
-    AtomicType,
-    DataType,
-    DateType,
-    DoubleType,
-    FloatType,
-    IntegerType,
-    LongType,
-    ShortType,
-    StringType,
-    TimestampType,
-)
+from pyspark.sql.types import AtomicType, StringType
 
 from airbyte_spark.lake.table import LakeTable
-
-# widening lattice: a type may widen to anything later in its chain
-_WIDEN_CHAINS: list[list[type]] = [
-    [ShortType, IntegerType, LongType, FloatType, DoubleType],
-    [DateType, TimestampType],
-]
-
-
-def _widen_rank(dt: DataType) -> tuple[int, int] | None:
-    for ci, chain in enumerate(_WIDEN_CHAINS):
-        for ri, t in enumerate(chain):
-            if isinstance(dt, t) and type(dt) is t:
-                return (ci, ri)
-    return None
-
-
-def can_widen(src: DataType, dst: DataType) -> bool:
-    a, b = _widen_rank(src), _widen_rank(dst)
-    return a is not None and b is not None and a[0] == b[0] and a[1] < b[1]
+from airbyte_spark.lake.typerules import can_widen
 
 
 @dataclass
@@ -100,21 +71,25 @@ def reconcile(
     for f in batch.schema.fields:
         if f.name in ignore:
             continue
-        cur = tschema.get(f.name)
+        # a batch column still using a hinted old name is checked (and
+        # later written) under the new name — the caller renames the
+        # batch side (pipeline.apply_batch)
+        name = rename_hints.get(f.name, f.name)
+        cur = tschema.get(name)
         if cur is None:
-            changes.append(("add", f.name, f.dataType))
-            report.added.append(f.name)
+            changes.append(("add", name, f.dataType))
+            report.added.append(name)
         elif cur != f.dataType:
             if can_widen(cur, f.dataType):
-                changes.append(("widen", f.name, f.dataType))
-                report.widened.append(f.name)
+                changes.append(("widen", name, f.dataType))
+                report.widened.append(name)
             elif can_widen(f.dataType, cur):
                 pass  # batch narrower: cast on align, no DDL
             elif isinstance(cur, StringType):
                 pass  # table already at the string fallback
             elif isinstance(cur, AtomicType) and isinstance(f.dataType, AtomicType):
-                changes.append(("widen", f.name, StringType()))
-                report.stringified.append(f.name)
+                changes.append(("widen", name, StringType()))
+                report.stringified.append(name)
             else:
                 raise ValueError(
                     f"incompatible drift on {f.name}: {cur} vs {f.dataType}"

@@ -353,15 +353,20 @@ class LakeTable:
         next_id = max((f["id"] for f in fields), default=0) + 1
         by_name = {f["name"]: f for f in fields}
         # every branch tolerates re-application (idempotent), so a
-        # crash between evolve and the data commit is safe to replay
+        # crash between evolve and the data commit is safe to replay;
+        # replays see CUMULATIVE state (an add replayed after a widen
+        # sees the widened type), hence the widen-aware skips
+        from airbyte_spark.lake.typerules import can_widen
+
         for change in changes:
             kind = change[0]
             if kind == "add":
                 _, name, dt = change
                 if name in by_name:
-                    if by_name[name]["type"] == _dt_to_json_value(dt):
-                        continue  # replayed add
-                    raise ValueError(f"column {name} already exists")
+                    cur = _dt_from_json_value(by_name[name]["type"])
+                    if cur == dt or can_widen(dt, cur):
+                        continue  # replayed add (possibly later widened)
+                    raise ValueError(f"column {name} already exists as {cur}")
                 f = {"id": next_id, "name": name, "type": _dt_to_json_value(dt)}
                 next_id += 1
                 fields.append(f)
@@ -375,8 +380,9 @@ class LakeTable:
                 by_name[new] = f
             elif kind == "widen":
                 _, name, dt = change
-                if by_name[name]["type"] == _dt_to_json_value(dt):
-                    continue  # replayed widen
+                cur = _dt_from_json_value(by_name[name]["type"])
+                if not can_widen(cur, dt):
+                    continue  # replayed widen (already at/beyond target)
                 by_name[name]["type"] = _dt_to_json_value(dt)
             elif kind == "drop":
                 _, name = change

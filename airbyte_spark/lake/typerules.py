@@ -1,0 +1,34 @@
+"""Type-widening lattice shared by the lake format and the schema
+reconciler (the JsonToAvroSchemaConverter.java:464-493 union/widen
+rules re-expressed over Spark types)."""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    DataType,
+    DateType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    ShortType,
+    TimestampType,
+)
+
+_WIDEN_CHAINS: list[list[type]] = [
+    [ShortType, IntegerType, LongType, FloatType, DoubleType],
+    [DateType, TimestampType],
+]
+
+
+def _widen_rank(dt: DataType) -> tuple[int, int] | None:
+    for ci, chain in enumerate(_WIDEN_CHAINS):
+        for ri, t in enumerate(chain):
+            if type(dt) is t:
+                return (ci, ri)
+    return None
+
+
+def can_widen(src: DataType, dst: DataType) -> bool:
+    a, b = _widen_rank(src), _widen_rank(dst)
+    return a is not None and b is not None and a[0] == b[0] and a[1] < b[1]
