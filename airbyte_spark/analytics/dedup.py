@@ -119,9 +119,23 @@ def minhash_signatures(
             )
         ),
     ).otherwise(F.array_distinct(toks))
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda s: F.array_min(F.transform(grams, lambda g: F.xxhash64(g, s))),
+    # One aggregate pass: hash each gram string ONCE, then derive the
+    # ``num_hashes`` minhash slots from that long.  Lambda variables
+    # (g, h, s) are bound values, so nothing is recomputed; the naive
+    # `transform(seeds, s -> array_min(transform(grams, ...)))` shape
+    # re-evaluates the whole gram-construction expression once PER
+    # SEED (HOF lambdas are interpreted with no common-subexpression
+    # elimination) — a 64x blowup observed in bench.
+    gh = F.transform(grams, lambda g: F.xxhash64(g))
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    sig = F.aggregate(
+        gh,
+        F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_hashes),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(seeds, lambda s: F.xxhash64(h, s)),
+            lambda a, b: F.least(a, b),
+        ),
     )
     return df.select(
         F.col(id_col).alias("id"), sig.alias("sig"), F.size(grams).alias("n_grams")
@@ -145,12 +159,17 @@ def minhash_lsh_pairs(
     sub-quadratic and shuffle-friendly."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
+    # Materialize signatures ONCE.  Without the persist barrier,
+    # Catalyst's CollapseProject inlines the whole minhash expression
+    # into every band key, both self-join branches, and the agreement
+    # estimate — an O(bands × candidates) recompute of the signature
+    # (observed 70× wall-time blowup).  At lake scale this persist is
+    # the "write the signature table" step of a dedup pipeline.
     sigs = minhash_signatures(
         df, text_col=text_col, id_col=id_col, shingle=shingle, num_hashes=num_hashes
-    )
+    ).persist()
     banded = sigs.select(
         "id",
-        "sig",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -162,7 +181,9 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("bb"),
-    ).select("id", "sig", "bb.band", "bb.bucket")
+    ).select("id", "bb.band", "bb.bucket")
+    # slim join: only (id, band, bucket) goes through the shuffle; the
+    # 64-long signature arrays are joined back after pair dedup.
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -171,14 +192,12 @@ def minhash_lsh_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id1"),
-            F.col("b.id").alias("id2"),
-            F.col("a.sig").alias("sig1"),
-            F.col("b.sig").alias("sig2"),
-        )
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .dropDuplicates(["id1", "id2"])
     )
+    cand = cand.join(
+        sigs.select(F.col("id").alias("id1"), F.col("sig").alias("sig1")), "id1"
+    ).join(sigs.select(F.col("id").alias("id2"), F.col("sig").alias("sig2")), "id2")
     est = F.round(
         F.size(
             F.filter(
@@ -204,16 +223,19 @@ def simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") ->
     toks = _tokens(text_col)
     # NB: python wrappers for shiftleft/getbit demand literal ints, so
     # column bit positions go through call_function (SQL signatures
-    # accept expressions)
+    # accept expressions).  Token strings are hashed ONCE into ``th``;
+    # the per-bit lambda then works on the bound long (same
+    # recompute-avoidance reasoning as minhash_signatures).
+    th = F.transform(toks, lambda t: F.xxhash64(t))
     votes = F.aggregate(
-        toks,
+        th,
         F.array_repeat(F.lit(0).cast("long"), 64),
-        lambda acc, t: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
             F.transform(
                 F.sequence(F.lit(0), F.lit(63)),
                 lambda i: (
-                    F.call_function("getbit", F.xxhash64(t), i.cast("int")) * 2 - 1
+                    F.call_function("getbit", h, i.cast("int")) * 2 - 1
                 ).cast("long"),
             ),
             lambda a, v: a + v,
@@ -245,7 +267,10 @@ def simhash_pairs(
     64-bit SimHash.  Pigeonhole blocking: split into 4 16-bit blocks;
     any pair with distance <=3 agrees on >=1 block -> equi-join per
     block, then exact popcount verify."""
-    sh = simhash(df, text_col=text_col, id_col=id_col)
+    # persist: same CollapseProject-recompute hazard as minhash — the
+    # 64-slot vote aggregate would otherwise be inlined into all four
+    # block keys and both join branches.
+    sh = simhash(df, text_col=text_col, id_col=id_col).persist()
     blocks = sh.select(
         "id",
         "simhash",
