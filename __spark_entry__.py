@@ -194,6 +194,47 @@ def events_minmax_ts(spark, sf):
     return e.agg(F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts"))
 
 
+# raw-envelope normalization chain (reference ab1->ab2->ab3 dbt models,
+# stream_processor.py:237-315 — engine/raw.py)
+EVENTS_PROPS = {
+    "event_id": "integer",
+    "ts": "timestamp_without_timezone",
+    "user_id": "integer",
+    "event_type": "string",
+    "value": "number",
+    "props": "object",
+}
+
+
+def events_json_normalize(spark, sf):
+    """events -> raw JSON envelope -> json-extract -> cast -> hashid
+    -> unique key: the full normalization chain round-trip."""
+    from airbyte_spark.engine import raw as R
+
+    e = _t(spark, sf, "events")
+    final = R.normalize_raw(
+        R.to_raw(e), EVENTS_PROPS, stream="events", primary_key=["event_id"]
+    )
+    return final.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props",
+        F.col("_airbyte_events_hashid").alias("hashid"),
+        F.col("_airbyte_unique_key").alias("unique_key"),
+    )
+
+
+def events_props_child(spark, sf):
+    """Nested-object child table: props -> (parent hashid, k)
+    (stream_processor.py:347-384 explode semantics)."""
+    from airbyte_spark.engine import raw as R
+
+    e = _t(spark, sf, "events")
+    final = R.normalize_raw(R.to_raw(e), EVENTS_PROPS, stream="events")
+    child = R.explode_child(final, "props", {"k": "integer"}, stream="events")
+    return child.select(
+        F.col("_airbyte_events_hashid").alias("parent_hashid"), "k"
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data ops over documents / embeddings
 # ---------------------------------------------------------------------------
@@ -294,6 +335,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_hwm_events": cdc_hwm_events,
         "scd2_events": scd2_events,
         "events_minmax_ts": events_minmax_ts,
+        "events_json_normalize": events_json_normalize,
+        "events_props_child": events_props_child,
         "doc_dedup_exact": doc_dedup_exact,
         "doc_token_stats": doc_token_stats,
         "doc_quality": doc_quality,
@@ -429,6 +472,30 @@ FROM events
 """,
         "events_minmax_ts": """
 SELECT min(ts) AS min_ts, max(ts) AS max_ts FROM events
+""",
+        "events_json_normalize": """
+SELECT event_id, ts, user_id, event_type, value, props,
+  md5(concat_ws('~',
+    coalesce(CAST(event_id AS VARCHAR), ''),
+    coalesce(strftime(ts, '%Y-%m-%d %H:%M:%S.%f'), ''),
+    coalesce(CAST(user_id AS VARCHAR), ''),
+    coalesce(event_type, ''),
+    coalesce(CAST(CAST(floor(value * 1000000) AS BIGINT) AS VARCHAR), ''),
+    coalesce(props, ''))) AS hashid,
+  md5(coalesce(CAST(event_id AS VARCHAR), '')) AS unique_key
+FROM events
+""",
+        "events_props_child": """
+SELECT
+  md5(concat_ws('~',
+    coalesce(CAST(event_id AS VARCHAR), ''),
+    coalesce(strftime(ts, '%Y-%m-%d %H:%M:%S.%f'), ''),
+    coalesce(CAST(user_id AS VARCHAR), ''),
+    coalesce(event_type, ''),
+    coalesce(CAST(CAST(floor(value * 1000000) AS BIGINT) AS VARCHAR), ''),
+    coalesce(props, ''))) AS parent_hashid,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
 """,
         "doc_dedup_exact": """
 SELECT md5(text) AS text_md5,

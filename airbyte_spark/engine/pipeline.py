@@ -176,30 +176,41 @@ class CdcPipeline:
         for old, new in self.rename_hints.items():
             if old in prepared.columns and new not in prepared.columns:
                 prepared = prepared.withColumnRenamed(old, new)
+        # pre-bucket so stats + touched-bucket discovery fuse into ONE
+        # job over the persisted batch (merge would otherwise run its
+        # own distinct scan — one extra job per microbatch)
+        from airbyte_spark.lake.table import _BUCKET
+
+        snap = t.snapshot()
+        prepared = prepared.withColumn(_BUCKET, t._bucket_expr(snap))
         prepared.persist()
         try:
             agg = prepared.agg(
-                F.count(F.lit(1)).alias("n"), F.max("last_lsn").alias("mx")
+                F.count(F.lit(1)).alias("n"),
+                F.max("last_lsn").alias("mx"),
+                F.collect_set(_BUCKET).alias("bks"),
             ).collect()[0]
-            n, max_lsn = agg["n"], agg["mx"]
+            n, max_lsn, touched = agg["n"], agg["mx"], agg["bks"]
             if n == 0:
                 # empty batch still advances the epoch (heartbeat-style
-                # progress without data, DebeziumRecordIterator.java:112-128)
-                merge_res = t.merge(
-                    spark, spark.createDataFrame([], t.schema()),
-                    epoch=epoch, stream=self.stream,
+                # progress without data, DebeziumRecordIterator.java:112-128);
+                # metadata-only commit, no Spark job
+                v = t.commit_epoch(epoch, self.stream)
+                return BatchStats(
+                    epoch, v is not None, 0, 0, None,
+                    MergeResult(v is not None, v, 0, 0),
                 )
-                return BatchStats(epoch, merge_res.committed, 0, 0, None, merge_res)
 
             reconcile(
                 t,
-                prepared.drop("op"),
+                prepared.drop("op", _BUCKET),
                 rename_hints=self.rename_hints,
                 extra_cols=ENGINE_COLS,
             )
             if self.mode == "dedup":
                 merge_res = t.merge(
-                    spark, prepared, op_col="op", epoch=epoch, stream=self.stream
+                    spark, prepared, op_col="op", epoch=epoch,
+                    stream=self.stream, precomputed_buckets=touched,
                 )
             else:
                 upserts = prepared.filter(F.col("op") != F.lit("d")).drop("op")

@@ -1,0 +1,229 @@
+"""Raw-table normalization: the reference's dbt model chain as DataFrame ops.
+
+Reference (Newton-School/airbyte):
+* Destinations land every record as a raw envelope
+  ``_airbyte_raw_<stream>(_airbyte_ab_id, _airbyte_emitted_at,
+  _airbyte_data json)`` — basic-normalization.md:27-35,
+  destination-iceberg IcebergConsumer.java:66-68.
+* Normalization generates, per stream, the CTE chain ab1 -> ab2 ->
+  ab3/stg -> final (stream_processor.py:237-315):
+  - ab1: one ``json_extract[_scalar]`` per declared JSON-schema
+    property (stream_processor.py:386-469, macros json_operations.sql)
+  - ab2: per-type cast with ``empty_string_to_null`` / strict boolean
+    (stream_processor.py:471-673, type_conversions.sql, datatypes.sql)
+  - ab3: row hash id ``_airbyte_<stream>_hashid = md5(concat(cols))``
+    via dbt_utils.surrogate_key (stream_processor.py:675-704)
+  - unique key ``_airbyte_unique_key = md5(concat(PKs))``
+    (stream_processor.py:958-962,1048-1074)
+* Nested objects/arrays become child tables keyed by the parent hash
+  id, named ``<json_path>_<3-char-hash>_<name>``
+  (stream_processor.py:347-384, basic-normalization.md:237-284).
+
+Spark mapping: ``get_json_object`` / ``from_json`` + ``cast`` +
+``md5(concat_ws(...))`` — all JVM built-ins inside whole-stage
+codegen; no UDFs anywhere in this path.
+
+Determinism notes (differences from the reference, on purpose):
+* ``_airbyte_ab_id`` is ``md5(_airbyte_data)`` instead of a random
+  uuid so replay tests and cross-engine oracles are reproducible.
+* Hash-id inputs are rendered with an explicit per-type format
+  (ints as decimal strings, numbers as ``floor(v*1e6)`` micro-units,
+  timestamps as ``yyyy-MM-dd HH:mm:ss.SSSSSS``) rather than
+  engine-native cast-to-string, which is dialect-dependent in the
+  reference (each dbt adapter renders differently anyway).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Airbyte protocol type -> Spark DDL type (supported-data-types.md:13-26,
+# basic-normalization.md:117-126; SURVEY.md §1.2 mapping table)
+AIRBYTE_TO_SPARK = {
+    "string": "string",
+    "boolean": "boolean",
+    "integer": "long",
+    "number": "double",
+    "date": "date",
+    "timestamp_with_timezone": "timestamp",
+    "timestamp_without_timezone": "timestamp_ntz",
+    "time_with_timezone": "string",
+    "time_without_timezone": "string",
+    "object": "string",  # kept as JSON text at the parent level
+    "array": "string",
+}
+
+_TS_JSON_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+_TS_NTZ_JSON_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
+
+def to_raw(df: DataFrame, *, emitted_at: Column | None = None) -> DataFrame:
+    """Wrap a typed DataFrame into the raw envelope
+    (_airbyte_ab_id, _airbyte_emitted_at, _airbyte_data).
+    Micro-second timestamp formats so the JSON round-trip is lossless
+    (Spark's defaults truncate to millis)."""
+    data = F.to_json(
+        F.struct(*[F.col(c) for c in df.columns]),
+        {"timestampFormat": _TS_JSON_FMT, "timestampNTZFormat": _TS_NTZ_JSON_FMT},
+    )
+    return df.select(
+        F.md5(data).alias("_airbyte_ab_id"),
+        (emitted_at if emitted_at is not None else F.current_timestamp()).alias(
+            "_airbyte_emitted_at"
+        ),
+        data.alias("_airbyte_data"),
+    )
+
+
+def extract_columns(raw: DataFrame, properties: dict[str, str]) -> DataFrame:
+    """ab1: one json extract per declared property (all values as
+    strings; objects/arrays stay JSON text).  Unknown fields in
+    _airbyte_data are ignored, missing ones come out null — the
+    protocol's drift tolerance (airbyte-protocol.md:182,431-442)."""
+    cols = [
+        F.get_json_object(F.col("_airbyte_data"), f"$.{name}").alias(name)
+        for name in properties
+    ]
+    return raw.select(
+        *cols, "_airbyte_ab_id", "_airbyte_emitted_at"
+    )
+
+
+def cast_columns(df: DataFrame, properties: dict[str, str]) -> DataFrame:
+    """ab2: per-type cast.  Empty strings become null for non-string
+    types (type_conversions.sql empty_string_to_null); booleans are
+    strict true/false (supported-data-types.md:117-118)."""
+    out = []
+    for name, atype in properties.items():
+        spark_t = AIRBYTE_TO_SPARK[atype]
+        c = F.col(name)
+        if atype in ("string", "object", "array", "time_with_timezone",
+                     "time_without_timezone"):
+            out.append(c.alias(name))
+        elif atype == "boolean":
+            out.append(
+                F.when(c == "true", F.lit(True))
+                .when(c == "false", F.lit(False))
+                .otherwise(F.lit(None))
+                .alias(name)
+            )
+        else:
+            out.append(F.nullif(c, F.lit("")).cast(spark_t).alias(name))
+    return df.select(*out, "_airbyte_ab_id", "_airbyte_emitted_at")
+
+
+def _render(name: str, atype: str) -> Column:
+    """Deterministic string rendering of a typed column for hashing
+    (our fixed 'dialect' — see module docstring)."""
+    c = F.col(name)
+    if atype == "integer":
+        return c.cast("string")
+    if atype == "number":
+        # floor(v*1e6) is pure IEEE arithmetic — identical in every
+        # engine, unlike %.6f whose rounding mode is C-library
+        # half-even vs Java half-up
+        return F.floor(c * F.lit(1000000.0)).cast("long").cast("string")
+    if atype in ("timestamp_with_timezone", "timestamp_without_timezone"):
+        return F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    if atype == "date":
+        return F.date_format(c, "yyyy-MM-dd")
+    if atype == "boolean":
+        return F.when(c, F.lit("true")).otherwise(F.lit("false"))
+    return c
+
+
+def hash_id_expr(properties: dict[str, str]) -> Column:
+    """md5 over '~'-joined renderings of all declared columns, nulls
+    as '' (dbt_utils.surrogate_key semantics, surrogate_key.sql)."""
+    rendered = [
+        F.coalesce(_render(n, t).cast("string"), F.lit(""))
+        for n, t in properties.items()
+    ]
+    return F.md5(F.concat_ws("~", *rendered))
+
+
+def with_hash_id(df: DataFrame, properties: dict[str, str], stream: str) -> DataFrame:
+    """ab3: add ``_airbyte_<stream>_hashid``."""
+    return df.withColumn(f"_airbyte_{stream}_hashid", hash_id_expr(properties))
+
+
+def with_unique_key(
+    df: DataFrame, primary_key: list[str], properties: dict[str, str]
+) -> DataFrame:
+    """``_airbyte_unique_key = md5(concat(PK renderings))``
+    (stream_processor.py:958-962)."""
+    pk_props = {k: properties[k] for k in primary_key}
+    return df.withColumn("_airbyte_unique_key", hash_id_expr(pk_props))
+
+
+def normalize_raw(
+    raw: DataFrame,
+    properties: dict[str, str],
+    *,
+    stream: str,
+    primary_key: list[str] | None = None,
+) -> DataFrame:
+    """The full chain raw -> ab1 -> ab2 -> ab3 (-> unique key)."""
+    df = cast_columns(extract_columns(raw, properties), properties)
+    df = with_hash_id(df, properties, stream)
+    if primary_key:
+        df = with_unique_key(df, primary_key, properties)
+    return df
+
+
+def child_table_name(stream: str, json_path: list[str]) -> str:
+    """``<stream>_<3-char-hash>_<prop>`` naming for nested child
+    tables (basic-normalization.md:237-284: the hash infix
+    disambiguates same-named properties at different depths)."""
+    infix = hashlib.md5("_".join(json_path).encode()).hexdigest()[:3]
+    return f"{stream}_{infix}_{json_path[-1]}"
+
+
+def explode_child(
+    parent: DataFrame,
+    json_col: str,
+    child_properties: dict[str, str],
+    *,
+    stream: str,
+    is_array: bool = False,
+) -> DataFrame:
+    """Nested object/array property -> child table with the parent
+    hash id as FK (stream_processor.py:347-384; array.sql
+    cross_join_unnest).  ``parent`` must already carry
+    ``_airbyte_<stream>_hashid``; object children yield one row per
+    parent, array children one row per element."""
+    fk = f"_airbyte_{stream}_hashid"
+    if is_array:
+        elems = F.explode(
+            F.from_json(F.col(json_col), "array<string>")
+        ).alias("_elem")
+        base = parent.select(F.col(fk), "_airbyte_emitted_at", elems)
+        src = "_elem"
+    else:
+        base = parent.select(F.col(fk), "_airbyte_emitted_at", F.col(json_col))
+        src = json_col
+    cols = [
+        F.get_json_object(F.col(src), f"$.{name}").alias(name)
+        for name in child_properties
+    ]
+    child = base.select(F.col(fk), *cols, "_airbyte_emitted_at")
+    # cast child property columns (keep the FK + emitted_at as-is)
+    out = []
+    for name, atype in child_properties.items():
+        spark_t = AIRBYTE_TO_SPARK[atype]
+        c = F.col(name)
+        if atype in ("string", "object", "array"):
+            out.append(c.alias(name))
+        elif atype == "boolean":
+            out.append(
+                F.when(c == "true", F.lit(True))
+                .when(c == "false", F.lit(False))
+                .otherwise(F.lit(None))
+                .alias(name)
+            )
+        else:
+            out.append(F.nullif(c, F.lit("")).cast(spark_t).alias(name))
+    return child.select(F.col(fk), *out, "_airbyte_emitted_at")

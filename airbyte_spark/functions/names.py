@@ -1,0 +1,69 @@
+"""Identifier normalization: stream/column names -> safe SQL names.
+
+Reference: base-java StandardNameTransformer +
+base-normalization/normalization/transform_catalog/destination_name_transformer.py
+(316 LoC) with reserved_keywords.py (3276 LoC of per-warehouse
+keyword lists).  Rules reproduced:
+* non-alphanumeric runs -> single underscore; lowercase
+* leading digit -> prefixed underscore
+* reserved keyword -> trailing underscore
+* over-length names truncated with a 3-char md5 infix in the middle
+  (destination_name_transformer.py __truncate_name semantics) so two
+  long names that differ only in the tail stay distinct.
+
+Our engine's own columns are fixed, so this is for user-supplied
+stream/property names arriving via raw-table normalization configs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+# compact core of the reference's per-dialect lists — ANSI + common
+_RESERVED = {
+    "all", "and", "any", "as", "asc", "between", "by", "case", "cast",
+    "check", "column", "create", "cross", "current_date", "current_time",
+    "current_timestamp", "default", "delete", "desc", "distinct", "drop",
+    "else", "end", "except", "exists", "false", "from", "full", "group",
+    "having", "in", "inner", "insert", "intersect", "into", "is", "join",
+    "left", "like", "limit", "not", "null", "on", "or", "order", "outer",
+    "partition", "primary", "right", "select", "set", "table", "then",
+    "true", "union", "unique", "update", "values", "when", "where", "with",
+}
+
+DEFAULT_MAX_LENGTH = 64
+
+
+def normalize_name(name: str, *, max_length: int = DEFAULT_MAX_LENGTH) -> str:
+    """Sanitize one identifier."""
+    out = re.sub(r"[^A-Za-z0-9]+", "_", name).strip("_").lower()
+    if not out:
+        out = "_"
+    if out[0].isdigit():
+        out = "_" + out
+    if out in _RESERVED:
+        out = out + "_"
+    if len(out) > max_length:
+        infix = hashlib.md5(out.encode()).hexdigest()[:3]
+        keep = max_length - 5  # 3 for the hash + 2 underscores
+        head, tail = out[: keep // 2], out[-(keep - keep // 2):]
+        out = f"{head}_{infix}_{tail}"
+    return out
+
+
+def normalize_columns(names: list[str], *, max_length: int = DEFAULT_MAX_LENGTH) -> dict[str, str]:
+    """Map original -> normalized, suffixing _1, _2... on collisions
+    (the reference resolves collisions in its TableNameRegistry)."""
+    seen: dict[str, int] = {}
+    out: dict[str, str] = {}
+    for n in names:
+        base = normalize_name(n, max_length=max_length)
+        if base in seen:
+            seen[base] += 1
+            cand = f"{base}_{seen[base]}"
+        else:
+            seen[base] = 0
+            cand = base
+        out[n] = cand
+    return out

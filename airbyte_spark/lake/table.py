@@ -260,6 +260,7 @@ class LakeTable:
         delete_value: str = "d",
         epoch: int | None = None,
         stream: str = "default",
+        precomputed_buckets: list[int] | None = None,
     ) -> MergeResult:
         """Key-partitioned copy-on-write MERGE.
 
@@ -274,6 +275,11 @@ class LakeTable:
         state rule, reference debezium/.../DebeziumStateDecoratingIterator.java:63-79).
         The epoch tag and the data files land in ONE atomic snapshot
         commit, so the gate can never disagree with the data.
+
+        ``precomputed_buckets``: the distinct ``_bucket`` values of the
+        batch, if the caller already computed them (the pipeline fuses
+        this into its stats aggregation, saving one job per microbatch).
+        The caller is then responsible for having persisted ``batch``.
         """
         snap = self.snapshot()
         if epoch is not None and snap.epochs.get(stream, -1) >= epoch:
@@ -283,11 +289,16 @@ class LakeTable:
         cur_fields = snap.fields
         names = [f["name"] for f in cur_fields]
 
-        batch = batch.withColumn(_BUCKET, self._bucket_expr(snap))
-        batch.persist()
+        if _BUCKET not in batch.columns:
+            batch = batch.withColumn(_BUCKET, self._bucket_expr(snap))
+        owns_persist = precomputed_buckets is None
+        if owns_persist:
+            batch.persist()
         try:
-            touched = sorted(
-                r[0] for r in batch.select(_BUCKET).distinct().collect()
+            touched = (
+                sorted(precomputed_buckets)
+                if precomputed_buckets is not None
+                else sorted(r[0] for r in batch.select(_BUCKET).distinct().collect())
             )
             base_files = [f for f in snap.files if f.bucket in set(touched)]
             carry = [f for f in snap.files if f.bucket not in set(touched)]
@@ -312,7 +323,8 @@ class LakeTable:
                 merged, next_version, snap.schema_version, max(len(touched), 1)
             )
         finally:
-            batch.unpersist()
+            if owns_persist:
+                batch.unpersist()
 
         epochs = dict(snap.epochs)
         if epoch is not None:
@@ -336,6 +348,28 @@ class LakeTable:
         )
         self._commit(new)
         return MergeResult(True, next_version, len(touched), rows_written)
+
+    def commit_epoch(self, epoch: int, stream: str = "default") -> int | None:
+        """Metadata-only epoch advance (empty microbatch = heartbeat
+        progress without data, DebeziumRecordIterator.java:112-128).
+        No Spark job runs."""
+        snap = self.snapshot()
+        if snap.epochs.get(stream, -1) >= epoch:
+            return None
+        epochs = dict(snap.epochs)
+        epochs[stream] = epoch
+        new = Snapshot(
+            version=snap.version + 1,
+            schema_version=snap.schema_version,
+            schemas=snap.schemas,
+            n_buckets=snap.n_buckets,
+            key_cols=snap.key_cols,
+            files=snap.files,
+            epochs=epochs,
+            summary={"operation": "epoch-heartbeat", "epoch": epoch},
+        )
+        self._commit(new)
+        return new.version
 
     # ------------------------------------------------------------------
     # schema evolution (Iceberg-style: add / rename / widen by field id)

@@ -1,0 +1,128 @@
+"""Raw-envelope normalization chain tests (reference:
+base-normalization ab1->ab2->ab3 models + drift-tolerance rules;
+fixtures mirror test_simple_streams/data_input/messages.txt shapes)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from airbyte_spark.engine import raw as R
+from airbyte_spark.functions import names as N
+
+EVENT_PROPS = {
+    "event_id": "integer",
+    "ts": "timestamp_without_timezone",
+    "user_id": "integer",
+    "event_type": "string",
+    "value": "number",
+    "props": "object",
+}
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+
+
+def test_roundtrip_typed_values(spark, events):
+    """typed df -> raw envelope -> normalized = original values."""
+    src = events.limit(200)
+    out = R.normalize_raw(
+        R.to_raw(src), EVENT_PROPS, stream="events", primary_key=["event_id"]
+    )
+    a = {r["event_id"]: r for r in src.collect()}
+    b = {r["event_id"]: r for r in out.collect()}
+    assert set(a) == set(b)
+    for k, ra in a.items():
+        rb = b[k]
+        assert rb["ts"] == ra["ts"]
+        assert rb["user_id"] == ra["user_id"]
+        assert rb["event_type"] == ra["event_type"]
+        assert rb["value"] == ra["value"]  # JSON round-trip is bit-exact
+        assert rb["props"] == ra["props"]
+        assert rb["_airbyte_events_hashid"] is not None
+        assert rb["_airbyte_unique_key"] is not None
+
+
+def test_drift_tolerance_missing_and_extra_fields(spark):
+    """Missing declared fields -> null; undeclared fields ignored
+    (airbyte-protocol.md:182,431-442)."""
+    raw = spark.createDataFrame(
+        [("a", None, '{"event_id": 1, "surprise": "x"}'),
+         ("b", None, '{"event_id": 2, "event_type": "click"}')],
+        "_airbyte_ab_id string, _airbyte_emitted_at timestamp, _airbyte_data string",
+    )
+    out = R.normalize_raw(raw, EVENT_PROPS, stream="events").collect()
+    by_id = {r["event_id"]: r for r in out}
+    assert by_id[1]["event_type"] is None
+    assert "surprise" not in out[0].asDict()
+    assert by_id[2]["event_type"] == "click"
+
+
+def test_empty_string_to_null_and_strict_boolean(spark):
+    props = {"n": "number", "b": "boolean", "s": "string"}
+    raw = spark.createDataFrame(
+        [("a", None, '{"n": "", "b": "true", "s": ""}'),
+         ("b", None, '{"n": 1.5, "b": "TRUE", "s": "x"}')],
+        "_airbyte_ab_id string, _airbyte_emitted_at timestamp, _airbyte_data string",
+    )
+    out = {r["_airbyte_ab_id"]: r for r in
+           R.extract_columns(raw, props).transform(lambda d: R.cast_columns(d, props)).collect()}
+    assert out["a"]["n"] is None          # empty_string_to_null
+    assert out["a"]["s"] == ""            # strings keep empties
+    assert out["a"]["b"] is True
+    assert out["b"]["b"] is None          # strict boolean: 'TRUE' is not true
+    assert out["b"]["n"] == 1.5
+
+
+def test_hashid_unique_key_deterministic(spark, events):
+    out1 = R.normalize_raw(R.to_raw(events.limit(50)), EVENT_PROPS,
+                           stream="events", primary_key=["event_id"])
+    out2 = R.normalize_raw(R.to_raw(events.limit(50)), EVENT_PROPS,
+                           stream="events", primary_key=["event_id"])
+    h1 = sorted(r["_airbyte_events_hashid"] for r in out1.collect())
+    h2 = sorted(r["_airbyte_events_hashid"] for r in out2.collect())
+    assert h1 == h2
+    assert len(set(h1)) == 50  # distinct rows -> distinct hashids
+
+
+def test_child_table_explode_object(spark, events):
+    final = R.normalize_raw(R.to_raw(events.limit(100)), EVENT_PROPS,
+                            stream="events", primary_key=["event_id"])
+    child = R.explode_child(final, "props", {"k": "integer"}, stream="events")
+    rows = child.collect()
+    assert len(rows) == 100
+    assert all(r["k"] is not None and 0 <= r["k"] <= 99 for r in rows)
+    assert all(r["_airbyte_events_hashid"] is not None for r in rows)
+    # FK joins back to exactly one parent
+    j = child.join(final, "_airbyte_events_hashid").count()
+    assert j == 100
+
+
+def test_child_table_explode_array(spark):
+    raw_final = spark.createDataFrame(
+        [("h1", None, '[{"x": 1}, {"x": 2}]')],
+        "_airbyte_events_hashid string, _airbyte_emitted_at timestamp, items string",
+    )
+    child = R.explode_child(raw_final, "items", {"x": "integer"},
+                            stream="events", is_array=True)
+    assert sorted(r["x"] for r in child.collect()) == [1, 2]
+
+
+def test_child_table_name():
+    n = R.child_table_name("users", ["users", "address"])
+    assert n.startswith("users_") and n.endswith("_address")
+    assert n != R.child_table_name("users", ["users", "x", "address"])
+
+
+def test_name_transformer():
+    assert N.normalize_name("My Column!") == "my_column"
+    assert N.normalize_name("123abc") == "_123abc"
+    assert N.normalize_name("select") == "select_"
+    long = "x" * 100
+    t = N.normalize_name(long, max_length=64)
+    assert len(t) <= 64 and t != N.normalize_name("x" * 99, max_length=64)
+    cols = N.normalize_columns(["a b", "a-b", "ok"])
+    assert cols["a b"] == "a_b" and cols["a-b"] == "a_b_1" and cols["ok"] == "ok"
