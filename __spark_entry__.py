@@ -206,6 +206,53 @@ EVENTS_PROPS = {
 }
 
 
+def events_file_metadata(spark, sf):
+    """File-source metadata columns (the reference's S3 file source
+    attaches _ab_source_file_last_modified / file path per record,
+    source-s3/.../stream.py:38-311): Spark's hidden _metadata struct
+    gives the same per-file lineage with zero extra I/O."""
+    e = spark.read.parquet(os.path.join(sf, "events.parquet"))
+    return (
+        e.select(F.col("_metadata.file_name").alias("file_name"))
+        .groupBy("file_name")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def events_incremental_scan(spark, sf):
+    """Cursor-incremental read from a checkpoint (engine/incremental.py;
+    reference AbstractJdbcSource.java:307-359 strict-> semantics: stored
+    tie-count matches, so the filter is cursor > hwm)."""
+    from airbyte_spark.engine.incremental import CursorState, incremental_scan
+
+    e = _t(spark, sf, "events").select("event_id", "user_id", "event_type")
+    return incremental_scan(e, "event_id", CursorState(5000, 1))
+
+
+def events_datetime_slices(spark, sf):
+    """Datetime-sliced backfill read: per-slice row counts
+    (engine/incremental.py datetime_slices; reference
+    datetime_based_cursor.py:21-147)."""
+    import datetime as _dt
+
+    from airbyte_spark.engine.incremental import datetime_slices, read_slice
+
+    e = _t(spark, sf, "events")
+    t0 = _dt.datetime(2024, 1, 1)
+    slices = datetime_slices(t0, t0 + _dt.timedelta(days=28), _dt.timedelta(days=7))
+    parts = [
+        read_slice(e, "ts", s).agg(
+            F.lit(i).cast("long").alias("slice_idx"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        for i, s in enumerate(slices)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def events_json_normalize(spark, sf):
     """events -> raw JSON envelope -> json-extract -> cast -> hashid
     -> unique key: the full normalization chain round-trip."""
@@ -337,6 +384,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_minmax_ts": events_minmax_ts,
         "events_json_normalize": events_json_normalize,
         "events_props_child": events_props_child,
+        "events_file_metadata": events_file_metadata,
+        "events_incremental_scan": events_incremental_scan,
+        "events_datetime_slices": events_datetime_slices,
         "doc_dedup_exact": doc_dedup_exact,
         "doc_token_stats": doc_token_stats,
         "doc_quality": doc_quality,
@@ -472,6 +522,18 @@ FROM events
 """,
         "events_minmax_ts": """
 SELECT min(ts) AS min_ts, max(ts) AS max_ts FROM events
+""",
+        "events_incremental_scan": """
+SELECT event_id, user_id, event_type FROM events WHERE event_id > 5000
+""",
+        "events_datetime_slices": """
+SELECT 0 AS slice_idx, count(*) FILTER (ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08') AS n_events FROM events
+UNION ALL
+SELECT 1, count(*) FILTER (ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15') FROM events
+UNION ALL
+SELECT 2, count(*) FILTER (ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-22') FROM events
+UNION ALL
+SELECT 3, count(*) FILTER (ts >= TIMESTAMP '2024-01-22' AND ts < TIMESTAMP '2024-01-29') FROM events
 """,
         "events_json_normalize": """
 SELECT event_id, ts, user_id, event_type, value, props,

@@ -1,0 +1,122 @@
+"""Catalog discovery + configuration: the spec/check/discover plane.
+
+Reference (Newton-School/airbyte):
+* ``discover`` emits an AirbyteCatalog — one stream per resource with
+  a JSON-Schema ``json_schema``, ``supported_sync_modes``, optional
+  ``source_defined_cursor`` / ``source_defined_primary_key``
+  (airbyte-protocol.md:250-356; JDBC metadata discovery
+  AbstractJdbcSource.java:160-170; static schemas
+  airbyte-cdk/.../streams/core.py:117-126).
+* The ConfiguredCatalog adds per-stream ``sync_mode``,
+  ``cursor_field``, ``destination_sync_mode``, ``primary_key``
+  (airbyte-protocol.md:357-409).
+* ``check`` verifies the source is reachable before a sync
+  (entrypoint.py:67-125).
+
+Spark mapping: a "stream" is a parquet/lake table; discovery is a
+schema read (no data scan), so it is free at any scale.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Any
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+# Spark type -> (JSON-Schema type, airbyte_type annotation) — the
+# inverse of engine/raw.AIRBYTE_TO_SPARK (supported-data-types.md:13-26)
+_SPARK_TO_JSONSCHEMA: list[tuple[type, dict[str, Any]]] = [
+    (T.StringType, {"type": "string"}),
+    (T.BooleanType, {"type": "boolean"}),
+    (T.LongType, {"type": "integer"}),
+    (T.IntegerType, {"type": "integer"}),
+    (T.ShortType, {"type": "integer"}),
+    (T.DoubleType, {"type": "number"}),
+    (T.FloatType, {"type": "number"}),
+    (T.DecimalType, {"type": "number"}),
+    (T.DateType, {"type": "string", "format": "date"}),
+    (T.TimestampType, {"type": "string", "format": "date-time",
+                       "airbyte_type": "timestamp_with_timezone"}),
+    (T.TimestampNTZType, {"type": "string", "format": "date-time",
+                          "airbyte_type": "timestamp_without_timezone"}),
+    (T.BinaryType, {"type": "string", "contentEncoding": "base64"}),
+]
+
+
+def _field_schema(dt: T.DataType) -> dict[str, Any]:
+    for klass, js in _SPARK_TO_JSONSCHEMA:
+        if isinstance(dt, klass):
+            return dict(js)
+    if isinstance(dt, T.ArrayType):
+        return {"type": "array", "items": _field_schema(dt.elementType)}
+    if isinstance(dt, T.StructType):
+        return {
+            "type": "object",
+            "properties": {f.name: _field_schema(f.dataType) for f in dt.fields},
+        }
+    return {"type": "string"}  # unions/unknowns fall back to string (:156-159)
+
+
+def stream_json_schema(schema: T.StructType) -> dict[str, Any]:
+    return {
+        "$schema": "http://json-schema.org/draft-07/schema#",
+        "type": "object",
+        "properties": {f.name: _field_schema(f.dataType) for f in schema.fields},
+    }
+
+
+def discover(spark: SparkSession, data_dir: str) -> dict[str, Any]:
+    """One stream per parquet table in ``data_dir``.  Schema-only
+    reads (parquet footers), no data scan."""
+    streams = []
+    for path in sorted(glob.glob(os.path.join(data_dir, "*.parquet"))):
+        name = os.path.basename(path)[: -len(".parquet")]
+        schema = spark.read.parquet(path).schema
+        streams.append(
+            {
+                "name": name,
+                "json_schema": stream_json_schema(schema),
+                "supported_sync_modes": ["full_refresh", "incremental"],
+                "source_defined_cursor": False,
+                "default_cursor_field": [],
+            }
+        )
+    return {"streams": streams}
+
+
+def configure(
+    catalog: dict[str, Any],
+    overrides: dict[str, dict[str, Any]] | None = None,
+) -> dict[str, Any]:
+    """ConfiguredCatalog: defaults to incremental + append_dedup (the
+    flagship mode, incremental-deduped-history.md) with per-stream
+    overrides for sync_mode / cursor_field / primary_key."""
+    overrides = overrides or {}
+    out = []
+    for s in catalog["streams"]:
+        cfg = {
+            "stream": s,
+            "sync_mode": "incremental",
+            "cursor_field": [],
+            "destination_sync_mode": "append_dedup",
+            "primary_key": [],
+        }
+        cfg.update(overrides.get(s["name"], {}))
+        out.append(cfg)
+    return {"streams": out}
+
+
+def check(spark: SparkSession, data_dir: str) -> dict[str, Any]:
+    """Connection check: the directory exists and at least one stream
+    is readable (CONNECTION_STATUS message analog)."""
+    try:
+        cat = discover(spark, data_dir)
+        if not cat["streams"]:
+            return {"status": "FAILED", "message": f"no tables under {data_dir}"}
+        return {"status": "SUCCEEDED",
+                "message": f"{len(cat['streams'])} streams discovered"}
+    except Exception as e:  # pragma: no cover - defensive
+        return {"status": "FAILED", "message": str(e)}

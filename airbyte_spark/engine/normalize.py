@@ -11,9 +11,12 @@ Strategy per column:
   codegen; faster than any Python UDF, even Arrow-batched.
 * lang: extension -> language lookup via a literal MAP expression
   (JVM-side) with the changelog's lang column as fallback.
-* path canonicalization: true POSIX normpath semantics ('..'
-  resolution) are not regex-expressible, so this is the one genuine
-  pandas/Arrow UDF — batch-vectorized over pandas string methods.
+* path canonicalization: POSIX normpath ('..' resolution) as a pure
+  JVM ``aggregate`` over path segments (default — zero Python in the
+  hot path; bench showed the Arrow worker boundary costs ~10s per
+  microbatch at 32-way parallelism).  A pandas/Arrow UDF variant is
+  kept and parity-tested: it is the mandated vectorized-UDF shape
+  and the template for normalizations that genuinely need Python.
 """
 
 from __future__ import annotations
@@ -21,7 +24,7 @@ from __future__ import annotations
 import posixpath
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
@@ -41,6 +44,42 @@ def canonicalize_path(paths: pd.Series) -> pd.Series:
     return cleaned.map(lambda p: posixpath.normpath(p) if p else p)
 
 
+def canonicalize_path_expr(path: Column) -> Column:
+    """The same canonicalization as ``canonicalize_path`` but as a
+    pure Catalyst expression (posixpath.normpath's algorithm folded
+    over the segment array): backslashes -> '/', strip leading '/',
+    drop ''/'.' segments, '..' pops the stack unless it is empty or
+    already ends in '..' (relative paths keep leading '..')."""
+    cleaned = F.regexp_replace(path, r"\\", "/")
+    cleaned = F.regexp_replace(cleaned, r"^/+", "")
+    segs = F.split(cleaned, "/")
+    empty = F.array().cast("array<string>")
+    folded = F.aggregate(
+        segs,
+        empty,
+        lambda acc, s: (
+            F.when((s == "") | (s == "."), acc)
+            .when(
+                s == "..",
+                F.when(
+                    (F.size(acc) > 0) & (F.element_at(acc, -1) != ".."),
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                ).otherwise(F.array_append(acc, s)),
+            )
+            .otherwise(F.array_append(acc, s))
+        ),
+    )
+    joined = F.array_join(folded, "/")
+    # normpath('') == '.' but the UDF preserves '' for empty input;
+    # mirror that exactly so both variants agree byte-for-byte
+    return (
+        F.when(path.isNull(), F.lit(None).cast("string"))
+        .when(cleaned == "", F.lit(""))  # the UDF returns stripped-empty as-is
+        .when(F.size(folded) == 0, F.lit("."))
+        .otherwise(joined)
+    )
+
+
 def _lang_expr(path_col: str, fallback_col: str | None) -> F.Column:
     ext = F.element_at(F.split(F.col(path_col), r"\."), -1)
     m = F.create_map(*[F.lit(x) for kv in EXT_TO_LANG.items() for x in kv])
@@ -50,10 +89,15 @@ def _lang_expr(path_col: str, fallback_col: str | None) -> F.Column:
     return F.coalesce(tagged, F.lit("unknown"))
 
 
-def canonicalize_keys(df: DataFrame, *, path_col: str = "path") -> DataFrame:
+def canonicalize_keys(
+    df: DataFrame, *, path_col: str = "path", use_arrow_udf: bool = False
+) -> DataFrame:
     """Key normalization — MUST run before LWW dedup, because two
-    spellings of one path have to land on the same (repo, path) key."""
-    return df.withColumn(path_col, canonicalize_path(F.col(path_col)))
+    spellings of one path have to land on the same (repo, path) key.
+    Default is the JVM expression; ``use_arrow_udf=True`` routes
+    through the pandas/Arrow UDF (identical output, parity-tested)."""
+    fn = canonicalize_path if use_arrow_udf else canonicalize_path_expr
+    return df.withColumn(path_col, fn(F.col(path_col)))
 
 
 def enrich(df: DataFrame, *, path_col: str = "path",

@@ -44,6 +44,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # --- scan sizing (100 TB story: bound per-task input) ----------
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # floor on scan splits so a small file count can't cap
+        # parallelism below the cluster width (at lake scale files >>
+        # cores and this is a no-op; on microbatches it keeps every
+        # slot busy during the scan->normalize->map-combine stage)
+        .config("spark.sql.files.minPartitionNum", str(2 * cpus))
         .config("spark.sql.parquet.filterPushdown", "true")
         # --- misc -------------------------------------------------------
         .config("spark.sql.session.timeZone", "UTC")

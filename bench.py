@@ -42,21 +42,34 @@ def _materialize(df) -> int:
 
 
 def bench_cdc_replay(spark, *, n_base: int, n_events: int, n_batches: int,
-                     n_buckets: int, workdir: str) -> dict:
+                     n_buckets: int, workdir: str,
+                     n_repos: int = 500, paths_per_repo: int = 400) -> dict:
     from airbyte_spark.engine.changelog import base_table, changelog
     from airbyte_spark.engine.pipeline import CdcPipeline
 
     pipe = CdcPipeline(os.path.join(workdir, "table"), n_buckets=n_buckets)
     t0 = time.time()
     pipe.bootstrap(
-        spark, base_table(spark, n_base, n_repos=500, paths_per_repo=400)
+        spark, base_table(spark, n_base, n_repos=n_repos, paths_per_repo=paths_per_repo)
     )
     t_boot = time.time() - t0
-    events = changelog(spark, n_events, n_repos=500, paths_per_repo=400)
+    # land the tail on storage first (as a real changelog would be) —
+    # lsn-range-sorted files so each epoch's scan prunes to its slice
+    # via parquet min/max stats instead of regenerating everything
+    tail_dir = os.path.join(workdir, "tail")
+    tg = time.time()
+    (
+        changelog(spark, n_events, n_repos=n_repos, paths_per_repo=paths_per_repo)
+        .repartitionByRange(max(n_batches * 8, 32), "lsn")
+        .write.mode("overwrite").parquet(tail_dir)
+    )
+    t_gen = time.time() - tg
+    events = spark.read.parquet(tail_dir)
     t1 = time.time()
     stats = pipe.replay(spark, events, batch_lsns=max(n_events // n_batches, 1))
     t_replay = time.time() - t1
     return {
+        "gen_sec": round(t_gen, 2),
         "bootstrap_sec": round(t_boot, 2),
         "replay_sec": round(t_replay, 2),
         "events": n_events,

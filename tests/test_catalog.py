@@ -1,0 +1,41 @@
+"""spec/check/discover plane tests (airbyte-protocol.md:250-409)."""
+
+from __future__ import annotations
+
+from airbyte_spark.catalog import check, configure, discover
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_discover_finds_all_streams(spark):
+    cat = discover(spark, SF)
+    names = {s["name"] for s in cat["streams"]}
+    assert {"region", "nation", "customer", "supplier", "part", "orders",
+            "lineitem", "events", "documents", "embeddings"} <= names
+
+
+def test_discover_schema_shapes(spark):
+    cat = discover(spark, SF)
+    by_name = {s["name"]: s for s in cat["streams"]}
+    ev = by_name["events"]["json_schema"]["properties"]
+    assert ev["event_id"] == {"type": "integer"}
+    assert ev["value"] == {"type": "number"}
+    assert ev["ts"]["format"] == "date-time"
+    emb = by_name["embeddings"]["json_schema"]["properties"]
+    assert emb["embedding"]["type"] == "array"
+    assert emb["embedding"]["items"] == {"type": "number"}
+
+
+def test_configure_defaults_and_overrides(spark):
+    cat = discover(spark, SF)
+    cfg = configure(cat, {"events": {"cursor_field": ["event_id"],
+                                     "primary_key": [["event_id"]]}})
+    by_name = {c["stream"]["name"]: c for c in cfg["streams"]}
+    assert by_name["events"]["cursor_field"] == ["event_id"]
+    assert by_name["events"]["destination_sync_mode"] == "append_dedup"
+    assert by_name["orders"]["sync_mode"] == "incremental"
+
+
+def test_check(spark, tmp_path):
+    assert check(spark, SF)["status"] == "SUCCEEDED"
+    assert check(spark, str(tmp_path))["status"] == "FAILED"

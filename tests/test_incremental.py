@@ -1,0 +1,97 @@
+"""Cursor-incremental read semantics + acceptance-style invariants
+(reference: AbstractJdbcSource.java:307-359 tie handling;
+connector-acceptance-test test_incremental.py:152-262
+`test_two_sequential_reads`, test_full_refresh.py:39-85)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from airbyte_spark.engine.incremental import (
+    CursorState,
+    cursor_state_of,
+    datetime_slices,
+    full_refresh_scan,
+    incremental_scan,
+    read_slice,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, cursor long, v string")
+
+
+def test_first_sync_reads_all(spark):
+    df = _df(spark, [(1, 10, "a"), (2, 20, "b")])
+    assert incremental_scan(df, "cursor", None).count() == 2
+
+
+def test_strict_gt_when_counts_match(spark):
+    df = _df(spark, [(1, 10, "a"), (2, 20, "b"), (3, 20, "c"), (4, 30, "d")])
+    # state says: cursor=20 with 2 rows at it — matches actual -> strict >
+    out = incremental_scan(df, "cursor", CursorState(20, 2))
+    assert sorted(r["id"] for r in out.collect()) == [4]
+
+
+def test_inclusive_ge_on_tie_mismatch(spark):
+    """Stored tie-count 1 but 2 rows now at cursor=20: a tie row was
+    added after the checkpoint -> re-send ties with >= (at-least-once;
+    MERGE dedups downstream)."""
+    df = _df(spark, [(1, 10, "a"), (2, 20, "b"), (3, 20, "c"), (4, 30, "d")])
+    out = incremental_scan(df, "cursor", CursorState(20, 1))
+    assert sorted(r["id"] for r in out.collect()) == [2, 3, 4]
+
+
+def test_cursor_state_of(spark):
+    df = _df(spark, [(1, 10, "a"), (2, 20, "b"), (3, 20, "c")])
+    st = cursor_state_of(df, "cursor")
+    assert st == CursorState(20, 2)
+    assert cursor_state_of(df.filter("cursor > 99"), "cursor") is None
+
+
+def test_two_sequential_reads_no_overlap(spark):
+    """Acceptance invariant (test_incremental.py:152-262): a second
+    sync from the saved state returns only records >= the state
+    cursor, and the two reads together equal one full read."""
+    df = _df(spark, [(i, (i // 2) * 10, f"v{i}") for i in range(20)])
+    first = incremental_scan(df, "cursor", None)
+    st = cursor_state_of(first, "cursor")
+    new = _df(spark, [(100, 95, "new"), (101, st.cursor, "tie-late")])
+    df2 = df.unionByName(new)
+    second = incremental_scan(df2, "cursor", st)
+    ids2 = sorted(r["id"] for r in second.collect())
+    # the late tie at the stored cursor IS re-read (tie-count changed)
+    assert 101 in ids2 and 100 in ids2
+    got = {r["id"] for r in first.collect()} | set(ids2)
+    assert got == {r["id"] for r in df2.collect()}
+
+
+def test_full_refresh_identical_reads(spark):
+    """Acceptance invariant (test_full_refresh.py:39-85): two
+    sequential full-refresh reads produce identical record sets."""
+    df = _df(spark, [(i, i, f"v{i}") for i in range(50)])
+    a = sorted(map(tuple, full_refresh_scan(df).collect()))
+    b = sorted(map(tuple, full_refresh_scan(df).collect()))
+    assert a == b
+
+
+def test_datetime_slices_cover_range_exactly():
+    t0 = datetime(2024, 1, 1)
+    t1 = datetime(2024, 1, 11)
+    sl = datetime_slices(t0, t1, timedelta(days=3))
+    assert sl[0][0] == t0 and sl[-1][1] == t1
+    assert len(sl) == 4  # 3+3+3+1 days
+    # contiguous, no gaps
+    for (a, b), (c, d) in zip(sl, sl[1:]):
+        assert b == c
+
+
+def test_datetime_slices_lookback_and_read(spark):
+    t0 = datetime(2024, 1, 1)
+    sl = datetime_slices(t0, t0 + timedelta(days=4), timedelta(days=2),
+                         lookback=timedelta(days=1))
+    assert sl[1][0] == t0 + timedelta(days=1)  # widened back 1 day
+    df = spark.createDataFrame(
+        [(i, t0 + timedelta(days=i)) for i in range(4)], "id long, ts timestamp"
+    )
+    assert sorted(r["id"] for r in read_slice(df, "ts", sl[0]).collect()) == [0, 1]
