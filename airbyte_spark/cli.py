@@ -59,6 +59,12 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("compact", help="rewrite fragmented buckets")
     sp.add_argument("--table", required=True)
 
+    sp = sub.add_parser("discover", help="emit the catalog of a parquet dir")
+    sp.add_argument("--data-dir", required=True)
+
+    sp = sub.add_parser("check", help="connection check on a parquet dir")
+    sp.add_argument("--data-dir", required=True)
+
     args = p.parse_args(argv)
 
     from airbyte_spark.engine.changelog import base_table, changelog
@@ -115,6 +121,14 @@ def main(argv: list[str] | None = None) -> int:
 
         v = LakeTable(args.table).compact(spark)
         print(json.dumps({"compacted_to_version": v}))
+    elif args.cmd == "discover":
+        from airbyte_spark.catalog import discover
+
+        print(json.dumps(discover(spark, args.data_dir), indent=2))
+    elif args.cmd == "check":
+        from airbyte_spark.catalog import check
+
+        print(json.dumps(check(spark, args.data_dir)))
     return 0
 
 

@@ -111,6 +111,27 @@ def enrich(df: DataFrame, *, path_col: str = "path",
     )
 
 
+def enrich_winners(df: DataFrame, *, src_col: str = "_src",
+                   path_col: str = "path", content_col: str = "content",
+                   lang_col: str = "lang") -> DataFrame:
+    """Post-merge enrichment for the fused LWW path: only rows the
+    batch won (``src_col`` == 1) pay for lang tagging + sha256; rows
+    carried from the base keep their stored values.  At 10^10 events
+    this bounds hashing to the actual change set per batch."""
+    fresh = F.col(src_col) == 1
+    return (
+        df.withColumn(
+            lang_col,
+            F.when(fresh, _lang_expr(path_col, lang_col)).otherwise(F.col(lang_col)),
+        ).withColumn(
+            "content_sha256",
+            F.when(
+                fresh, F.sha2(F.coalesce(F.col(content_col), F.lit("")), 256)
+            ).otherwise(F.col("content_sha256")),
+        )
+    )
+
+
 def normalize_batch(df: DataFrame, *, path_col: str = "path",
                     content_col: str = "content", lang_col: str = "lang") -> DataFrame:
     """Apply the three mandated normalizations; adds content_sha256,

@@ -88,11 +88,22 @@ class CdcPipeline:
         dedup_method: str = "max_by",
         rename_hints: dict[str, str] | None = None,
         mode: str = "dedup",
+        merge_strategy: str = "fused",
     ):
         """mode: destination sync mode (airbyte-protocol.md:395-420)
         - 'dedup'     = incremental + dedup history (MERGE; default)
         - 'append'    = land every LWW batch winner as-is, no merge
         - 'overwrite' = replace table content with each batch
+
+        merge_strategy (dedup mode only):
+        - 'fused'  (default): union(base, raw batch) -> ONE per-key
+          max_by aggregation doing in-batch dedup AND the merge in a
+          single shuffle/job; enrichment only on batch-won rows.
+          Best when a batch touches a large share of buckets (the
+          10^10-scale CDC shape: wide random key coverage).
+        - 'pruned': pre-dedup the batch, then bucket-pruned
+          anti-join merge that reads/rewrites only touched buckets.
+          Best for small or key-concentrated batches (streaming tail).
         """
         self.table_root = table_root
         self.stream = stream
@@ -101,7 +112,10 @@ class CdcPipeline:
         self.rename_hints = rename_hints or {}
         if mode not in ("dedup", "append", "overwrite"):
             raise ValueError(f"unknown sync mode {mode}")
+        if merge_strategy not in ("fused", "pruned"):
+            raise ValueError(f"unknown merge strategy {merge_strategy}")
         self.mode = mode
+        self.merge_strategy = merge_strategy
         self.state = StateStore(state_root or f"{table_root}/_state")
 
     # ------------------------------------------------------------------
@@ -171,6 +185,9 @@ class CdcPipeline:
                 t.evolve(changes)
             batch = batch.filter(F.col("op") != "s").drop("schema_change")
 
+        if self.mode == "dedup" and self.merge_strategy == "fused":
+            return self._apply_fused(spark, batch, epoch, t)
+
         prepared = self.prepare_batch(batch)
         # batch columns still using hinted old names -> new names
         for old, new in self.rename_hints.items():
@@ -227,6 +244,49 @@ class CdcPipeline:
                 self.stream, epoch=epoch, max_lsn=max_lsn, rows=n,
             )
         return BatchStats(epoch, merge_res.committed, -1, n, max_lsn, merge_res)
+
+    # ------------------------------------------------------------------
+    def _apply_fused(
+        self, spark: SparkSession, batch: DataFrame, epoch: int, t: LakeTable
+    ) -> BatchStats:
+        """Single-job apply: canonicalize -> merge_lww (in-batch LWW +
+        base/batch decision fused into one max_by shuffle) ->
+        winner-only enrichment -> bucket write.  Stats come from the
+        written parquet footers (no extra Spark job)."""
+        b = normalize.canonicalize_keys(batch)
+        b = b.withColumnRenamed("lsn", "last_lsn").withColumnRenamed("ts", "updated_at")
+        for old, new in self.rename_hints.items():
+            if old in b.columns and new not in b.columns:
+                b = b.withColumnRenamed(old, new)
+        if b.isEmpty():
+            v = t.commit_epoch(epoch, self.stream)
+            return BatchStats(
+                epoch, v is not None, 0, 0, None, MergeResult(v is not None, v, 0, 0)
+            )
+        reconcile(
+            t, b.drop("op"), rename_hints=self.rename_hints, extra_cols=ENGINE_COLS
+        )
+        merge_res = t.merge_lww(
+            spark, b,
+            order_col="last_lsn", op_col="op",
+            epoch=epoch, stream=self.stream,
+            finalize_fn=normalize.enrich_winners,
+        )
+        max_lsn = None
+        if merge_res.committed:
+            st = t.stats_from_footers(t.snapshot().files, "last_lsn")
+            # table-wide max(last_lsn) IS the high-water mark (footer
+            # stats; no job).  NB: if the globally newest event was a
+            # delete, its LSN is not in the table — the HWM then lags
+            # by <1 batch, which epoch gating makes harmless.
+            max_lsn = st["max"]
+            self.state.commit(
+                self.stream, epoch=epoch, max_lsn=max_lsn,
+                rows=merge_res.rows_written,
+            )
+        return BatchStats(
+            epoch, merge_res.committed, -1, merge_res.rows_written, max_lsn, merge_res
+        )
 
     # ------------------------------------------------------------------
     def replay(

@@ -24,6 +24,56 @@ import tempfile
 from typing import Any
 
 
+def normalize_state(doc: dict[str, Any] | list | None) -> dict[str, Any]:
+    """Normalize any of the protocol's three state scopes into one
+    canonical ``{"global": {...}, "streams": {name: {...}}}`` doc.
+
+    Reference: ConnectorStateManager (airbyte-cdk
+    connector_state_manager.py:25-196) and StateManagerFactory
+    (source-relational-db .../state/StateManagerFactory.java:125):
+    - STREAM scope: list of {"type": "STREAM", "stream": {...}}
+    - GLOBAL scope: {"type": "GLOBAL", "global": {shared_state,
+      stream_states}} — shared CDC offset + per-stream cursors
+    - LEGACY scope: a bare dict (whole-connector blob)
+    """
+    if doc is None:
+        return {"global": {}, "streams": {}}
+    out: dict[str, Any] = {"global": {}, "streams": {}}
+    if isinstance(doc, list):  # list of per-stream STATE messages
+        for msg in doc:
+            if msg.get("type") == "GLOBAL":
+                g = msg.get("global", {})
+                out["global"] = g.get("shared_state", {})
+                for s in g.get("stream_states", []):
+                    out["streams"][_sname(s)] = s.get("stream_state", {})
+            elif msg.get("type") == "STREAM" or "stream" in msg:
+                s = msg["stream"]
+                out["streams"][_sname(s)] = s.get("stream_state", {})
+            else:  # legacy entry in a list
+                out["global"] = msg.get("data", msg)
+        return out
+    if doc.get("type") == "GLOBAL" or "global" in doc:
+        g = doc.get("global", {})
+        out["global"] = g.get("shared_state", {})
+        for s in g.get("stream_states", []):
+            out["streams"][_sname(s)] = s.get("stream_state", {})
+        return out
+    if doc.get("type") == "STREAM" or "stream" in doc:
+        s = doc["stream"]
+        out["streams"][_sname(s)] = s.get("stream_state", {})
+        return out
+    # LEGACY: whole blob is the global state
+    out["global"] = dict(doc)
+    return out
+
+
+def _sname(s: dict[str, Any]) -> str:
+    d = s.get("stream_descriptor", {})
+    ns = d.get("namespace")
+    name = d.get("name", "default")
+    return f"{ns}.{name}" if ns else name
+
+
 class StateStore:
     def __init__(self, root: str):
         self.root = root

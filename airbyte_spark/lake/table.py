@@ -376,6 +376,125 @@ class LakeTable:
         return new.version
 
     # ------------------------------------------------------------------
+    # fused LWW MERGE (single-job variant of merge())
+    # ------------------------------------------------------------------
+    def merge_lww(
+        self,
+        spark: SparkSession,
+        batch: DataFrame,
+        *,
+        order_col: str,
+        op_col: str = "op",
+        delete_value: str = "d",
+        epoch: int | None = None,
+        stream: str = "default",
+        finalize_fn=None,
+    ) -> MergeResult:
+        """MERGE as one fused aggregation: union(current state, raw
+        batch) -> per-key ``max_by`` on ``order_col`` -> drop delete
+        winners -> ``finalize_fn`` (caller's enrichment of batch-won
+        rows) -> bucketed write.  Unlike :meth:`merge`, the batch does
+        NOT need to be pre-deduplicated — in-batch LWW and the
+        base-vs-batch decision are the same aggregation, so a
+        microbatch costs ONE shuffle and ONE job instead of a dedup
+        job + anti-join (observed ~2x on large batches).
+
+        Requires ``order_col`` to be a total order across base rows
+        and batch rows (our LSNs: base carries the last applied LSN,
+        an epoch-gated batch only contains newer ones).
+
+        The epoch gate is identical to :meth:`merge` — the tag and the
+        data land in one atomic snapshot commit.
+        """
+        snap = self.snapshot()
+        if epoch is not None and snap.epochs.get(stream, -1) >= epoch:
+            return MergeResult(False, None, 0, 0, reason="epoch-already-committed")
+
+        next_version = snap.version + 1
+        cur_fields = snap.fields
+        names = [f["name"] for f in cur_fields]
+
+        # base rows enter the race as upserts that lose to any newer
+        # batch event on order_col; _src marks rows needing enrichment
+        base = (
+            self._read_files(spark, snap, snap.files)
+            .withColumn(op_col, F.lit(None).cast("string"))
+            .withColumn("_src", F.lit(0))
+        )
+        have = set(batch.columns)
+        b_cols = []
+        for f in cur_fields:
+            dt = _dt_from_json_value(f["type"])
+            if f["name"] in have:
+                b_cols.append(F.col(f["name"]).cast(dt).alias(f["name"]))
+            else:
+                b_cols.append(F.lit(None).cast(dt).alias(f["name"]))
+        b = batch.select(
+            *b_cols, F.col(op_col).cast("string").alias(op_col),
+            F.lit(1).alias("_src"),
+        )
+        unioned = base.select(*names, op_col, "_src").unionByName(b)
+
+        payload = [c for c in (*names, op_col, "_src") if c not in snap.key_cols]
+        winners = (
+            unioned.groupBy(*snap.key_cols)
+            .agg(F.max_by(F.struct(*payload), F.col(order_col)).alias("_w"))
+            .select(*snap.key_cols, "_w.*")
+            .filter((F.col(op_col).isNull()) | (F.col(op_col) != F.lit(delete_value)))
+        )
+        if finalize_fn is not None:
+            winners = finalize_fn(winners)
+        out = winners.select(*names).withColumn(_BUCKET, self._bucket_expr(snap))
+        entries = self._write_data(out, next_version, snap.schema_version, snap.n_buckets)
+
+        epochs = dict(snap.epochs)
+        if epoch is not None:
+            epochs[stream] = epoch
+        rows_written = sum(e.rows for e in entries)
+        new = Snapshot(
+            version=next_version,
+            schema_version=snap.schema_version,
+            schemas=snap.schemas,
+            n_buckets=snap.n_buckets,
+            key_cols=snap.key_cols,
+            files=entries,  # full rewrite: every bucket was merged
+            epochs=epochs,
+            summary={
+                "operation": "merge-lww",
+                "stream": stream,
+                "epoch": epoch,
+                "touched_buckets": snap.n_buckets,
+                "rows_written": rows_written,
+            },
+        )
+        self._commit(new)
+        return MergeResult(True, next_version, snap.n_buckets, rows_written)
+
+    def stats_from_footers(self, entries: list[FileEntry], column: str) -> dict:
+        """Driver-side (rows, max(column)) from parquet footer
+        statistics of freshly written files — observability without an
+        extra Spark job."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _one(e: FileEntry):
+            pf = pq.ParquetFile(os.path.join(self.root, e.path))
+            rows = pf.metadata.num_rows
+            mx = None
+            idx = pf.schema_arrow.get_field_index(column)
+            if idx >= 0:
+                for rg in range(pf.metadata.num_row_groups):
+                    st = pf.metadata.row_group(rg).column(idx).statistics
+                    if st is not None and st.has_min_max:
+                        mx = st.max if mx is None else max(mx, st.max)
+            return rows, mx
+
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            results = list(pool.map(_one, entries))
+        total = sum(r for r, _ in results)
+        maxes = [m for _, m in results if m is not None]
+        return {"rows": total, "max": max(maxes) if maxes else None}
+
+    # ------------------------------------------------------------------
     # schema evolution (Iceberg-style: add / rename / widen by field id)
     # ------------------------------------------------------------------
     def evolve(self, changes: Iterable[tuple]) -> int:

@@ -56,6 +56,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
     )
+    # shuffle/spill dir: a real executor gets node-local fast disk; this
+    # sandbox's one virtio disk does ~274 MB/s and would serialize every
+    # leg of a scaling comparison -> prefer tmpfs when present
+    # ($SPARK_LOCAL_DIRS overrides either way)
+    if "SPARK_LOCAL_DIRS" not in os.environ and os.path.isdir("/dev/shm"):
+        builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

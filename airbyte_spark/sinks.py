@@ -1,0 +1,93 @@
+"""File-format sinks: the S3/file destination family as Spark writers.
+
+Reference: base-java-s3 writers — S3ParquetWriter / S3CsvWriter /
+S3JsonlWriter / S3AvroWriter, gzip/snappy compression options, and
+path templating via S3OutputPathHelper / S3StorageOperations
+(``${NAMESPACE}/${STREAM_NAME}/${YEAR}_${MONTH}_...``-style format
+variables).  Spark's DataFrameWriter already is each of those writers;
+this module adds the reference's configuration surface: format choice,
+compression, and the output-path template.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame
+
+FORMATS = {
+    "parquet": {"codecs": {"snappy", "zstd", "gzip", "none"}, "default_codec": "snappy"},
+    "csv": {"codecs": {"gzip", "none"}, "default_codec": "none"},
+    "jsonl": {"codecs": {"gzip", "none"}, "default_codec": "none"},
+}
+
+
+def render_path_template(
+    template: str,
+    *,
+    namespace: str = "",
+    stream: str,
+    now: datetime | None = None,
+) -> str:
+    """S3OutputPathHelper-style variables: ``${NAMESPACE} ${STREAM_NAME}
+    ${YEAR} ${MONTH} ${DAY} ${HOUR} ${EPOCH}``."""
+    now = now or datetime.now(timezone.utc)
+    subs = {
+        "${NAMESPACE}": namespace,
+        "${STREAM_NAME}": stream,
+        "${YEAR}": f"{now.year:04d}",
+        "${MONTH}": f"{now.month:02d}",
+        "${DAY}": f"{now.day:02d}",
+        "${HOUR}": f"{now.hour:02d}",
+        "${EPOCH}": str(int(now.timestamp())),
+    }
+    out = template
+    for k, v in subs.items():
+        out = out.replace(k, v)
+    # collapse '//' and edge slashes from empty variables (paths are
+    # always relative to the sink's base dir)
+    while "//" in out:
+        out = out.replace("//", "/")
+    return out.strip("/")
+
+
+def write_stream_files(
+    df: DataFrame,
+    base_dir: str,
+    *,
+    stream: str,
+    fmt: str = "parquet",
+    codec: str | None = None,
+    namespace: str = "",
+    path_template: str = "${NAMESPACE}/${STREAM_NAME}",
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+    now: datetime | None = None,
+) -> str:
+    """Write ``df`` under ``base_dir``/<rendered template>.  Returns
+    the output path."""
+    if fmt not in FORMATS:
+        raise ValueError(f"unknown format {fmt}; choose {sorted(FORMATS)}")
+    codec = codec or FORMATS[fmt]["default_codec"]
+    if codec not in FORMATS[fmt]["codecs"]:
+        raise ValueError(f"{fmt} does not support codec {codec}")
+    rel = render_path_template(
+        path_template, namespace=namespace, stream=stream, now=now
+    )
+    out = f"{base_dir.rstrip('/')}/{rel.strip('/')}"
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if fmt == "parquet":
+        w = w.option("compression", "uncompressed" if codec == "none" else codec)
+        w.parquet(out)
+    elif fmt == "csv":
+        w = w.option("header", "true")
+        if codec != "none":
+            w = w.option("compression", codec)
+        w.csv(out)
+    else:  # jsonl — Spark's json sink is line-delimited JSON already
+        if codec != "none":
+            w = w.option("compression", codec)
+        w.json(out)
+    return out

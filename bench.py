@@ -99,7 +99,8 @@ def main() -> None:
 
     # --- CDC replay headline (sized by sf) -----------------------------
     n_events = int(2_000_000 * sf * 10) or 20_000  # 2M at sf0.1
-    workdir = tempfile.mkdtemp(prefix="bench_cdc_")
+    tmpfs = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="bench_cdc_", dir=tmpfs)
     try:
         t0 = time.time()
         cdc = bench_cdc_replay(

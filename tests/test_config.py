@@ -1,0 +1,62 @@
+"""Declarative pipeline-spec tests (low-code manifest analog)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from airbyte_spark.config import PipelineSpec
+from airbyte_spark.engine.changelog import base_table
+from airbyte_spark.streaming.runner import write_changelog_chunks
+from airbyte_spark.engine.changelog import changelog
+
+
+def test_spec_parse_and_validate(tmp_path):
+    doc = {
+        "streams": {
+            "code": {"table": str(tmp_path / "t"), "mode": "dedup",
+                     "n_buckets": 8, "rename_hints": {"a": "b"}},
+        }
+    }
+    spec = PipelineSpec.from_dict(doc)
+    assert spec.streams[0].name == "code"
+    assert spec.streams[0].merge_strategy == "fused"
+    p = tmp_path / "spec.json"
+    p.write_text(json.dumps(doc))
+    assert PipelineSpec.load(str(p)).streams[0].n_buckets == 8
+
+
+def test_spec_rejects_bad_mode(tmp_path):
+    with pytest.raises(ValueError, match="mode must be one of"):
+        PipelineSpec.from_dict(
+            {"streams": {"x": {"table": str(tmp_path), "mode": "upsert"}}}
+        )
+    with pytest.raises(ValueError, match="no streams"):
+        PipelineSpec.from_dict({"streams": {}})
+
+
+def test_spec_end_to_end_sync(spark, tmp_path):
+    """A declarative spec drives a full bounded sync."""
+    tail = str(tmp_path / "tail")
+    ev = changelog(spark, 600, n_repos=10, paths_per_repo=20)
+    write_changelog_chunks(ev, tail, chunk_lsns=300, lo=0, hi=599)
+    doc = {
+        "streams": {
+            "code": {
+                "table": str(tmp_path / "t"),
+                "tail": tail,
+                "checkpoint": str(tmp_path / "cp"),
+                "n_buckets": 4,
+            }
+        }
+    }
+    spec = PipelineSpec.from_dict(doc)
+    pipes = spec.build_pipelines()
+    pipes["code"].bootstrap(spark, base_table(spark, 200, n_repos=10, paths_per_repo=20))
+    res = spec.run(spark)
+    assert res["code"]["committed"] >= 1
+    final = pipes["code"].table().read(spark)
+    assert final.count() > 0
+    assert "content_sha256" in final.columns

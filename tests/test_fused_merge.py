@@ -1,0 +1,88 @@
+"""Fused single-job LWW merge must be result-identical to the
+bucket-pruned anti-join merge, including deletes, epoch replay, and
+multi-batch sequencing."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from airbyte_spark.engine.changelog import base_table, changelog
+from airbyte_spark.engine.pipeline import CdcPipeline
+
+
+def _final(spark, pipe):
+    t = pipe.table()
+    rows = t.read(spark).collect()
+    return sorted(
+        (r["repo"], r["path"], r["commit"], r["lang"], r["content_sha256"],
+         r["last_lsn"])
+        for r in rows
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = base_table(spark, 800, n_repos=20, paths_per_repo=60)
+    events = changelog(spark, 2400, n_repos=20, paths_per_repo=60)
+    return base, events
+
+
+def test_fused_equals_pruned(spark, tmp_path, corpus):
+    base, events = corpus
+    outs = []
+    for strategy in ("fused", "pruned"):
+        pipe = CdcPipeline(
+            os.path.join(tmp_path, strategy), n_buckets=8,
+            merge_strategy=strategy,
+        )
+        pipe.bootstrap(spark, base)
+        stats = pipe.replay(spark, events, batch_lsns=800)
+        assert all(s.committed for s in stats)
+        outs.append(_final(spark, pipe))
+    assert outs[0] == outs[1]
+    assert len(outs[0]) > 0
+
+
+def test_fused_epoch_replay_is_noop(spark, tmp_path, corpus):
+    base, events = corpus
+    pipe = CdcPipeline(os.path.join(tmp_path, "t"), n_buckets=8)
+    pipe.bootstrap(spark, base)
+    pipe.replay(spark, events, batch_lsns=1200)
+    before = _final(spark, pipe)
+    # full re-replay from epoch 0: every batch must be skipped
+    stats = pipe.replay(spark, events, batch_lsns=1200)
+    assert not any(s.committed for s in stats)
+    assert _final(spark, pipe) == before
+
+
+def test_fused_handles_deletes(spark, tmp_path, corpus):
+    base, events = corpus
+    n_del = events.filter("op = 'd'").count()
+    assert n_del > 0  # the generator emits deletes
+    pipe = CdcPipeline(os.path.join(tmp_path, "t"), n_buckets=8)
+    pipe.bootstrap(spark, base)
+    pipe.replay(spark, events, batch_lsns=5000)
+    t = pipe.table()
+    final = t.read(spark)
+    # no key whose last event was a delete survives
+    from airbyte_spark.engine.dedup import lww_dedup
+    from airbyte_spark.engine import normalize
+
+    last = lww_dedup(
+        normalize.canonicalize_keys(events), ["repo", "path"], ["lsn"]
+    )
+    deleted_keys = {(r["repo"], r["path"]) for r in last.filter("op = 'd'").collect()}
+    surviving = {(r["repo"], r["path"]) for r in final.collect()}
+    assert not (deleted_keys & surviving)
+
+
+def test_fused_hwm_state(spark, tmp_path, corpus):
+    base, events = corpus
+    pipe = CdcPipeline(os.path.join(tmp_path, "t"), n_buckets=8)
+    pipe.bootstrap(spark, base)
+    stats = pipe.replay(spark, events, batch_lsns=5000)
+    st = pipe.state.load("default")
+    assert st["epoch"] == stats[-1].epoch
+    assert st["max_lsn"] >= 0

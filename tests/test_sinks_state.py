@@ -1,0 +1,84 @@
+"""File-format sinks (S3 writer family analog) + state-scope
+normalization (ConnectorStateManager analog)."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+import pytest
+
+from airbyte_spark.engine.state import normalize_state
+from airbyte_spark.sinks import render_path_template, write_stream_files
+
+NOW = datetime(2024, 3, 5, 7, tzinfo=timezone.utc)
+
+
+def test_path_template():
+    assert render_path_template(
+        "${NAMESPACE}/${STREAM_NAME}/${YEAR}/${MONTH}/${DAY}",
+        namespace="ns", stream="ev", now=NOW,
+    ) == "ns/ev/2024/03/05"
+    # empty namespace never leaves '//'
+    assert render_path_template(
+        "${NAMESPACE}/${STREAM_NAME}", stream="ev", now=NOW
+    ) == "ev"
+
+
+@pytest.mark.parametrize("fmt,codec,ext", [
+    ("parquet", "zstd", ".parquet"),
+    ("csv", "gzip", ".csv.gz"),
+    ("jsonl", "none", ".json"),
+])
+def test_write_formats_roundtrip(spark, tmp_path, fmt, codec, ext):
+    df = spark.range(100).selectExpr("id", "concat('v', id) AS v")
+    out = write_stream_files(
+        df, str(tmp_path), stream="s1", fmt=fmt, codec=codec, now=NOW
+    )
+    assert out.endswith("/s1")
+    files = [f for f in os.listdir(out) if f.endswith(ext)]
+    assert files, os.listdir(out)
+    back = (
+        spark.read.parquet(out) if fmt == "parquet"
+        else spark.read.option("header", "true").csv(out) if fmt == "csv"
+        else spark.read.json(out)
+    )
+    assert back.count() == 100
+
+
+def test_write_rejects_bad_codec(spark, tmp_path):
+    df = spark.range(1)
+    with pytest.raises(ValueError, match="does not support codec"):
+        write_stream_files(df, str(tmp_path), stream="s", fmt="csv", codec="zstd")
+
+
+def test_normalize_state_stream_scope():
+    doc = [
+        {"type": "STREAM",
+         "stream": {"stream_descriptor": {"name": "users"},
+                    "stream_state": {"cursor": 5}}},
+        {"type": "STREAM",
+         "stream": {"stream_descriptor": {"name": "orders", "namespace": "pub"},
+                    "stream_state": {"cursor": 9}}},
+    ]
+    st = normalize_state(doc)
+    assert st["streams"]["users"] == {"cursor": 5}
+    assert st["streams"]["pub.orders"] == {"cursor": 9}
+    assert st["global"] == {}
+
+
+def test_normalize_state_global_scope():
+    doc = {"type": "GLOBAL", "global": {
+        "shared_state": {"lsn": 123},
+        "stream_states": [
+            {"stream_descriptor": {"name": "t1"}, "stream_state": {"c": 1}},
+        ],
+    }}
+    st = normalize_state(doc)
+    assert st["global"] == {"lsn": 123}
+    assert st["streams"]["t1"] == {"c": 1}
+
+
+def test_normalize_state_legacy_and_none():
+    assert normalize_state({"whole": "blob"})["global"] == {"whole": "blob"}
+    assert normalize_state(None) == {"global": {}, "streams": {}}
