@@ -1,0 +1,96 @@
+"""Adversarial kill-points and skew (SURVEY.md §7 risk list):
+exactly-once must hold when a crash lands between the data-file write
+and the snapshot commit, and LWW must stay correct under hot-key
+skew (Zipf repos are the norm at 10^10 scale)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from airbyte_spark.engine.changelog import base_table, changelog
+from airbyte_spark.engine.pipeline import CdcPipeline
+from airbyte_spark.lake.table import LakeTable
+
+
+def test_crash_between_write_and_commit_is_invisible(spark, tmp_path):
+    """Simulate a crash after data files land but before the snapshot
+    commit: the table must read as if the batch never happened, the
+    replayed epoch must produce the same final state, and vacuum must
+    remove the orphans."""
+    root = os.path.join(tmp_path, "t")
+    pipe = CdcPipeline(root, n_buckets=4)
+    pipe.bootstrap(spark, base_table(spark, 200, n_repos=5, paths_per_repo=20))
+    ev = changelog(spark, 400, n_repos=5, paths_per_repo=20)
+
+    t = LakeTable(root)
+    v_before = t.snapshot().version
+    rows_before = t.read(spark).count()
+
+    # "crash": write the batch's data files exactly as merge would,
+    # then stop before _commit
+    b = pipe.prepare_batch(ev)
+    snap = t.snapshot()
+    from airbyte_spark.lake.table import _BUCKET
+
+    orphaned = t._write_data(
+        b.filter(F.col("op") != "d").drop("op")
+        .withColumn(_BUCKET, t._bucket_expr(snap)),
+        snap.version + 1, snap.schema_version, 4,
+    )
+    assert orphaned  # files exist on disk...
+    assert t.snapshot().version == v_before  # ...but no commit happened
+    assert t.read(spark).count() == rows_before  # snapshot-isolated from orphans
+
+    # resume: the same epoch applies cleanly and exactly once
+    st = pipe.apply_batch(spark, ev, epoch=0)
+    assert st.committed
+    final1 = sorted(
+        (r["repo"], r["path"], r["content_sha256"]) for r in t.read(spark).collect()
+    )
+    # orphans from the crashed attempt are vacuumable
+    removed = t.vacuum()
+    assert removed >= len(orphaned)
+    final2 = sorted(
+        (r["repo"], r["path"], r["content_sha256"]) for r in t.read(spark).collect()
+    )
+    assert final1 == final2
+
+
+def test_hot_key_skew_lww_correct(spark, tmp_path):
+    """One key receives 50k updates (hot repo), the rest 1 each: the
+    winner for the hot key must be its max-LSN event and cold keys
+    must be untouched."""
+    hot = spark.range(50_000).select(
+        F.col("id").alias("lsn"),
+        F.lit("u").alias("op"),
+        F.lit("hot_repo").alias("repo"),
+        F.lit("hot/path.py").alias("path"),
+        F.concat(F.lit("c"), F.col("id")).alias("commit"),
+        F.lit("python").alias("lang"),
+        F.concat(F.lit("content-v"), F.col("id")).alias("content"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+    )
+    cold = spark.range(50_000, 50_100).select(
+        F.col("id").alias("lsn"),
+        F.lit("i").alias("op"),
+        F.concat(F.lit("repo_"), F.col("id")).alias("repo"),
+        F.lit("a.py").alias("path"),
+        F.concat(F.lit("c"), F.col("id")).alias("commit"),
+        F.lit("python").alias("lang"),
+        F.concat(F.lit("cold-"), F.col("id")).alias("content"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+    )
+    root = os.path.join(tmp_path, "t")
+    pipe = CdcPipeline(root, n_buckets=4)
+    pipe.bootstrap(spark, None)
+    st = pipe.apply_batch(spark, hot.unionByName(cold), epoch=0)
+    assert st.committed
+    rows = {(r["repo"], r["path"]): r for r in pipe.table().read(spark).collect()}
+    assert len(rows) == 101
+    assert rows[("hot_repo", "hot/path.py")]["content"] == "content-v49999"
+    assert rows[("hot_repo", "hot/path.py")]["last_lsn"] == 49999
+    assert rows[("repo_50050", "a.py")]["content"] == "cold-50050"
