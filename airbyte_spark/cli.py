@@ -59,6 +59,8 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("compact", help="rewrite fragmented buckets")
     sp.add_argument("--table", required=True)
 
+    sub.add_parser("spec", help="emit the engine's job-config schema")
+
     sp = sub.add_parser("discover", help="emit the catalog of a parquet dir")
     sp.add_argument("--data-dir", required=True)
 
@@ -66,6 +68,30 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--data-dir", required=True)
 
     args = p.parse_args(argv)
+
+    if args.cmd == "spec":
+        # config-schema emission needs no SparkSession (the reference's
+        # `spec` verb, entrypoint.py:67-125)
+        from dataclasses import fields as dc_fields
+
+        from airbyte_spark.config import StreamSpec, VALID_MODES, VALID_STRATEGIES
+
+        props = {}
+        for f in dc_fields(StreamSpec):
+            props[f.name] = {"type": str(f.type)}
+        props["mode"]["enum"] = list(VALID_MODES)
+        props["merge_strategy"]["enum"] = list(VALID_STRATEGIES)
+        print(json.dumps({
+            "documentationUrl": "README.md",
+            "connectionSpecification": {
+                "$schema": "http://json-schema.org/draft-07/schema#",
+                "title": "airbyte-spark pipeline spec (per stream)",
+                "type": "object",
+                "required": ["name", "table"],
+                "properties": props,
+            },
+        }, indent=2))
+        return 0
 
     from airbyte_spark.engine.changelog import base_table, changelog
     from airbyte_spark.engine.pipeline import CdcPipeline
