@@ -281,25 +281,49 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash: per token, xxhash64 gives 64 bits; each bit
-    votes +1/-1; sign of the vote sum per bit position forms the
-    fingerprint.  Vectorized as a 64-slot aggregate over the token
-    array."""
+def simhash(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 64,
+    token_hash: str = "xxhash64",
+) -> DataFrame:
+    """n_bits-bit SimHash: per token, a hash gives n_bits bits; each
+    bit votes +1/-1; sign of the vote sum per bit position forms the
+    fingerprint.  Vectorized as an n_bits-slot aggregate over the
+    token array.
+
+    token_hash:
+    - 'xxhash64' (default): fastest JVM hash, 64 usable bits.
+    - 'md5_60': low 60 bits of md5's first 15 hex chars — bit-for-bit
+      reproducible in DuckDB (``('0x'||substr(md5(t),1,15))::BIGINT``),
+      which is what lets the CORRECTNESS oracle brute-force-verify the
+      blocked pair search (n_bits must be <= 60).
+    """
     toks = _tokens(text_col)
     # NB: python wrappers for shiftleft/getbit demand literal ints, so
     # column bit positions go through call_function (SQL signatures
     # accept expressions).  Token strings are hashed ONCE into ``th``;
     # the per-bit lambda then works on the bound long (same
     # recompute-avoidance reasoning as minhash_signatures).
-    th = F.transform(toks, lambda t: F.xxhash64(t))
+    if token_hash == "xxhash64":
+        th = F.transform(toks, lambda t: F.xxhash64(t))
+    elif token_hash == "md5_60":
+        assert n_bits <= 60, "md5_60 provides 60 hash bits"
+        th = F.transform(
+            toks,
+            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+        )
+    else:
+        raise ValueError(f"unknown token_hash {token_hash}")
     votes = F.aggregate(
         th,
-        F.array_repeat(F.lit(0).cast("long"), 64),
+        F.array_repeat(F.lit(0).cast("long"), n_bits),
         lambda acc, h: F.zip_with(
             acc,
             F.transform(
-                F.sequence(F.lit(0), F.lit(63)),
+                F.sequence(F.lit(0), F.lit(n_bits - 1)),
                 lambda i: (
                     F.call_function("getbit", h, i.cast("int")) * 2 - 1
                 ).cast("long"),
@@ -310,7 +334,7 @@ def simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") ->
     bits = F.aggregate(
         F.zip_with(
             votes,
-            F.sequence(F.lit(0), F.lit(63)),
+            F.sequence(F.lit(0), F.lit(n_bits - 1)),
             lambda v, i: F.when(
                 v > 0,
                 F.call_function("shiftleft", F.lit(1).cast("long"), i.cast("int")),
@@ -328,31 +352,37 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    n_bits: int = 64,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs within Hamming distance ``max_hamming`` of the
-    64-bit SimHash.  Pigeonhole blocking: split into 4 16-bit blocks;
-    any pair with distance <=3 agrees on >=1 block -> equi-join per
-    block, then exact popcount verify."""
+    SimHash.  Pigeonhole blocking with ``max_hamming + 1`` blocks: a
+    pair differing in <= max_hamming bits cannot differ in ALL blocks,
+    so it agrees exactly on >= 1 block -> equi-join per block, then
+    exact popcount verify.  (Deriving the block count from the radius
+    is what makes recall exact at ANY radius; a fixed 4-block split
+    only guarantees distance <= 3.)"""
+    n_blocks = max_hamming + 1
+    assert n_blocks <= n_bits, "radius too large for the fingerprint width"
     # persist: same CollapseProject-recompute hazard as minhash — the
-    # 64-slot vote aggregate would otherwise be inlined into all four
+    # n_bits-slot vote aggregate would otherwise be inlined into all
     # block keys and both join branches.
-    sh = simhash(_widen(df), text_col=text_col, id_col=id_col).persist()
+    sh = simhash(
+        _widen(df), text_col=text_col, id_col=id_col,
+        n_bits=n_bits, token_hash=token_hash,
+    ).persist()
+    # block b covers bits [b*n_bits//n_blocks, (b+1)*n_bits//n_blocks);
+    # bounds are python ints, so keys are plain literal shift+mask
+    structs = []
+    for b in range(n_blocks):
+        start = b * n_bits // n_blocks
+        width = (b + 1) * n_bits // n_blocks - start
+        key = F.shiftright(F.col("simhash"), start).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+        structs.append(F.struct(F.lit(b).alias("blk"), key.alias("key")))
     blocks = sh.select(
-        "id",
-        "simhash",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
-                lambda b: F.struct(
-                    b.alias("blk"),
-                    F.call_function(
-                        "shiftright", F.col("simhash"), (b * 16).cast("int")
-                    )
-                    .bitwiseAND(F.lit(0xFFFF))
-                    .alias("key"),
-                ),
-            )
-        ).alias("bb"),
+        "id", "simhash", F.explode(F.array(*structs)).alias("bb")
     ).select("id", "simhash", "bb.blk", "bb.key")
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (

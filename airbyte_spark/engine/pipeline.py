@@ -96,14 +96,16 @@ class CdcPipeline:
         - 'overwrite' = replace table content with each batch
 
         merge_strategy (dedup mode only):
-        - 'fused'  (default): union(base, raw batch) -> ONE per-key
-          max_by aggregation doing in-batch dedup AND the merge in a
-          single shuffle/job; enrichment only on batch-won rows.
-          Best when a batch touches a large share of buckets (the
-          10^10-scale CDC shape: wide random key coverage).
+        - 'fused'  (default): union(touched buckets of base, raw
+          batch) -> ONE per-key max_by aggregation doing in-batch
+          dedup AND the merge in a single shuffle/job; enrichment only
+          on batch-won rows; untouched buckets carry forward without a
+          rewrite, so per-batch cost is bounded by the batch's bucket
+          coverage at any table size (streaming tail included).
         - 'pruned': pre-dedup the batch, then bucket-pruned
           anti-join merge that reads/rewrites only touched buckets.
-          Best for small or key-concentrated batches (streaming tail).
+          Kept as the verification twin (test_fused_merge equivalence)
+          and for callers who need the pre-deduplicated batch.
         """
         self.table_root = table_root
         self.stream = stream
@@ -249,37 +251,55 @@ class CdcPipeline:
     def _apply_fused(
         self, spark: SparkSession, batch: DataFrame, epoch: int, t: LakeTable
     ) -> BatchStats:
-        """Single-job apply: canonicalize -> merge_lww (in-batch LWW +
-        base/batch decision fused into one max_by shuffle) ->
-        winner-only enrichment -> bucket write.  Stats come from the
-        written parquet footers (no extra Spark job)."""
+        """Two-job apply: canonicalize -> ONE small stats job over the
+        persisted batch (count + max LSN + touched buckets; this also
+        subsumes the empty-batch probe) -> merge_lww (in-batch LWW +
+        base/batch decision fused into one bucket-pruned max_by
+        shuffle) -> winner-only enrichment -> touched-bucket write."""
+        from airbyte_spark.lake.table import _BUCKET
+
         b = normalize.canonicalize_keys(batch)
         b = b.withColumnRenamed("lsn", "last_lsn").withColumnRenamed("ts", "updated_at")
         for old, new in self.rename_hints.items():
             if old in b.columns and new not in b.columns:
                 b = b.withColumnRenamed(old, new)
-        if b.isEmpty():
-            v = t.commit_epoch(epoch, self.stream)
-            return BatchStats(
-                epoch, v is not None, 0, 0, None, MergeResult(v is not None, v, 0, 0)
+        # bucket expr depends only on key_cols + n_buckets, which
+        # evolve() never changes — safe to compute before reconcile
+        snap = t.snapshot()
+        b = b.withColumn(_BUCKET, t._bucket_expr(snap))
+        b.persist()
+        try:
+            agg = b.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max("last_lsn").alias("mx"),
+                F.collect_set(_BUCKET).alias("bks"),
+            ).collect()[0]
+            n, batch_max_lsn, touched = agg["n"], agg["mx"], agg["bks"]
+            if n == 0:
+                v = t.commit_epoch(epoch, self.stream)
+                return BatchStats(
+                    epoch, v is not None, 0, 0, None,
+                    MergeResult(v is not None, v, 0, 0),
+                )
+            reconcile(
+                t, b.drop("op", _BUCKET),
+                rename_hints=self.rename_hints, extra_cols=ENGINE_COLS,
             )
-        reconcile(
-            t, b.drop("op"), rename_hints=self.rename_hints, extra_cols=ENGINE_COLS
-        )
-        merge_res = t.merge_lww(
-            spark, b,
-            order_col="last_lsn", op_col="op",
-            epoch=epoch, stream=self.stream,
-            finalize_fn=normalize.enrich_winners,
-        )
+            merge_res = t.merge_lww(
+                spark, b,
+                order_cols=["last_lsn", "updated_at"], op_col="op",
+                epoch=epoch, stream=self.stream,
+                finalize_fn=normalize.enrich_winners,
+                precomputed_buckets=touched,
+            )
+        finally:
+            b.unpersist()
         max_lsn = None
         if merge_res.committed:
-            st = t.stats_from_footers(t.snapshot().files, "last_lsn")
-            # table-wide max(last_lsn) IS the high-water mark (footer
-            # stats; no job).  NB: if the globally newest event was a
-            # delete, its LSN is not in the table — the HWM then lags
-            # by <1 batch, which epoch gating makes harmless.
-            max_lsn = st["max"]
+            # the batch's own max LSN is the HWM advance (monotone in
+            # the store); unlike footer stats it includes deletes and
+            # costs nothing extra — it rode the stats job above
+            max_lsn = batch_max_lsn
             self.state.commit(
                 self.stream, epoch=epoch, max_lsn=max_lsn,
                 rows=merge_res.rows_written,

@@ -12,10 +12,11 @@ Reference parity (Newton-School/airbyte):
 
 Scale design (the part that must survive 100 TB / 1000 executors):
 * Data is hash-bucketed on the merge key: bucket =
-  pmod(xxhash64(key_cols), n_buckets).  A MERGE only reads and
-  rewrites the buckets its batch touches — at 10^10-row scale with
-  n_buckets=65536, a 10M-event microbatch rewrites a bounded slice of
-  the table, never the whole thing.
+  pmod(xxhash64(key_cols), n_buckets).  BOTH merge paths (anti-join
+  ``merge`` and fused ``merge_lww``) read and rewrite only the buckets
+  their batch touches — at 10^10-row scale with n_buckets=65536, a
+  10M-event microbatch rewrites a bounded slice of the table, never
+  the whole thing.
 * The anti-join that drops overwritten base rows joins the (small)
   batch key set against only those buckets; AQE broadcast keeps the
   base side shuffle-free.
@@ -383,25 +384,40 @@ class LakeTable:
         spark: SparkSession,
         batch: DataFrame,
         *,
-        order_col: str,
+        order_cols: list[str] | str,
         op_col: str = "op",
         delete_value: str = "d",
         epoch: int | None = None,
         stream: str = "default",
         finalize_fn=None,
+        precomputed_buckets: list[int] | None = None,
     ) -> MergeResult:
-        """MERGE as one fused aggregation: union(current state, raw
-        batch) -> per-key ``max_by`` on ``order_col`` -> drop delete
-        winners -> ``finalize_fn`` (caller's enrichment of batch-won
-        rows) -> bucketed write.  Unlike :meth:`merge`, the batch does
-        NOT need to be pre-deduplicated — in-batch LWW and the
-        base-vs-batch decision are the same aggregation, so a
+        """Bucket-pruned MERGE as one fused aggregation: union(touched
+        buckets of the current state, raw batch) -> per-key ``max_by``
+        on the ``order_cols`` tuple -> drop delete winners ->
+        ``finalize_fn`` (caller's enrichment of batch-won rows) ->
+        bucketed write of the touched buckets only; untouched buckets'
+        file entries carry forward unrewritten.  Unlike :meth:`merge`,
+        the batch does NOT need to be pre-deduplicated — in-batch LWW
+        and the base-vs-batch decision are the same aggregation, so a
         microbatch costs ONE shuffle and ONE job instead of a dedup
         job + anti-join (observed ~2x on large batches).
 
-        Requires ``order_col`` to be a total order across base rows
-        and batch rows (our LSNs: base carries the last applied LSN,
-        an epoch-gated batch only contains newer ones).
+        The bucket pruning is the 100 TB story: a 10M-event microbatch
+        over a 10^10-row table reads and rewrites only the buckets its
+        keys hash into, so per-batch write amplification is bounded by
+        batch key coverage, never O(table).  (When a batch touches all
+        buckets — the wide-random-key CDC shape — this degenerates to
+        exactly the previous full-rewrite plan, same single shuffle.)
+
+        ``order_cols`` must form a total order across base rows and
+        batch rows (our (lsn, ts): base carries the last applied LSN,
+        an epoch-gated batch only contains newer ones; ts breaks
+        same-LSN ties identically to the pruned path's lww_dedup).
+
+        ``precomputed_buckets``: distinct ``_bucket`` values of the
+        batch if the caller already computed them in its own stats job
+        (the caller must then have persisted ``batch``).
 
         The epoch gate is identical to :meth:`merge` — the tag and the
         data land in one atomic snapshot commit.
@@ -409,43 +425,71 @@ class LakeTable:
         snap = self.snapshot()
         if epoch is not None and snap.epochs.get(stream, -1) >= epoch:
             return MergeResult(False, None, 0, 0, reason="epoch-already-committed")
+        if isinstance(order_cols, str):
+            order_cols = [order_cols]
 
         next_version = snap.version + 1
         cur_fields = snap.fields
         names = [f["name"] for f in cur_fields]
 
-        # base rows enter the race as upserts that lose to any newer
-        # batch event on order_col; _src marks rows needing enrichment
-        base = (
-            self._read_files(spark, snap, snap.files)
-            .withColumn(op_col, F.lit(None).cast("string"))
-            .withColumn("_src", F.lit(0))
-        )
-        have = set(batch.columns)
-        b_cols = []
-        for f in cur_fields:
-            dt = _dt_from_json_value(f["type"])
-            if f["name"] in have:
-                b_cols.append(F.col(f["name"]).cast(dt).alias(f["name"]))
-            else:
-                b_cols.append(F.lit(None).cast(dt).alias(f["name"]))
-        b = batch.select(
-            *b_cols, F.col(op_col).cast("string").alias(op_col),
-            F.lit(1).alias("_src"),
-        )
-        unioned = base.select(*names, op_col, "_src").unionByName(b)
+        if _BUCKET not in batch.columns:
+            batch = batch.withColumn(_BUCKET, self._bucket_expr(snap))
+        owns_persist = precomputed_buckets is None
+        if owns_persist:
+            batch.persist()
+        try:
+            touched = set(
+                precomputed_buckets
+                if precomputed_buckets is not None
+                else (r[0] for r in batch.select(_BUCKET).distinct().collect())
+            )
+            base_files = [f for f in snap.files if f.bucket in touched]
+            carry = [f for f in snap.files if f.bucket not in touched]
 
-        payload = [c for c in (*names, op_col, "_src") if c not in snap.key_cols]
-        winners = (
-            unioned.groupBy(*snap.key_cols)
-            .agg(F.max_by(F.struct(*payload), F.col(order_col)).alias("_w"))
-            .select(*snap.key_cols, "_w.*")
-            .filter((F.col(op_col).isNull()) | (F.col(op_col) != F.lit(delete_value)))
-        )
-        if finalize_fn is not None:
-            winners = finalize_fn(winners)
-        out = winners.select(*names).withColumn(_BUCKET, self._bucket_expr(snap))
-        entries = self._write_data(out, next_version, snap.schema_version, snap.n_buckets)
+            # only the touched buckets' base rows enter the race, as
+            # upserts that lose to any newer batch event on order_cols;
+            # _src marks rows needing enrichment
+            base = (
+                self._read_files(spark, snap, base_files)
+                .withColumn(op_col, F.lit(None).cast("string"))
+                .withColumn("_src", F.lit(0))
+            )
+            have = set(batch.columns)
+            b_cols = []
+            for f in cur_fields:
+                dt = _dt_from_json_value(f["type"])
+                if f["name"] in have:
+                    b_cols.append(F.col(f["name"]).cast(dt).alias(f["name"]))
+                else:
+                    b_cols.append(F.lit(None).cast(dt).alias(f["name"]))
+            b = batch.select(
+                *b_cols, F.col(op_col).cast("string").alias(op_col),
+                F.lit(1).alias("_src"),
+            )
+            unioned = base.select(*names, op_col, "_src").unionByName(b)
+
+            payload = [c for c in (*names, op_col, "_src") if c not in snap.key_cols]
+            winners = (
+                unioned.groupBy(*snap.key_cols)
+                .agg(
+                    F.max_by(
+                        F.struct(*payload), F.struct(*[F.col(c) for c in order_cols])
+                    ).alias("_w")
+                )
+                .select(*snap.key_cols, "_w.*")
+                .filter(
+                    (F.col(op_col).isNull()) | (F.col(op_col) != F.lit(delete_value))
+                )
+            )
+            if finalize_fn is not None:
+                winners = finalize_fn(winners)
+            out = winners.select(*names).withColumn(_BUCKET, self._bucket_expr(snap))
+            entries = self._write_data(
+                out, next_version, snap.schema_version, max(len(touched), 1)
+            )
+        finally:
+            if owns_persist:
+                batch.unpersist()
 
         epochs = dict(snap.epochs)
         if epoch is not None:
@@ -457,18 +501,18 @@ class LakeTable:
             schemas=snap.schemas,
             n_buckets=snap.n_buckets,
             key_cols=snap.key_cols,
-            files=entries,  # full rewrite: every bucket was merged
+            files=carry + entries,
             epochs=epochs,
             summary={
                 "operation": "merge-lww",
                 "stream": stream,
                 "epoch": epoch,
-                "touched_buckets": snap.n_buckets,
+                "touched_buckets": len(touched),
                 "rows_written": rows_written,
             },
         )
         self._commit(new)
-        return MergeResult(True, next_version, snap.n_buckets, rows_written)
+        return MergeResult(True, next_version, len(touched), rows_written)
 
     def stats_from_footers(self, entries: list[FileEntry], column: str) -> dict:
         """Driver-side (rows, max(column)) from parquet footer

@@ -80,6 +80,46 @@ def test_simhash_near_dups(spark, docs):
     assert (0, 1) in pairs
 
 
+def test_simhash_blocking_recall_is_exact(spark):
+    """The pigeonhole blocking must find EVERY pair within the radius
+    — including distances 4..max_hamming, which the old fixed-4-block
+    split silently dropped.  Oracle: brute-force popcount over the
+    collected fingerprints."""
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    ).split()
+    rows = []
+    for i in range(24):
+        toks = list(base)
+        # progressively perturb: doc i replaces i words -> a spread of
+        # pairwise simhash distances including the 4..8 band
+        for j in range(i):
+            toks[j % len(toks)] = f"w{i}x{j}"
+        rows.append(Row(doc_id=i, text=" ".join(toks)))
+    df = spark.createDataFrame(rows)
+
+    fps = {
+        r["id"]: r["simhash"]
+        for r in dedup.simhash(df).collect()
+    }
+    exact = {}
+    ids = sorted(fps)
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            h = bin((fps[ids[a]] ^ fps[ids[b]]) & ((1 << 64) - 1)).count("1")
+            if h <= 8:
+                exact[(ids[a], ids[b])] = h
+    # the fixture must actually exercise the 4..8 band
+    assert any(4 <= h <= 8 for h in exact.values()), sorted(exact.values())
+
+    got = {
+        (r["id1"], r["id2"]): r["hamming"]
+        for r in dedup.simhash_pairs(df, max_hamming=8).collect()
+    }
+    assert got == exact
+
+
 def test_token_count_and_quality(spark, docs):
     rows = {r["doc_id"]: r for r in text.token_count(docs).collect()}
     assert rows[0]["n_tokens"] == 9

@@ -78,6 +78,41 @@ def test_fused_handles_deletes(spark, tmp_path, corpus):
     assert not (deleted_keys & surviving)
 
 
+def test_fused_prunes_untouched_buckets(spark, tmp_path, corpus):
+    """A key-concentrated batch must NOT rewrite buckets it doesn't
+    touch: their file entries (paths) carry forward byte-identical."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    base, events = corpus
+    pipe = CdcPipeline(os.path.join(tmp_path, "t"), n_buckets=8)
+    pipe.bootstrap(spark, base)
+    t = pipe.table()
+
+    def digest(rel):
+        with open(os.path.join(pipe.table_root, rel), "rb") as fh:
+            return hashlib.sha256(fh.read()).hexdigest()
+
+    before = {f.path: f for f in t.snapshot().files}
+    before_digests = {p: digest(p) for p in before}
+    assert len({f.bucket for f in before.values()}) == 8
+
+    # one-event batch -> exactly one bucket touched
+    one = events.orderBy(F.col("lsn")).limit(1)
+    stats = pipe.replay(spark, one, batch_lsns=10**9)
+    assert len(stats) == 1 and stats[0].committed
+    assert stats[0].merge.touched_buckets == 1
+
+    after = {f.path: f for f in t.snapshot().files}
+    carried = set(before) & set(after)
+    # 7 of 8 buckets untouched: entries carried forward, files intact
+    assert len({before[p].bucket for p in carried}) == 7
+    for p in carried:
+        assert after[p] == before[p]
+        assert digest(p) == before_digests[p]
+
+
 def test_fused_hwm_state(spark, tmp_path, corpus):
     base, events = corpus
     pipe = CdcPipeline(os.path.join(tmp_path, "t"), n_buckets=8)
