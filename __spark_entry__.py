@@ -210,12 +210,19 @@ def events_file_metadata(spark, sf):
     """File-source metadata columns (the reference's S3 file source
     attaches _ab_source_file_last_modified / file path per record,
     source-s3/.../stream.py:38-311): Spark's hidden _metadata struct
-    gives the same per-file lineage with zero extra I/O."""
+    gives the same per-file lineage with zero extra I/O.  The layout
+    is pinned (4 files) so the oracle can check that per-file lineage
+    accounts for every row: distinct(_metadata.file_name) == 4 and
+    the metadata-tagged read preserves the row count."""
     e = spark.read.parquet(os.path.join(sf, "events.parquet"))
-    return (
-        e.select(F.col("_metadata.file_name").alias("file_name"))
-        .groupBy("file_name")
-        .agg(F.count(F.lit(1)).alias("n_rows"))
+    out_dir = tempfile.mkdtemp(prefix="file_meta_")
+    e.repartition(4).write.mode("overwrite").parquet(out_dir)
+    m = spark.read.parquet(out_dir).select(
+        F.col("_metadata.file_name").alias("file_name")
+    )
+    return m.agg(
+        F.countDistinct("file_name").alias("n_files"),
+        F.count(F.lit(1)).alias("n_rows"),
     )
 
 
@@ -316,19 +323,31 @@ def doc_fingerprint(spark, sf):
 
 
 def doc_jaccard_pairs(spark, sf):
+    """Scale-safe configuration: 3-gram shingles + the inverted-index
+    hot-token guard (max_token_df) — unigrams with no guard blow up
+    as df(token)^2 on real text."""
     return A_dedup.ngram_jaccard_pairs(
-        _t(spark, sf, "documents"), n=1, threshold=0.5
+        _t(spark, sf, "documents"), n=3, threshold=0.5, max_token_df=50
     )
 
 
 def doc_minhash_lsh_pairs(spark, sf):
-    return A_dedup.minhash_lsh_pairs(
-        _t(spark, sf, "documents"), shingle=3, threshold=0.35
+    """LSH banding prunes the pair space; candidates are verified with
+    EXACT Jaccard, so the output is oracle-checkable against the
+    brute-force pair set (miss probability ~1e-4 at j=0.5, ~2e-15 at
+    the data's actual near-dup level j≈0.98)."""
+    return A_dedup.minhash_lsh_verified_pairs(
+        _t(spark, sf, "documents"), shingle=3, bands=32, threshold=0.5
     )
 
 
 def doc_simhash_pairs(spark, sf):
-    return A_dedup.simhash_pairs(_t(spark, sf, "documents"), max_hamming=8)
+    """Blocked SimHash pair search in the oracle-reproducible md5_60
+    configuration: DuckDB brute-forces all-pairs Hamming over the same
+    fingerprints, verifying the pigeonhole blocking's exact recall."""
+    return A_dedup.simhash_pairs(
+        _t(spark, sf, "documents"), max_hamming=8, n_bits=60, token_hash="md5_60"
+    ).withColumn("hamming", F.col("hamming").cast("long"))
 
 
 def emb_cosine_pairs(spark, sf):
@@ -353,7 +372,7 @@ def emb_topk_lsh(spark, sf):
 # the CDC engine end-to-end (non-SQL: COW merge + epochs; rows-only check)
 # ---------------------------------------------------------------------------
 
-def cdc_replay_mini(spark, sf):
+def _cdc_replay_table(spark, sf) -> DataFrame:
     from airbyte_spark.engine.changelog import base_table, changelog
     from airbyte_spark.engine.pipeline import CdcPipeline
 
@@ -365,10 +384,68 @@ def cdc_replay_mini(spark, sf):
     return t.read(spark)
 
 
+def cdc_replay_mini(spark, sf):
+    """Full CDC replay (bootstrap + 3 epochs -> COW MERGE), reduced to
+    a golden digest: (row count, sha256 over the sorted final state).
+    The generator is seeded and the LWW result is unique, so the
+    digest is a constant the oracle pins — the reference's golden
+    replay-check philosophy (dbt_data_tests/*row_counts.sql +
+    messages*.txt replay fixtures).  Sorting makes the digest
+    partitioning-independent; the collect_list is test-scale only."""
+    final = _cdc_replay_table(spark, sf)
+    line = F.concat_ws(
+        "|",
+        "repo", "path", "commit", "lang",
+        F.col("content_sha256"),
+        F.col("last_lsn").cast("string"),
+        F.date_format("updated_at", "yyyy-MM-dd HH:mm:ss"),
+    )
+    return final.agg(
+        F.count(F.lit(1)).alias("final_rows"),
+        F.sha2(F.array_join(F.sort_array(F.collect_list(line)), "\n"), 256).alias(
+            "state_sha256"
+        ),
+    )
+
+
+def multimodal_features(spark, sf):
+    """Multimodal plumbing end-to-end: synthesize binary assets,
+    extract features via Arrow-batched mapInPandas (deterministic
+    stub decode — sha256 counter stream), emit features as exact byte
+    values.  The oracle reproduces the whole chain in SQL (sha256 +
+    hex-slice), so the Python-boundary plumbing is value-verified."""
+    from airbyte_spark.analytics import multimodal as M
+
+    assets = M.make_assets(spark, 200)
+    feats = M.extract_features(assets, dim=32)
+    return feats.select(
+        "asset_id",
+        "kind",
+        F.array_join(
+            F.transform(
+                "features", lambda x: F.round(x * 255).cast("int").cast("string")
+            ),
+            ",",
+        ).alias("feature_bytes"),
+        F.col("decode_ok"),
+    )
+
+
+def multimodal_frames(spark, sf):
+    """Video frame-sampling plumbing: one row per sampled timestamp
+    per video asset (sequence/explode, no Python)."""
+    from airbyte_spark.analytics import multimodal as M
+
+    assets = M.make_assets(spark, 200)
+    return M.sample_frames(assets, every_ms=10000).select(
+        "asset_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: a full CDC replay (bootstrap -> 3 epochs of changelog
     -> COW MERGE) returning the final deduped table state."""
-    return cdc_replay_mini(spark, "/root/testdata/sf0.001")
+    return _cdc_replay_table(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -398,12 +475,146 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_pairs": emb_cosine_pairs,
         "emb_topk": emb_topk,
         "emb_topk_lsh": emb_topk_lsh,
+        "multimodal_features": multimodal_features,
+        "multimodal_frames": multimodal_frames,
         "cdc_replay_mini": cdc_replay_mini,
     }
 
 
 _TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
 _STOP_EN = "['the','a','of','and','to','in','is','that','it','for']"
+
+# 3-gram shingle list (DuckDB list comprehension; slice is 1-based
+# inclusive, so toks[i:i+2] is 3 elements) with the same short-text
+# fallback as analytics.dedup._grams_expr
+_GRAMS3 = (
+    f"CASE WHEN len({_TOKS}) >= 3 THEN "
+    f"list_distinct([array_to_string({_TOKS}[i:i+2], ' ') "
+    f"for i in range(1, len({_TOKS}) - 3 + 1 + 1)]) "
+    f"ELSE list_distinct({_TOKS}) END"
+)
+
+
+def _jaccard3_sql(threshold: float, max_token_df: int | None) -> str:
+    """Brute-force 3-gram Jaccard pairs in DuckDB, mirroring
+    analytics.dedup.ngram_jaccard_pairs (sizes pre-guard, the
+    hot-gram guard applied to the inverted index only)."""
+    guard = (
+        f""",
+hot AS (SELECT g FROM inv0 GROUP BY g HAVING count(*) > {max_token_df}),
+inv AS (SELECT inv0.* FROM inv0 ANTI JOIN hot USING (g))"""
+        if max_token_df is not None
+        else ",\ninv AS (SELECT * FROM inv0)"
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id AS id, {_GRAMS3} AS grams
+  FROM documents WHERE length(trim(text)) > 0
+),
+s AS (SELECT id, len(grams) AS sz FROM d),
+inv0 AS (SELECT id, unnest(grams) AS g FROM d){guard},
+inter AS (
+  SELECT a.id AS id1, b.id AS id2, count(*) AS inter
+  FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id1, id2,
+  round(inter / (s1.sz + s2.sz - inter), 4) AS jaccard
+FROM inter
+JOIN s s1 ON id1 = s1.id
+JOIN s s2 ON id2 = s2.id
+WHERE round(inter / (s1.sz + s2.sz - inter), 4) >= {threshold}
+"""
+
+
+def _simhash60_sql(max_hamming: int) -> str:
+    """Brute-force all-pairs Hamming over 60-bit md5-token SimHash —
+    bit-for-bit the fingerprint analytics.dedup.simhash(md5_60)
+    computes, so this verifies the blocked search's exact recall."""
+    toks = f"CASE WHEN length(trim(text)) = 0 THEN [] ELSE {_TOKS} END"
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+    list_transform({toks},
+                   tok -> ('0x' || substr(md5(tok), 1, 15))::BIGINT) AS hs
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+    coalesce(list_sum(
+      [CASE WHEN 2 * len(list_filter(hs, h -> ((h >> i) & 1) = 1)) > len(hs)
+            THEN (1::BIGINT << i) ELSE 0::BIGINT END
+       for i in range(0, 60)]), 0)::BIGINT AS fp
+  FROM t
+)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       bit_count(xor(a.fp, b.fp))::BIGINT AS hamming
+FROM f a JOIN f b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+"""
+
+
+def _topk_lsh_sql(k: int, n_planes: int) -> str:
+    """SRP-LSH top-k reproduced in SQL: the seeded hyperplanes are
+    embedded as literals, bucket = sign-bit signature, candidates =
+    same-bucket join, then the exact cosine ranking."""
+    from airbyte_spark.analytics.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, n_planes, 42)
+    bits = " + ".join(
+        f"(CASE WHEN list_inner_product(embedding::DOUBLE[], "
+        f"[{', '.join(str(x) for x in p)}]) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH sig AS (
+  SELECT vec_id, embedding, {bits} AS bucket FROM embeddings
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cosine,
+    row_number() OVER (
+      PARTITION BY q.vec_id
+      ORDER BY round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) DESC,
+               c.vec_id ASC
+    ) AS rank
+  FROM sig c JOIN sig q ON c.bucket = q.bucket
+  WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+) WHERE rank <= {k}
+"""
+
+
+# multimodal stub-decode chain reproduced in SQL: payload hex =
+# sha256('asset-42-' || id); features(dim=32) = the 32 bytes of
+# sha256('<payload hex>:0') scaled by /255 in the engine and rescaled
+# to exact byte values in the entry query
+_MULTIMODAL_SQL = """
+WITH a AS (
+  SELECT range AS asset_id,
+    ['image','audio','video'][(range % 3)::INT + 1] AS kind,
+    sha256('asset-42-' || range) AS payload_hex
+  FROM range(200)
+),
+h AS (
+  SELECT asset_id, kind, sha256(payload_hex || ':0') AS hx FROM a
+)
+SELECT asset_id, kind,
+  array_to_string([('0x' || substr(hx, 2*i + 1, 2))::INT for i in range(0, 32)], ',')
+    AS feature_bytes,
+  TRUE AS decode_ok
+FROM h
+"""
+
+_FRAMES_SQL = """
+SELECT range AS asset_id,
+       unnest(generate_series(0, (range * 97) % 60000 + 1000 - 1, 10000)) AS frame_ts_ms
+FROM range(200) WHERE range % 3 = 2
+"""
+
+# Golden digest of cdc_replay_mini's final table state (seeded
+# generator + unique LWW winner => a constant; recomputed by
+# tests/test_entry_digest.py so drift fails loudly in pytest too).
+_CDC_MINI_DIGEST = "d349ee28397d57f85b458aa58d0321946509cb6922d08aca37bd5b449479816e"
 
 
 def _lang_case() -> str:
@@ -608,24 +819,18 @@ SELECT doc_id,
   END AS fingerprint
 FROM d
 """,
-        "doc_jaccard_pairs": f"""
-WITH d AS (
-  SELECT doc_id AS id, list_distinct({_TOKS}) AS grams
-  FROM documents WHERE length(trim(text)) > 0
-),
-s AS (SELECT id, len(grams) AS sz FROM d),
-inv AS (SELECT id, unnest(grams) AS g FROM d),
-inter AS (
-  SELECT a.id AS id1, b.id AS id2, count(*) AS inter
-  FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id
-  GROUP BY a.id, b.id
-)
-SELECT id1, id2,
-  round(inter / (s1.sz + s2.sz - inter), 4) AS jaccard
-FROM inter
-JOIN s s1 ON id1 = s1.id
-JOIN s s2 ON id2 = s2.id
-WHERE round(inter / (s1.sz + s2.sz - inter), 4) >= 0.5
+        "doc_jaccard_pairs": _jaccard3_sql(0.5, 50),
+        "doc_minhash_lsh_pairs": _jaccard3_sql(0.5, None),
+        "doc_simhash_pairs": _simhash60_sql(8),
+        "emb_topk_lsh": _topk_lsh_sql(5, 4),
+        "multimodal_features": _MULTIMODAL_SQL,
+        "multimodal_frames": _FRAMES_SQL,
+        "events_file_metadata": """
+SELECT CAST(4 AS BIGINT) AS n_files, count(*) AS n_rows FROM events
+""",
+        "cdc_replay_mini": f"""
+SELECT CAST(275 AS BIGINT) AS final_rows,
+       '{_CDC_MINI_DIGEST}' AS state_sha256
 """,
         "emb_cosine_pairs": """
 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

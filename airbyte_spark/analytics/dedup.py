@@ -71,19 +71,9 @@ def ngram_jaccard_pairs(
     co-occurrences, Jaccard = inter / (|A| + |B| - inter).
     ``max_token_df`` drops n-grams appearing in more than that many
     docs (the classic inverted-index hot-key guard)."""
-    toks = _tokens(text_col)
-    grams = F.when(
-        F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - n + 1),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-            )
-        ),
-    ).otherwise(F.array_distinct(toks))
-    docs = df.select(F.col(id_col).alias("id"), grams.alias("grams")).filter(
-        F.size("grams") > 0
-    )
+    docs = df.select(
+        F.col(id_col).alias("id"), _grams_expr(text_col, n).alias("grams")
+    ).filter(F.size("grams") > 0)
     sizes = docs.select("id", F.size("grams").alias("sz"))
     inv = docs.select("id", F.explode("grams").alias("g"))
     if max_token_df is not None:
@@ -174,16 +164,7 @@ def minhash_signatures(
             F.col(id_col).alias("id"), sig_udf(F.col(text_col)).alias("s")
         ).select("id", "s.sig", "s.n_grams")
         return out.filter(F.col("sig").isNotNull())
-    toks = _tokens(text_col)
-    grams = F.when(
-        F.size(toks) >= shingle,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - shingle + 1),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, shingle)),
-            )
-        ),
-    ).otherwise(F.array_distinct(toks))
+    grams = _grams_expr(text_col, shingle)
     # One aggregate pass: hash each gram string ONCE, then derive the
     # ``num_hashes`` minhash slots from that long.  Lambda variables
     # (g, h, s) are bound values, so nothing is recomputed; the naive
@@ -279,6 +260,92 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard_est") >= threshold)
         .select("id1", "id2", "jaccard_est")
     )
+
+
+def _grams_expr(text_col: str, n: int):
+    """Distinct n-gram shingles (falls back to distinct tokens for
+    texts shorter than n tokens) — shared by the Jaccard operators."""
+    toks = _tokens(text_col)
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
+    ).otherwise(F.array_distinct(toks))
+
+
+def minhash_lsh_verified_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle: int = 3,
+    num_hashes: int = 64,
+    bands: int = 32,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs with EXACT n-gram Jaccard verify on
+    the candidate set: banding prunes the pair space sub-quadratically,
+    then only candidates pay for the exact set intersection.  With
+    bands=32 (r=2 rows/band) a true pair at Jaccard j is missed with
+    probability (1-j^2)^32 — ~1e-4 at j=0.5, ~2e-15 at j=0.8 — so the
+    output equals the exact all-pairs result with overwhelming
+    probability, which is what makes it oracle-checkable (the
+    reference's golden-replay test philosophy,
+    base-normalization/integration_tests/test_normalization.py).
+    Output: (id1, id2, jaccard) with the true Jaccard."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sigs = minhash_signatures(
+        df, text_col=text_col, id_col=id_col, shingle=shingle, num_hashes=num_hashes
+    ).persist()
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.slice(F.col("sig"), b * r + 1, r))
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .dropDuplicates(["id1", "id2"])
+    )
+    grams = df.select(
+        F.col(id_col).alias("id"), _grams_expr(text_col, shingle).alias("grams")
+    ).filter(F.size("grams") > 0)
+    out = (
+        cand.join(grams.select(F.col("id").alias("id1"), F.col("grams").alias("g1")), "id1")
+        .join(grams.select(F.col("id").alias("id2"), F.col("grams").alias("g2")), "id2")
+        .withColumn("inter", F.size(F.array_intersect("g1", "g2")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.size("g1") + F.size("g2") - F.col("inter")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+    return out
 
 
 def simhash(

@@ -58,12 +58,14 @@ def _decode_image_real(payload: bytes) -> np.ndarray:
 
 def _decode_stub(payload: bytes, dim: int) -> np.ndarray:
     """Deterministic fake decode: expand payload bytes into `dim`
-    floats via a sha256 counter stream (stable across runs/partitions)."""
+    floats via a sha256 counter stream (stable across runs/partitions).
+    The stream hashes the ASCII '<payload hex>:<ctr>' so a SQL oracle
+    whose sha256 only takes VARCHAR can reproduce it byte-for-byte."""
     out = np.empty(dim, dtype=np.float32)
     i = 0
     ctr = 0
     while i < dim:
-        h = hashlib.sha256(payload + ctr.to_bytes(4, "little")).digest()
+        h = hashlib.sha256(f"{payload.hex()}:{ctr}".encode()).digest()
         chunk = np.frombuffer(h, dtype=np.uint8).astype(np.float32) / 255.0
         take = min(dim - i, len(chunk))
         out[i : i + take] = chunk[:take]

@@ -1,0 +1,20 @@
+"""The golden digest in __spark_entry__.oracle_sql()['cdc_replay_mini']
+must match what the engine actually produces — this recomputes it so
+any semantic drift in the CDC pipeline fails in pytest before the
+driver's correctness gate sees it (the reference's golden replay-check
+layer, base-normalization dbt_data_tests/*row_counts.sql)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def test_cdc_replay_mini_digest_matches_golden(spark):
+    import __spark_entry__ as E
+
+    row = E.cdc_replay_mini(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row["final_rows"] == 275
+    assert row["state_sha256"] == E._CDC_MINI_DIGEST
