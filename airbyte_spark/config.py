@@ -21,6 +21,7 @@ from typing import Any
 
 VALID_MODES = ("dedup", "append", "overwrite")
 VALID_STRATEGIES = ("fused", "pruned")
+VALID_OFFSET_POLICIES = ("error", "rebootstrap", "ignore")
 
 
 @dataclass
@@ -36,6 +37,7 @@ class StreamSpec:
     n_buckets: int = 64
     rename_hints: dict[str, str] = field(default_factory=dict)
     max_files_per_trigger: int | None = None
+    on_invalid_offset: str = "error"
 
     def validate(self) -> "StreamSpec":
         if self.mode not in VALID_MODES:
@@ -43,6 +45,11 @@ class StreamSpec:
         if self.merge_strategy not in VALID_STRATEGIES:
             raise ValueError(
                 f"{self.name}: merge_strategy must be one of {VALID_STRATEGIES}"
+            )
+        if self.on_invalid_offset not in VALID_OFFSET_POLICIES:
+            raise ValueError(
+                f"{self.name}: on_invalid_offset must be one of "
+                f"{VALID_OFFSET_POLICIES}"
             )
         if not self.key_cols:
             raise ValueError(f"{self.name}: key_cols must be non-empty")
@@ -81,6 +88,7 @@ class PipelineSpec:
                 rename_hints=s.rename_hints,
                 mode=s.mode,
                 merge_strategy=s.merge_strategy,
+                on_invalid_offset=s.on_invalid_offset,
             )
         return out
 

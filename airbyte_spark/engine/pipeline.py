@@ -77,6 +77,17 @@ class BatchStats:
     merge: MergeResult | None
 
 
+class OffsetInvalidated(RuntimeError):
+    """The saved offset predates the earliest retained changelog
+    position (log-retention gap): events between the checkpoint and
+    the tail's start were lost, and an incremental apply would
+    silently skip them.  The reference detects this against the
+    replication slot / binlog retention and forces a re-snapshot
+    (source-postgres PostgresSource.java:366-375); callers here either
+    get this error or pass a fresh ``base`` snapshot with
+    ``on_invalid_offset='rebootstrap'``."""
+
+
 class CdcPipeline:
     def __init__(
         self,
@@ -89,6 +100,7 @@ class CdcPipeline:
         rename_hints: dict[str, str] | None = None,
         mode: str = "dedup",
         merge_strategy: str = "fused",
+        on_invalid_offset: str = "error",
     ):
         """mode: destination sync mode (airbyte-protocol.md:395-420)
         - 'dedup'     = incremental + dedup history (MERGE; default)
@@ -116,18 +128,32 @@ class CdcPipeline:
             raise ValueError(f"unknown sync mode {mode}")
         if merge_strategy not in ("fused", "pruned"):
             raise ValueError(f"unknown merge strategy {merge_strategy}")
+        if on_invalid_offset not in ("error", "rebootstrap", "ignore"):
+            raise ValueError(f"unknown on_invalid_offset {on_invalid_offset}")
         self.mode = mode
         self.merge_strategy = merge_strategy
+        self.on_invalid_offset = on_invalid_offset
         self.state = StateStore(state_root or f"{table_root}/_state")
 
     # ------------------------------------------------------------------
     def table(self) -> LakeTable:
         return LakeTable(self.table_root)
 
-    def bootstrap(self, spark: SparkSession, base: DataFrame | None = None) -> LakeTable:
+    def bootstrap(
+        self,
+        spark: SparkSession,
+        base: DataFrame | None = None,
+        *,
+        snapshot_lsn: int = -1,
+    ) -> LakeTable:
         """First sync = snapshot load (the Debezium initial-snapshot
         analog, cdc.md:9-11 / PostgresSource.java:339-410): land the
-        base table, then tail the changelog from lsn 0."""
+        base table, then tail the changelog from lsn 0.
+
+        ``snapshot_lsn``: the source position the snapshot was taken
+        at; recorded as the offset so the continuity guard accepts a
+        tail that starts right after it (a tail from lsn 0 needs no
+        explicit position — the default covers it)."""
         if not LakeTable.exists(self.table_root):
             t = LakeTable.create(self.table_root, FINAL_SCHEMA, KEYS, self.n_buckets)
         else:
@@ -138,7 +164,34 @@ class CdcPipeline:
                 "updated_at", F.lit(None).cast("timestamp")
             )
             t.overwrite(spark, df)
+        if snapshot_lsn >= 0:
+            self.state.record_offset(self.stream, snapshot_lsn)
         return t
+
+    # ------------------------------------------------------------------
+    def check_offset_continuity(self, tail_min_lsn: int | None) -> bool:
+        """The offset-invalidation guard (PostgresSource.java:366-375):
+        the saved offset must reach at least one LSN before the tail's
+        earliest retained event, else events were lost to retention.
+        Returns True when a re-bootstrap is required (only when
+        ``on_invalid_offset='rebootstrap'``); raises OffsetInvalidated
+        on a gap otherwise (unless 'ignore')."""
+        if tail_min_lsn is None:
+            return False
+        saved = self.state.load(self.stream)["max_lsn"]
+        if saved + 1 >= tail_min_lsn:
+            return False
+        if self.on_invalid_offset == "ignore":
+            return False
+        if self.on_invalid_offset == "rebootstrap":
+            return True
+        raise OffsetInvalidated(
+            f"stream {self.stream}: saved offset {saved} predates the "
+            f"earliest retained changelog lsn {tail_min_lsn}; events in "
+            f"({saved}, {tail_min_lsn}) are lost — re-snapshot the source "
+            f"(pass a base with on_invalid_offset='rebootstrap') or, if "
+            f"the gap is expected, use on_invalid_offset='ignore'"
+        )
 
     # ------------------------------------------------------------------
     def prepare_batch(self, batch: DataFrame) -> DataFrame:
@@ -318,12 +371,20 @@ class CdcPipeline:
         start_epoch: int = 0,
         max_batches: int | None = None,
         fail_after: int | None = None,
+        base: DataFrame | None = None,
     ) -> list[BatchStats]:
         """Batch-mode bounded replay: slice the changelog into epochs of
         ``batch_lsns`` LSNs each and apply in order — the analog of the
         reference's bounded Debezium run to a captured target position
         (DebeziumRecordIterator.java:86-141).  ``fail_after`` injects a
-        crash after N committed batches (for kill/resume tests)."""
+        crash after N committed batches (for kill/resume tests).
+
+        The offset-continuity guard runs against the tail's earliest
+        LSN; on a retention gap it raises OffsetInvalidated, or — with
+        ``on_invalid_offset='rebootstrap'`` and a fresh ``base``
+        snapshot — re-snapshots the table and resumes tailing from the
+        gap's far side with epoch numbering continued past anything
+        already committed (so no batch is spuriously epoch-skipped)."""
         bounds = events.agg(
             F.min("lsn").alias("lo"), F.max("lsn").alias("hi")
         ).collect()[0]
@@ -332,6 +393,14 @@ class CdcPipeline:
         stats: list[BatchStats] = []
         lo, hi = bounds["lo"], bounds["hi"]
         epoch = start_epoch
+        if self.check_offset_continuity(lo):
+            if base is None:
+                raise OffsetInvalidated(
+                    f"stream {self.stream}: re-bootstrap required but no "
+                    f"base snapshot was provided to replay()"
+                )
+            t = self.bootstrap(spark, base, snapshot_lsn=lo - 1)
+            epoch = max(epoch, t.last_epoch(self.stream) + 1)
         applied = 0
         start = lo
         while start <= hi:

@@ -90,6 +90,15 @@ class StateStore:
             return {"stream": stream, "epoch": -1, "max_lsn": -1,
                     "rows_applied": 0, "batches": 0, "buckets": {}}
 
+    def record_offset(self, stream: str, max_lsn: int) -> dict[str, Any]:
+        """Record a source position without a batch commit (bootstrap
+        snapshot position — the CdcStateManager's 'offset captured at
+        snapshot' analog).  Monotone like commit()."""
+        st = self.load(stream)
+        st["max_lsn"] = max(st["max_lsn"], max_lsn)
+        self._write(stream, st)
+        return st
+
     def commit(
         self,
         stream: str,
@@ -108,6 +117,10 @@ class StateStore:
         if bucket_rows:
             for b, n in bucket_rows.items():
                 st["buckets"][str(b)] = n
+        self._write(stream, st)
+        return st
+
+    def _write(self, stream: str, st: dict[str, Any]) -> None:
         # atomic replace so a crash mid-write never corrupts state
         fd, tmp = tempfile.mkstemp(dir=self.root)
         with os.fdopen(fd, "w") as fh:
@@ -115,4 +128,3 @@ class StateStore:
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(tmp, self._path(stream))
-        return st

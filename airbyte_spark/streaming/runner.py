@@ -60,6 +60,38 @@ def write_changelog_chunks(
     return paths
 
 
+def tail_min_lsn(changelog_dir: str) -> int | None:
+    """Earliest retained LSN in a changelog-tail directory, from
+    parquet footer statistics — driver-side, no Spark job.  None when
+    the dir holds no parquet (nothing retained -> nothing to guard)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+    from concurrent.futures import ThreadPoolExecutor
+
+    paths = _glob.glob(
+        os.path.join(changelog_dir, "**", "*.parquet"), recursive=True
+    )
+    if not paths:
+        return None
+
+    def _min(path: str) -> int | None:
+        pf = pq.ParquetFile(path)
+        idx = pf.schema_arrow.get_field_index("lsn")
+        if idx < 0:
+            return None
+        lo = None
+        for rg in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(rg).column(idx).statistics
+            if st is not None and st.has_min_max:
+                lo = st.min if lo is None else min(lo, st.min)
+        return lo
+
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        mins = [m for m in pool.map(_min, paths) if m is not None]
+    return min(mins) if mins else None
+
+
 def run_stream(
     spark: SparkSession,
     pipeline: CdcPipeline,
@@ -72,7 +104,20 @@ def run_stream(
     """One bounded sync run (Trigger.AvailableNow).  Returns per-batch
     stats.  Safe to re-run after a kill: the streaming checkpoint
     replays uncommitted batches with the same batchId and the epoch
-    gate skips the committed ones."""
+    gate skips the committed ones.
+
+    Before tailing, the offset-continuity guard compares the saved
+    offset against the tail's earliest retained LSN (footer stats, no
+    job) and raises OffsetInvalidated on a retention gap — streaming
+    mode never auto-rebootstraps; re-snapshot via the batch path."""
+    if pipeline.check_offset_continuity(tail_min_lsn(changelog_dir)):
+        from airbyte_spark.engine.pipeline import OffsetInvalidated
+
+        raise OffsetInvalidated(
+            f"stream {pipeline.stream}: retention gap in {changelog_dir}; "
+            f"re-snapshot with the batch replay path (rebootstrap is not "
+            f"available mid-stream)"
+        )
     stats: list[BatchStats] = []
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:

@@ -1,0 +1,120 @@
+"""Offset-invalidation guard: a saved offset that predates the
+earliest retained changelog position must fail loud or force a
+re-snapshot, never silently skip the gap.
+
+Reference: source-postgres PostgresSource.java:366-375 (saved offset
+vs replication-slot retention -> re-sync)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from airbyte_spark.engine.changelog import base_table, changelog
+from airbyte_spark.engine.pipeline import CdcPipeline, OffsetInvalidated
+
+
+def _final(spark, pipe):
+    rows = pipe.table().read(spark).collect()
+    return sorted(
+        (r["repo"], r["path"], r["commit"], r["content_sha256"], r["last_lsn"])
+        for r in rows
+    )
+
+
+def test_contiguous_tail_passes(spark, tmp_path):
+    pipe = CdcPipeline(os.path.join(tmp_path, "t"), n_buckets=4)
+    pipe.bootstrap(spark, base_table(spark, 200, n_repos=5, paths_per_repo=20))
+    ev = changelog(spark, 600, n_repos=5, paths_per_repo=20)
+    stats = pipe.replay(spark, ev, batch_lsns=200)
+    assert all(s.committed for s in stats)
+    # resuming with the SAME tail (lo=0 <= saved+1) is also fine
+    stats2 = pipe.replay(spark, ev, batch_lsns=200)
+    assert not any(s.committed for s in stats2)
+
+
+def test_gap_raises(spark, tmp_path):
+    pipe = CdcPipeline(os.path.join(tmp_path, "t"), n_buckets=4)
+    pipe.bootstrap(spark, base_table(spark, 200, n_repos=5, paths_per_repo=20))
+    pipe.replay(spark, changelog(spark, 600, n_repos=5, paths_per_repo=20),
+                batch_lsns=200)
+    # tail truncated past the checkpoint: events 600..1199 lost
+    late = changelog(spark, 600, start_lsn=1200, n_repos=5, paths_per_repo=20)
+    with pytest.raises(OffsetInvalidated, match="predates"):
+        pipe.replay(spark, late, batch_lsns=200)
+
+
+def test_fresh_table_with_late_tail_raises(spark, tmp_path):
+    """A replay starting at lsn > 0 against a fresh table would lose
+    the prefix — the guard catches it."""
+    pipe = CdcPipeline(os.path.join(tmp_path, "t"), n_buckets=4)
+    pipe.bootstrap(spark, base_table(spark, 200, n_repos=5, paths_per_repo=20))
+    late = changelog(spark, 300, start_lsn=500, n_repos=5, paths_per_repo=20)
+    with pytest.raises(OffsetInvalidated):
+        pipe.replay(spark, late, batch_lsns=100)
+
+
+def test_snapshot_lsn_covers_late_tail(spark, tmp_path):
+    """bootstrap(snapshot_lsn=X) records the snapshot position, so a
+    tail starting at X+1 is contiguous."""
+    pipe = CdcPipeline(os.path.join(tmp_path, "t"), n_buckets=4)
+    pipe.bootstrap(
+        spark, base_table(spark, 200, n_repos=5, paths_per_repo=20),
+        snapshot_lsn=499,
+    )
+    late = changelog(spark, 300, start_lsn=500, n_repos=5, paths_per_repo=20)
+    stats = pipe.replay(spark, late, batch_lsns=100)
+    assert all(s.committed for s in stats)
+
+
+def test_rebootstrap_resnapshots_and_matches_fresh(spark, tmp_path):
+    """With on_invalid_offset='rebootstrap' + a fresh base, the engine
+    re-snapshots and applies the retained tail; the result equals a
+    fresh pipeline bootstrapped from the same base + tail."""
+    base0 = base_table(spark, 200, n_repos=5, paths_per_repo=20)
+    ev0 = changelog(spark, 600, n_repos=5, paths_per_repo=20)
+    # the "current" source state the re-snapshot would capture
+    base1 = base_table(spark, 260, seed=9, n_repos=5, paths_per_repo=20)
+    late = changelog(spark, 600, start_lsn=1200, n_repos=5, paths_per_repo=20)
+
+    stale = CdcPipeline(
+        os.path.join(tmp_path, "stale"), n_buckets=4,
+        on_invalid_offset="rebootstrap",
+    )
+    stale.bootstrap(spark, base0)
+    stats0 = stale.replay(spark, ev0, batch_lsns=200)
+    assert all(s.committed for s in stats0)
+    stats1 = stale.replay(spark, late, batch_lsns=200, base=base1)
+    assert all(s.committed for s in stats1)
+    # epochs continued past the committed ones — nothing epoch-skipped
+    assert stats1[0].epoch > stats0[-1].epoch
+
+    fresh = CdcPipeline(os.path.join(tmp_path, "fresh"), n_buckets=4)
+    fresh.bootstrap(spark, base1, snapshot_lsn=1199)
+    fresh.replay(spark, late, batch_lsns=200)
+
+    assert _final(spark, stale) == _final(spark, fresh)
+
+
+def test_streaming_guard(spark, tmp_path):
+    """run_stream checks the tail dir's earliest retained LSN (footer
+    stats) against the saved offset before starting."""
+    from airbyte_spark.streaming.runner import (
+        run_stream, tail_min_lsn, write_changelog_chunks,
+    )
+
+    tail = os.path.join(tmp_path, "tail")
+    ev = changelog(spark, 400, start_lsn=1000, n_repos=5, paths_per_repo=20)
+    write_changelog_chunks(ev, tail, chunk_lsns=100, lo=1000, hi=1399)
+    assert tail_min_lsn(tail) == 1000
+
+    pipe = CdcPipeline(os.path.join(tmp_path, "t"), n_buckets=4)
+    pipe.bootstrap(spark, base_table(spark, 100, n_repos=5, paths_per_repo=20))
+    with pytest.raises(OffsetInvalidated):
+        run_stream(spark, pipe, tail, os.path.join(tmp_path, "cp"))
+    # after recording the snapshot position, the same tail streams fine
+    pipe.state.record_offset(pipe.stream, 999)
+    stats = run_stream(spark, pipe, tail, os.path.join(tmp_path, "cp"))
+    assert any(s.committed for s in stats)
