@@ -189,6 +189,33 @@ def scd2_events(spark, sf):
     )
 
 
+def scd2_events_incremental(spark, sf):
+    """Incremental SCD2 maintenance (engine/scd.py
+    scd2_incremental_step; reference stream_processor.py:742-1011):
+    three cursor-sliced epochs applied incrementally must equal the
+    full-history recompute — the oracle is the same SQL as
+    scd2_events, so the equivalence itself is what's verified."""
+    from airbyte_spark.engine.scd import scd2_from_changelog, scd2_incremental_step
+
+    e = _t(spark, sf, "events").select("user_id", "event_id", "event_type")
+    n = e.agg(F.max("event_id")).collect()[0][0]
+    c1, c2 = n // 3, 2 * n // 3
+    scd = scd2_from_changelog(
+        e.filter(F.col("event_id") <= c1), keys=["user_id"], order_col="event_id",
+        op_col=None,
+    )
+    for lo, hi in ((c1, c2), (c2, n)):
+        batch = e.filter((F.col("event_id") > lo) & (F.col("event_id") <= hi))
+        scd = scd2_incremental_step(
+            scd, batch, keys=["user_id"], order_col="event_id", op_col=None
+        )
+    return scd.select(
+        "user_id", "event_id", "event_type",
+        F.col("valid_to").alias("valid_to_event"),
+        F.col("active_row").alias("is_current"),
+    )
+
+
 def events_minmax_ts(spark, sf):
     e = _t(spark, sf, "events")
     return e.agg(F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts"))
@@ -458,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_events": cdc_lww_events,
         "cdc_hwm_events": cdc_hwm_events,
         "scd2_events": scd2_events,
+        "scd2_events_incremental": scd2_events_incremental,
         "events_minmax_ts": events_minmax_ts,
         "events_json_normalize": events_json_normalize,
         "events_props_child": events_props_child,
@@ -726,6 +754,12 @@ SELECT user_id,
 FROM events GROUP BY user_id
 """,
         "scd2_events": """
+SELECT user_id, event_id, event_type,
+       lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS valid_to_event,
+       lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL AS is_current
+FROM events
+""",
+        "scd2_events_incremental": """
 SELECT user_id, event_id, event_type,
        lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS valid_to_event,
        lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL AS is_current

@@ -8,11 +8,17 @@ same key).  Spark shape: the same lag/row_number windows the dbt
 model generates (stream_processor.py:884-899), run per-batch over the
 union of the batch and the currently-active rows of affected keys.
 
-For the batch engine we expose a simpler, more scalable contract:
-``scd2_from_changelog`` computes the full SCD2 table from a bounded
-changelog in one pass (windows over (repo,path) ordered by lsn) —
-this is what the oracle checks; the incremental variant appends
-closed intervals per epoch.
+Two contracts:
+* ``scd2_from_changelog`` — full SCD2 from a bounded changelog in one
+  pass (windows over (repo,path) ordered by lsn); the oracle check.
+* ``scd2_incremental_step`` — one epoch of incremental maintenance:
+  only the OPEN rows of keys the batch touches are re-windowed with
+  the new events; every closed interval and every untouched key's
+  open row carries forward as-is.  This is the reference's flagship
+  incremental mode (stream_processor.py:742-1011: new_data ∪
+  previously-active rows of affected keys -> close intervals ->
+  insert), and the shape that survives 10^10 rows — per-epoch cost is
+  O(batch + affected open rows), never O(history).
 """
 
 from __future__ import annotations
@@ -20,23 +26,69 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+_SCD_COLS = ("valid_from", "valid_to", "active_row")
+
 
 def scd2_from_changelog(
     events: DataFrame,
     keys: list[str] = ("repo", "path"),
     order_col: str = "lsn",
+    op_col: str | None = "op",
+    delete_value: str = "d",
 ) -> DataFrame:
     """Full SCD2 from a changelog: every event becomes a version row
     with [valid_from, valid_to) in LSN space, active = latest
-    non-delete.  Mirrors stream_processor.py:884-899's window spec
-    (lag over key ordered by cursor desc -> here lead asc)."""
+    non-delete (or simply the latest row when there is no op column).
+    Mirrors stream_processor.py:884-899's window spec (lag over key
+    ordered by cursor desc -> here lead asc)."""
     keys = list(keys)
     w = Window.partitionBy(*keys).orderBy(F.col(order_col).asc())
+    is_open = F.col("valid_to").isNull()
+    if op_col is not None and op_col in events.columns:
+        active = is_open & (F.col(op_col) != F.lit(delete_value))
+    else:
+        active = is_open
     return (
         events.withColumn("valid_from", F.col(order_col))
         .withColumn("valid_to", F.lead(order_col).over(w))
-        .withColumn(
-            "active_row",
-            F.col("valid_to").isNull() & (F.col("op") != F.lit("d")),
-        )
+        .withColumn("active_row", active)
     )
+
+
+def scd2_incremental_step(
+    prev: DataFrame,
+    batch: DataFrame,
+    keys: list[str] = ("repo", "path"),
+    order_col: str = "lsn",
+    op_col: str | None = "op",
+    delete_value: str = "d",
+) -> DataFrame:
+    """Apply one changelog epoch to an existing SCD2 table.
+
+    Requires the total-order contract the MERGE paths share: every
+    batch event's ``order_col`` exceeds every cursor already in
+    ``prev`` (epoch-gated tails guarantee it).  Then:
+
+    * closed intervals (valid_to set) never change — carried as-is;
+    * open rows of keys the batch does NOT touch never change —
+      carried via an anti-join against the batch's (small, distinct)
+      key set, which AQE broadcasts;
+    * open rows of affected keys are restored to their original event
+      form (dropping the interval columns — valid_from == the event's
+      cursor) and re-windowed together with the batch, closing them at
+      the first new event and chaining the new versions.
+
+    Equivalent to a full recompute (test_scd.py pins it), at
+    per-epoch cost O(batch + affected open rows)."""
+    keys = list(keys)
+    batch_keys = batch.select(*keys).distinct()
+    closed = prev.filter(F.col("valid_to").isNotNull())
+    open_rows = prev.filter(F.col("valid_to").isNull())
+    untouched_open = open_rows.join(batch_keys, keys, "left_anti")
+    affected_open = open_rows.join(batch_keys, keys, "left_semi")
+
+    replay = affected_open.drop(*_SCD_COLS).unionByName(batch)
+    recomputed = scd2_from_changelog(
+        replay, keys, order_col, op_col=op_col, delete_value=delete_value
+    )
+    return closed.unionByName(untouched_open).unionByName(recomputed)
