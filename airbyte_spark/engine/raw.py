@@ -54,7 +54,20 @@ AIRBYTE_TO_SPARK = {
     "time_without_timezone": "string",
     "object": "string",  # kept as JSON text at the parent level
     "array": "string",
+    # oneOf / multi-type unions fall back to JSON text, the
+    # reference's unsupported-to-string rule
+    # (JsonToAvroSchemaConverter.java:252-293,
+    #  supported-data-types.md:156-159)
+    "oneOf": "string",
+    "union": "string",
 }
+
+# types the normalization chain passes through untyped (raw JSON /
+# text); everything else gets a strict cast
+_PASSTHROUGH_TYPES = (
+    "string", "object", "array", "oneOf", "union",
+    "time_with_timezone", "time_without_timezone",
+)
 
 _TS_JSON_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 _TS_NTZ_JSON_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
@@ -100,8 +113,7 @@ def cast_columns(df: DataFrame, properties: dict[str, str]) -> DataFrame:
     for name, atype in properties.items():
         spark_t = AIRBYTE_TO_SPARK[atype]
         c = F.col(name)
-        if atype in ("string", "object", "array", "time_with_timezone",
-                     "time_without_timezone"):
+        if atype in _PASSTHROUGH_TYPES:
             out.append(c.alias(name))
         elif atype == "boolean":
             out.append(
@@ -215,7 +227,7 @@ def explode_child(
     for name, atype in child_properties.items():
         spark_t = AIRBYTE_TO_SPARK[atype]
         c = F.col(name)
-        if atype in ("string", "object", "array"):
+        if atype in _PASSTHROUGH_TYPES:
             out.append(c.alias(name))
         elif atype == "boolean":
             out.append(

@@ -1,0 +1,317 @@
+"""From-scratch Avro Object Container File writer + reader.
+
+Neither the spark-avro module jar nor a Python avro library exists in
+this environment, so the sink implements the public Avro 1.11 spec
+directly (https://avro.apache.org/docs/1.11.1/specification/):
+
+* container file = magic 'Obj\\x01' + metadata map (avro.schema JSON,
+  avro.codec) + 16-byte sync marker, then blocks of
+  (record count, byte size, records, sync marker);
+* binary encoding = zigzag-varint longs, length-prefixed utf8
+  strings/bytes, little-endian IEEE floats/doubles, 1-byte booleans,
+  union = branch index + value;
+* logical types: date (int days), timestamp-micros (long).
+
+Schema conversion mirrors the reference's
+JsonToAvroSchemaConverter.java:103-293 (base-java-s3): every field is
+a ["null", T] union (Avro has no undefined), protocol types map to
+Avro primitives/logical types, and object / array / oneOf(union)
+properties fall back to JSON text — the reference's
+"unsupported-to-string" rule (supported-data-types.md:156-159).
+
+The Spark integration writes one .avro file per partition from an
+Arrow-batched mapInPandas pass (no per-row Python boundary crossings
+on the Spark side; the encoder itself is plain CPython, which is the
+cost of not having the jar — acceptable for an export sink).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import uuid
+import zlib
+from typing import Any, Iterator
+
+MAGIC = b"Obj\x01"
+
+# Airbyte/JSON-schema protocol type -> Avro schema (field level; each
+# is wrapped in ["null", T] by record_schema)
+_AVRO_TYPES: dict[str, Any] = {
+    "string": "string",
+    "boolean": "boolean",
+    "integer": "long",
+    "number": "double",
+    "date": {"type": "int", "logicalType": "date"},
+    "timestamp_with_timezone": {"type": "long", "logicalType": "timestamp-micros"},
+    "timestamp_without_timezone": {"type": "long", "logicalType": "timestamp-micros"},
+    "time_with_timezone": "string",
+    "time_without_timezone": "string",
+    # JSON-text fallbacks (JsonToAvroSchemaConverter union/object rule)
+    "object": "string",
+    "array": "string",
+    "oneOf": "string",
+    "union": "string",
+}
+
+
+def record_schema(name: str, properties: dict[str, str]) -> dict[str, Any]:
+    """Avro record schema for a stream's declared properties; every
+    field nullable (["null", T] union), unknown protocol types fall
+    back to string like the reference's converter."""
+    fields = [
+        {
+            "name": fname,
+            "type": ["null", _AVRO_TYPES.get(ftype, "string")],
+            "default": None,
+        }
+        for fname, ftype in properties.items()
+    ]
+    return {"type": "record", "name": name, "fields": fields}
+
+
+# ---------------------------------------------------------------------------
+# binary encoding
+# ---------------------------------------------------------------------------
+
+def _zigzag(n: int) -> bytes:
+    z = (n << 1) ^ (n >> 63) if n < 0 else n << 1
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _encode_value(buf: io.BytesIO, atype: str, v: Any) -> None:
+    """One ["null", T] union value."""
+    if v is None:
+        buf.write(_zigzag(0))
+        return
+    buf.write(_zigzag(1))
+    if atype == "boolean":
+        buf.write(b"\x01" if v else b"\x00")
+    elif atype == "integer":
+        buf.write(_zigzag(int(v)))
+    elif atype == "number":
+        buf.write(struct.pack("<d", float(v)))
+    elif atype == "date":
+        import datetime
+
+        days = (v - datetime.date(1970, 1, 1)).days
+        buf.write(_zigzag(days))
+    elif atype in ("timestamp_with_timezone", "timestamp_without_timezone"):
+        # v: pandas.Timestamp / datetime -> micros since epoch
+        import datetime
+
+        if hasattr(v, "to_pydatetime"):
+            v = v.to_pydatetime()
+        if v.tzinfo is None:
+            epoch = datetime.datetime(1970, 1, 1)
+        else:
+            epoch = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+        micros = int((v - epoch).total_seconds() * 1_000_000)
+        buf.write(_zigzag(micros))
+    else:  # string / JSON-text fallback
+        b = str(v).encode("utf-8")
+        buf.write(_zigzag(len(b)))
+        buf.write(b)
+
+
+def _decode_long(data: bytes, pos: int) -> tuple[int, int]:
+    shift = 0
+    acc = 0
+    while True:
+        b = data[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1), pos
+
+
+class AvroFileWriter:
+    """Streaming container-file writer (null or deflate codec)."""
+
+    def __init__(self, fh, name: str, properties: dict[str, str],
+                 codec: str = "null", sync_every: int = 4000):
+        assert codec in ("null", "deflate")
+        self.fh = fh
+        self.properties = properties
+        self.codec = codec
+        self.sync = uuid.uuid4().bytes
+        self.sync_every = sync_every
+        self._block = io.BytesIO()
+        self._count = 0
+        schema_json = json.dumps(record_schema(name, properties))
+        fh.write(MAGIC)
+        meta = {"avro.schema": schema_json.encode(), "avro.codec": codec.encode()}
+        fh.write(_zigzag(len(meta)))
+        for k, v in meta.items():
+            kb = k.encode()
+            fh.write(_zigzag(len(kb)))
+            fh.write(kb)
+            fh.write(_zigzag(len(v)))
+            fh.write(v)
+        fh.write(_zigzag(0))  # end of map
+        fh.write(self.sync)
+
+    def write_row(self, row: dict[str, Any]) -> None:
+        for fname, ftype in self.properties.items():
+            _encode_value(self._block, ftype, row.get(fname))
+        self._count += 1
+        if self._count >= self.sync_every:
+            self._flush_block()
+
+    def _flush_block(self) -> None:
+        if not self._count:
+            return
+        payload = self._block.getvalue()
+        if self.codec == "deflate":
+            payload = zlib.compress(payload)[2:-4]  # raw deflate per spec
+        self.fh.write(_zigzag(self._count))
+        self.fh.write(_zigzag(len(payload)))
+        self.fh.write(payload)
+        self.fh.write(self.sync)
+        self._block = io.BytesIO()
+        self._count = 0
+
+    def close(self) -> None:
+        self._flush_block()
+
+
+def read_avro(path: str) -> list[dict[str, Any]]:
+    """Minimal container-file reader (for round-trip tests and local
+    inspection; supports what the writer emits)."""
+    import datetime
+
+    with open(path, "rb") as fh:
+        data = fh.read()
+    assert data[:4] == MAGIC, "not an avro container file"
+    pos = 4
+    n_meta, pos = _decode_long(data, pos)
+    meta: dict[str, bytes] = {}
+    while n_meta:
+        for _ in range(n_meta):
+            klen, pos = _decode_long(data, pos)
+            k = data[pos:pos + klen].decode()
+            pos += klen
+            vlen, pos = _decode_long(data, pos)
+            meta[k] = data[pos:pos + vlen]
+            pos += vlen
+        n_meta, pos = _decode_long(data, pos)
+    schema = json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null").decode()
+    sync = data[pos:pos + 16]
+    pos += 16
+
+    fields: list[tuple[str, Any]] = [
+        (f["name"], f["type"][1]) for f in schema["fields"]
+    ]
+    rows: list[dict[str, Any]] = []
+    while pos < len(data):
+        count, pos = _decode_long(data, pos)
+        size, pos = _decode_long(data, pos)
+        block = data[pos:pos + size]
+        pos += size
+        assert data[pos:pos + 16] == sync, "sync marker mismatch"
+        pos += 16
+        if codec == "deflate":
+            block = zlib.decompress(block, wbits=-15)
+        bp = 0
+        for _ in range(count):
+            row = {}
+            for fname, ftype in fields:
+                branch, bp = _decode_long(block, bp)
+                if branch == 0:
+                    row[fname] = None
+                    continue
+                if ftype == "boolean":
+                    row[fname] = block[bp] == 1
+                    bp += 1
+                elif ftype == "long":
+                    row[fname], bp = _decode_long(block, bp)
+                elif ftype == "double":
+                    row[fname] = struct.unpack("<d", block[bp:bp + 8])[0]
+                    bp += 8
+                elif isinstance(ftype, dict) and ftype.get("logicalType") == "date":
+                    days, bp = _decode_long(block, bp)
+                    row[fname] = datetime.date(1970, 1, 1) + datetime.timedelta(days)
+                elif isinstance(ftype, dict) and ftype.get(
+                    "logicalType"
+                ) == "timestamp-micros":
+                    micros, bp = _decode_long(block, bp)
+                    row[fname] = datetime.datetime(1970, 1, 1) + datetime.timedelta(
+                        microseconds=micros
+                    )
+                else:  # string
+                    ln, bp = _decode_long(block, bp)
+                    row[fname] = block[bp:bp + ln].decode("utf-8")
+                    bp += ln
+            rows.append(row)
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# Spark integration
+# ---------------------------------------------------------------------------
+
+def write_avro(
+    df,
+    out_dir: str,
+    *,
+    stream: str,
+    properties: dict[str, str],
+    codec: str = "null",
+) -> None:
+    """Write ``df`` as one .avro container file per partition.  The
+    writer runs task-side over Arrow batches (mapInPandas), so record
+    encoding is distributed; ``out_dir`` must be a filesystem every
+    executor can reach (local dir here; a mounted DFS on a cluster)."""
+    import pandas as pd  # noqa: F401  (mapInPandas contract)
+
+    os.makedirs(out_dir, exist_ok=True)
+    cols = list(properties)
+
+    def _write(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.avro")
+        n = 0
+        with open(path, "wb") as fh:
+            w = AvroFileWriter(fh, stream, properties, codec=codec)
+            for pdf in batches:
+                for row in pdf.to_dict("records"):
+                    w.write_row(
+                        {k: (None if _is_na(row.get(k)) else row.get(k)) for k in cols}
+                    )
+                    n += 1
+            w.close()
+        if n == 0:
+            os.unlink(path)  # no empty files
+        import pandas as _pd
+
+        yield _pd.DataFrame({"path": [path], "rows": [n]})
+
+    (
+        df.select(*cols)
+        .mapInPandas(_write, schema="path string, rows long")
+        .collect()
+    )
+
+
+def _is_na(v: Any) -> bool:
+    import pandas as pd
+
+    try:
+        return v is None or pd.isna(v)
+    except (TypeError, ValueError):
+        return False

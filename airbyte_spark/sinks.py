@@ -19,7 +19,28 @@ FORMATS = {
     "parquet": {"codecs": {"snappy", "zstd", "gzip", "none"}, "default_codec": "snappy"},
     "csv": {"codecs": {"gzip", "none"}, "default_codec": "none"},
     "jsonl": {"codecs": {"gzip", "none"}, "default_codec": "none"},
+    # from-scratch container-file writer (formats/avro.py) — the
+    # spark-avro module jar is absent in this environment
+    "avro": {"codecs": {"deflate", "none"}, "default_codec": "none"},
 }
+
+# Spark dtype -> protocol type, for sinks that need the declared
+# property types (avro) when the caller has only a DataFrame
+_SPARK_TO_AIRBYTE = {
+    "tinyint": "integer", "smallint": "integer", "int": "integer",
+    "bigint": "integer", "float": "number", "double": "number",
+    "decimal": "number", "boolean": "boolean", "date": "date",
+    "timestamp": "timestamp_with_timezone",
+    "timestamp_ntz": "timestamp_without_timezone",
+}
+
+
+def properties_from_schema(df: DataFrame) -> dict[str, str]:
+    out = {}
+    for f in df.schema.fields:
+        t = f.dataType.simpleString()
+        out[f.name] = _SPARK_TO_AIRBYTE.get(t.split("(")[0], "string")
+    return out
 
 
 def render_path_template(
@@ -75,6 +96,15 @@ def write_stream_files(
         path_template, namespace=namespace, stream=stream, now=now
     )
     out = f"{base_dir.rstrip('/')}/{rel.strip('/')}"
+    if fmt == "avro":
+        from airbyte_spark.formats.avro import write_avro
+
+        write_avro(
+            df, out, stream=stream,
+            properties=properties_from_schema(df),
+            codec="deflate" if codec == "deflate" else "null",
+        )
+        return out
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)

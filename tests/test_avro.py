@@ -1,0 +1,97 @@
+"""From-scratch Avro sink: container-file round trip, codec, schema
+conversion (reference S3AvroWriter + JsonToAvroSchemaConverter
+semantics), and the oneOf/union string fallback in the normalization
+chain."""
+
+from __future__ import annotations
+
+import datetime
+import glob
+import os
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from airbyte_spark.formats.avro import read_avro, record_schema, write_avro
+from airbyte_spark.sinks import properties_from_schema, write_stream_files
+
+
+def _sample(spark):
+    return spark.createDataFrame(
+        [
+            Row(a=1, b=1.5, c="x", d=True,
+                e=datetime.datetime(2024, 1, 2, 3, 4, 5, 123456),
+                f=datetime.date(2024, 3, 4)),
+            Row(a=2, b=None, c=None, d=False,
+                e=None, f=None),
+            Row(a=None, b=-2.25, c="héllo ⚡", d=None,
+                e=datetime.datetime(1969, 12, 31, 23, 59, 59),
+                f=datetime.date(1969, 1, 1)),
+        ]
+    )
+
+
+def _read_dir(d):
+    rows = []
+    for p in sorted(glob.glob(os.path.join(d, "*.avro"))):
+        rows.extend(read_avro(p))
+    return sorted(rows, key=lambda r: (r["a"] is None, r["a"]))
+
+
+def test_avro_round_trip(spark, tmp_path):
+    df = _sample(spark)
+    out = os.path.join(tmp_path, "avro")
+    write_avro(df, out, stream="s", properties=properties_from_schema(df))
+    rows = _read_dir(out)
+    assert len(rows) == 3
+    r0, r1, r2 = rows  # sorted: a=1, a=2, a=None
+    assert r0["a"] == 1 and r0["b"] == 1.5 and r0["c"] == "x" and r0["d"] is True
+    assert r0["e"] == datetime.datetime(2024, 1, 2, 3, 4, 5, 123456)
+    assert r0["f"] == datetime.date(2024, 3, 4)
+    assert r1["b"] is None and r1["c"] is None and r1["e"] is None
+    assert r2["a"] is None and r2["c"] == "héllo ⚡"
+    assert r2["e"] == datetime.datetime(1969, 12, 31, 23, 59, 59)
+    assert r2["f"] == datetime.date(1969, 1, 1)
+
+
+def test_avro_deflate_codec(spark, tmp_path):
+    df = _sample(spark)
+    out = os.path.join(tmp_path, "avro_z")
+    write_avro(df, out, stream="s", properties=properties_from_schema(df),
+               codec="deflate")
+    assert len(_read_dir(out)) == 3
+
+
+def test_avro_via_sink_surface(spark, tmp_path):
+    out = write_stream_files(
+        _sample(spark), str(tmp_path), stream="events", fmt="avro",
+        namespace="ns",
+    )
+    assert out.endswith("ns/events")
+    assert len(_read_dir(out)) == 3
+
+
+def test_record_schema_union_fallback():
+    s = record_schema("t", {"x": "integer", "u": "oneOf", "o": "object"})
+    by_name = {f["name"]: f["type"] for f in s["fields"]}
+    assert by_name["x"] == ["null", "long"]
+    assert by_name["u"] == ["null", "string"]  # union -> JSON text
+    assert by_name["o"] == ["null", "string"]
+
+
+def test_oneof_passthrough_in_normalization(spark):
+    """A oneOf-typed property survives the raw chain as JSON text and
+    participates in the hash id (stream_processor casts unions to the
+    dialect's json/text type)."""
+    from airbyte_spark.engine import raw as R
+
+    df = spark.createDataFrame(
+        [Row(id=1, v="12"), Row(id=2, v='{"k": 1}'), Row(id=3, v=None)]
+    )
+    props = {"id": "integer", "v": "oneOf"}
+    final = R.normalize_raw(R.to_raw(df), props, stream="t", primary_key=["id"])
+    rows = {r["id"]: r for r in final.collect()}
+    assert rows[1]["v"] == "12"
+    assert rows[2]["v"] == '{"k": 1}'  # untouched JSON text
+    assert rows[3]["v"] is None
+    assert len({r["_airbyte_t_hashid"] for r in rows.values()}) == 3
