@@ -255,11 +255,12 @@ def minhash_lsh_pairs(
         / F.lit(float(num_hashes)),
         4,
     )
-    return (
+    out = (
         cand.withColumn("jaccard_est", est)
         .filter(F.col("jaccard_est") >= threshold)
         .select("id1", "id2", "jaccard_est")
     )
+    return _detach(out, sigs)
 
 
 def _grams_expr(text_col: str, n: int):
@@ -345,6 +346,17 @@ def minhash_lsh_verified_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
     )
+    return _detach(out, sigs)
+
+
+def _detach(out: DataFrame, cached: DataFrame) -> DataFrame:
+    """Materialize ``out`` (eager localCheckpoint truncates lineage so
+    it no longer references ``cached``), then release the cache —
+    repeated calls in one session must not accumulate persisted
+    signature partitions (they would pressure executor storage until
+    LRU eviction).  The checkpointed output is the small pair set."""
+    out = out.localCheckpoint(eager=True)
+    cached.unpersist()
     return out
 
 
@@ -468,8 +480,9 @@ def simhash_pairs(
         .dropDuplicates(["id1", "id2"])
     )
     ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
-    return (
+    out = (
         cand.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("id1", "id2", "hamming")
     )
+    return _detach(out, sh)

@@ -20,6 +20,31 @@ import json
 import sys
 
 
+def _json_schema_type(ann: str) -> dict:
+    """Dataclass annotation string (PEP 563) -> a real draft-07 type,
+    nullable as a type array — the reference's spec.json format
+    (entrypoint.py:67-125 / connector spec files)."""
+    nullable = False
+    a = ann.strip()
+    if a.endswith("| None"):
+        nullable = True
+        a = a[: -len("| None")].strip()
+    base = {
+        "str": {"type": "string"},
+        "int": {"type": "integer"},
+        "float": {"type": "number"},
+        "bool": {"type": "boolean"},
+        "list[str]": {"type": "array", "items": {"type": "string"}},
+        "dict[str, str]": {
+            "type": "object", "additionalProperties": {"type": "string"},
+        },
+    }.get(a, {"type": "string"})
+    out = dict(base)
+    if nullable:
+        out["type"] = [out["type"], "null"]
+    return out
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="airbyte-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -74,13 +99,16 @@ def main(argv: list[str] | None = None) -> int:
         # `spec` verb, entrypoint.py:67-125)
         from dataclasses import fields as dc_fields
 
-        from airbyte_spark.config import StreamSpec, VALID_MODES, VALID_STRATEGIES
+        from airbyte_spark.config import (
+            StreamSpec, VALID_MODES, VALID_OFFSET_POLICIES, VALID_STRATEGIES,
+        )
 
         props = {}
         for f in dc_fields(StreamSpec):
-            props[f.name] = {"type": str(f.type)}
+            props[f.name] = _json_schema_type(str(f.type))
         props["mode"]["enum"] = list(VALID_MODES)
         props["merge_strategy"]["enum"] = list(VALID_STRATEGIES)
+        props["on_invalid_offset"]["enum"] = list(VALID_OFFSET_POLICIES)
         print(json.dumps({
             "documentationUrl": "README.md",
             "connectionSpecification": {

@@ -57,14 +57,33 @@ def incremental_scan(
 ) -> DataFrame:
     """Rows after the checkpoint.  Strict ``>`` normally; inclusive
     ``>=`` iff the actual row count at the stored cursor differs from
-    the stored tie-count (partial-failure re-send, at-least-once)."""
+    the stored tie-count (partial-failure re-send, at-least-once).
+
+    The tie probe is folded INTO the returned plan instead of running
+    an eager count() job per sync: a single-row tie-count aggregate is
+    broadcast against the ``>=`` scan and the tie rows are kept only
+    on mismatch.  One job at execution time; both branches push their
+    cursor predicate down to the scan.  (The reference pays this as a
+    stored-count comparison inside the same query,
+    AbstractJdbcSource.java:322-334.)"""
     if state is None or state.cursor is None:
         return df
-    if state.record_count is not None:
-        actual = df.filter(F.col(cursor_col) == F.lit(state.cursor)).count()
-        if actual != state.record_count:
-            return df.filter(F.col(cursor_col) >= F.lit(state.cursor))
-    return df.filter(F.col(cursor_col) > F.lit(state.cursor))
+    c = F.col(cursor_col)
+    cur = F.lit(state.cursor)
+    if state.record_count is None:
+        return df.filter(c > cur)
+    ties = (
+        df.filter(c == cur)
+        .agg(F.count(F.lit(1)).alias("_n_at"))
+        .withColumn("_probe", F.lit(1))
+    )
+    return (
+        df.filter(c >= cur)
+        .withColumn("_probe", F.lit(1))
+        .join(F.broadcast(ties), "_probe")
+        .filter((c > cur) | (F.col("_n_at") != F.lit(state.record_count)))
+        .drop("_probe", "_n_at")
+    )
 
 
 def full_refresh_scan(df: DataFrame) -> DataFrame:

@@ -14,6 +14,11 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _free_bytes(path: str) -> int:
+    st = os.statvfs(path)
+    return st.f_bavail * st.f_frsize
+
+
 def get_spark(
     app_name: str = "airbyte-spark",
     cpus: int | None = None,
@@ -56,11 +61,17 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
     )
-    # shuffle/spill dir: a real executor gets node-local fast disk; this
-    # sandbox's one virtio disk does ~274 MB/s and would serialize every
-    # leg of a scaling comparison -> prefer tmpfs when present
-    # ($SPARK_LOCAL_DIRS overrides either way)
-    if "SPARK_LOCAL_DIRS" not in os.environ and os.path.isdir("/dev/shm"):
+    # shuffle/spill dir: OS disk by default — spill exists to relieve
+    # memory pressure, and tmpfs spill consumes the very RAM it should
+    # relieve.  Benchmarks in this sandbox (one ~274 MB/s virtio disk)
+    # opt in with SPARK_GRAFT_TMPFS=1, which also requires enough free
+    # tmpfs headroom; $SPARK_LOCAL_DIRS overrides everything.
+    if (
+        "SPARK_LOCAL_DIRS" not in os.environ
+        and os.environ.get("SPARK_GRAFT_TMPFS") == "1"
+        and os.path.isdir("/dev/shm")
+        and _free_bytes("/dev/shm") >= 8 << 30
+    ):
         builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -91,6 +91,11 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
 
+    # benchmark-only: route shuffle spill to tmpfs (the sandbox's one
+    # virtio disk would otherwise I/O-bound every query); the library
+    # default stays on OS disk
+    os.environ.setdefault("SPARK_GRAFT_TMPFS", "1")
+
     from airbyte_spark.session import get_spark
     import __spark_entry__ as E
 

@@ -10,4 +10,6 @@ from airbyte_spark.session import get_spark
 
 @pytest.fixture(scope="session")
 def spark():
+    # test-suite speed: small shuffles, tmpfs spill is safe here
+    os.environ.setdefault("SPARK_GRAFT_TMPFS", "1")
     return get_spark("airbyte-spark-tests", cpus=4, shuffle_partitions=8)

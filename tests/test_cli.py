@@ -1,0 +1,74 @@
+"""CLI end-to-end: the spark-submit surface (spec / init / gen-tail /
+run / lineage) exercised as real subprocesses at tiny scale.
+
+Reference: the CDK entrypoint verb cycle (airbyte_cdk/entrypoint.py:
+26-147); `run` here is the bounded streaming sync."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _cli(*args: str) -> str:
+    env = dict(os.environ, SPARK_GRAFT_CPUS="2", PYTHONPATH=REPO)
+    out = subprocess.run(
+        [sys.executable, "-m", "airbyte_spark.cli", *args],
+        capture_output=True, text=True, timeout=240, cwd=REPO, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    # stdout carries only the verb's JSON (Spark logs go to stderr)
+    return out.stdout
+
+
+def test_spec_is_valid_json_schema():
+    doc = json.loads(
+        subprocess.run(
+            [sys.executable, "-m", "airbyte_spark.cli", "spec"],
+            capture_output=True, text=True, timeout=60, cwd=REPO,
+            env=dict(os.environ, PYTHONPATH=REPO),
+        ).stdout
+    )
+    spec = doc["connectionSpecification"]
+    assert spec["$schema"].startswith("http://json-schema.org/draft-07")
+    props = spec["properties"]
+    # real JSON-Schema types, not python annotation strings
+    assert props["name"]["type"] == "string"
+    assert props["n_buckets"]["type"] == "integer"
+    assert props["tail"]["type"] == ["string", "null"]
+    assert props["key_cols"] == {"type": "array", "items": {"type": "string"}}
+    assert set(props["mode"]["enum"]) == {"dedup", "append", "overwrite"}
+    assert set(props["on_invalid_offset"]["enum"]) == {
+        "error", "rebootstrap", "ignore",
+    }
+
+
+def test_init_gen_run_lineage_cycle(tmp_path):
+    table = os.path.join(tmp_path, "t")
+    tail = os.path.join(tmp_path, "tail")
+    cp = os.path.join(tmp_path, "cp")
+
+    r = json.loads(_cli(
+        "init", "--table", table, "--base-rows", "300",
+        "--buckets", "4", "--repos", "10", "--paths-per-repo", "30",
+    ))
+    assert r["table"] == table
+
+    r = json.loads(_cli(
+        "gen-tail", "--out", tail, "--events", "600", "--chunks", "3",
+        "--repos", "10", "--paths-per-repo", "30",
+    ))
+    assert r["chunks"] == 3
+
+    r = json.loads(_cli("run", "--table", table, "--tail", tail,
+                        "--checkpoint", cp, "--max-files-per-trigger", "1"))
+    assert r["committed"] >= 1
+
+    lineage = json.loads(_cli("lineage", "--table", table))
+    assert lineage["epoch"] >= 0
+    assert sum(b["rows"] for b in lineage["buckets"].values()) > 0
+    assert lineage["state"]["max_lsn"] >= 0
