@@ -278,6 +278,37 @@ def _grams_expr(text_col: str, n: int):
     ).otherwise(F.array_distinct(toks))
 
 
+def _grams_arrow(n: int):
+    """Arrow-vectorized twin of ``_grams_expr`` (interpreted HOF gram
+    construction costs ~5ms/doc; this is ~0.1ms).  Tokenization
+    mirrors the JVM expression exactly: trim ASCII spaces, ASCII
+    ``\\s+`` split (keeping a leading empty token like
+    java.lang.String.split does), lowercase, distinct n-grams with the
+    short-text fallback."""
+    import re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ws = re.compile(r"\s+", re.ASCII)
+
+    # NB: hint-free function + explicit return type (the hint-based
+    # inference can't resolve locally-imported pd — see _minhash_sig_arrow)
+    def g_fn(texts):
+        out = []
+        for t in texts:
+            s = (t or "").lower().strip(" ")
+            toks = ws.split(s) if s else []
+            if len(toks) >= n:
+                gr = list({" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)})
+            else:
+                gr = list(set(toks))
+            out.append(gr)
+        return pd.Series(out)
+
+    return pandas_udf(g_fn, "array<string>")
+
+
 def minhash_lsh_verified_pairs(
     df: DataFrame,
     *,
@@ -318,7 +349,7 @@ def minhash_lsh_verified_pairs(
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    raw_cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -328,9 +359,48 @@ def minhash_lsh_verified_pairs(
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .dropDuplicates(["id1", "id2"])
     )
-    grams = df.select(
-        F.col(id_col).alias("id"), _grams_expr(text_col, shingle).alias("grams")
-    ).filter(F.size("grams") > 0)
+    # signature-estimate prefilter: with r=2 rows/band, unrelated docs
+    # (j ~ 0.01) still collide in some band with non-trivial
+    # probability, so the raw candidate set is mostly junk.  The
+    # 64-slot agreement estimate costs one array op per candidate and
+    # has std <= sqrt(j(1-j)/64) ~ 0.06, so est >= 0.7*threshold cuts
+    # junk by >20 sigma while a true pair at j >= threshold fails it
+    # with probability ~1e-7 — the expensive exact verify then runs
+    # only on real near-dups.
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with("sig1", "sig2", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        )
+        / F.lit(float(num_hashes)),
+        4,
+    )
+    cand = (
+        raw_cand.join(
+            sigs.select(F.col("id").alias("id1"), F.col("sig").alias("sig1")), "id1"
+        )
+        .join(sigs.select(F.col("id").alias("id2"), F.col("sig").alias("sig2")), "id2")
+        .filter(est >= F.lit(0.7 * threshold))
+        .select("id1", "id2")
+        .persist()
+    )
+    # shingle ONLY the docs that appear in surviving candidate pairs
+    # (semi-join on the small candidate id set) — gram construction is
+    # an interpreted HOF expression; paying it for the whole corpus
+    # when near-dups are sparse costs more than the LSH itself
+    cand_ids = (
+        cand.select(F.col("id1").alias("id"))
+        .unionByName(cand.select(F.col("id2").alias("id")))
+        .distinct()
+    )
+    gram_udf = _grams_arrow(shingle)
+    grams = (
+        df.join(cand_ids, df[id_col] == cand_ids["id"], "left_semi")
+        .select(F.col(id_col).alias("id"), gram_udf(F.col(text_col)).alias("grams"))
+        .filter(F.size("grams") > 0)
+    )
     out = (
         cand.join(grams.select(F.col("id").alias("id1"), F.col("grams").alias("g1")), "id1")
         .join(grams.select(F.col("id").alias("id2"), F.col("grams").alias("g2")), "id2")
@@ -346,17 +416,18 @@ def minhash_lsh_verified_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
     )
-    return _detach(out, sigs)
+    return _detach(out, sigs, cand)
 
 
-def _detach(out: DataFrame, cached: DataFrame) -> DataFrame:
+def _detach(out: DataFrame, *cached: DataFrame) -> DataFrame:
     """Materialize ``out`` (eager localCheckpoint truncates lineage so
-    it no longer references ``cached``), then release the cache —
+    it no longer references ``cached``), then release the caches —
     repeated calls in one session must not accumulate persisted
     signature partitions (they would pressure executor storage until
     LRU eviction).  The checkpointed output is the small pair set."""
     out = out.localCheckpoint(eager=True)
-    cached.unpersist()
+    for c in cached:
+        c.unpersist()
     return out
 
 

@@ -417,7 +417,9 @@ class LakeTable:
 
         ``precomputed_buckets``: distinct ``_bucket`` values of the
         batch if the caller already computed them in its own stats job
-        (the caller must then have persisted ``batch``).
+        (the caller must then guarantee the batch recomputes
+        deterministically — a parquet tail or a seeded generator — or
+        have persisted it).
 
         The epoch gate is identical to :meth:`merge` — the tag and the
         data land in one atomic snapshot commit.
