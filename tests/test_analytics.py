@@ -120,6 +120,25 @@ def test_simhash_blocking_recall_is_exact(spark):
     assert got == exact
 
 
+def test_simhash_arrow_expr_parity(spark, docs):
+    """The numpy-vectorized md5_60 signature must equal the pure-JVM
+    expression bit-for-bit (same tokenization, same hash, same votes)."""
+    expr = {
+        r["id"]: r["simhash"]
+        for r in dedup.simhash(
+            docs, n_bits=60, token_hash="md5_60", impl="expr"
+        ).collect()
+    }
+    arrow = {
+        r["id"]: r["simhash"]
+        for r in dedup.simhash(
+            docs, n_bits=60, token_hash="md5_60", impl="arrow"
+        ).collect()
+    }
+    assert expr == arrow
+    assert len(expr) == len(DOCS)
+
+
 def test_token_count_and_quality(spark, docs):
     rows = {r["doc_id"]: r for r in text.token_count(docs).collect()}
     assert rows[0]["n_tokens"] == 9
