@@ -38,6 +38,7 @@ class StreamSpec:
     rename_hints: dict[str, str] = field(default_factory=dict)
     max_files_per_trigger: int | None = None
     on_invalid_offset: str = "error"
+    history_root: str | None = None  # SCD2 history lake table (optional)
 
     def validate(self) -> "StreamSpec":
         if self.mode not in VALID_MODES:
@@ -89,6 +90,7 @@ class PipelineSpec:
                 mode=s.mode,
                 merge_strategy=s.merge_strategy,
                 on_invalid_offset=s.on_invalid_offset,
+                history_root=s.history_root,
             )
         return out
 

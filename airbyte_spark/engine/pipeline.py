@@ -66,6 +66,30 @@ FINAL_SCHEMA = StructType(
     ]
 )
 
+# SCD2 history table: one row per change-event version with its
+# validity interval in LSN space (the reference's scd table,
+# stream_processor.py:742-1011).  Keyed by (repo, path, valid_from) —
+# valid_from IS the version's lsn, so upserting a re-closed interval
+# hits the same row.
+from pyspark.sql.types import BooleanType
+
+SCD_SCHEMA = StructType(
+    [
+        StructField("repo", StringType()),
+        StructField("path", StringType()),
+        StructField("valid_from", LongType()),
+        StructField("lsn", LongType()),
+        StructField("op", StringType()),
+        StructField("commit", StringType()),
+        StructField("lang", StringType()),
+        StructField("content", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("valid_to", LongType()),
+        StructField("active_row", BooleanType()),
+    ]
+)
+SCD_KEYS = ["repo", "path", "valid_from"]
+
 
 @dataclass
 class BatchStats:
@@ -101,6 +125,7 @@ class CdcPipeline:
         mode: str = "dedup",
         merge_strategy: str = "fused",
         on_invalid_offset: str = "error",
+        history_root: str | None = None,
     ):
         """mode: destination sync mode (airbyte-protocol.md:395-420)
         - 'dedup'     = incremental + dedup history (MERGE; default)
@@ -133,6 +158,11 @@ class CdcPipeline:
         self.mode = mode
         self.merge_strategy = merge_strategy
         self.on_invalid_offset = on_invalid_offset
+        # optional SCD2 history sink (the reference's flagship
+        # incremental-deduped-history mode materializes BOTH the final
+        # deduped table and the scd table per sync,
+        # incremental-deduped-history.md:30-114)
+        self.history_root = history_root
         self.state = StateStore(state_root or f"{table_root}/_state")
 
     # ------------------------------------------------------------------
@@ -166,6 +196,23 @@ class CdcPipeline:
             t.overwrite(spark, df)
         if snapshot_lsn >= 0:
             self.state.record_offset(self.stream, snapshot_lsn)
+        if self.history_root is not None:
+            if not LakeTable.exists(self.history_root):
+                LakeTable.create(
+                    self.history_root, SCD_SCHEMA, SCD_KEYS, self.n_buckets
+                )
+            if base is not None:
+                seed = normalize.canonicalize_keys(base).select(
+                    "repo", "path",
+                    F.lit(-1).cast("long").alias("valid_from"),
+                    F.lit(-1).cast("long").alias("lsn"),
+                    F.lit("i").alias("op"),
+                    "commit", "lang", "content",
+                    F.lit(None).cast("timestamp").alias("ts"),
+                    F.lit(None).cast("long").alias("valid_to"),
+                    F.lit(True).alias("active_row"),
+                )
+                LakeTable(self.history_root).overwrite(spark, seed)
         return t
 
     # ------------------------------------------------------------------
@@ -207,9 +254,11 @@ class CdcPipeline:
     ) -> BatchStats:
         """Apply one changelog microbatch exactly-once."""
         t = self.table()
-        if t.last_epoch(self.stream) >= epoch:
+        if t.last_epoch(self.stream) >= epoch and not self._scd_pending(epoch):
             # already committed (kill/resume replay) — cheap driver-side
-            # skip before any job runs
+            # skip before any job runs.  The SCD history table has its
+            # own epoch tag: a crash between the final-table commit and
+            # the SCD commit must still catch the history up on replay.
             return BatchStats(epoch, False, 0, 0, None, None)
 
         # explicit schema-change events (op='s', FIXTURES.md §2): rows
@@ -241,7 +290,9 @@ class CdcPipeline:
             batch = batch.filter(F.col("op") != "s").drop("schema_change")
 
         if self.mode == "dedup" and self.merge_strategy == "fused":
-            return self._apply_fused(spark, batch, epoch, t)
+            st = self._apply_fused(spark, batch, epoch, t)
+            self._apply_scd(spark, batch, epoch)
+            return st
 
         prepared = self.prepare_batch(batch)
         # batch columns still using hinted old names -> new names
@@ -298,6 +349,7 @@ class CdcPipeline:
             self.state.commit(
                 self.stream, epoch=epoch, max_lsn=max_lsn, rows=n,
             )
+        self._apply_scd(spark, batch, epoch)
         return BatchStats(epoch, merge_res.committed, -1, n, max_lsn, merge_res)
 
     # ------------------------------------------------------------------
@@ -363,6 +415,51 @@ class CdcPipeline:
             )
         return BatchStats(
             epoch, merge_res.committed, -1, merge_res.rows_written, max_lsn, merge_res
+        )
+
+    # ------------------------------------------------------------------
+    def _scd_stream(self) -> str:
+        return f"{self.stream}__scd"
+
+    def _scd_pending(self, epoch: int) -> bool:
+        return (
+            self.history_root is not None
+            and LakeTable.exists(self.history_root)
+            and LakeTable(self.history_root).last_epoch(self._scd_stream()) < epoch
+        )
+
+    def _apply_scd(self, spark: SparkSession, batch: DataFrame, epoch: int) -> None:
+        """Incremental SCD2 maintenance for one epoch: MERGE the
+        recomputed slice (affected keys' open rows re-closed + the
+        batch's new version rows) into the history lake table, keyed
+        on (repo, path, valid_from).  Epoch-gated on its own stream
+        tag, so kill/resume between the final-table commit and this
+        one replays only the missing side.  Cost per epoch is
+        O(batch + affected open rows) — the reference's incremental
+        scd materialization (stream_processor.py:742-1011), never a
+        history recompute."""
+        from airbyte_spark.engine.scd import scd2_from_changelog
+
+        if not self._scd_pending(epoch):
+            return
+        st = LakeTable(self.history_root)
+        b = normalize.canonicalize_keys(batch).select(
+            "lsn", "op", "repo", "path", "commit", "lang", "content", "ts"
+        )
+        if b.isEmpty():
+            st.commit_epoch(epoch, self._scd_stream())
+            return
+        open_rows = st.read(spark).filter(F.col("valid_to").isNull())
+        affected = open_rows.join(
+            b.select("repo", "path").distinct(), ["repo", "path"], "left_semi"
+        ).select(*b.columns)
+        replay = affected.unionByName(b)
+        slice_scd = scd2_from_changelog(replay, KEYS, "lsn")
+        st.merge(
+            spark,
+            slice_scd.select([f.name for f in SCD_SCHEMA.fields]),
+            epoch=epoch,
+            stream=self._scd_stream(),
         )
 
     # ------------------------------------------------------------------

@@ -68,6 +68,74 @@ def test_incremental_closes_open_rows(spark):
     assert dup == 0
 
 
+def test_pipeline_history_table_equals_full_recompute(spark, tmp_path):
+    """CdcPipeline(history_root=...) maintains the SCD2 lake table
+    incrementally per epoch; after a replay it must equal the full
+    recompute over (base-as-events ∪ changelog), and kill/resume must
+    not corrupt it (separate epoch tag per side)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from airbyte_spark.engine.changelog import base_table, changelog
+    from airbyte_spark.engine.pipeline import CdcPipeline
+    from airbyte_spark.lake.table import LakeTable
+
+    base = base_table(spark, 300, n_repos=6, paths_per_repo=15)
+    ev = changelog(spark, 900, n_repos=6, paths_per_repo=15)
+
+    pipe = CdcPipeline(
+        os.path.join(tmp_path, "t"), n_buckets=4,
+        history_root=os.path.join(tmp_path, "scd"),
+    )
+    pipe.bootstrap(spark, base)
+    # kill after 1 committed batch, then resume the full replay
+    try:
+        pipe.replay(spark, ev, batch_lsns=300, fail_after=1)
+    except RuntimeError:
+        pass
+    stats = pipe.replay(spark, ev, batch_lsns=300)
+    assert LakeTable(pipe.history_root).last_epoch("default__scd") == stats[-1].epoch
+
+    got = sorted(
+        tuple(r) for r in LakeTable(pipe.history_root).read(spark).select(
+            "repo", "path", "valid_from", "lsn", "op", "commit",
+            "valid_to", "active_row",
+        ).collect()
+    )
+
+    # oracle: full recompute over base-as-events (lsn=-1) + changelog
+    from airbyte_spark.engine import normalize
+    from airbyte_spark.engine.scd import scd2_from_changelog
+
+    base_ev = normalize.canonicalize_keys(base).select(
+        F.lit(-1).cast("long").alias("lsn"), F.lit("i").alias("op"),
+        "repo", "path", "commit", "lang", "content",
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    full = scd2_from_changelog(
+        normalize.canonicalize_keys(ev).select(*base_ev.columns).unionByName(base_ev),
+        ["repo", "path"], "lsn",
+    )
+    exp = sorted(
+        tuple(r) for r in full.select(
+            "repo", "path", "valid_from", "lsn", "op", "commit",
+            "valid_to", "active_row",
+        ).collect()
+    )
+    assert got == exp
+    # active rows of the history match the final deduped table's keys
+    active = {
+        (r["repo"], r["path"])
+        for r in LakeTable(pipe.history_root).read(spark)
+        .filter("active_row").collect()
+    }
+    final_keys = {
+        (r["repo"], r["path"]) for r in pipe.table().read(spark).collect()
+    }
+    assert active == final_keys
+
+
 def test_incremental_without_op_column(spark):
     """The no-op-column variant (plain cursor streams like `events`)."""
     ev = (
