@@ -1,0 +1,109 @@
+"""File source with a modification-time cursor + per-record file
+metadata — the reference's S3 file source semantics
+(source-s3/source_files_abstract/stream.py:38-311):
+
+* list files, sort by (last_modified, path);
+* incremental = files strictly newer than the checkpointed mtime,
+  PLUS files AT the checkpoint mtime not yet recorded (same tie rule
+  as the JDBC cursor: mtime granularity makes ties common);
+* state = (max mtime, set of filenames at that mtime) — the bounded
+  "history" the reference keeps per stream;
+* every record carries `_ab_source_file` / `_ab_source_file_last_modified`
+  metadata columns, served here from Spark's hidden ``_metadata``
+  struct (zero extra I/O — the scan already knows its file).
+
+The listing is driver-side (os.scandir); at lake scale the directory
+is an object-store prefix listing, same shape.  The *streaming*
+variant of this source is streaming/runner.py's file tail
+(maxFilesPerTrigger); this module is the batch/slice path.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class FileInfo:
+    path: str
+    mtime: float
+    size: int
+
+
+@dataclass
+class FileCursorState:
+    """Checkpoint: the newest mtime fully processed and the filenames
+    seen at exactly that mtime (tie set)."""
+    max_mtime: float = -1.0
+    seen_at_max: set[str] = field(default_factory=set)
+
+    def to_json(self) -> dict:
+        return {"max_mtime": self.max_mtime, "seen_at_max": sorted(self.seen_at_max)}
+
+    @staticmethod
+    def from_json(d: dict | None) -> "FileCursorState":
+        if not d:
+            return FileCursorState()
+        return FileCursorState(d["max_mtime"], set(d.get("seen_at_max", [])))
+
+
+def list_files(root: str, pattern: str = "**/*.parquet") -> list[FileInfo]:
+    """All matching files sorted by (mtime, path) — the reference's
+    last_modified ordering."""
+    out = []
+    for p in _glob.glob(os.path.join(root, pattern), recursive=True):
+        st = os.stat(p)
+        out.append(FileInfo(p, st.st_mtime, st.st_size))
+    return sorted(out, key=lambda f: (f.mtime, f.path))
+
+
+def incremental_files(
+    root: str, state: FileCursorState | None, pattern: str = "**/*.parquet"
+) -> tuple[list[FileInfo], FileCursorState]:
+    """Files newer than the checkpoint (+ unseen ties at the
+    checkpoint mtime), and the advanced state."""
+    state = state or FileCursorState()
+    fresh = [
+        f
+        for f in list_files(root, pattern)
+        if f.mtime > state.max_mtime
+        or (f.mtime == state.max_mtime and os.path.basename(f.path) not in state.seen_at_max)
+    ]
+    new_state = FileCursorState(state.max_mtime, set(state.seen_at_max))
+    for f in fresh:
+        if f.mtime > new_state.max_mtime:
+            new_state = FileCursorState(f.mtime, {os.path.basename(f.path)})
+        else:  # tie at the max
+            new_state.seen_at_max.add(os.path.basename(f.path))
+    return fresh, new_state
+
+
+def read_files(
+    spark: SparkSession,
+    files: list[FileInfo],
+    *,
+    schema: str | None = None,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Read the given files with the reference's metadata columns
+    attached from Spark's hidden _metadata struct."""
+    if not files:
+        raise ValueError("no files to read (guard with `if files:` upstream)")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = getattr(reader, "parquet" if fmt == "parquet" else fmt)(
+        *[f.path for f in files]
+    )
+    return df.select(
+        "*",
+        F.col("_metadata.file_path").alias("_ab_source_file"),
+        F.col("_metadata.file_modification_time").alias(
+            "_ab_source_file_last_modified"
+        ),
+    )

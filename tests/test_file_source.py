@@ -1,0 +1,66 @@
+"""File source with mtime cursor: incremental listing (ties
+included), state advance, metadata columns.
+
+Reference: source-s3 file-history semantics
+(source_files_abstract/stream.py:38-311)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from airbyte_spark.sources.files import (
+    FileCursorState, incremental_files, list_files, read_files,
+)
+
+
+@pytest.fixture()
+def filedir(spark, tmp_path):
+    d = str(tmp_path / "files")
+    for i, mt in enumerate([1000.0, 1000.0, 2000.0, 3000.0]):
+        p = os.path.join(d, f"f{i}")
+        spark.range(i * 10, i * 10 + 5).coalesce(1).write.parquet(p)
+        for part in os.listdir(p):
+            if part.endswith(".parquet"):
+                os.utime(os.path.join(p, part), (mt, mt))
+    return d
+
+
+def test_listing_sorted_by_mtime(filedir):
+    files = list_files(filedir)
+    assert len(files) == 4
+    assert [f.mtime for f in files] == [1000.0, 1000.0, 2000.0, 3000.0]
+
+
+def test_incremental_with_ties(filedir):
+    # first sync: everything; state records the newest mtime
+    fresh, st = incremental_files(filedir, None)
+    assert len(fresh) == 4
+    assert st.max_mtime == 3000.0 and len(st.seen_at_max) == 1
+
+    # nothing new -> empty
+    fresh2, st2 = incremental_files(filedir, st)
+    assert fresh2 == [] and st2.max_mtime == 3000.0
+
+    # a late file AT the checkpoint mtime (tie) is still picked up
+    mid = FileCursorState(1000.0, {os.path.basename(f.path)
+                                   for f in list_files(filedir)[:1]})
+    fresh3, st3 = incremental_files(filedir, mid)
+    paths = [f.mtime for f in fresh3]
+    assert paths == [1000.0, 2000.0, 3000.0]  # unseen tie + newer files
+
+    # state round-trips through JSON
+    assert FileCursorState.from_json(st3.to_json()) == st3
+
+
+def test_read_files_metadata_columns(spark, filedir):
+    fresh, _ = incremental_files(filedir, None)
+    df = read_files(spark, fresh)
+    rows = df.collect()
+    assert len(rows) == 20
+    assert all(r["_ab_source_file"].startswith("file:") for r in rows)
+    assert all(r["_ab_source_file_last_modified"] is not None for r in rows)
+    # per-file row attribution survives
+    by_file = df.groupBy("_ab_source_file").count().collect()
+    assert sorted(r["count"] for r in by_file) == [5, 5, 5, 5]
