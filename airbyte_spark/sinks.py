@@ -72,6 +72,44 @@ def render_path_template(
     return out.strip("/")
 
 
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    *,
+    stream: str,
+    namespace: str = "",
+    mode: str = "append",
+    driver: str | None = None,
+    batch_size: int = 10_000,
+    options: dict[str, str] | None = None,
+) -> str:
+    """JDBC insert path (reference: bases-destination-jdbc
+    JdbcBufferedConsumerFactory.java:66-199 — create table, truncate
+    on OVERWRITE, batched inserts).  Spark's jdbc writer IS the
+    batched-insert machinery; this wrapper adds the reference's
+    surface: namespace/stream -> sanitized table name, sync-mode
+    mapping (overwrite = truncate + reload, matching the reference's
+    retain-schema behavior rather than drop/recreate), and batch
+    sizing.  Returns the table name written."""
+    from airbyte_spark.functions.names import normalize_name
+
+    table = normalize_name(f"{namespace}_{stream}" if namespace else stream)
+    w = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batch_size))
+    )
+    if driver:
+        w = w.option("driver", driver)
+    if mode == "overwrite":
+        w = w.option("truncate", "true")
+    for k, v in (options or {}).items():
+        w = w.option(k, v)
+    w.mode(mode).save()
+    return table
+
+
 def write_stream_files(
     df: DataFrame,
     base_dir: str,

@@ -71,6 +71,34 @@ def test_avro_via_sink_surface(spark, tmp_path):
     assert len(_read_dir(out)) == 3
 
 
+def test_jdbc_sink_round_trip(spark, tmp_path):
+    """JDBC insert path against Spark's bundled embedded Derby:
+    append, then overwrite (truncate + reload), read-back equality."""
+    from airbyte_spark.sinks import write_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    df = spark.range(10).selectExpr("id", "cast(id * 1.5 as double) AS v")
+
+    table = write_jdbc(df, url, stream="events", namespace="ns", driver=drv)
+    assert table == "ns_events"
+
+    def back():
+        return (
+            spark.read.format("jdbc").option("url", url)
+            .option("dbtable", table).option("driver", drv).load()
+        )
+
+    assert back().count() == 10
+    write_jdbc(df, url, stream="events", namespace="ns", driver=drv)
+    assert back().count() == 20  # append mode accumulates
+    write_jdbc(df, url, stream="events", namespace="ns", driver=drv,
+               mode="overwrite")
+    got = back()
+    assert got.count() == 10  # truncate + reload
+    assert {r["id"] for r in got.collect()} == set(range(10))
+
+
 def test_record_schema_union_fallback():
     s = record_schema("t", {"x": "integer", "u": "oneOf", "o": "object"})
     by_name = {f["name"]: f["type"] for f in s["fields"]}
