@@ -72,3 +72,11 @@ def test_init_gen_run_lineage_cycle(tmp_path):
     assert lineage["epoch"] >= 0
     assert sum(b["rows"] for b in lineage["buckets"].values()) > 0
     assert lineage["state"]["max_lsn"] >= 0
+
+
+def test_discover_and_check():
+    cat = json.loads(_cli("discover", "--data-dir", "/root/testdata/sf0.001"))
+    streams = {s["name"] for s in cat["streams"]}
+    assert {"events", "documents", "lineitem"} <= streams
+    ok = json.loads(_cli("check", "--data-dir", "/root/testdata/sf0.001"))
+    assert ok["status"] == "SUCCEEDED"
