@@ -372,21 +372,22 @@ class CdcPipeline:
         # evolve() never changes — safe to compute before reconcile
         snap = t.snapshot()
         b = b.withColumn(_BUCKET, t._bucket_expr(snap))
-        # stats job WITHOUT caching the batch: it column-prunes to
-        # (last_lsn, key cols) so it scans a sliver of the tail, and
-        # the merge then re-reads the batch from its columnar source —
-        # far cheaper than serializing a multi-100MB microbatch into
-        # the block store per epoch (measured: persist cost ~9s/batch
-        # at 500k events; the extra pruned scan ~0.5s).  Batches are
-        # deterministic (parquet tail or seeded generator), so the
-        # re-scan sees identical rows.
-        agg = b.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.max("last_lsn").alias("mx"),
-            F.collect_set(_BUCKET).alias("bks"),
-        ).collect()[0]
-        n, batch_max_lsn, touched = agg["n"], agg["mx"], agg["bks"]
-        if n == 0:
+        # Adaptive bucket-coverage probe (one cheap limit-job — the
+        # empty-batch probe rides it too).  Hash-bucketed keys make a
+        # 4k-row sample representative: a wide-coverage CDC batch (the
+        # 10^10-scale shape) shows ~every bucket and skips the exact
+        # stats job entirely — pruning would save nothing and the probe
+        # costs what isEmpty() did.  A concentrated batch (streaming
+        # tail, hot-key bursts) falls through to the exact stats job
+        # and bucket-pruned merge.  Skipping pruning is always safe
+        # (touched=all just rewrites every bucket); batches recompute
+        # deterministically (parquet tail / seeded generator), so no
+        # persist of the multi-100MB batch is ever needed.
+        sample = (
+            b.select(_BUCKET).limit(4096).groupBy(_BUCKET).count().collect()
+        )
+        n_sample = sum(r["count"] for r in sample)
+        if n_sample == 0:
             v = t.commit_epoch(epoch, self.stream)
             return BatchStats(
                 epoch, v is not None, 0, 0, None,
@@ -396,6 +397,16 @@ class CdcPipeline:
             t, b.drop("op", _BUCKET),
             rename_hints=self.rename_hints, extra_cols=ENGINE_COLS,
         )
+        wide = n_sample >= 4096 and len(sample) >= 0.8 * snap.n_buckets
+        batch_max_lsn = None
+        if wide:
+            touched = list(range(snap.n_buckets))
+        else:
+            agg = b.agg(
+                F.max("last_lsn").alias("mx"),
+                F.collect_set(_BUCKET).alias("bks"),
+            ).collect()[0]
+            batch_max_lsn, touched = agg["mx"], agg["bks"]
         merge_res = t.merge_lww(
             spark, b,
             order_cols=["last_lsn", "updated_at"], op_col="op",
@@ -405,9 +416,14 @@ class CdcPipeline:
         )
         max_lsn = None
         if merge_res.committed:
-            # the batch's own max LSN is the HWM advance (monotone in
-            # the store); unlike footer stats it includes deletes and
-            # costs nothing extra — it rode the stats job above
+            if batch_max_lsn is None:
+                # wide path: HWM from the freshly written files'
+                # parquet footers (no job; lags <1 batch only if the
+                # globally newest event was a delete — epoch gating
+                # makes that harmless, as in round 1)
+                batch_max_lsn = t.stats_from_footers(
+                    t.snapshot().files, "last_lsn"
+                )["max"]
             max_lsn = batch_max_lsn
             self.state.commit(
                 self.stream, epoch=epoch, max_lsn=max_lsn,
