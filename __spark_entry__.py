@@ -395,6 +395,15 @@ def emb_topk_lsh(spark, sf):
     return A_sim.topk_lsh(e, q, k=5, n_planes=4)
 
 
+def emb_topk_ivf(spark, sf):
+    """IVF-bucketed ANN (coarse quantizer cells, nprobe probing) —
+    the corpus-partitioned scale path; deterministic codebook makes
+    the whole index + probe + rank chain SQL-verifiable."""
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return A_sim.topk_ivf(e, q, k=5, nlist=16, nprobe=4)
+
+
 # ---------------------------------------------------------------------------
 # the CDC engine end-to-end (non-SQL: COW merge + epochs; rows-only check)
 # ---------------------------------------------------------------------------
@@ -503,6 +512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_pairs": emb_cosine_pairs,
         "emb_topk": emb_topk,
         "emb_topk_lsh": emb_topk_lsh,
+        "emb_topk_ivf": emb_topk_ivf,
         "multimodal_features": multimodal_features,
         "multimodal_frames": multimodal_frames,
         "cdc_replay_mini": cdc_replay_mini,
@@ -608,6 +618,47 @@ SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
     ) AS rank
   FROM sig c JOIN sig q ON c.bucket = q.bucket
   WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+) WHERE rank <= {k}
+"""
+
+
+def _topk_ivf_sql(k: int, nlist: int, nprobe: int) -> str:
+    """IVF reproduced in SQL: same deterministic codebook (first nlist
+    corpus vectors), window-argmax cell assignment (sim rounded to 6
+    so cross-engine float noise can't flip near-ties; ties to lower
+    cell id), nprobe probing, exact cosine ranking."""
+    csim = "round(list_cosine_similarity(e.embedding::DOUBLE[], c.cent_vec::DOUBLE[]), 6)"
+    qsim = "round(list_cosine_similarity(q.embedding::DOUBLE[], c.cent_vec::DOUBLE[]), 6)"
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS cent_vec FROM embeddings WHERE vec_id < {nlist}
+),
+asg AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id AS cell,
+      row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY {csim} DESC, c.cent_id ASC) AS rn
+    FROM embeddings e, cents c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, qvec, cell FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS qvec, c.cent_id AS cell,
+      row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY {qsim} DESC, c.cent_id ASC) AS pr
+    FROM embeddings q, cents c WHERE q.vec_id < 10
+  ) WHERE pr <= {nprobe}
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+    round(list_cosine_similarity(a.embedding::DOUBLE[], p.qvec::DOUBLE[]), 4) AS cosine,
+    row_number() OVER (
+      PARTITION BY p.query_id
+      ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[], p.qvec::DOUBLE[]), 4) DESC,
+               a.vec_id ASC
+    ) AS rank
+  FROM asg a JOIN probes p ON a.cell = p.cell
+  WHERE p.query_id != a.vec_id
 ) WHERE rank <= {k}
 """
 
@@ -857,6 +908,7 @@ FROM d
         "doc_minhash_lsh_pairs": _jaccard3_sql(0.5, None),
         "doc_simhash_pairs": _simhash60_sql(8),
         "emb_topk_lsh": _topk_lsh_sql(5, 4),
+        "emb_topk_ivf": _topk_ivf_sql(5, 16, 4),
         "multimodal_features": _MULTIMODAL_SQL,
         "multimodal_frames": _FRAMES_SQL,
         "events_file_metadata": """

@@ -219,6 +219,30 @@ def test_topk_lsh_recall(spark):
     assert sum(recalls) / len(recalls) >= 0.6  # clustered data, few planes
 
 
+def test_topk_ivf_recall_and_probe_bound(spark):
+    rng = np.random.RandomState(13)
+    centers = rng.rand(4, 64)
+    vecs = np.vstack([c + 0.05 * rng.rand(25, 64) for c in centers]).astype(np.float32)
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in vecs[i]]) for i in range(100)]
+    )
+    queries = df.filter(F.col("vec_id").isin(5, 30, 55))
+    exact = similarity.topk_bruteforce(df, queries, k=5).collect()
+    approx = similarity.topk_ivf(df, queries, k=5, nlist=8, nprobe=3).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / 5 for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.6  # clustered data, few cells
+    # every returned neighbor must come from a probed cell (≤ nprobe
+    # cells per query -> candidate count strictly below corpus size)
+    assert all(len(v) <= 5 for v in approx_sets.values())
+
+
 def test_multimodal_plumbing(spark):
     assets = multimodal.make_assets(spark, 30)
     feats = multimodal.extract_features(assets, dim=32)
