@@ -32,6 +32,9 @@ BENCH_QUERIES = [
     "doc_simhash_pairs",
     "emb_topk",
     "emb_topk_lsh",
+    "emb_topk_ivf",
+    "scd2_events_incremental",
+    "multimodal_features",
     "events_json_normalize",
     "events_incremental_scan",
     "events_props_child",

@@ -63,7 +63,7 @@ def test_expr_matches_udf_on_generated_corpus(spark):
     """Randomized segment-combination sweep (seeded, deterministic)."""
     import itertools
 
-    segs = ["a", "b", "..", ".", "", "c.py", "..x"]
+    segs = ["a", "b", "..", ".", "", "c.py", "..x", "w\\x"]
     paths = ["/".join(t) for t in itertools.product(segs, repeat=3)]
     df = spark.createDataFrame([(p,) for p in paths], "p string")
     bad = df.select(
