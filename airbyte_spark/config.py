@@ -20,7 +20,7 @@ from dataclasses import dataclass, field
 from typing import Any
 
 VALID_MODES = ("dedup", "append", "overwrite")
-VALID_STRATEGIES = ("fused", "pruned")
+VALID_STRATEGIES = ("fused", "pruned", "mor")
 VALID_OFFSET_POLICIES = ("error", "rebootstrap", "ignore")
 
 

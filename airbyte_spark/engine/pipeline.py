@@ -143,6 +143,11 @@ class CdcPipeline:
           anti-join merge that reads/rewrites only touched buckets.
           Kept as the verification twin (test_fused_merge equivalence)
           and for callers who need the pre-deduplicated batch.
+        - 'mor': merge-on-read — pre-dedup the batch, land winners
+          (deletes as tombstones) as bucketed delta files with NO base
+          read/rewrite; scans pay an LWW resolve until compact().
+          Best for low-selectivity batches where COW would rewrite
+          many buckets to change few rows.
         """
         self.table_root = table_root
         self.stream = stream
@@ -151,7 +156,7 @@ class CdcPipeline:
         self.rename_hints = rename_hints or {}
         if mode not in ("dedup", "append", "overwrite"):
             raise ValueError(f"unknown sync mode {mode}")
-        if merge_strategy not in ("fused", "pruned"):
+        if merge_strategy not in ("fused", "pruned", "mor"):
             raise ValueError(f"unknown merge strategy {merge_strategy}")
         if on_invalid_offset not in ("error", "rebootstrap", "ignore"):
             raise ValueError(f"unknown on_invalid_offset {on_invalid_offset}")
@@ -330,7 +335,15 @@ class CdcPipeline:
                 rename_hints=self.rename_hints,
                 extra_cols=ENGINE_COLS,
             )
-            if self.mode == "dedup":
+            if self.mode == "dedup" and self.merge_strategy == "mor":
+                # merge-on-read: O(batch) delta write, no base rewrite
+                merge_res = t.merge_mor(
+                    spark, prepared,
+                    order_cols=["last_lsn", "updated_at"], op_col="op",
+                    epoch=epoch, stream=self.stream,
+                    n_partitions=max(len(touched), 1),
+                )
+            elif self.mode == "dedup":
                 merge_res = t.merge(
                     spark, prepared, op_col="op", epoch=epoch,
                     stream=self.stream, precomputed_buckets=touched,

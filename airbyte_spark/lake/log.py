@@ -41,6 +41,11 @@ class FileEntry:
     rows: int
     bytes: int
     schema_version: int
+    # merge-on-read delta file: rows are per-key winners (possibly
+    # tombstones, `_deleted` column) layered over the base; readers
+    # resolve LWW at scan time, compact() folds them into base files
+    # (Iceberg v2 delete-file analog)
+    delta: bool = False
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -49,11 +54,15 @@ class FileEntry:
             "rows": self.rows,
             "bytes": self.bytes,
             "schema_version": self.schema_version,
+            "delta": self.delta,
         }
 
     @staticmethod
     def from_json(d: dict[str, Any]) -> "FileEntry":
-        return FileEntry(d["path"], d["bucket"], d["rows"], d["bytes"], d["schema_version"])
+        return FileEntry(
+            d["path"], d["bucket"], d["rows"], d["bytes"], d["schema_version"],
+            d.get("delta", False),
+        )
 
 
 @dataclass
@@ -68,6 +77,10 @@ class Snapshot:
     files: list[FileEntry] = field(default_factory=list)
     epochs: dict[str, int] = field(default_factory=dict)
     summary: dict[str, Any] = field(default_factory=dict)
+    # table properties (e.g. "mor_order": the LWW order columns that
+    # scan-time delta resolution uses — recorded by the first
+    # merge_mor and immutable after)
+    props: dict[str, Any] = field(default_factory=dict)
 
     @property
     def fields(self) -> list[dict[str, Any]]:
@@ -83,6 +96,7 @@ class Snapshot:
             "files": [f.to_json() for f in self.files],
             "epochs": self.epochs,
             "summary": self.summary,
+            "props": self.props,
         }
 
     @staticmethod
@@ -96,6 +110,7 @@ class Snapshot:
             files=[FileEntry.from_json(f) for f in d["files"]],
             epochs=d["epochs"],
             summary=d.get("summary", {}),
+            props=d.get("props", {}),
         )
 
 

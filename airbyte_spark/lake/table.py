@@ -141,27 +141,63 @@ class LakeTable:
     # ------------------------------------------------------------------
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         snap = self.snapshot(version)
-        return self._read_files(spark, snap, snap.files)
+        return self._read_resolved(spark, snap, snap.files)
 
     def _read_files(
-        self, spark: SparkSession, snap: Snapshot, files: list[FileEntry]
+        self,
+        spark: SparkSession,
+        snap: Snapshot,
+        files: list[FileEntry],
+        extra: dict[str, str] | None = None,
     ) -> DataFrame:
         """Read file entries, projecting every schema version to the
         current schema by field id (add -> null, rename -> id-stable,
-        widen -> cast)."""
+        widen -> cast).  ``extra``: physical columns beyond the table
+        schema (the MOR delta files' ``_deleted`` tombstone flag),
+        read and kept verbatim."""
         cur_fields = snap.fields
+        extra = extra or {}
+        empty_schema = struct_from_fields(cur_fields)
+        for n, t in extra.items():
+            empty_schema = empty_schema.add(n, t)
         if not files:
-            return spark.createDataFrame([], struct_from_fields(cur_fields))
+            return spark.createDataFrame([], empty_schema)
         out: DataFrame | None = None
         by_sv: dict[int, list[str]] = {}
         for f in files:
             by_sv.setdefault(f.schema_version, []).append(os.path.join(self.root, f.path))
         for sv, paths in by_sv.items():
             file_fields = snap.schemas[sv]
-            df = spark.read.schema(struct_from_fields(file_fields)).parquet(*paths)
-            df = _project(df, file_fields, cur_fields)
+            file_schema = struct_from_fields(file_fields)
+            for n, t in extra.items():
+                file_schema = file_schema.add(n, t)
+            df = spark.read.schema(file_schema).parquet(*paths)
+            df = _project(df, file_fields, cur_fields, keep=list(extra))
             out = df if out is None else out.unionByName(df)
         return out
+
+    def _read_resolved(
+        self, spark: SparkSession, snap: Snapshot, files: list[FileEntry]
+    ) -> DataFrame:
+        """Scan-time merge-on-read resolution: base files union delta
+        files -> per-key LWW on the table's recorded ``mor_order`` ->
+        drop tombstone winners.  Tables with no delta files (pure COW)
+        return the plain base read with zero extra cost."""
+        base_files = [f for f in files if not f.delta]
+        delta_files = [f for f in files if f.delta]
+        base = self._read_files(spark, snap, base_files)
+        if not delta_files:
+            return base
+        order = snap.props.get("mor_order")
+        if not order:
+            raise ValueError("delta files present but no mor_order recorded")
+        from airbyte_spark.engine.dedup import lww_dedup
+
+        names = [f["name"] for f in snap.fields]
+        d = self._read_files(spark, snap, delta_files, extra={"_deleted": "boolean"})
+        u = base.withColumn("_deleted", F.lit(False)).unionByName(d)
+        win = lww_dedup(u, snap.key_cols, list(order))
+        return win.filter(~F.col("_deleted")).select(*names)
 
     # ------------------------------------------------------------------
     # write path
@@ -244,6 +280,7 @@ class LakeTable:
             key_cols=snap.key_cols,
             files=entries if replace else snap.files + entries,
             epochs=epochs,
+            props=dict(snap.props),
             summary={
                 "operation": "overwrite" if replace else "append",
                 "rows": sum(e.rows for e in entries),
@@ -313,7 +350,9 @@ class LakeTable:
                 upserts = batch.filter(F.col(op_col) != F.lit(delete_value))
             upserts = _align(upserts, cur_fields).withColumn(_BUCKET, self._bucket_expr(snap))
 
-            base = self._read_files(spark, snap, base_files)
+            # resolved read: any MOR delta files in the touched buckets
+            # fold into this COW rewrite
+            base = self._read_resolved(spark, snap, base_files)
             # anti-join on key: batch keys are small relative to the
             # touched-bucket slice -> AQE broadcasts them, base side
             # never shuffles.
@@ -343,6 +382,7 @@ class LakeTable:
             key_cols=snap.key_cols,
             files=carry + entries,
             epochs=epochs,
+            props=dict(snap.props),
             summary={
                 "operation": "merge",
                 "stream": stream,
@@ -371,6 +411,7 @@ class LakeTable:
             key_cols=snap.key_cols,
             files=snap.files,
             epochs=epochs,
+            props=dict(snap.props),
             summary={"operation": "epoch-heartbeat", "epoch": epoch},
         )
         self._commit(new)
@@ -450,9 +491,10 @@ class LakeTable:
 
             # only the touched buckets' base rows enter the race, as
             # upserts that lose to any newer batch event on order_cols;
-            # _src marks rows needing enrichment
+            # _src marks rows needing enrichment.  Resolved read: MOR
+            # delta files in those buckets fold into this rewrite.
             base = (
-                self._read_files(spark, snap, base_files)
+                self._read_resolved(spark, snap, base_files)
                 .withColumn(op_col, F.lit(None).cast("string"))
                 .withColumn("_src", F.lit(0))
             )
@@ -505,6 +547,7 @@ class LakeTable:
             key_cols=snap.key_cols,
             files=carry + entries,
             epochs=epochs,
+            props=dict(snap.props),
             summary={
                 "operation": "merge-lww",
                 "stream": stream,
@@ -515,6 +558,91 @@ class LakeTable:
         )
         self._commit(new)
         return MergeResult(True, next_version, len(touched), rows_written)
+
+    # ------------------------------------------------------------------
+    # merge-on-read MERGE (delta files + scan-time resolution)
+    # ------------------------------------------------------------------
+    def merge_mor(
+        self,
+        spark: SparkSession,
+        batch: DataFrame,
+        *,
+        order_cols: list[str] | str,
+        op_col: str | None = "op",
+        delete_value: str = "d",
+        epoch: int | None = None,
+        stream: str = "default",
+        n_partitions: int | None = None,
+    ) -> MergeResult:
+        """Merge-on-read: land the batch's per-key winners (deletes
+        as ``_deleted`` tombstones) as bucketed DELTA files; no base
+        file is read or rewritten.  Write cost is O(batch) regardless
+        of which buckets it touches — the right strategy for
+        low-selectivity batches where COW would rewrite many buckets
+        to change few rows (Iceberg v2 merge-on-read / delete-file
+        semantics).  Readers pay a scan-time LWW resolve until
+        :meth:`compact` (or any COW merge on the same buckets) folds
+        the deltas.
+
+        ``batch`` must contain exactly one row per key (LWW-prepared,
+        like :meth:`merge`).  ``order_cols`` is recorded once as the
+        table's ``mor_order`` property and must stay consistent —
+        it is what scan-time resolution orders winners by.
+        """
+        snap = self.snapshot()
+        if epoch is not None and snap.epochs.get(stream, -1) >= epoch:
+            return MergeResult(False, None, 0, 0, reason="epoch-already-committed")
+        if isinstance(order_cols, str):
+            order_cols = [order_cols]
+        recorded = snap.props.get("mor_order")
+        if recorded is not None and list(recorded) != list(order_cols):
+            raise ValueError(
+                f"mor_order is {recorded}; merge_mor called with {order_cols}"
+            )
+
+        next_version = snap.version + 1
+        cur_fields = snap.fields
+        tomb = (
+            (F.col(op_col) == F.lit(delete_value))
+            if op_col is not None and op_col in batch.columns
+            else F.lit(False)
+        )
+        d = _align(
+            batch.withColumn("_deleted", tomb),
+            cur_fields + [{"name": "_deleted", "type": "boolean"}],
+        ).withColumn(_BUCKET, self._bucket_expr(snap))
+        entries = [
+            FileEntry(e.path, e.bucket, e.rows, e.bytes, e.schema_version, delta=True)
+            for e in self._write_data(
+                d, next_version, snap.schema_version,
+                n_partitions or snap.n_buckets,
+            )
+        ]
+        epochs = dict(snap.epochs)
+        if epoch is not None:
+            epochs[stream] = epoch
+        rows_written = sum(e.rows for e in entries)
+        new = Snapshot(
+            version=next_version,
+            schema_version=snap.schema_version,
+            schemas=snap.schemas,
+            n_buckets=snap.n_buckets,
+            key_cols=snap.key_cols,
+            files=snap.files + entries,
+            epochs=epochs,
+            summary={
+                "operation": "merge-mor",
+                "stream": stream,
+                "epoch": epoch,
+                "touched_buckets": len({e.bucket for e in entries}),
+                "rows_written": rows_written,
+            },
+            props={**snap.props, "mor_order": list(order_cols)},
+        )
+        self._commit(new)
+        return MergeResult(
+            True, next_version, len({e.bucket for e in entries}), rows_written
+        )
 
     def stats_from_footers(self, entries: list[FileEntry], column: str) -> dict:
         """Driver-side (rows, max(column)) from parquet footer
@@ -610,6 +738,7 @@ class LakeTable:
             key_cols=snap.key_cols,
             files=snap.files,
             epochs=dict(snap.epochs),
+            props=dict(snap.props),
             summary={"operation": "evolve", "schema_version": new_sv},
         )
         self._commit(new)
@@ -620,9 +749,11 @@ class LakeTable:
     # ------------------------------------------------------------------
     def compact(self, spark: SparkSession, max_files_per_bucket: int = 1) -> int | None:
         """Rewrite buckets that accumulated more than
-        ``max_files_per_bucket`` files (reference:
-        IcebergConsumer.java:210-224 rewriteDataFiles).  Also upgrades
-        old-schema files to the current schema."""
+        ``max_files_per_bucket`` files, hold old-schema files, or hold
+        MOR delta files (reference: IcebergConsumer.java:210-224
+        rewriteDataFiles).  Delta folding requires whole-bucket
+        rewrites (resolution needs base+delta together), so selection
+        is bucket-granular; resolved rows land as plain base files."""
         snap = self.snapshot()
         by_bucket: dict[int, list[FileEntry]] = {}
         for f in snap.files:
@@ -630,13 +761,17 @@ class LakeTable:
         to_rewrite = [
             f
             for bucket, fs in by_bucket.items()
+            if (
+                len(fs) > max_files_per_bucket
+                or any(g.schema_version != snap.schema_version for g in fs)
+                or any(g.delta for g in fs)
+            )
             for f in fs
-            if len(fs) > max_files_per_bucket or f.schema_version != snap.schema_version
         ]
         if not to_rewrite:
             return None
         keep = [f for f in snap.files if f not in to_rewrite]
-        df = self._read_files(spark, snap, to_rewrite).withColumn(
+        df = self._read_resolved(spark, snap, to_rewrite).withColumn(
             _BUCKET, self._bucket_expr(snap)
         )
         n_bkts = len({f.bucket for f in to_rewrite})
@@ -650,6 +785,7 @@ class LakeTable:
             key_cols=snap.key_cols,
             files=keep + entries,
             epochs=dict(snap.epochs),
+            props=dict(snap.props),
             summary={"operation": "compact", "rewritten": len(to_rewrite)},
         )
         self._commit(new)
@@ -669,8 +805,15 @@ class LakeTable:
         return removed
 
 
-def _project(df: DataFrame, file_fields: list[dict], cur_fields: list[dict]) -> DataFrame:
-    """Project a file-schema DataFrame to the current schema by field id."""
+def _project(
+    df: DataFrame,
+    file_fields: list[dict],
+    cur_fields: list[dict],
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """Project a file-schema DataFrame to the current schema by field
+    id; ``keep`` columns pass through verbatim (physical extras like
+    the MOR tombstone flag)."""
     by_id = {f["id"]: f for f in file_fields}
     cols = []
     for f in cur_fields:
@@ -680,6 +823,8 @@ def _project(df: DataFrame, file_fields: list[dict], cur_fields: list[dict]) -> 
             cols.append(F.lit(None).cast(dt).alias(f["name"]))
         else:
             cols.append(F.col(src["name"]).cast(dt).alias(f["name"]))
+    for name in keep or []:
+        cols.append(F.col(name))
     return df.select(cols)
 
 

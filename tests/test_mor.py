@@ -1,0 +1,120 @@
+"""Merge-on-read: delta files + scan-time LWW resolution must be
+result-identical to copy-on-write, never rewrite base files, fold on
+compaction, and stay exactly-once under replay (Iceberg v2
+delete-file semantics re-expressed for this lake format)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from airbyte_spark.engine.changelog import base_table, changelog
+from airbyte_spark.engine.pipeline import CdcPipeline
+from airbyte_spark.lake.table import LakeTable
+
+
+def _final(spark, pipe):
+    rows = pipe.table().read(spark).collect()
+    return sorted(
+        (r["repo"], r["path"], r["commit"], r["lang"], r["content_sha256"],
+         r["last_lsn"])
+        for r in rows
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = base_table(spark, 600, n_repos=15, paths_per_repo=50)
+    events = changelog(spark, 1800, n_repos=15, paths_per_repo=50)
+    return base, events
+
+
+def test_mor_equals_cow(spark, tmp_path, corpus):
+    base, events = corpus
+    outs = []
+    for strategy in ("fused", "mor"):
+        pipe = CdcPipeline(
+            os.path.join(tmp_path, strategy), n_buckets=8,
+            merge_strategy=strategy,
+        )
+        pipe.bootstrap(spark, base)
+        stats = pipe.replay(spark, events, batch_lsns=600)
+        assert all(s.committed for s in stats)
+        outs.append(_final(spark, pipe))
+    assert outs[0] == outs[1]
+    assert len(outs[0]) > 0
+
+
+def test_mor_never_rewrites_base(spark, tmp_path, corpus):
+    base, events = corpus
+    pipe = CdcPipeline(os.path.join(tmp_path, "t"), n_buckets=8,
+                       merge_strategy="mor")
+    pipe.bootstrap(spark, base)
+    t = pipe.table()
+    base_entries = {f.path for f in t.snapshot().files}
+    pipe.replay(spark, events, batch_lsns=600)
+    snap = t.snapshot()
+    # every original base entry still referenced, all new files are deltas
+    after_base = {f.path for f in snap.files if not f.delta}
+    assert after_base == base_entries
+    deltas = [f for f in snap.files if f.delta]
+    assert len(deltas) > 0
+    assert snap.props["mor_order"] == ["last_lsn", "updated_at"]
+
+
+def test_mor_compact_folds_deltas(spark, tmp_path, corpus):
+    base, events = corpus
+    pipe = CdcPipeline(os.path.join(tmp_path, "t"), n_buckets=8,
+                       merge_strategy="mor")
+    pipe.bootstrap(spark, base)
+    pipe.replay(spark, events, batch_lsns=600)
+    before = _final(spark, pipe)
+    t = pipe.table()
+    v = t.compact(spark)
+    assert v is not None
+    snap = t.snapshot()
+    assert not any(f.delta for f in snap.files)
+    assert len({f.bucket for f in snap.files}) <= 8
+    assert _final(spark, pipe) == before
+    removed = t.vacuum()
+    assert removed > 0
+    assert _final(spark, pipe) == before
+
+
+def test_mor_epoch_replay_noop(spark, tmp_path, corpus):
+    base, events = corpus
+    pipe = CdcPipeline(os.path.join(tmp_path, "t"), n_buckets=8,
+                       merge_strategy="mor")
+    pipe.bootstrap(spark, base)
+    pipe.replay(spark, events, batch_lsns=900)
+    before = _final(spark, pipe)
+    n_files = len(pipe.table().snapshot().files)
+    stats = pipe.replay(spark, events, batch_lsns=900)
+    assert not any(s.committed for s in stats)
+    assert len(pipe.table().snapshot().files) == n_files  # no delta pile-up
+    assert _final(spark, pipe) == before
+
+
+def test_cow_merge_folds_existing_deltas(spark, tmp_path, corpus):
+    """Switching strategy mid-stream is safe: a COW merge resolves any
+    delta files in its touched buckets and folds them into base."""
+    base, events = corpus
+    root = os.path.join(tmp_path, "t")
+    mor = CdcPipeline(root, n_buckets=8, merge_strategy="mor")
+    mor.bootstrap(spark, base)
+    from pyspark.sql import functions as F
+
+    mor.replay(spark, events.filter(F.col("lsn") < 900), batch_lsns=900)
+    assert any(f.delta for f in mor.table().snapshot().files)
+
+    cow = CdcPipeline(root, n_buckets=8, merge_strategy="fused")
+    stats = cow.replay(spark, events.filter(F.col("lsn") >= 900),
+                       batch_lsns=900, start_epoch=1)
+    assert all(s.committed for s in stats)
+    assert not any(f.delta for f in cow.table().snapshot().files)
+
+    oracle = CdcPipeline(os.path.join(tmp_path, "o"), n_buckets=8)
+    oracle.bootstrap(spark, base)
+    oracle.replay(spark, events, batch_lsns=900)
+    assert _final(spark, cow) == _final(spark, oracle)
