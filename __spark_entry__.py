@@ -408,15 +408,18 @@ def emb_topk_ivf(spark, sf):
 # the CDC engine end-to-end (non-SQL: COW merge + epochs; rows-only check)
 # ---------------------------------------------------------------------------
 
-def _cdc_replay_table(spark, sf) -> DataFrame:
+def _cdc_replay_table(spark, sf, merge_strategy: str = "fused") -> DataFrame:
     from airbyte_spark.engine.changelog import base_table, changelog
     from airbyte_spark.engine.pipeline import CdcPipeline
 
     root = tempfile.mkdtemp(prefix="cdc_entry_")
-    pipe = CdcPipeline(os.path.join(root, "t"), n_buckets=8)
+    pipe = CdcPipeline(os.path.join(root, "t"), n_buckets=8,
+                       merge_strategy=merge_strategy)
     t = pipe.bootstrap(spark, base_table(spark, 300, n_repos=10, paths_per_repo=30))
     pipe.replay(spark, changelog(spark, 900, n_repos=10, paths_per_repo=30),
                 batch_lsns=300)
+    if merge_strategy == "mor":
+        t.compact(spark)  # fold deltas; read-resolve is also exercised pre-compact in tests
     return t.read(spark)
 
 
@@ -428,7 +431,10 @@ def cdc_replay_mini(spark, sf):
     replay-check philosophy (dbt_data_tests/*row_counts.sql +
     messages*.txt replay fixtures).  Sorting makes the digest
     partitioning-independent; the collect_list is test-scale only."""
-    final = _cdc_replay_table(spark, sf)
+    return _state_digest(_cdc_replay_table(spark, sf))
+
+
+def _state_digest(final: DataFrame) -> DataFrame:
     line = F.concat_ws(
         "|",
         "repo", "path", "commit", "lang",
@@ -442,6 +448,14 @@ def cdc_replay_mini(spark, sf):
             "state_sha256"
         ),
     )
+
+
+def cdc_replay_mor_mini(spark, sf):
+    """The merge-on-read strategy (delta files + tombstones +
+    scan-time LWW resolve + delta-folding compaction) replaying the
+    SAME changelog must reach the SAME golden digest as the COW path
+    — one constant pins both execution strategies to one result."""
+    return _state_digest(_cdc_replay_table(spark, sf, merge_strategy="mor"))
 
 
 def multimodal_features(spark, sf):
@@ -516,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": multimodal_features,
         "multimodal_frames": multimodal_frames,
         "cdc_replay_mini": cdc_replay_mini,
+        "cdc_replay_mor_mini": cdc_replay_mor_mini,
     }
 
 
@@ -915,6 +930,10 @@ FROM d
 SELECT CAST(4 AS BIGINT) AS n_files, count(*) AS n_rows FROM events
 """,
         "cdc_replay_mini": f"""
+SELECT CAST(275 AS BIGINT) AS final_rows,
+       '{_CDC_MINI_DIGEST}' AS state_sha256
+""",
+        "cdc_replay_mor_mini": f"""
 SELECT CAST(275 AS BIGINT) AS final_rows,
        '{_CDC_MINI_DIGEST}' AS state_sha256
 """,
