@@ -555,14 +555,23 @@ class CdcPipeline:
         snap = self.table().snapshot()
         buckets: dict[int, dict[str, int]] = {}
         for f in snap.files:
-            b = buckets.setdefault(f.bucket, {"rows": 0, "files": 0, "bytes": 0})
+            b = buckets.setdefault(
+                f.bucket, {"rows": 0, "files": 0, "bytes": 0, "delta_files": 0}
+            )
             b["rows"] += f.rows
             b["files"] += 1
             b["bytes"] += f.bytes
-        return {
+            if f.delta:
+                b["delta_files"] += 1
+        out = {
             "stream": self.stream,
             "snapshot_version": snap.version,
             "epoch": snap.epochs.get(self.stream, -1),
             "state": self.state.load(self.stream),
             "buckets": buckets,
         }
+        if self.history_root is not None and LakeTable.exists(self.history_root):
+            out["scd_epoch"] = LakeTable(self.history_root).last_epoch(
+                self._scd_stream()
+            )
+        return out
