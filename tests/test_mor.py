@@ -96,6 +96,34 @@ def test_mor_epoch_replay_noop(spark, tmp_path, corpus):
     assert _final(spark, pipe) == before
 
 
+def test_mor_resolves_across_schema_evolution(spark, tmp_path, corpus):
+    """Delta files written at an older schema version must resolve
+    (field-id projection + tombstones) after an evolve; compaction
+    upgrades them to the current schema."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DoubleType, IntegerType
+
+    base, events = corpus
+    pipe = CdcPipeline(os.path.join(tmp_path, "t"), n_buckets=8,
+                       merge_strategy="mor")
+    pipe.bootstrap(spark, base)
+    t = pipe.table()
+    pipe.replay(spark, events.filter(F.col("lsn") < 900), batch_lsns=900)
+    assert any(f.delta for f in t.snapshot().files)
+    t.evolve([("add", "stars", IntegerType()), ("widen", "stars", DoubleType())])
+
+    got = t.read(spark)
+    assert dict(got.dtypes)["stars"] == "double"
+    assert got.filter(F.col("stars").isNotNull()).count() == 0
+
+    before = _final(spark, pipe)
+    t.compact(spark)
+    snap = t.snapshot()
+    assert not any(f.delta for f in snap.files)
+    assert all(f.schema_version == snap.schema_version for f in snap.files)
+    assert _final(spark, pipe) == before
+
+
 def test_cow_merge_folds_existing_deltas(spark, tmp_path, corpus):
     """Switching strategy mid-stream is safe: a COW merge resolves any
     delta files in its touched buckets and folds them into base."""
