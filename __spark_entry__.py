@@ -216,6 +216,44 @@ def scd2_events_incremental(spark, sf):
     )
 
 
+def events_stream_hwm(spark, sf):
+    """Custom stateful streaming operator (applyInPandasWithState,
+    streaming/stateful.py): per-key running HWM + event count carried
+    in Spark-managed state across microbatches; the final state after
+    a bounded run must equal the batch aggregate the oracle computes."""
+    from airbyte_spark.streaming.stateful import running_hwm
+
+    e = _t(spark, sf, "events").select("user_id", "event_id")
+    src = tempfile.mkdtemp(prefix="hwm_src_")
+    cp = tempfile.mkdtemp(prefix="hwm_cp_")
+    e.repartition(3).write.mode("overwrite").parquet(src)
+    sdf = (
+        spark.readStream.schema("user_id long, event_id long")
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src)
+    )
+    results: dict = {}
+
+    def sink(df, _bid):
+        for r in df.collect():
+            results[r["user_id"]] = (r["hwm"], r["n_events"])
+
+    q = (
+        running_hwm(sdf, key_col="user_id", cursor_col="event_id")
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(
+        [(int(u), int(h), int(n)) for u, (h, n) in sorted(results.items())],
+        "user_id long, hwm_event_id long, n_events long",
+    )
+
+
 def events_minmax_ts(spark, sf):
     e = _t(spark, sf, "events")
     return e.agg(F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts"))
@@ -510,6 +548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_events": scd2_events,
         "scd2_events_incremental": scd2_events_incremental,
         "events_minmax_ts": events_minmax_ts,
+        "events_stream_hwm": events_stream_hwm,
         "events_json_normalize": events_json_normalize,
         "events_props_child": events_props_child,
         "events_file_metadata": events_file_metadata,
@@ -833,6 +872,10 @@ FROM events
 """,
         "events_minmax_ts": """
 SELECT min(ts) AS min_ts, max(ts) AS max_ts FROM events
+""",
+        "events_stream_hwm": """
+SELECT user_id, max(event_id) AS hwm_event_id, count(*) AS n_events
+FROM events GROUP BY user_id
 """,
         "events_incremental_scan": """
 SELECT event_id, user_id, event_type FROM events WHERE event_id > 5000

@@ -1,0 +1,60 @@
+"""Custom stateful streaming operator: per-key running HWM via
+``applyInPandasWithState``.
+
+The engine's authoritative state lives in the lake's epoch tags +
+the JSON HWM store (foreachBatch path, engine/state.py) — that is the
+reference's design (state emitted only after durable commit).  This
+module is the *in-stream* variant of the same bookkeeping
+(StateDecoratingIterator/CursorManager semantics as a Spark stateful
+operator): per key, track the max cursor and event count across
+microbatches in Spark-managed state (checkpointed, recoverable), and
+emit the updated tuple each batch.  It exists for pipelines that need
+per-key cursors as a live stream rather than a table — and as the
+engine's demonstration of the applyInPandasWithState contract
+(Arrow-batched per-group state, no per-row Python against the JVM).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def running_hwm(
+    sdf: DataFrame,
+    *,
+    key_col: str = "user_id",
+    cursor_col: str = "event_id",
+) -> DataFrame:
+    """Streaming transform: one output row per (key, microbatch) with
+    the running (max cursor, cumulative event count) carried in
+    GroupState.  Output mode must be ``update``."""
+    import pandas as pd
+
+    out_schema = f"{key_col} long, hwm long, n_events long"
+    state_schema = "hwm long, n long"
+
+    def fn(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        if state.exists:
+            hwm, n = state.get
+        else:
+            hwm, n = None, 0
+        for pdf in pdfs:
+            c = pdf[cursor_col]
+            if len(c):
+                m = int(c.max())
+                hwm = m if hwm is None else max(hwm, m)
+                n += len(c)
+        state.update((hwm, n))
+        yield pd.DataFrame({key_col: [key[0]], "hwm": [hwm], "n_events": [n]})
+
+    return (
+        sdf.groupBy(key_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )

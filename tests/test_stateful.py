@@ -1,0 +1,71 @@
+"""applyInPandasWithState running-HWM operator: state carries across
+microbatches AND across bounded runs (checkpoint recovery), final
+values match the batch oracle."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from airbyte_spark.streaming.stateful import running_hwm
+
+DDL = "user_id long, event_id long"
+
+
+def _run(spark, src_dir, cp_dir, results: dict):
+    """Bounded stateful run; foreachBatch sink (checkpoint-recoverable)
+    folds each update-mode emission into ``results`` keyed by user."""
+    sdf = (
+        spark.readStream.schema(DDL)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src_dir)
+    )
+
+    def sink(df, _bid):
+        for r in df.collect():
+            results[r["user_id"]] = (r["hwm"], r["n_events"])
+
+    q = (
+        running_hwm(sdf, key_col="user_id", cursor_col="event_id")
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", cp_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_running_hwm_across_batches_and_restarts(spark, tmp_path):
+    src = os.path.join(tmp_path, "src")
+    cp = os.path.join(tmp_path, "cp")
+    df = spark.range(0, 300).select(
+        (F.col("id") % 7).alias("user_id"), F.col("id").alias("event_id")
+    )
+    # three chunk files -> three microbatches (maxFilesPerTrigger=1)
+    for i in range(3):
+        df.filter((F.col("event_id") >= i * 100) & (F.col("event_id") < (i + 1) * 100)) \
+          .coalesce(1).write.parquet(os.path.join(src, f"c{i}"))
+
+    got = {}
+    _run(spark, src, cp, got)
+    for u in range(7):
+        exp_hwm = max(i for i in range(300) if i % 7 == u)
+        exp_n = sum(1 for i in range(300) if i % 7 == u)
+        assert got[u] == (exp_hwm, exp_n)
+
+    # late chunk + restart from checkpoint: state must resume, counts
+    # continue (not restart from zero)
+    late = spark.range(300, 340).select(
+        (F.col("id") % 7).alias("user_id"), F.col("id").alias("event_id")
+    )
+    late.coalesce(1).write.parquet(os.path.join(src, "c3"))
+    got2 = {}
+    _run(spark, src, cp, got2)
+    for u in range(7):
+        exp_hwm = max(i for i in range(340) if i % 7 == u)
+        exp_n = sum(1 for i in range(340) if i % 7 == u)
+        assert got2[u] == (exp_hwm, exp_n)
