@@ -69,6 +69,9 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--tail", required=True)
     sp.add_argument("--checkpoint", required=True)
     sp.add_argument("--max-files-per-trigger", type=int, default=None)
+    sp.add_argument("--merge-strategy", default="fused",
+                    choices=["fused", "pruned", "mor"])
+    sp.add_argument("--history-root", default=None)
 
     sp = sub.add_parser("replay", help="batch replay of a generated changelog")
     sp.add_argument("--table", required=True)
@@ -77,6 +80,9 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--start-lsn", type=int, default=0)
     sp.add_argument("--repos", type=int, default=500)
     sp.add_argument("--paths-per-repo", type=int, default=400)
+    sp.add_argument("--merge-strategy", default="fused",
+                    choices=["fused", "pruned", "mor"])
+    sp.add_argument("--history-root", default=None)
 
     sp = sub.add_parser("lineage", help="per-bucket lineage + state")
     sp.add_argument("--table", required=True)
@@ -149,7 +155,8 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "run":
         from airbyte_spark.streaming.runner import run_stream
 
-        pipe = CdcPipeline(args.table)
+        pipe = CdcPipeline(args.table, merge_strategy=args.merge_strategy,
+                           history_root=args.history_root)
         stats = run_stream(
             spark, pipe, args.tail, args.checkpoint,
             max_files_per_trigger=args.max_files_per_trigger,
@@ -160,7 +167,8 @@ def main(argv: list[str] | None = None) -> int:
             "events": sum(s.events for s in stats if s.events > 0),
         }))
     elif args.cmd == "replay":
-        pipe = CdcPipeline(args.table)
+        pipe = CdcPipeline(args.table, merge_strategy=args.merge_strategy,
+                           history_root=args.history_root)
         ev = changelog(spark, args.events, start_lsn=args.start_lsn,
                        n_repos=args.repos, paths_per_repo=args.paths_per_repo)
         stats = pipe.replay(spark, ev, batch_lsns=args.batch_lsns)
