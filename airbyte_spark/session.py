@@ -28,13 +28,15 @@ def get_spark(
     """Build (or reuse) a SparkSession.
 
     cpus: local parallelism (defaults to $SPARK_GRAFT_CPUS or 32).
-    shuffle_partitions: defaults to 2*cpus — at cluster scale you
-      would size this to total cores (AQE coalesces the excess).
+    shuffle_partitions: defaults to 4*cpus — finer tasks pack stage
+      waves without idle-core tails (measured +12% on the merge at
+      local[4] vs 2*cpus); at cluster scale you would size this to
+      2-4x total cores and AQE coalesces the excess.
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
-        shuffle_partitions = max(2 * cpus, 8)
+        shuffle_partitions = max(4 * cpus, 16)
 
     builder = (
         SparkSession.builder.appName(app_name)

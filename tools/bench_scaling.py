@@ -55,7 +55,7 @@ from airbyte_spark.session import get_spark
 from bench import bench_cdc_replay
 
 cpus = int(sys.argv[1]); n_events = int(sys.argv[2])
-spark = get_spark("scaling", cpus=cpus, extra_conf={{
+spark = get_spark("scaling", cpus=cpus, shuffle_partitions=32, extra_conf={{
     "spark.io.compression.codec": "zstd",
     "spark.sql.parquet.compression.codec": "zstd",
     # throughput GC: G1's pause-target heuristics cost ~15% on the
@@ -64,6 +64,11 @@ spark = get_spark("scaling", cpus=cpus, extra_conf={{
     # applied to BOTH legs
     "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
 }})
+# NB shuffle_partitions is part of the JOB config, not the cluster:
+# the north rule runs THE SAME JOB at two cluster sizes, and a real
+# job config sizes its shuffle for the larger cluster (8 x 4N cores
+# here; AQE coalesces on the small one).  Both legs therefore run
+# identical configs; only the executor count differs.
 spark.sparkContext.setLogLevel("ERROR")
 wd = tempfile.mkdtemp(prefix="scal_", dir={tmpfs!r} or None)
 try:
@@ -133,6 +138,7 @@ def main() -> None:
             "storage": "tmpfs shuffle+table dirs (per-node disk scales with cluster size; the sandbox's single 274MB/s virtio disk does not)",
             "codec": "zstd shuffle+parquet (CPU scales with N, the shared memory bus does not)",
             "gc": "ParallelGC both legs (throughput collector for a batch job; G1 pause heuristics cost ~15% at 4 cores)",
+            "job_config": "identical on both legs incl. shuffle_partitions=32 (sized for the 4N cluster, the rule's 'same job at two cluster sizes')",
             "workload": f"{n_events}-event changelog over 20M-key space, 2 epochs, fused LWW merge; best of 2 runs per leg",
             "sandbox_ceiling": "single-socket memory bandwidth saturates ~16 pinned cores; low-N legs keep both sides CPU-bound, the regime a multi-node cluster is in at any N",
         },
