@@ -60,6 +60,48 @@ def test_crash_between_write_and_commit_is_invisible(spark, tmp_path):
     assert final1 == final2
 
 
+def test_mor_crash_between_delta_write_and_commit(spark, tmp_path):
+    """Same kill-point for the merge-on-read path: delta files on disk
+    without a snapshot commit are invisible, the epoch replays exactly
+    once, vacuum removes the orphans."""
+    root = os.path.join(tmp_path, "t")
+    pipe = CdcPipeline(root, n_buckets=4, merge_strategy="mor")
+    pipe.bootstrap(spark, base_table(spark, 200, n_repos=5, paths_per_repo=20))
+    ev = changelog(spark, 400, n_repos=5, paths_per_repo=20)
+
+    t = LakeTable(root)
+    v_before = t.snapshot().version
+    rows_before = t.read(spark).count()
+
+    from airbyte_spark.lake.table import _BUCKET
+
+    b = pipe.prepare_batch(ev)
+    snap = t.snapshot()
+    orphaned = t._write_data(
+        b.withColumn("_deleted", F.col("op") == "d").drop("op")
+        .withColumn(_BUCKET, t._bucket_expr(snap)),
+        snap.version + 1, snap.schema_version, 4,
+    )
+    assert orphaned
+    assert t.snapshot().version == v_before
+    assert t.read(spark).count() == rows_before
+
+    st = pipe.apply_batch(spark, ev, epoch=0)
+    assert st.committed
+    assert any(f.delta for f in t.snapshot().files)
+    final1 = sorted(
+        (r["repo"], r["path"], r["content_sha256"]) for r in t.read(spark).collect()
+    )
+    removed = t.vacuum()
+    assert removed >= len(orphaned)
+    assert sorted(
+        (r["repo"], r["path"], r["content_sha256"]) for r in t.read(spark).collect()
+    ) == final1
+    # and the replayed epoch is a no-op
+    st2 = pipe.apply_batch(spark, ev, epoch=0)
+    assert not st2.committed
+
+
 def test_hot_key_skew_lww_correct(spark, tmp_path):
     """One key receives 50k updates (hot repo), the rest 1 each: the
     winner for the hot key must be its max-LSN event and cold keys
