@@ -364,7 +364,7 @@ def doc_dedup_exact(spark, sf):
 
 def doc_token_stats(spark, sf):
     return A_text.token_count(_t(spark, sf, "documents")).select(
-        "doc_id", "n_tokens", "n_tokens_bpe"
+        "doc_id", "n_tokens", "n_tokens_bpe", "n_tokens_regex"
     )
 
 
@@ -925,7 +925,9 @@ SELECT doc_id,
        ELSE len({_TOKS}) END AS n_tokens,
   CASE WHEN length(trim(text)) = 0 THEN 0
        ELSE CAST(list_sum(list_transform({_TOKS},
-            t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) END AS n_tokens_bpe
+            t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) END AS n_tokens_bpe,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))
+       AS BIGINT) AS n_tokens_regex
 FROM documents
 """,
         "doc_quality": f"""

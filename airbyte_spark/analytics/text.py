@@ -29,18 +29,31 @@ def tokens_expr(col: Column) -> Column:
     ).otherwise(F.split(F.trim(col), r"\s+"))
 
 
+# GPT2-style pre-tokenizer shape, restricted to an ASCII class so the
+# Java-regex engine and a RE2-based SQL oracle agree byte-for-byte:
+# letter runs | digit runs | runs of other non-space symbols
+BPE_SPLIT_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
 def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Whitespace token count + a BPE-ish subword proxy: count of
-    4-char chunks per token, ceil(len/4) summed (a standard cheap
-    token estimate for budgeting LLM training data)."""
+    """Whitespace token count + two BPE-ish subword proxies (standard
+    cheap token estimates for budgeting LLM training data):
+    * ``n_tokens_bpe`` — ceil(len/4) per whitespace token, summed;
+    * ``n_tokens_regex`` — matches of the GPT2-ish pre-tokenizer split
+      (letter runs / digit runs / symbol runs)."""
     toks = tokens_expr(F.col(text_col))
     bpe = F.aggregate(
         toks,
         F.lit(0).cast("long"),
         lambda acc, t: acc + F.ceil(F.length(t) / 4.0).cast("long"),
     )
-    return df.withColumn("n_tokens", F.size(toks).cast("long")).withColumn(
-        "n_tokens_bpe", bpe
+    return (
+        df.withColumn("n_tokens", F.size(toks).cast("long"))
+        .withColumn("n_tokens_bpe", bpe)
+        .withColumn(
+            "n_tokens_regex",
+            F.regexp_count(F.col(text_col), F.lit(BPE_SPLIT_REGEX)).cast("long"),
+        )
     )
 
 

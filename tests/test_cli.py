@@ -73,6 +73,9 @@ def test_init_gen_run_lineage_cycle(tmp_path):
     assert sum(b["rows"] for b in lineage["buckets"].values()) > 0
     assert lineage["state"]["max_lsn"] >= 0
 
+    r = json.loads(_cli("compact", "--table", table))
+    assert "compacted_to_version" in r
+
 
 def test_discover_and_check():
     cat = json.loads(_cli("discover", "--data-dir", "/root/testdata/sf0.001"))
