@@ -49,11 +49,13 @@ def _materialize(df) -> int:
 
 def bench_cdc_replay(spark, *, n_base: int, n_events: int, n_batches: int,
                      n_buckets: int, workdir: str,
-                     n_repos: int = 500, paths_per_repo: int = 400) -> dict:
+                     n_repos: int = 500, paths_per_repo: int = 400,
+                     merge_strategy: str = "fused") -> dict:
     from airbyte_spark.engine.changelog import base_table, changelog
     from airbyte_spark.engine.pipeline import CdcPipeline
 
-    pipe = CdcPipeline(os.path.join(workdir, "table"), n_buckets=n_buckets)
+    pipe = CdcPipeline(os.path.join(workdir, "table"), n_buckets=n_buckets,
+                       merge_strategy=merge_strategy)
     t0 = time.time()
     pipe.bootstrap(
         spark, base_table(spark, n_base, n_repos=n_repos, paths_per_repo=paths_per_repo)
@@ -131,6 +133,26 @@ def main() -> None:
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
+    # merge-on-read strategy at 1/4 scale: delta-write throughput is
+    # the low-selectivity-batch story (write cost O(batch), no base
+    # rewrite); reported separately so regressions in either strategy
+    # are visible
+    workdir = tempfile.mkdtemp(prefix="bench_mor_", dir=tmpfs)
+    try:
+        t0 = time.time()
+        mor = bench_cdc_replay(
+            spark,
+            n_base=n_events // 8,
+            n_events=n_events // 4,
+            n_batches=4,
+            n_buckets=64,
+            workdir=workdir,
+            merge_strategy="mor",
+        )
+        timings["cdc_replay_mor"] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
     # --- per-query timings ---------------------------------------------
     qs = E.queries()
     # untimed warmup at the smallest sf: first execution of the
@@ -157,7 +179,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "extra": {"cdc": cdc, "cpus": cpus},
+                "extra": {"cdc": cdc, "cdc_mor": mor, "cpus": cpus},
             }
         )
     )
