@@ -77,6 +77,38 @@ def test_init_gen_run_lineage_cycle(tmp_path):
     assert "compacted_to_version" in r
 
 
+def test_spark_submit_py_files(tmp_path):
+    """The literal cluster deployment surface the north rule names:
+    spark-submit --py-files <package.zip> <cli.py> <verb> — the
+    driver script resolves airbyte_spark from the shipped zip."""
+    import shutil
+    import zipfile
+
+    import pyspark
+
+    zip_path = os.path.join(tmp_path, "airbyte_spark.zip")
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        pkg = os.path.join(REPO, "airbyte_spark")
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    zf.write(full, os.path.relpath(full, REPO))
+    driver = os.path.join(tmp_path, "cli_main.py")
+    shutil.copy(os.path.join(REPO, "airbyte_spark", "cli.py"), driver)
+    submit = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+
+    env = dict(os.environ, SPARK_GRAFT_CPUS="2")
+    env.pop("PYTHONPATH", None)  # the zip must be the ONLY source of the pkg
+    out = subprocess.run(
+        [submit, "--master", "local[2]", "--py-files", zip_path,
+         driver, "check", "--data-dir", "/root/testdata/sf0.001"],
+        capture_output=True, text=True, timeout=240, cwd=str(tmp_path), env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert json.loads(out.stdout)["status"] == "SUCCEEDED"
+
+
 def test_discover_and_check():
     cat = json.loads(_cli("discover", "--data-dir", "/root/testdata/sf0.001"))
     streams = {s["name"] for s in cat["streams"]}
