@@ -37,6 +37,39 @@ def test_spec_rejects_bad_mode(tmp_path):
         PipelineSpec.from_dict({"streams": {}})
 
 
+def test_spec_mor_with_history_sync(spark, tmp_path):
+    """Spec-driven sync with merge-on-read strategy + SCD2 history."""
+    tail = str(tmp_path / "tail")
+    ev = changelog(spark, 400, n_repos=8, paths_per_repo=15)
+    write_changelog_chunks(ev, tail, chunk_lsns=200, lo=0, hi=399)
+    doc = {
+        "streams": {
+            "code": {
+                "table": str(tmp_path / "t"),
+                "tail": tail,
+                "checkpoint": str(tmp_path / "cp"),
+                "n_buckets": 4,
+                "merge_strategy": "mor",
+                "history_root": str(tmp_path / "scd"),
+            }
+        }
+    }
+    spec = PipelineSpec.from_dict(doc)
+    pipes = spec.build_pipelines()
+    pipes["code"].bootstrap(
+        spark, base_table(spark, 150, n_repos=8, paths_per_repo=15)
+    )
+    res = spec.run(spark)
+    assert res["code"]["committed"] >= 1
+    t = pipes["code"].table()
+    assert any(f.delta for f in t.snapshot().files)  # mor wrote deltas
+    assert t.read(spark).count() > 0  # scan-time resolve works
+    from airbyte_spark.lake.table import LakeTable
+
+    scd = LakeTable(str(tmp_path / "scd")).read(spark)
+    assert scd.filter("valid_to IS NOT NULL").count() > 0  # intervals closed
+
+
 def test_spec_end_to_end_sync(spark, tmp_path):
     """A declarative spec drives a full bounded sync."""
     tail = str(tmp_path / "tail")
