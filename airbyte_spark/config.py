@@ -39,6 +39,7 @@ class StreamSpec:
     max_files_per_trigger: int | None = None
     on_invalid_offset: str = "error"
     history_root: str | None = None  # SCD2 history lake table (optional)
+    compact_every: int | None = None  # auto-compact after every Nth epoch
 
     def validate(self) -> "StreamSpec":
         if self.mode not in VALID_MODES:
@@ -91,6 +92,7 @@ class PipelineSpec:
                 merge_strategy=s.merge_strategy,
                 on_invalid_offset=s.on_invalid_offset,
                 history_root=s.history_root,
+                compact_every=s.compact_every,
             )
         return out
 

@@ -126,6 +126,7 @@ class CdcPipeline:
         merge_strategy: str = "fused",
         on_invalid_offset: str = "error",
         history_root: str | None = None,
+        compact_every: int | None = None,
     ):
         """mode: destination sync mode (airbyte-protocol.md:395-420)
         - 'dedup'     = incremental + dedup history (MERGE; default)
@@ -168,6 +169,11 @@ class CdcPipeline:
         # deduped table and the scd table per sync,
         # incremental-deduped-history.md:30-114)
         self.history_root = history_root
+        # maintenance cadence: run compact() after every Nth committed
+        # epoch — the streaming-tail housekeeping that bounds MOR delta
+        # chains and per-bucket file counts (IcebergConsumer.java's
+        # auto-compaction analog).  None = manual compaction only.
+        self.compact_every = compact_every
         self.state = StateStore(state_root or f"{table_root}/_state")
 
     # ------------------------------------------------------------------
@@ -297,6 +303,7 @@ class CdcPipeline:
         if self.mode == "dedup" and self.merge_strategy == "fused":
             st = self._apply_fused(spark, batch, epoch, t)
             self._apply_scd(spark, batch, epoch)
+            self._maybe_compact(spark, t, epoch, st)
             return st
 
         prepared = self.prepare_batch(batch)
@@ -363,7 +370,9 @@ class CdcPipeline:
                 self.stream, epoch=epoch, max_lsn=max_lsn, rows=n,
             )
         self._apply_scd(spark, batch, epoch)
-        return BatchStats(epoch, merge_res.committed, -1, n, max_lsn, merge_res)
+        st = BatchStats(epoch, merge_res.committed, -1, n, max_lsn, merge_res)
+        self._maybe_compact(spark, t, epoch, st)
+        return st
 
     # ------------------------------------------------------------------
     def _apply_fused(
@@ -445,6 +454,20 @@ class CdcPipeline:
         return BatchStats(
             epoch, merge_res.committed, -1, merge_res.rows_written, max_lsn, merge_res
         )
+
+    # ------------------------------------------------------------------
+    def _maybe_compact(self, spark: SparkSession, t: LakeTable, epoch: int,
+                       st: BatchStats) -> None:
+        """Scheduled maintenance: fold MOR delta chains / fragmented
+        buckets every ``compact_every`` committed epochs.  Compaction
+        is content-preserving and crash-safe (atomic snapshot swap),
+        so it needs no epoch gating of its own."""
+        if (
+            self.compact_every
+            and st.committed
+            and (epoch + 1) % self.compact_every == 0
+        ):
+            t.compact(spark, max_files_per_bucket=1)
 
     # ------------------------------------------------------------------
     def _scd_stream(self) -> str:

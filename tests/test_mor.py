@@ -82,6 +82,26 @@ def test_mor_compact_folds_deltas(spark, tmp_path, corpus):
     assert _final(spark, pipe) == before
 
 
+def test_mor_auto_compaction_cadence(spark, tmp_path, corpus):
+    """compact_every folds the delta chain on schedule during a
+    replay: after epochs 0..2 with compact_every=3, the table holds no
+    deltas and the state equals an uncompacted replay."""
+    base, events = corpus
+    auto = CdcPipeline(os.path.join(tmp_path, "auto"), n_buckets=8,
+                       merge_strategy="mor", compact_every=3)
+    auto.bootstrap(spark, base)
+    stats = auto.replay(spark, events, batch_lsns=600)  # 3 epochs
+    assert all(s.committed for s in stats) and len(stats) == 3
+    assert not any(f.delta for f in auto.table().snapshot().files)
+
+    manual = CdcPipeline(os.path.join(tmp_path, "man"), n_buckets=8,
+                         merge_strategy="mor")
+    manual.bootstrap(spark, base)
+    manual.replay(spark, events, batch_lsns=600)
+    assert any(f.delta for f in manual.table().snapshot().files)
+    assert _final(spark, auto) == _final(spark, manual)
+
+
 def test_mor_epoch_replay_noop(spark, tmp_path, corpus):
     base, events = corpus
     pipe = CdcPipeline(os.path.join(tmp_path, "t"), n_buckets=8,
