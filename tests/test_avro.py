@@ -54,6 +54,26 @@ def test_avro_round_trip(spark, tmp_path):
     assert r2["f"] == datetime.date(1969, 1, 1)
 
 
+def test_avro_zigzag_extremes(spark, tmp_path):
+    """Negative and 64-bit-extreme integers through the zigzag varint."""
+    df = spark.createDataFrame(
+        [Row(a=-5, b=-1.5), Row(a=-(2**62), b=0.0),
+         Row(a=2**62, b=float("inf")), Row(a=0, b=-0.0)]
+    )
+    out = os.path.join(tmp_path, "zz")
+    write_avro(df, out, stream="z", properties=properties_from_schema(df))
+    rows = {r["a"]: r["b"] for r in _read_dir_raw(out)}
+    assert set(rows) == {-5, -(2**62), 2**62, 0}
+    assert rows[-5] == -1.5 and rows[2**62] == float("inf")
+
+
+def _read_dir_raw(d):
+    rows = []
+    for p in sorted(glob.glob(os.path.join(d, "*.avro"))):
+        rows.extend(read_avro(p))
+    return rows
+
+
 def test_avro_deflate_codec(spark, tmp_path):
     df = _sample(spark)
     out = os.path.join(tmp_path, "avro_z")
