@@ -387,6 +387,19 @@ def doc_fingerprint(spark, sf):
     )
 
 
+def doc_clean_corpus(spark, sf):
+    """Training-data cleaning pipeline composed from the verified
+    operators: quality gate (C4/Gopher-style) AND english lang-ID AND
+    exact-dup removal (min-id winner per text) — the end-to-end
+    'documents in, clean corpus out' shape a 100 TB pretraining
+    pipeline runs, as one declarative plan (filters fuse into the
+    scan; the only shuffle is the dedup hash-aggregate)."""
+    d = _t(spark, sf, "documents")
+    q = A_text.quality_score(A_text.lang_id(d))
+    kept = q.filter(F.col("quality_ok") & (F.col("lang_pred") == "en"))
+    return A_dedup.dedup_exact(kept).select("doc_id")
+
+
 def doc_jaccard_pairs(spark, sf):
     """Scale-safe configuration: 3-gram shingles + the inverted-index
     hot-token guard (max_token_df) — unigrams with no guard blow up
@@ -559,6 +572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": doc_quality,
         "doc_lang_id": doc_lang_id,
         "doc_fingerprint": doc_fingerprint,
+        "doc_clean_corpus": doc_clean_corpus,
         "doc_jaccard_pairs": doc_jaccard_pairs,
         "doc_minhash_lsh_pairs": doc_minhash_lsh_pairs,
         "doc_simhash_pairs": doc_simhash_pairs,
@@ -616,6 +630,32 @@ FROM inter
 JOIN s s1 ON id1 = s1.id
 JOIN s s2 ON id2 = s2.id
 WHERE round(inter / (s1.sz + s2.sz - inter), 4) >= {threshold}
+"""
+
+
+def _clean_corpus_sql() -> str:
+    """The cleaning pipeline as one SQL statement: english lang-ID +
+    quality gate (same rounded metrics as doc_quality) + exact-dedup
+    min-id winner per distinct text."""
+    return f"""
+WITH lang AS ({_lang_case()}),
+q AS (
+  SELECT doc_id, text,
+    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END AS n_tokens,
+    length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct,
+    length(regexp_replace(text, '\\s+', '', 'g')) AS nonspace
+  FROM documents
+),
+kept AS (
+  SELECT q.doc_id, q.text
+  FROM q JOIN lang ON q.doc_id = lang.doc_id
+  WHERE lang.lang_pred = 'en'
+    AND q.n_tokens >= 5
+    AND round(CASE WHEN n_tokens > 0 THEN nonspace / n_tokens ELSE 0.0 END, 4) >= 2
+    AND round(CASE WHEN n_tokens > 0 THEN nonspace / n_tokens ELSE 0.0 END, 4) <= 15
+    AND round(CASE WHEN length(text) > 0 THEN punct / length(text) ELSE 0.0 END, 4) <= 0.3
+)
+SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)
 """
 
 
@@ -951,6 +991,7 @@ SELECT doc_id, n_tokens,
 FROM q
 """,
         "doc_lang_id": _lang_case(),
+        "doc_clean_corpus": _clean_corpus_sql(),
         "doc_fingerprint": f"""
 WITH d AS (
   SELECT doc_id,
