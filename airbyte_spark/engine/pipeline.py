@@ -329,8 +329,12 @@ class CdcPipeline:
             if n == 0:
                 # empty batch still advances the epoch (heartbeat-style
                 # progress without data, DebeziumRecordIterator.java:112-128);
-                # metadata-only commit, no Spark job
+                # metadata-only commit, no Spark job.  The SCD history
+                # epoch must advance too, else replays of this epoch
+                # always re-run the _scd_pending probe and lineage's
+                # scd_epoch permanently lags.
                 v = t.commit_epoch(epoch, self.stream)
+                self._apply_scd(spark, batch, epoch)
                 return BatchStats(
                     epoch, v is not None, 0, 0, None,
                     MergeResult(v is not None, v, 0, 0),
@@ -495,7 +499,13 @@ class CdcPipeline:
         if not self._scd_pending(epoch):
             return
         st = LakeTable(self.history_root)
-        b = normalize.canonicalize_keys(batch).select(
+        b = normalize.canonicalize_keys(batch)
+        # hinted old column names -> new names (the schema-drift tail
+        # case); without this the fixed-name select below would raise
+        for old, new in self.rename_hints.items():
+            if old in b.columns and new not in b.columns:
+                b = b.withColumnRenamed(old, new)
+        b = b.select(
             "lsn", "op", "repo", "path", "commit", "lang", "content", "ts"
         )
         if b.isEmpty():

@@ -270,21 +270,46 @@ def write_avro(
     stream: str,
     properties: dict[str, str],
     codec: str = "null",
+    mode: str = "append",
 ) -> None:
     """Write ``df`` as one .avro container file per partition.  The
     writer runs task-side over Arrow batches (mapInPandas), so record
     encoding is distributed; ``out_dir`` must be a filesystem every
-    executor can reach (local dir here; a mounted DFS on a cluster)."""
+    executor can reach (local dir here; a mounted DFS on a cluster).
+
+    Commit protocol (Hadoop FileOutputCommitter-style): tasks write to
+    a per-job staging dir with the task ATTEMPT number in the name;
+    only paths acknowledged by successful tasks (the driver-collected
+    result rows) are promoted into ``out_dir`` by atomic rename, then
+    the staging dir — including any partial files left by failed or
+    speculative attempts — is removed.  ``mode``: 'append' adds to
+    existing files, 'overwrite' replaces existing .avro files (removed
+    only after the new files are fully staged), 'error' raises if any
+    .avro file already exists."""
+    import glob as _glob
+    import shutil
+
     import pandas as pd  # noqa: F401  (mapInPandas contract)
 
+    if mode not in ("append", "overwrite", "error"):
+        raise ValueError(f"unknown mode {mode}")
     os.makedirs(out_dir, exist_ok=True)
+    existing = _glob.glob(os.path.join(out_dir, "*.avro"))
+    if mode == "error" and existing:
+        raise ValueError(f"{out_dir} already contains avro files (mode='error')")
     cols = list(properties)
+    job_id = uuid.uuid4().hex[:8]  # unique per write job, so append
+    # mode never collides with a previous job's promoted file names
+    stage = os.path.join(out_dir, f"_staging-{job_id}")
+    os.makedirs(stage)
 
     def _write(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
-        path = os.path.join(out_dir, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.avro")
+        tc = TaskContext.get()
+        path = os.path.join(
+            stage, f"part-{tc.partitionId():05d}-a{tc.attemptNumber()}-{job_id}.avro"
+        )
         n = 0
         with open(path, "wb") as fh:
             w = AvroFileWriter(fh, stream, properties, codec=codec)
@@ -295,17 +320,26 @@ def write_avro(
                     )
                     n += 1
             w.close()
-        if n == 0:
-            os.unlink(path)  # no empty files
         import pandas as _pd
 
         yield _pd.DataFrame({"path": [path], "rows": [n]})
 
-    (
-        df.select(*cols)
-        .mapInPandas(_write, schema="path string, rows long")
-        .collect()
-    )
+    try:
+        results = (
+            df.select(*cols)
+            .mapInPandas(_write, schema="path string, rows long")
+            .collect()
+        )
+        if mode == "overwrite":
+            for p in existing:
+                os.unlink(p)
+        for r in results:
+            if r["rows"] > 0:  # no empty files
+                os.replace(
+                    r["path"], os.path.join(out_dir, os.path.basename(r["path"]))
+                )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 def _is_na(v: Any) -> bool:

@@ -197,7 +197,9 @@ class LakeTable:
         d = self._read_files(spark, snap, delta_files, extra={"_deleted": "boolean"})
         u = base.withColumn("_deleted", F.lit(False)).unionByName(d)
         win = lww_dedup(u, snap.key_cols, list(order))
-        return win.filter(~F.col("_deleted")).select(*names)
+        # belt-and-braces: treat a NULL tombstone flag (e.g. delta files
+        # written before the coalesce fix in merge_mor) as not-deleted
+        return win.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).select(*names)
 
     # ------------------------------------------------------------------
     # write path
@@ -602,8 +604,11 @@ class LakeTable:
 
         next_version = snap.version + 1
         cur_fields = snap.fields
+        # NULL op means upsert (same rule as merge()/merge_lww()); without
+        # the coalesce a NULL-op row would get a NULL tombstone flag and
+        # be silently dropped by the scan-time `~_deleted` filter.
         tomb = (
-            (F.col(op_col) == F.lit(delete_value))
+            F.coalesce(F.col(op_col) == F.lit(delete_value), F.lit(False))
             if op_col is not None and op_col in batch.columns
             else F.lit(False)
         )

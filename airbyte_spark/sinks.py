@@ -141,6 +141,7 @@ def write_stream_files(
             df, out, stream=stream,
             properties=properties_from_schema(df),
             codec="deflate" if codec == "deflate" else "null",
+            mode=mode,
         )
         return out
     w = df.write.mode(mode)

@@ -68,18 +68,25 @@ def incremental_files(
     """Files newer than the checkpoint (+ unseen ties at the
     checkpoint mtime), and the advanced state."""
     state = state or FileCursorState()
+
+    # tie-set entries are root-relative paths, NOT basenames: two files
+    # in different subdirectories may share a basename and an mtime, and
+    # a basename key would conflate them (the second silently skipped)
+    def _key(f: FileInfo) -> str:
+        return os.path.relpath(f.path, root)
+
     fresh = [
         f
         for f in list_files(root, pattern)
         if f.mtime > state.max_mtime
-        or (f.mtime == state.max_mtime and os.path.basename(f.path) not in state.seen_at_max)
+        or (f.mtime == state.max_mtime and _key(f) not in state.seen_at_max)
     ]
     new_state = FileCursorState(state.max_mtime, set(state.seen_at_max))
     for f in fresh:
         if f.mtime > new_state.max_mtime:
-            new_state = FileCursorState(f.mtime, {os.path.basename(f.path)})
+            new_state = FileCursorState(f.mtime, {_key(f)})
         else:  # tie at the max
-            new_state.seen_at_max.add(os.path.basename(f.path))
+            new_state.seen_at_max.add(_key(f))
     return fresh, new_state
 
 

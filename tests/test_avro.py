@@ -143,3 +143,24 @@ def test_oneof_passthrough_in_normalization(spark):
     assert rows[2]["v"] == '{"k": 1}'  # untouched JSON text
     assert rows[3]["v"] is None
     assert len({r["_airbyte_t_hashid"] for r in rows.values()}) == 3
+
+
+def test_avro_overwrite_mode_replaces(spark, tmp_path):
+    """mode='overwrite' replaces prior files instead of accumulating
+    duplicates, and no staging dirs are left behind (the sink's
+    task-commit protocol)."""
+    df = _sample(spark)
+    out = os.path.join(tmp_path, "ow")
+    props = properties_from_schema(df)
+    write_avro(df, out, stream="s", properties=props)
+    write_avro(df, out, stream="s", properties=props, mode="overwrite")
+    assert len(_read_dir(out)) == 3  # not 6
+    assert glob.glob(os.path.join(out, "_staging-*")) == []
+
+    # append mode accumulates; error mode refuses
+    write_avro(df, out, stream="s", properties=props, mode="append")
+    assert len(_read_dir(out)) == 6
+    import pytest
+
+    with pytest.raises(ValueError, match="mode='error'"):
+        write_avro(df, out, stream="s", properties=props, mode="error")

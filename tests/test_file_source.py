@@ -44,7 +44,7 @@ def test_incremental_with_ties(filedir):
     assert fresh2 == [] and st2.max_mtime == 3000.0
 
     # a late file AT the checkpoint mtime (tie) is still picked up
-    mid = FileCursorState(1000.0, {os.path.basename(f.path)
+    mid = FileCursorState(1000.0, {os.path.relpath(f.path, filedir)
                                    for f in list_files(filedir)[:1]})
     fresh3, st3 = incremental_files(filedir, mid)
     paths = [f.mtime for f in fresh3]
@@ -64,3 +64,25 @@ def test_read_files_metadata_columns(spark, filedir):
     # per-file row attribution survives
     by_file = df.groupBy("_ab_source_file").count().collect()
     assert sorted(r["count"] for r in by_file) == [5, 5, 5, 5]
+
+
+def test_tie_set_distinguishes_same_basename(spark, tmp_path):
+    """Two files in different subdirectories with the same basename
+    and the same mtime as the checkpoint must NOT be conflated: the
+    tie set keys by root-relative path, not basename."""
+    d = str(tmp_path / "nested")
+    for sub in ("a", "b"):
+        p = os.path.join(d, sub, "t")
+        spark.range(3).coalesce(1).write.parquet(p)
+        for part in os.listdir(p):
+            os.utime(os.path.join(p, part), (5000.0, 5000.0))
+    files = list_files(d)
+    assert len(files) == 2
+    rel = [os.path.relpath(f.path, d) for f in files]
+    assert os.path.basename(rel[0]) == os.path.basename(rel[1])
+
+    # checkpoint saw only the first file at the tied mtime
+    st = FileCursorState(5000.0, {rel[0]})
+    fresh, st2 = incremental_files(d, st)
+    assert [os.path.relpath(f.path, d) for f in fresh] == [rel[1]]
+    assert st2.seen_at_max == {rel[0], rel[1]}

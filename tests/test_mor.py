@@ -166,3 +166,33 @@ def test_cow_merge_folds_existing_deltas(spark, tmp_path, corpus):
     oracle.bootstrap(spark, base)
     oracle.replay(spark, events, batch_lsns=900)
     assert _final(spark, cow) == _final(spark, oracle)
+
+
+def test_mor_null_op_upsert_not_dropped(spark, tmp_path):
+    """A NULL op means upsert (same rule as merge/merge_lww); the
+    tombstone flag must coalesce to false, not NULL — a NULL _deleted
+    would be silently dropped by the scan-time resolve filter."""
+    from pyspark.sql import Row
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("repo", StringType()),
+            StructField("path", StringType()),
+            StructField("v", LongType()),
+            StructField("lsn", LongType()),
+        ]
+    )
+    t = LakeTable.create(str(tmp_path / "t"), schema, ["repo", "path"], n_buckets=4)
+    batch = spark.createDataFrame(
+        [
+            Row(repo="r1", path="a", v=1, lsn=1, op=None),
+            Row(repo="r1", path="b", v=2, lsn=1, op="u"),
+            Row(repo="r1", path="c", v=3, lsn=1, op="d"),
+        ],
+        schema.add("op", StringType()),
+    )
+    res = t.merge_mor(spark, batch, order_cols=["lsn"], op_col="op", epoch=0)
+    assert res.committed
+    got = {(r["repo"], r["path"]): r["v"] for r in t.read(spark).collect()}
+    assert got == {("r1", "a"): 1, ("r1", "b"): 2}

@@ -156,3 +156,52 @@ def test_incremental_without_op_column(spark):
         )
 
     assert rows(scd) == rows(full)
+
+
+def test_history_with_rename_hints(spark, tmp_path):
+    """history_root + rename_hints (the schema-drift tail case): the
+    SCD maintenance path must map hinted old batch column names before
+    its fixed-name select, like the final-table path does."""
+    import os
+
+    from airbyte_spark.engine.changelog import base_table, changelog
+    from airbyte_spark.engine.pipeline import CdcPipeline
+    from airbyte_spark.lake.table import LakeTable
+
+    base = base_table(spark, 100, n_repos=4, paths_per_repo=10)
+    ev = changelog(spark, 200, n_repos=4, paths_per_repo=10).withColumnRenamed(
+        "content", "raw_content"
+    )
+    pipe = CdcPipeline(
+        os.path.join(tmp_path, "t"), n_buckets=4,
+        history_root=os.path.join(tmp_path, "scd"),
+        rename_hints={"raw_content": "content"},
+    )
+    pipe.bootstrap(spark, base)
+    stats = pipe.replay(spark, ev, batch_lsns=100)
+    assert all(s.committed for s in stats)
+    hist = LakeTable(pipe.history_root).read(spark)
+    assert hist.filter("lsn >= 0 AND content IS NOT NULL").count() > 0
+
+
+def test_empty_batch_advances_scd_epoch_nonfused(spark, tmp_path):
+    """The non-fused empty-batch heartbeat must advance the SCD
+    history epoch too, else replays re-probe forever and lineage's
+    scd_epoch permanently lags."""
+    import os
+
+    from airbyte_spark.engine.changelog import base_table, changelog
+    from airbyte_spark.engine.pipeline import CdcPipeline
+    from airbyte_spark.lake.table import LakeTable
+
+    base = base_table(spark, 50, n_repos=3, paths_per_repo=5)
+    pipe = CdcPipeline(
+        os.path.join(tmp_path, "t"), n_buckets=4, merge_strategy="pruned",
+        history_root=os.path.join(tmp_path, "scd"),
+    )
+    pipe.bootstrap(spark, base)
+    empty = changelog(spark, 10, n_repos=3, paths_per_repo=5).filter("lsn < 0")
+    st = pipe.apply_batch(spark, empty, epoch=0)
+    assert st.committed
+    assert LakeTable(pipe.history_root).last_epoch("default__scd") == 0
+    assert pipe.lineage()["scd_epoch"] == 0
