@@ -64,9 +64,7 @@ def test_spec_mor_with_history_sync(spark, tmp_path):
     t = pipes["code"].table()
     assert any(f.delta for f in t.snapshot().files)  # mor wrote deltas
     assert t.read(spark).count() > 0  # scan-time resolve works
-    from airbyte_spark.lake.table import LakeTable
-
-    scd = LakeTable(str(tmp_path / "scd")).read(spark)
+    scd = pipes["code"].read_history(spark)
     assert scd.filter("valid_to IS NOT NULL").count() > 0  # intervals closed
 
 

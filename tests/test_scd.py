@@ -95,10 +95,10 @@ def test_pipeline_history_table_equals_full_recompute(spark, tmp_path):
     except RuntimeError:
         pass
     stats = pipe.replay(spark, ev, batch_lsns=300)
-    assert LakeTable(pipe.history_root).last_epoch("default__scd") == stats[-1].epoch
+    assert pipe.scd_epoch() == stats[-1].epoch
 
     got = sorted(
-        tuple(r) for r in LakeTable(pipe.history_root).read(spark).select(
+        tuple(r) for r in pipe.read_history(spark).select(
             "repo", "path", "valid_from", "lsn", "op", "commit",
             "valid_to", "active_row",
         ).collect()
@@ -127,7 +127,7 @@ def test_pipeline_history_table_equals_full_recompute(spark, tmp_path):
     # active rows of the history match the final deduped table's keys
     active = {
         (r["repo"], r["path"])
-        for r in LakeTable(pipe.history_root).read(spark)
+        for r in pipe.read_history(spark)
         .filter("active_row").collect()
     }
     final_keys = {
@@ -180,7 +180,7 @@ def test_history_with_rename_hints(spark, tmp_path):
     pipe.bootstrap(spark, base)
     stats = pipe.replay(spark, ev, batch_lsns=100)
     assert all(s.committed for s in stats)
-    hist = LakeTable(pipe.history_root).read(spark)
+    hist = pipe.read_history(spark)
     assert hist.filter("lsn >= 0 AND content IS NOT NULL").count() > 0
 
 
@@ -203,5 +203,82 @@ def test_empty_batch_advances_scd_epoch_nonfused(spark, tmp_path):
     empty = changelog(spark, 10, n_repos=3, paths_per_repo=5).filter("lsn < 0")
     st = pipe.apply_batch(spark, empty, epoch=0)
     assert st.committed
-    assert LakeTable(pipe.history_root).last_epoch("default__scd") == 0
+    assert pipe.scd_epoch() == 0
     assert pipe.lineage()["scd_epoch"] == 0
+
+
+def test_concentrated_epoch_prunes_history_io(spark, tmp_path):
+    """File-level pin of the split-history contract: a key-concentrated
+    epoch (1) never reads or rewrites closed-interval files (the closed
+    table is append-only — every pre-existing entry survives verbatim),
+    and (2) reads/rewrites only the open-table buckets its keys hash
+    into.  This is what keeps per-epoch SCD2 maintenance O(batch +
+    touched open buckets) instead of O(history) at 10^10 rows."""
+    import os
+
+    from airbyte_spark.engine.changelog import base_table, changelog
+    from airbyte_spark.engine.pipeline import CdcPipeline
+    from airbyte_spark.lake.table import LakeTable
+
+    base = base_table(spark, 400, n_repos=10, paths_per_repo=20)
+    pipe = CdcPipeline(
+        os.path.join(tmp_path, "t"), n_buckets=8,
+        history_root=os.path.join(tmp_path, "scd"),
+    )
+    pipe.bootstrap(spark, base)
+    # epoch 0: wide batch — builds up closed intervals across buckets
+    wide = changelog(spark, 600, n_repos=10, paths_per_repo=20)
+    pipe.apply_batch(spark, wide, epoch=0)
+
+    open_t = LakeTable(pipe._scd_open_root())
+    closed_t = LakeTable(pipe._scd_closed_root())
+    closed_before = {(f.path, f.rows, f.bytes) for f in closed_t.snapshot().files}
+    open_before = {f.path: f.bucket for f in open_t.snapshot().files}
+    assert len(closed_before) > 0
+
+    # epoch 1: concentrated — every event hits ONE key
+    one = spark.createDataFrame(
+        [(700 + i, "u", "repo-0", "hot.py", f"c{i}", "python", f"v{i}", None)
+         for i in range(5)],
+        "lsn long, op string, repo string, path string, commit string, "
+        "lang string, content string, ts timestamp",
+    )
+    pipe.apply_batch(spark, one, epoch=1)
+
+    # (1) closed table is append-only: every prior entry carried verbatim
+    closed_after = {(f.path, f.rows, f.bytes) for f in closed_t.snapshot().files}
+    assert closed_before <= closed_after
+    assert len(closed_after) > len(closed_before)  # the epoch closed rows
+    # (2) open table: only the hot key's bucket was rewritten
+    m = pipe.scd_metrics
+    assert m["epoch"] == 1 and m["closed_files_read"] == 0
+    assert m["open_buckets_read"] == 1
+    assert m["open_files_read"] < m["open_files_total"]
+    open_after = {f.path: f.bucket for f in open_t.snapshot().files}
+    hot_bucket = {
+        f.bucket for f in open_t.snapshot().files if f.path not in open_before
+    }
+    assert len(hot_bucket) == 1
+    untouched_before = {p for p, b in open_before.items() if b not in hot_bucket}
+    assert untouched_before <= set(open_after)  # untouched buckets carried
+
+    # and the maintained history still equals the full recompute
+    from airbyte_spark.engine import normalize
+    from airbyte_spark.engine.scd import scd2_from_changelog
+    from pyspark.sql import functions as F
+
+    base_ev = normalize.canonicalize_keys(base).select(
+        F.lit(-1).cast("long").alias("lsn"), F.lit("i").alias("op"),
+        "repo", "path", "commit", "lang", "content",
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    all_ev = (
+        normalize.canonicalize_keys(wide).select(*base_ev.columns)
+        .unionByName(one.select(*base_ev.columns))
+        .unionByName(base_ev)
+    )
+    full = scd2_from_changelog(all_ev, ["repo", "path"], "lsn")
+    cols = ["repo", "path", "valid_from", "lsn", "op", "valid_to", "active_row"]
+    got = sorted(tuple(r) for r in pipe.read_history(spark).select(*cols).collect())
+    exp = sorted(tuple(r) for r in full.select(*cols).collect())
+    assert got == exp
