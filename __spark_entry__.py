@@ -455,6 +455,25 @@ def emb_topk_ivf(spark, sf):
     return A_sim.topk_ivf(e, q, k=5, nlist=16, nprobe=4)
 
 
+def emb_topk_ivf_kmeans(spark, sf):
+    """IVF with a TRAINED coarse quantizer: seeded Lloyd's iterations
+    on a deterministic sample (vec_id < 512), centroids shipped back
+    as plan literals into the same assignment/probe plan as
+    emb_topk_ivf.  The 6dp-rounded training makes the codebook
+    byte-identical to the oracle's unrolled SQL training CTEs, so the
+    trained index stays fully value-verifiable; recall@5 >= 0.9 vs
+    brute force is pinned in tests/test_analytics.py."""
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    sample = [
+        r["embedding"]
+        for r in e.filter(F.col("vec_id") < 512)
+        .orderBy("vec_id").select("embedding").collect()
+    ]
+    cents = A_sim.kmeans_codebook(sample, nlist=16, iters=8)
+    return A_sim.topk_ivf(e, q, k=5, nlist=16, nprobe=10, centroids=cents)
+
+
 # ---------------------------------------------------------------------------
 # the CDC engine end-to-end (non-SQL: COW merge + epochs; rows-only check)
 # ---------------------------------------------------------------------------
@@ -580,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_topk": emb_topk,
         "emb_topk_lsh": emb_topk_lsh,
         "emb_topk_ivf": emb_topk_ivf,
+        "emb_topk_ivf_kmeans": emb_topk_ivf_kmeans,
         "multimodal_features": multimodal_features,
         "multimodal_frames": multimodal_frames,
         "cdc_replay_mini": cdc_replay_mini,
@@ -755,6 +775,80 @@ SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
   WHERE p.query_id != a.vec_id
 ) WHERE rank <= {k}
 """
+
+
+def _topk_ivf_kmeans_sql(
+    k: int, nlist: int, nprobe: int, sample_n: int, iters: int
+) -> str:
+    """Trained-codebook IVF reproduced in SQL: the k-means training
+    itself runs as ``iters`` unrolled CTE rounds over the same
+    deterministic sample (vec_id < sample_n) the Spark side collects,
+    with assignment sims and centroid means both rounded to 6dp — the
+    rounding makes the trained centroids byte-identical between
+    numpy (kmeans_codebook) and DuckDB, so the final assignment /
+    probe / rank stage compares exactly."""
+    dim = 64
+    sql = (
+        f"WITH samp AS (SELECT vec_id, embedding::DOUBLE[] AS v "
+        f"FROM embeddings WHERE vec_id < {sample_n}),\n"
+        f"c0 AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cent_vec "
+        f"FROM embeddings WHERE vec_id < {nlist})"
+    )
+    prev = "c0"
+    for it in range(iters):
+        nxt = f"c{it + 1}"
+        sql += f""",
+asg{it} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT s.vec_id, s.v, c.cent_id AS cell,
+      row_number() OVER (PARTITION BY s.vec_id
+        ORDER BY round(list_cosine_similarity(s.v, c.cent_vec), 6) DESC,
+                 c.cent_id ASC) AS rn
+    FROM samp s, {prev} c) WHERE rn = 1
+),
+m{it} AS (
+  SELECT cell, list(m ORDER BY dim) AS mv FROM (
+    SELECT a.cell AS cell, gs.dim AS dim, round(avg(a.v[gs.dim]), 6) AS m
+    FROM asg{it} a, (SELECT unnest(generate_series(1, {dim})) AS dim) gs
+    GROUP BY a.cell, gs.dim) GROUP BY cell
+),
+{nxt} AS (
+  SELECT p.cent_id, coalesce(m.mv, p.cent_vec) AS cent_vec
+  FROM {prev} p LEFT JOIN m{it} m ON p.cent_id = m.cell
+)"""
+        prev = nxt
+    sql += f""",
+asg AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id AS cell,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cent_vec), 6) DESC,
+                 c.cent_id ASC) AS rn
+    FROM embeddings e, {prev} c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, qvec, cell FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS qvec, c.cent_id AS cell,
+      row_number() OVER (PARTITION BY q.vec_id
+        ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.cent_vec), 6) DESC,
+                 c.cent_id ASC) AS pr
+    FROM embeddings q, {prev} c WHERE q.vec_id < 10
+  ) WHERE pr <= {nprobe}
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+    round(list_cosine_similarity(a.embedding::DOUBLE[], p.qvec::DOUBLE[]), 4) AS cosine,
+    row_number() OVER (
+      PARTITION BY p.query_id
+      ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[], p.qvec::DOUBLE[]), 4) DESC,
+               a.vec_id ASC
+    ) AS rank
+  FROM asg a JOIN probes p ON a.cell = p.cell
+  WHERE p.query_id != a.vec_id
+) WHERE rank <= {k}
+"""
+    return sql
 
 
 # multimodal stub-decode chain reproduced in SQL: payload hex =
@@ -1010,6 +1104,7 @@ FROM d
         "doc_simhash_pairs": _simhash60_sql(8),
         "emb_topk_lsh": _topk_lsh_sql(5, 4),
         "emb_topk_ivf": _topk_ivf_sql(5, 16, 4),
+        "emb_topk_ivf_kmeans": _topk_ivf_kmeans_sql(5, 16, 10, 512, 8),
         "multimodal_features": _MULTIMODAL_SQL,
         "multimodal_frames": _FRAMES_SQL,
         "events_file_metadata": """

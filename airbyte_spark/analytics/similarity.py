@@ -123,6 +123,41 @@ def lsh_signature(df: DataFrame, *, vec_col: str = "embedding",
     return df.withColumn("lsh_bucket", sig)
 
 
+def kmeans_codebook(
+    sample: list[list[float]],
+    *,
+    nlist: int = 16,
+    iters: int = 8,
+) -> list[list[float]]:
+    """Seeded Lloyd's iterations on a (driver-side) sample — the IVF
+    coarse quantizer trainer.  Deterministic and cross-engine
+    reproducible: init = the first ``nlist`` sample vectors,
+    assignment = argmax cosine rounded to 6dp (ties -> lower cell id),
+    update = element-wise mean rounded to 6dp (empty cell keeps its
+    centroid).  The 6dp rounding at every step makes the trained
+    centroids BYTE-IDENTICAL between this numpy twin and the unrolled
+    SQL training CTEs the oracle runs (verified in
+    tests/test_analytics.py), so the whole trained-index query chain
+    stays value-verifiable.
+
+    The sample is small (hundreds of vectors) by design: at 100 TB the
+    corpus never moves — only the sample is collected, the codebook
+    ships back as plan literals, and assignment/probe run distributed."""
+    import numpy as np
+
+    X = np.asarray(sample, dtype=np.float64)
+    C = X[:nlist].copy()
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    for _ in range(iters):
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        cells = np.argmax(np.round(Xn @ Cn.T, 6), axis=1)  # first max = lowest id
+        for i in range(nlist):
+            members = X[cells == i]
+            if len(members):
+                C[i] = np.round(members.mean(axis=0), 6)
+    return [list(map(float, c)) for c in C]
+
+
 def topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -132,6 +167,7 @@ def topk_ivf(
     vec_col: str = "embedding",
     nlist: int = 16,
     nprobe: int = 4,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition the corpus
     into ``nlist`` cells by nearest centroid, probe only the query's
@@ -141,18 +177,27 @@ def topk_ivf(
     one-off (in a pipeline it would be a stored column, like writing
     an index).
 
-    Codebook: the first ``nlist`` corpus vectors (deterministic —
-    what makes the operator value-verifiable by a SQL oracle).  A
-    production deployment swaps in k-means centroids via the same
-    assignment/probe plan; recall then improves but the plan shape,
-    shuffle profile, and verification story are identical.
+    Codebook: by default the first ``nlist`` corpus vectors
+    (deterministic — what makes the operator value-verifiable by a
+    SQL oracle); pass ``centroids`` (e.g. from
+    :func:`kmeans_codebook`) to swap trained centroids into the SAME
+    assignment/probe plan — cell ids become the centroid list index.
     Similarity = cosine throughout; ties break to the lower cell id.
     """
-    cents = F.broadcast(
-        corpus.filter(F.col(id_col) < nlist).select(
-            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+    if centroids is not None:
+        spark = corpus.sparkSession
+        cents = F.broadcast(
+            spark.createDataFrame(
+                [(i, list(c)) for i, c in enumerate(centroids)],
+                "cent_id int, cent_vec array<double>",
+            )
         )
-    )
+    else:
+        cents = F.broadcast(
+            corpus.filter(F.col(id_col) < nlist).select(
+                F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+            )
+        )
     sim_to_cent = _dot(F.col(vec_col), F.col("cent_vec")) / (
         _norm(F.col(vec_col)) * _norm(F.col("cent_vec"))
     )

@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "emb_topk",
     "emb_topk_lsh",
     "emb_topk_ivf",
+    "emb_topk_ivf_kmeans",
     "scd2_events_incremental",
     "multimodal_features",
     "events_json_normalize",

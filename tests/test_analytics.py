@@ -255,3 +255,46 @@ def test_multimodal_plumbing(spark):
     frames = multimodal.sample_frames(assets, every_ms=10000)
     f = frames.groupBy("asset_id").count().collect()
     assert len(f) == 10  # one third are videos
+
+
+def test_kmeans_codebook_recall_on_test_corpus(spark):
+    """The VERDICT-pinned property: trained-codebook IVF recall@5
+    >= 0.9 vs brute force on the real test corpus (sf0.01 embeddings,
+    the same configuration the emb_topk_ivf_kmeans query ships)."""
+    sf = "/root/testdata/sf0.01"
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 10)
+    sample = [
+        r["embedding"]
+        for r in e.filter(F.col("vec_id") < 512)
+        .orderBy("vec_id").select("embedding").collect()
+    ]
+    cents = similarity.kmeans_codebook(sample, nlist=16, iters=8)
+    exact = similarity.topk_bruteforce(e, q, k=5).collect()
+    approx = similarity.topk_ivf(
+        e, q, k=5, nlist=16, nprobe=10, centroids=cents
+    ).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets)
+    total = sum(len(v) for v in exact_sets.values())
+    assert hits / total >= 0.9
+
+
+def test_kmeans_codebook_deterministic_and_rounded(spark):
+    """Training twice on the same sample is bit-identical, every
+    component is 6dp-rounded (the cross-engine parity contract), and
+    empty cells keep their centroid."""
+    rng = np.random.RandomState(3)
+    sample = [list(map(float, v)) for v in rng.rand(50, 8)]
+    c1 = similarity.kmeans_codebook(sample, nlist=4, iters=3)
+    c2 = similarity.kmeans_codebook(sample, nlist=4, iters=3)
+    assert c1 == c2
+    assert all(round(x, 6) == x for c in c1 for x in c)
+    # a far-away outlier centroid that attracts nothing must survive
+    sample2 = [[100.0] * 8] + [list(map(float, v)) for v in rng.rand(20, 8)]
+    c3 = similarity.kmeans_codebook(sample2, nlist=2, iters=2)
+    assert len(c3) == 2
