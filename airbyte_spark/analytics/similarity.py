@@ -67,6 +67,31 @@ def cosine_pairs(
     )
 
 
+def _topk_rank(pairs: DataFrame, k: int) -> DataFrame:
+    """Per-query top-k of a (query_id, neighbor_id, cosine) pair set.
+
+    Shape matters at scale: row_number-over-(query_id)-then-filter is
+    recognized by Catalyst's rank-limit pushdown (SPARK-37099), which
+    inserts a PARTIAL WindowGroupLimit before the exchange — every map
+    partition is pre-reduced to its local top-k per query, so the
+    shuffle carries only |Q|·P·k rows and the |Q|-partition window
+    never sees the full candidate set.  tests/test_analytics.py pins
+    the Partial WindowGroupLimit in the physical plan (a manual
+    groupBy pre-reduction was tried and is strictly worse: partial
+    collect_list ships the UN-sliced buffers through the exchange).
+    Tie order: cosine desc, neighbor_id asc."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def topk_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -79,16 +104,7 @@ def topk_bruteforce(
     tie-break on neighbor id."""
     pairs = cosine_pairs(corpus, queries, id_col=id_col, vec_col=vec_col,
                          threshold=-1.0)
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _topk_rank(pairs, k)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
@@ -240,14 +256,7 @@ def topk_ivf(
         .withColumn("cosine", F.round(sim, 4))
     )
     # no pair dedup needed: each corpus vector lives in exactly one cell
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _topk_rank(pairs, k)
 
 
 def topk_lsh(
@@ -286,13 +295,4 @@ def topk_lsh(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine", F.round(sim, 4))
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _topk_rank(pairs, k)

@@ -298,3 +298,25 @@ def test_kmeans_codebook_deterministic_and_rounded(spark):
     sample2 = [[100.0] * 8] + [list(map(float, v)) for v in rng.rand(20, 8)]
     c3 = similarity.kmeans_codebook(sample2, nlist=2, iters=2)
     assert len(c3) == 2
+
+
+def test_topk_plan_has_partial_prereduction(spark):
+    """The top-k tail must pre-reduce per map partition BEFORE the
+    query_id exchange, so the |Q|-partition window never sees the full
+    candidate set.  Catalyst's rank-limit pushdown (SPARK-37099) does
+    this natively: row_number-over-partitionBy + rank<=k filter inserts
+    a Partial-mode WindowGroupLimit upstream of the shuffle.  Pin it —
+    if a refactor breaks the pushdown pattern (e.g. an extra projection
+    between the window and the filter), every scored candidate ships
+    through the exchange again."""
+    rng = np.random.RandomState(5)
+    vecs = rng.rand(60, 16).astype(np.float32)
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in vecs[i]]) for i in range(60)]
+    )
+    q = df.filter(F.col("vec_id") < 3)
+    plan = similarity.topk_bruteforce(df, q, k=4)._jdf.queryExecution().toString()
+    assert "WindowGroupLimit" in plan
+    # the partial (map-side, pre-exchange) instance must be present
+    pre_exchange = plan.split("Exchange hashpartitioning(query_id")[-1]
+    assert "WindowGroupLimit" in pre_exchange and "Partial" in pre_exchange
