@@ -100,6 +100,7 @@ def run_stream(
     *,
     max_files_per_trigger: int | None = None,
     on_batch: Callable[[BatchStats], None] | None = None,
+    base: DataFrame | None = None,
 ) -> list[BatchStats]:
     """One bounded sync run (Trigger.AvailableNow).  Returns per-batch
     stats.  Safe to re-run after a kill: the streaming checkpoint
@@ -108,20 +109,48 @@ def run_stream(
 
     Before tailing, the offset-continuity guard compares the saved
     offset against the tail's earliest retained LSN (footer stats, no
-    job) and raises OffsetInvalidated on a retention gap — streaming
-    mode never auto-rebootstraps; re-snapshot via the batch path."""
-    if pipeline.check_offset_continuity(tail_min_lsn(changelog_dir)):
+    job).  On a retention gap it raises OffsetInvalidated — unless the
+    pipeline was built with ``on_invalid_offset='rebootstrap'`` AND a
+    fresh ``base`` snapshot is provided, in which case it re-snapshots
+    in place and tails the retained files from the gap's far side (the
+    streaming twin of ``CdcPipeline.replay(base=...)``; reference
+    behavior: PostgresSource.java:366-375 resyncs without operator
+    intervention).  The old streaming checkpoint refers to files lost
+    to retention, so rebootstrap starts a FRESH checkpoint; because a
+    fresh checkpoint restarts batchIds at 0 while committed table
+    epochs survive the re-snapshot, the epoch continuation offset is
+    persisted in the new checkpoint dir (``_epoch_base``) so replayed
+    batchIds keep mapping to the same epochs across kill/resume and
+    nothing is spuriously epoch-skipped."""
+    gap_min = tail_min_lsn(changelog_dir)
+    if pipeline.check_offset_continuity(gap_min):
         from airbyte_spark.engine.pipeline import OffsetInvalidated
 
-        raise OffsetInvalidated(
-            f"stream {pipeline.stream}: retention gap in {changelog_dir}; "
-            f"re-snapshot with the batch replay path (rebootstrap is not "
-            f"available mid-stream)"
-        )
+        if base is None:
+            raise OffsetInvalidated(
+                f"stream {pipeline.stream}: retention gap in {changelog_dir}; "
+                f"pass a fresh base snapshot to run_stream(base=...) to "
+                f"rebootstrap, or re-snapshot via the batch replay path"
+            )
+        # retained tail starts at gap_min: snapshot covers (.., gap_min-1]
+        t = pipeline.bootstrap(spark, base, snapshot_lsn=gap_min - 1)
+        import shutil
+
+        shutil.rmtree(checkpoint_dir, ignore_errors=True)
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        with open(os.path.join(checkpoint_dir, "_epoch_base"), "w") as fh:
+            fh.write(str(t.last_epoch(pipeline.stream) + 1))
+    epoch_base = 0
+    base_marker = os.path.join(checkpoint_dir, "_epoch_base")
+    if os.path.exists(base_marker):
+        with open(base_marker) as fh:
+            epoch_base = int(fh.read().strip())
     stats: list[BatchStats] = []
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        st = pipeline.apply_batch(batch_df.sparkSession, batch_df, int(batch_id))
+        st = pipeline.apply_batch(
+            batch_df.sparkSession, batch_df, int(batch_id) + epoch_base
+        )
         stats.append(st)
         if on_batch is not None:
             on_batch(st)

@@ -118,3 +118,47 @@ def test_streaming_guard(spark, tmp_path):
     pipe.state.record_offset(pipe.stream, 999)
     stats = run_stream(spark, pipe, tail, os.path.join(tmp_path, "cp"))
     assert any(s.committed for s in stats)
+
+
+def test_streaming_rebootstrap_resnapshots_and_matches_fresh(spark, tmp_path):
+    """Streaming twin of the batch rebootstrap test: a retention gap
+    in the tail dir with on_invalid_offset='rebootstrap' + a fresh
+    base re-snapshots in place (fresh checkpoint, continued epochs)
+    and ends byte-equal to a fresh pipeline built from the same
+    snapshot + retained tail."""
+    from airbyte_spark.streaming.runner import run_stream, write_changelog_chunks
+
+    base0 = base_table(spark, 200, n_repos=5, paths_per_repo=20)
+    ev0 = changelog(spark, 600, n_repos=5, paths_per_repo=20)
+    base1 = base_table(spark, 260, seed=9, n_repos=5, paths_per_repo=20)
+    late = changelog(spark, 600, start_lsn=1200, n_repos=5, paths_per_repo=20)
+
+    tail0 = os.path.join(tmp_path, "tail0")
+    write_changelog_chunks(ev0, tail0, chunk_lsns=200, lo=0, hi=599)
+    stale = CdcPipeline(
+        os.path.join(tmp_path, "stale"), n_buckets=4,
+        on_invalid_offset="rebootstrap",
+    )
+    stale.bootstrap(spark, base0)
+    cp0 = os.path.join(tmp_path, "cp0")
+    stats0 = run_stream(spark, stale, tail0, cp0)
+    assert any(s.committed for s in stats0)
+
+    # retention gap: events 600..1199 lost; only the late tail remains
+    tail1 = os.path.join(tmp_path, "tail1")
+    write_changelog_chunks(late, tail1, chunk_lsns=200, lo=1200, hi=1799)
+    # without a base, streaming still fails loud
+    with pytest.raises(OffsetInvalidated, match="rebootstrap"):
+        run_stream(spark, stale, tail1, os.path.join(tmp_path, "cp1"))
+    stats1 = run_stream(
+        spark, stale, tail1, os.path.join(tmp_path, "cp1"), base=base1
+    )
+    assert any(s.committed for s in stats1)
+    # epochs continued past the pre-gap run — nothing epoch-skipped
+    assert min(s.epoch for s in stats1) > max(s.epoch for s in stats0)
+
+    fresh = CdcPipeline(os.path.join(tmp_path, "fresh"), n_buckets=4)
+    fresh.bootstrap(spark, base1, snapshot_lsn=1199)
+    fresh.replay(spark, late, batch_lsns=200)
+
+    assert _final(spark, stale) == _final(spark, fresh)
