@@ -400,6 +400,27 @@ def doc_clean_corpus(spark, sf):
     return A_dedup.dedup_exact(kept).select("doc_id")
 
 
+def doc_clean_corpus_neardup(spark, sf):
+    """The FULL C4-style cleaning pipeline: quality gate + english
+    lang-ID + exact-dup removal, then NEAR-dup removal over the
+    survivors — MinHash-LSH candidate pairs, exact-Jaccard verified,
+    greedy min-id keep (a doc is dropped iff some verified near-dup
+    with a smaller id survived the exact stages).  The near-dup stage
+    only shingles documents that already passed the cheap filters, so
+    at 100 TB the expensive stage sees the reduced corpus; the whole
+    pipeline is one declarative plan with the LSH banding join as its
+    only quadratic-risk step (sub-quadratic by bucketing)."""
+    d = _t(spark, sf, "documents")
+    q = A_text.quality_score(A_text.lang_id(d))
+    kept = q.filter(F.col("quality_ok") & (F.col("lang_pred") == "en"))
+    clean = A_dedup.dedup_exact(kept)
+    pairs = A_dedup.minhash_lsh_verified_pairs(
+        clean, shingle=3, bands=32, threshold=0.5
+    )
+    losers = pairs.select(F.col("id2").alias("doc_id")).distinct()
+    return clean.join(losers, "doc_id", "left_anti").select("doc_id")
+
+
 def doc_jaccard_pairs(spark, sf):
     """Scale-safe configuration: 3-gram shingles + the inverted-index
     hot-token guard (max_token_df) — unigrams with no guard blow up
@@ -592,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": doc_lang_id,
         "doc_fingerprint": doc_fingerprint,
         "doc_clean_corpus": doc_clean_corpus,
+        "doc_clean_corpus_neardup": doc_clean_corpus_neardup,
         "doc_jaccard_pairs": doc_jaccard_pairs,
         "doc_minhash_lsh_pairs": doc_minhash_lsh_pairs,
         "doc_simhash_pairs": doc_simhash_pairs,
@@ -676,6 +698,38 @@ kept AS (
     AND round(CASE WHEN length(text) > 0 THEN punct / length(text) ELSE 0.0 END, 4) <= 0.3
 )
 SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+"""
+
+
+def _clean_corpus_neardup_sql() -> str:
+    """The full pipeline incl. near-dup removal: the clean-corpus
+    statement as a CTE, then brute-force exact 3-gram Jaccard among
+    the surviving docs (the ground truth the LSH stage approximates
+    with ~1e-4 worst-case miss probability) and the same greedy
+    min-id keep rule."""
+    return f"""
+WITH clean AS ({_clean_corpus_sql()}),
+d AS (
+  SELECT documents.doc_id AS id, {_GRAMS3} AS grams
+  FROM documents JOIN clean USING (doc_id)
+  WHERE length(trim(text)) > 0
+),
+s AS (SELECT id, len(grams) AS sz FROM d),
+inv AS (SELECT id, unnest(grams) AS g FROM d),
+inter AS (
+  SELECT a.id AS id1, b.id AS id2, count(*) AS inter
+  FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+losers AS (
+  SELECT DISTINCT id2
+  FROM inter
+  JOIN s s1 ON id1 = s1.id
+  JOIN s s2 ON id2 = s2.id
+  WHERE round(inter / (s1.sz + s2.sz - inter), 4) >= 0.5
+)
+SELECT doc_id FROM clean
+WHERE doc_id NOT IN (SELECT id2 FROM losers)
 """
 
 
@@ -1086,6 +1140,7 @@ FROM q
 """,
         "doc_lang_id": _lang_case(),
         "doc_clean_corpus": _clean_corpus_sql(),
+        "doc_clean_corpus_neardup": _clean_corpus_neardup_sql(),
         "doc_fingerprint": f"""
 WITH d AS (
   SELECT doc_id,

@@ -29,6 +29,7 @@ BENCH_QUERIES = [
     "doc_token_stats",
     "doc_quality",
     "doc_minhash_lsh_pairs",
+    "doc_clean_corpus_neardup",
     "doc_simhash_pairs",
     "emb_topk",
     "emb_topk_lsh",
