@@ -164,3 +164,41 @@ def test_avro_overwrite_mode_replaces(spark, tmp_path):
 
     with pytest.raises(ValueError, match="mode='error'"):
         write_avro(df, out, stream="s", properties=props, mode="error")
+
+
+def test_vectorized_encode_byte_parity():
+    """encode_batch (the numpy bulk path the sink uses) must emit
+    byte-identical output to the per-row spec encoder for every type,
+    null pattern, and extreme value."""
+    import io
+
+    import pandas as pd
+
+    from airbyte_spark.formats import avro as A
+
+    props = {
+        "a": "integer", "a2": "integer", "b": "number", "c": "string",
+        "d": "boolean", "e": "timestamp_without_timezone", "f": "date",
+        "g": "object",
+    }
+    pdf = pd.DataFrame({
+        "a": [1, None, -(2**62), 2**62, 0],
+        "a2": [1.0, float("nan"), -7.0, 3.0, 0.0],  # float-backed nullable int
+        "b": [1.5, -0.0, None, float("inf"), -2.25],
+        "c": ["x", "héllo ⚡", None, "", "multi\nline"],
+        "d": [True, False, None, True, False],
+        "e": pd.to_datetime([
+            "2024-01-02 03:04:05.123456", None, "1969-12-31 23:59:59",
+            "2100-06-01", "1970-01-01",
+        ], format="mixed"),
+        "f": [datetime.date(2024, 3, 4), None, datetime.date(1969, 1, 1),
+              datetime.date(1970, 1, 1), datetime.date(2400, 12, 31)],
+        "g": ['{"k": 1}', None, "[1,2]", "", "plain"],
+    })
+    flat = A.encode_batch(pdf, props).tobytes()
+    buf = io.BytesIO()
+    for row in pdf.to_dict("records"):
+        for fname, ftype in props.items():
+            v = row[fname]
+            A._encode_value(buf, ftype, None if pd.isna(v) else v)
+    assert flat == buf.getvalue()
