@@ -220,7 +220,14 @@ def events_stream_hwm(spark, sf):
     """Custom stateful streaming operator (applyInPandasWithState,
     streaming/stateful.py): per-key running HWM + event count carried
     in Spark-managed state across microbatches; the final state after
-    a bounded run must equal the batch aggregate the oracle computes."""
+    a bounded run must equal the batch aggregate the oracle computes.
+
+    The foreachBatch sink collects each microbatch's updated state
+    rows driver-side — fine HERE because the state space is the test
+    fixture's ~150 keys and the driver needs the final dict to build
+    the comparable result; a production job would write each batch to
+    a sink table instead (the updated-state stream is per-key-bounded
+    either way)."""
     from airbyte_spark.streaming.stateful import running_hwm
 
     e = _t(spark, sf, "events").select("user_id", "event_id")

@@ -23,7 +23,15 @@ def _widen(df: DataFrame) -> DataFrame:
     computation is CPU-heavy per row; a small single-file input (one
     parquet row group -> one task) would otherwise serialize it on one
     core.  No-op at lake scale where inputs already have >= cores
-    partitions."""
+    partitions.
+
+    ``df.rdd.getNumPartitions()`` is deliberate and accepted: it
+    triggers physical planning (no job, no data movement) to read the
+    true scan parallelism — the same planning the downstream action
+    performs moments later, so the marginal cost is one extra plan of
+    a scan subtree.  The alternative (unconditional repartition)
+    would insert a full shuffle at lake scale precisely when the
+    input is already wide."""
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
