@@ -1,0 +1,85 @@
+"""Deterministically scale the synthetic documents/embeddings tables
+by an integer factor, for oracle sweeps beyond the shipped sf0.1
+(TESTDATA.md: sf{0.001,0.01,0.1} only; /root/testdata is read-only).
+
+Usage: python tools/gen_scale.py SRC_SF_DIR OUT_DIR FACTOR
+
+Replica r of a document keeps replica 0's text verbatim for r=0 and,
+for r>0, replaces every third token (phase shifted by r) with a
+replica-unique token — so replicas of the same document share almost
+no 3-gram shingles (no artificial cross-replica near-dup explosion),
+while replica 0 preserves the original planted near-dup structure.
+Embeddings get seeded gaussian noise + renormalization per replica.
+ids offset by r*10_000_000.  All other tables are copied unchanged.
+Everything is generated once and written as parquet; the oracle
+compares Spark vs DuckDB over the SAME files, so generation just has
+to be deterministic, which RandomState(r) + positional rules are.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+import numpy as np
+import pandas as pd
+
+OFFSET = 10_000_000
+
+
+def scale_documents(src: str, out: str, factor: int) -> int:
+    pdf = pd.read_parquet(os.path.join(src, "documents.parquet"))
+    reps = []
+    for r in range(factor):
+        rep = pdf.copy()
+        rep["doc_id"] = rep["doc_id"] + r * OFFSET
+        if r > 0:
+            def _perturb(text: str, r: int = r) -> str:
+                toks = text.split()
+                return " ".join(
+                    f"w{r}p{i}" if (i + r) % 3 == 0 else t
+                    for i, t in enumerate(toks)
+                )
+            rep["text"] = rep["text"].map(_perturb)
+            rep["n_chars"] = rep["text"].str.len()
+        reps.append(rep)
+    allr = pd.concat(reps, ignore_index=True)
+    allr.to_parquet(os.path.join(out, "documents.parquet"), index=False)
+    return len(allr)
+
+
+def scale_embeddings(src: str, out: str, factor: int) -> int:
+    pdf = pd.read_parquet(os.path.join(src, "embeddings.parquet"))
+    dim = len(pdf["embedding"].iloc[0])
+    reps = []
+    for r in range(factor):
+        rep = pdf.copy()
+        rep["vec_id"] = rep["vec_id"] + r * OFFSET
+        if r > 0:
+            rng = np.random.RandomState(1000 + r)
+            mat = np.stack(rep["embedding"].to_numpy()).astype(np.float32)
+            mat = mat + rng.normal(0, 0.3, mat.shape).astype(np.float32)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            rep["embedding"] = [row.astype(np.float32) for row in mat]
+        reps.append(rep)
+    allr = pd.concat(reps, ignore_index=True)
+    allr.to_parquet(os.path.join(out, "embeddings.parquet"), index=False)
+    return len(allr)
+
+
+def main() -> None:
+    src, out, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    os.makedirs(out, exist_ok=True)
+    nd = scale_documents(src, out, factor)
+    ne = scale_embeddings(src, out, factor)
+    for f in os.listdir(src):
+        if f.endswith(".parquet") and f not in (
+            "documents.parquet", "embeddings.parquet"
+        ):
+            shutil.copy(os.path.join(src, f), os.path.join(out, f))
+    print(f"wrote {out}: documents={nd} embeddings={ne} (factor {factor})")
+
+
+if __name__ == "__main__":
+    main()
