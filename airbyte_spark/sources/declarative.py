@@ -1,0 +1,334 @@
+"""Declarative (low-code) source: manifest -> requester graph -> DataFrame.
+
+Reference parity (SURVEY.md §2.2 "Declarative source"): the reference's
+low-code CDK builds a stream from a YAML manifest wiring a requester,
+paginator, record selector, and partition/slice router
+(airbyte-cdk/python/airbyte_cdk/sources/declarative/declarative_stream.py:19-80,
+requesters/paginators/strategies/{offset_increment.py:15-57,
+page_increment.py, cursor_pagination_strategy.py:17-50},
+extractors/{dpath_extractor.py:17-45, record_filter.py},
+partition_routers/list_partition_router.py:15-40).  This module
+re-expresses that graph Spark-first:
+
+* the TRANSPORT is injected: any callable ``(request: dict) -> dict``
+  (this sandbox has no network, so HTTP itself is out of scope — the
+  reference's own unit tests mock the transport the same way; a real
+  deployment passes a urllib/requests-backed callable);
+* pagination is inherently a sequential protocol (each page token
+  depends on the previous response), so page iteration runs
+  driver-side per slice, exactly like the reference's per-stream read
+  loop.  SLICES are the parallel axis: independent slices fan out on a
+  thread pool (I/O-bound — the GIL is released in any real transport),
+  and the collected records land in ONE ``spark.createDataFrame`` via
+  Arrow so everything downstream (normalization, merge) is distributed.
+  A declarative API source is a control-plane trickle next to the data
+  plane — the bytes/sec ceiling is the remote API, not Spark;
+* records are plain dicts; the selector walks a field path into the
+  decoded response (array -> records, object -> single record), then an
+  optional predicate filters record dicts.
+
+Manifest shape (JSON/dict; a YAML loader is one ``yaml.safe_load``
+away — not bundled because pyyaml is not in this environment):
+
+    {"streams": [{
+        "name": "items",
+        "primary_key": "id",
+        "retriever": {
+          "path": "/v1/items",
+          "page_size": 100,
+          "paginator": {"type": "OffsetIncrement"},
+          "selector": {"field_path": ["data", "items"],
+                        "filter": {"field": "status", "op": "!=",
+                                   "value": "deleted"}}},
+        "slicer": {"type": "List", "cursor_field": "region",
+                    "values": ["eu", "us"]},
+        "cursor_field": "updated_at"}]}
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import Any, Callable, Iterable
+
+Transport = Callable[[dict], dict]
+
+
+# ---------------------------------------------------------------------------
+# pagination strategies (requesters/paginators/strategies/*)
+# ---------------------------------------------------------------------------
+
+class PaginationStrategy:
+    """Produces the next page token from (response, page_records);
+    None ends the stream slice.  Stateless across slices via reset()."""
+
+    def reset(self) -> None:  # pragma: no cover - trivial default
+        pass
+
+    def next_page_token(self, response: dict, records: list[dict]):
+        raise NotImplementedError
+
+
+@dataclass
+class NoPagination(PaginationStrategy):
+    """Single-request streams (no_pagination.py)."""
+
+    def next_page_token(self, response, records):
+        return None
+
+
+@dataclass
+class OffsetIncrement(PaginationStrategy):
+    """Token = records read so far; stop on a short page
+    (offset_increment.py:48-56)."""
+
+    page_size: int = 100
+    _offset: int = field(default=0, repr=False)
+
+    def reset(self):
+        self._offset = 0
+
+    def next_page_token(self, response, records):
+        if len(records) < self.page_size:
+            return None
+        self._offset += len(records)
+        return self._offset
+
+
+@dataclass
+class PageIncrement(PaginationStrategy):
+    """Token = page number; stop on a short page (page_increment.py)."""
+
+    page_size: int = 100
+    start_from_page: int = 0
+    _page: int = field(default=0, repr=False)
+
+    def reset(self):
+        self._page = self.start_from_page
+
+    def next_page_token(self, response, records):
+        if len(records) < self.page_size:
+            return None
+        self._page += 1
+        return self._page
+
+
+@dataclass
+class CursorPagination(PaginationStrategy):
+    """Token extracted from the response body by field path; absent or
+    null token stops (cursor_pagination_strategy.py:44-50 minus the
+    jinja interpolation — the path IS the common case every
+    interpolated manifest reduces to)."""
+
+    cursor_path: list[str] = field(default_factory=lambda: ["next"])
+
+    def next_page_token(self, response, records):
+        node: Any = response
+        for k in self.cursor_path:
+            if not isinstance(node, dict) or k not in node:
+                return None
+            node = node[k]
+        return node or None
+
+
+# ---------------------------------------------------------------------------
+# record selection (extractors/dpath_extractor.py, record_filter.py)
+# ---------------------------------------------------------------------------
+
+_OPS: dict[str, Callable[[Any, Any], bool]] = {
+    "==": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+    ">": lambda a, b: a is not None and a > b,
+    ">=": lambda a, b: a is not None and a >= b,
+    "<": lambda a, b: a is not None and a < b,
+    "<=": lambda a, b: a is not None and a <= b,
+    "in": lambda a, b: a in b,
+}
+
+
+@dataclass
+class RecordSelector:
+    """field_path walk (array -> records, object -> [object], missing
+    -> []) + optional field/op/value predicate."""
+
+    field_path: list[str] = field(default_factory=list)
+    filter: dict | None = None
+
+    def select(self, response: dict) -> list[dict]:
+        node: Any = response
+        for k in self.field_path:
+            if not isinstance(node, dict) or k not in node:
+                return []
+            node = node[k]
+        if node is None:
+            return []
+        records = node if isinstance(node, list) else [node]
+        if self.filter:
+            op = _OPS[self.filter.get("op", "==")]
+            f, v = self.filter["field"], self.filter.get("value")
+            records = [r for r in records if op(r.get(f), v)]
+        return records
+
+
+# ---------------------------------------------------------------------------
+# slicing (partition_routers/list_partition_router.py, datetime slices)
+# ---------------------------------------------------------------------------
+
+def list_slices(cursor_field: str, values: Iterable[Any]) -> list[dict]:
+    return [{cursor_field: v} for v in values]
+
+
+def datetime_slices(cursor_field: str, start: str, end: str,
+                    step_days: int) -> list[dict]:
+    """Datetime windows via the engine's existing slicer
+    (datetime_based_cursor.py analog, engine/incremental.py)."""
+    import datetime as _dt
+
+    lo = _dt.date.fromisoformat(start)
+    hi = _dt.date.fromisoformat(end)
+    out = []
+    while lo <= hi:
+        nxt = min(lo + _dt.timedelta(days=step_days - 1), hi)
+        out.append({f"{cursor_field}_start": lo.isoformat(),
+                    f"{cursor_field}_end": nxt.isoformat()})
+        lo = nxt + _dt.timedelta(days=1)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# retriever + stream
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Retriever:
+    """One slice's read loop: request -> select -> paginate until the
+    strategy returns None (retrievers/simple_retriever.py analog).
+
+    Reference-faithful nuance: the paginator sees records AFTER
+    selection/filtering (SimpleRetriever passes its _last_records to
+    next_page_token), so a short-page stop condition composed with a
+    client-side record filter can under-read — same as upstream; use
+    CursorPagination (server-driven tokens) when filtering client-side."""
+
+    path: str
+    paginator: PaginationStrategy
+    selector: RecordSelector
+    request_params: dict = field(default_factory=dict)
+    max_pages: int = 10_000  # runaway-API guard, not a result cap
+
+    def read_slice(self, transport: Transport, slice_: dict) -> list[dict]:
+        self.paginator.reset()
+        token = None
+        out: list[dict] = []
+        for _ in range(self.max_pages):
+            req = {"path": self.path, "params": dict(self.request_params),
+                   "slice": dict(slice_), "page_token": token}
+            resp = transport(req)
+            records = self.selector.select(resp)
+            out.extend(records)
+            token = self.paginator.next_page_token(resp, records)
+            if token is None:
+                return out
+        raise RuntimeError(
+            f"{self.path}: pagination did not terminate within "
+            f"{self.max_pages} pages (runaway token loop?)"
+        )
+
+
+@dataclass
+class DeclarativeStream:
+    name: str
+    retriever: Retriever
+    primary_key: str | None = None
+    slices: list[dict] = field(default_factory=lambda: [{}])
+    cursor_field: str | None = None
+    max_workers: int = 8
+
+    def read_records(self, transport: Transport) -> list[dict]:
+        """All slices, fanned out on a thread pool (slice order is
+        restored so output is deterministic)."""
+        if len(self.slices) == 1:
+            return self.retriever.read_slice(transport, self.slices[0])
+        with ThreadPoolExecutor(max_workers=self.max_workers) as pool:
+            parts = list(
+                pool.map(
+                    lambda s: self.retriever.read_slice(transport, s),
+                    self.slices,
+                )
+            )
+        return [r for part in parts for r in part]
+
+    def read(self, spark, transport: Transport, schema: str | None = None):
+        """Records -> DataFrame (+ state: max cursor seen, the
+        incremental handoff into engine.incremental)."""
+        records = self.read_records(transport)
+        state = None
+        if self.cursor_field:
+            vals = [r.get(self.cursor_field) for r in records]
+            vals = [v for v in vals if v is not None]
+            state = {"cursor_field": self.cursor_field,
+                     "max_cursor": max(vals) if vals else None}
+        if schema is not None:
+            df = spark.createDataFrame(records, schema=schema)
+        elif records:
+            df = spark.createDataFrame(records)
+        else:
+            raise ValueError(
+                f"stream {self.name}: empty result needs an explicit schema"
+            )
+        return df, state
+
+
+_PAGINATORS = {
+    "NoPagination": NoPagination,
+    "OffsetIncrement": OffsetIncrement,
+    "PageIncrement": PageIncrement,
+    "CursorPagination": CursorPagination,
+}
+
+
+def build_streams(manifest: dict) -> list[DeclarativeStream]:
+    """Manifest dict -> wired DeclarativeStream objects
+    (manifest_declarative_source.py / model_to_component_factory
+    analog, minus jinja interpolation)."""
+    streams = []
+    for s in manifest["streams"]:
+        r = s["retriever"]
+        pag_conf = dict(r.get("paginator") or {"type": "NoPagination"})
+        ptype = pag_conf.pop("type")
+        if ptype not in _PAGINATORS:
+            raise ValueError(f"unknown paginator type {ptype}")
+        if "page_size" in r and ptype in ("OffsetIncrement", "PageIncrement"):
+            pag_conf.setdefault("page_size", r["page_size"])
+        sel_conf = r.get("selector") or {}
+        retriever = Retriever(
+            path=r["path"],
+            paginator=_PAGINATORS[ptype](**pag_conf),
+            selector=RecordSelector(
+                field_path=list(sel_conf.get("field_path") or []),
+                filter=sel_conf.get("filter"),
+            ),
+            request_params=dict(r.get("request_params") or {}),
+        )
+        sl_conf = s.get("slicer")
+        if not sl_conf:
+            slices = [{}]
+        elif sl_conf["type"] == "List":
+            slices = list_slices(sl_conf["cursor_field"], sl_conf["values"])
+        elif sl_conf["type"] == "Datetime":
+            slices = datetime_slices(
+                sl_conf["cursor_field"], sl_conf["start"], sl_conf["end"],
+                int(sl_conf.get("step_days", 1)),
+            )
+        else:
+            raise ValueError(f"unknown slicer type {sl_conf['type']}")
+        streams.append(
+            DeclarativeStream(
+                name=s["name"],
+                retriever=retriever,
+                primary_key=s.get("primary_key"),
+                slices=slices,
+                cursor_field=s.get("cursor_field"),
+            )
+        )
+    return streams

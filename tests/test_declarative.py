@@ -1,0 +1,179 @@
+"""Declarative (low-code) source: manifest -> requester graph ->
+DataFrame, against a deterministic in-process fake API (the reference's
+own unit tests mock the transport the same way; no network in this
+sandbox).  Covers all three paginator strategies, the record
+selector/filter, list + datetime slicing, thread-pool fan-out
+determinism, cursor state, and the runaway-pagination guard."""
+
+from __future__ import annotations
+
+import pytest
+
+from airbyte_spark.sources.declarative import (
+    CursorPagination,
+    DeclarativeStream,
+    NoPagination,
+    OffsetIncrement,
+    PageIncrement,
+    RecordSelector,
+    Retriever,
+    build_streams,
+    datetime_slices,
+)
+
+# deterministic dataset: 25 items across two regions
+ITEMS = [
+    {"id": i, "region": "eu" if i % 2 == 0 else "us",
+     "status": "deleted" if i % 10 == 9 else "live",
+     "updated_at": f"2024-01-{(i % 28) + 1:02d}"}
+    for i in range(25)
+]
+
+
+def fake_api(req: dict) -> dict:
+    """Offset/page/cursor-paginated views over ITEMS, optionally
+    filtered to the slice's region."""
+    rows = ITEMS
+    if "region" in req["slice"]:
+        rows = [r for r in rows if r["region"] == req["slice"]["region"]]
+    size = int(req["params"].get("page_size", 10))
+    mode = req["params"].get("mode", "offset")
+    tok = req["page_token"]
+    if mode == "offset":
+        start = int(tok or 0)
+    elif mode == "page":
+        start = int(tok or 0) * size
+    else:  # cursor mode: token is the next start index or absent
+        start = int(tok or 0)
+    page = rows[start : start + size]
+    resp = {"data": {"items": page}}
+    if mode == "cursor":
+        nxt = start + size
+        if nxt < len(rows):
+            resp["paging"] = {"next": nxt}
+    return resp
+
+
+def _stream(paginator, mode, *, slices=None, filter=None, cursor=None):
+    return DeclarativeStream(
+        name="items",
+        retriever=Retriever(
+            path="/v1/items",
+            paginator=paginator,
+            selector=RecordSelector(field_path=["data", "items"],
+                                    filter=filter),
+            request_params={"page_size": 10, "mode": mode},
+        ),
+        slices=slices or [{}],
+        cursor_field=cursor,
+    )
+
+
+def test_offset_pagination_reads_all():
+    s = _stream(OffsetIncrement(page_size=10), "offset")
+    assert s.read_records(fake_api) == ITEMS
+
+
+def test_page_increment_reads_all():
+    s = _stream(PageIncrement(page_size=10), "page")
+    assert s.read_records(fake_api) == ITEMS
+
+
+def test_cursor_pagination_reads_all_and_stops():
+    s = _stream(CursorPagination(cursor_path=["paging", "next"]), "cursor")
+    assert s.read_records(fake_api) == ITEMS
+
+
+def test_selector_filter_and_missing_path():
+    # single-page read: like the reference, pagination counts records
+    # AFTER selection, so a client-side filter must not be combined
+    # with short-page stop detection (page_size > dataset keeps the
+    # two concerns apart here)
+    s = DeclarativeStream(
+        name="items",
+        retriever=Retriever(
+            path="/v1/items",
+            paginator=OffsetIncrement(page_size=30),
+            selector=RecordSelector(
+                field_path=["data", "items"],
+                filter={"field": "status", "op": "!=", "value": "deleted"},
+            ),
+            request_params={"page_size": 30, "mode": "offset"},
+        ),
+    )
+    recs = s.read_records(fake_api)
+    assert len(recs) == 23 and all(r["status"] == "live" for r in recs)
+    assert RecordSelector(field_path=["no", "such"]).select({"a": 1}) == []
+    assert RecordSelector(field_path=["a"]).select({"a": {"id": 7}}) == [
+        {"id": 7}
+    ]
+
+
+def test_list_slices_fan_out_is_deterministic():
+    slices = [{"region": "eu"}, {"region": "us"}]
+    s = _stream(OffsetIncrement(page_size=10), "offset", slices=slices)
+    recs = s.read_records(fake_api)
+    # slice order restored: all eu then all us, each in api order
+    eu = [r for r in ITEMS if r["region"] == "eu"]
+    us = [r for r in ITEMS if r["region"] == "us"]
+    assert recs == eu + us
+
+
+def test_datetime_slices_cover_range_without_overlap():
+    sl = datetime_slices("d", "2024-01-01", "2024-01-10", 3)
+    assert sl[0] == {"d_start": "2024-01-01", "d_end": "2024-01-03"}
+    assert sl[-1] == {"d_start": "2024-01-10", "d_end": "2024-01-10"}
+    assert len(sl) == 4
+
+
+def test_read_to_dataframe_and_state(spark):
+    s = _stream(OffsetIncrement(page_size=10), "offset",
+                cursor="updated_at")
+    df, state = s.read(spark, fake_api)
+    assert df.count() == 25
+    assert set(df.columns) == {"id", "region", "status", "updated_at"}
+    assert state == {"cursor_field": "updated_at",
+                     "max_cursor": max(r["updated_at"] for r in ITEMS)}
+
+
+def test_manifest_builds_equivalent_graph():
+    manifest = {
+        "streams": [{
+            "name": "items",
+            "primary_key": "id",
+            "retriever": {
+                "path": "/v1/items",
+                "page_size": 10,
+                "request_params": {"page_size": 10, "mode": "offset"},
+                "paginator": {"type": "OffsetIncrement"},
+                "selector": {"field_path": ["data", "items"]},
+            },
+            "slicer": {"type": "List", "cursor_field": "region",
+                       "values": ["eu", "us"]},
+            "cursor_field": "updated_at",
+        }]
+    }
+    (s,) = build_streams(manifest)
+    recs = s.read_records(fake_api)
+    assert len(recs) == 25 and s.primary_key == "id"
+    assert [r["region"] for r in recs] == ["eu"] * 13 + ["us"] * 12
+
+
+def test_runaway_pagination_guard():
+    class Never(NoPagination):
+        def next_page_token(self, response, records):
+            return 1  # never terminates
+
+    s = _stream(Never(), "offset")
+    s.retriever.max_pages = 5
+    with pytest.raises(RuntimeError, match="did not terminate"):
+        s.read_records(fake_api)
+
+
+def test_empty_result_requires_schema(spark):
+    s = _stream(OffsetIncrement(page_size=10), "offset",
+                slices=[{"region": "nowhere"}])
+    with pytest.raises(ValueError, match="explicit schema"):
+        s.read(spark, fake_api)
+    df, _ = s.read(spark, fake_api, schema="id long, region string")
+    assert df.count() == 0 and df.columns == ["id", "region"]
