@@ -70,12 +70,18 @@ def test_tie_set_distinguishes_same_basename(spark, tmp_path):
     """Two files in different subdirectories with the same basename
     and the same mtime as the checkpoint must NOT be conflated: the
     tie set keys by root-relative path, not basename."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     d = str(tmp_path / "nested")
+    # identical basename "t.parquet" in two subdirs, identical mtime
+    # (Spark's own part-file names embed a per-job uuid, so the
+    # same-basename collision must be constructed directly)
     for sub in ("a", "b"):
-        p = os.path.join(d, sub, "t")
-        spark.range(3).coalesce(1).write.parquet(p)
-        for part in os.listdir(p):
-            os.utime(os.path.join(p, part), (5000.0, 5000.0))
+        os.makedirs(os.path.join(d, sub))
+        p = os.path.join(d, sub, "t.parquet")
+        pq.write_table(pa.table({"v": list(range(3))}), p)
+        os.utime(p, (5000.0, 5000.0))
     files = list_files(d)
     assert len(files) == 2
     rel = [os.path.relpath(f.path, d) for f in files]
