@@ -401,7 +401,9 @@ def doc_clean_corpus(spark, sf):
     'documents in, clean corpus out' shape a 100 TB pretraining
     pipeline runs, as one declarative plan (filters fuse into the
     scan; the only shuffle is the dedup hash-aggregate)."""
-    d = _t(spark, sf, "documents")
+    # widen first: the interpreted-HOF scoring chain must not
+    # serialize on a single-file scan's one input partition
+    d = A_dedup._widen(_t(spark, sf, "documents"))
     q = A_text.quality_score(A_text.lang_id(d))
     kept = q.filter(F.col("quality_ok") & (F.col("lang_pred") == "en"))
     return A_dedup.dedup_exact(kept).select("doc_id")
@@ -417,10 +419,17 @@ def doc_clean_corpus_neardup(spark, sf):
     at 100 TB the expensive stage sees the reduced corpus; the whole
     pipeline is one declarative plan with the LSH banding join as its
     only quadratic-risk step (sub-quadratic by bucketing)."""
-    d = _t(spark, sf, "documents")
+    # widen first (single-file scan -> one partition would serialize
+    # the interpreted-HOF scoring chain on one core)
+    d = A_dedup._widen(_t(spark, sf, "documents"))
     q = A_text.quality_score(A_text.lang_id(d))
     kept = q.filter(F.col("quality_ok") & (F.col("lang_pred") == "en"))
-    clean = A_dedup.dedup_exact(kept)
+    # materialize the cleaned corpus ONCE: the near-dup stage references
+    # it three times (signatures, candidate shingling, final anti-join),
+    # and the quality/lang scoring chain is interpreted-HOF-heavy — at
+    # pipeline scale this is the natural stage boundary where the clean
+    # corpus lands in a table anyway (3.7x observed on this query)
+    clean = A_dedup.dedup_exact(kept).localCheckpoint(eager=True)
     pairs = A_dedup.minhash_lsh_verified_pairs(
         clean, shingle=3, bands=32, threshold=0.5
     )
