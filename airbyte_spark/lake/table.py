@@ -213,15 +213,23 @@ class LakeTable:
         next_version: int,
         schema_version: int,
         n_partitions: int,
+        *,
+        pre_partitioned: bool = False,
     ) -> list[FileEntry]:
         """Write df (which must carry ``_bucket``) partitioned by bucket;
         return file entries with exact row counts from parquet footers
-        (driver-side, file count is bounded by touched buckets)."""
+        (driver-side, file count is bounded by touched buckets).
+
+        ``pre_partitioned``: the caller guarantees df is already
+        hash-partitioned by ``_bucket`` (e.g. the single-exchange
+        merge_lww plan) — skip the repartition exchange; partitionBy
+        still routes each bucket's rows to its own directory/file."""
         rel_dir = os.path.join("data", f"commit-{next_version:012d}-{uuid.uuid4().hex[:8]}")
         out_dir = os.path.join(self.root, rel_dir)
+        if not pre_partitioned:
+            df = df.repartition(max(1, n_partitions), F.col(_BUCKET))
         (
-            df.repartition(max(1, n_partitions), F.col(_BUCKET))
-            .write.partitionBy(_BUCKET)
+            df.write.partitionBy(_BUCKET)
             .mode("error")
             .parquet(out_dir)
         )
@@ -515,23 +523,63 @@ class LakeTable:
             unioned = base.select(*names, op_col, "_src").unionByName(b)
 
             payload = [c for c in (*names, op_col, "_src") if c not in snap.key_cols]
+            # ONE exchange, not two: _bucket is a pure function of the
+            # key columns, so hash-partitioning the union by _bucket
+            # up front (a) satisfies the aggregation's required
+            # ClusteredDistribution once _bucket joins the grouping
+            # key — Catalyst plans NO second exchange — and (b) leaves
+            # the winners physically clustered for the bucket-wise
+            # write, so _write_data skips its repartition too.  The
+            # classic plan (agg exchange on keys at shuffle
+            # parallelism, then a bucket repartition) shuffles the
+            # winner set a second time AND pays an extra stage
+            # barrier's straggler tail.  Caveat: the fused plan's agg
+            # parallelism equals the touched-bucket count, so it is
+            # only chosen when the batch covers at least the session's
+            # shuffle parallelism (the wide-random-key 10^10 shape);
+            # concentrated batches keep the classic plan and its
+            # full-width aggregation.
+            n_out = max(len(touched), 1)
+            plan_override = os.environ.get("SPARK_GRAFT_MERGE_PLAN", "auto")
+            if plan_override == "single":
+                single_exchange = True
+            elif plan_override == "classic":
+                single_exchange = False
+            else:
+                single_exchange = n_out >= int(
+                    spark.conf.get("spark.sql.shuffle.partitions", "200")
+                )
+            if single_exchange:
+                unioned = (
+                    unioned.withColumn(_BUCKET, self._bucket_expr(snap))
+                    .repartition(n_out, F.col(_BUCKET))
+                )
+                group_cols = [_BUCKET, *snap.key_cols]
+            else:
+                group_cols = list(snap.key_cols)
             winners = (
-                unioned.groupBy(*snap.key_cols)
+                unioned.groupBy(*group_cols)
                 .agg(
                     F.max_by(
                         F.struct(*payload), F.struct(*[F.col(c) for c in order_cols])
                     ).alias("_w")
                 )
-                .select(*snap.key_cols, "_w.*")
+                .select(*group_cols, "_w.*")
                 .filter(
                     (F.col(op_col).isNull()) | (F.col(op_col) != F.lit(delete_value))
                 )
             )
             if finalize_fn is not None:
                 winners = finalize_fn(winners)
-            out = winners.select(*names).withColumn(_BUCKET, self._bucket_expr(snap))
+            if single_exchange:
+                out = winners.select(*names, _BUCKET)
+            else:
+                out = winners.select(*names).withColumn(
+                    _BUCKET, self._bucket_expr(snap)
+                )
             entries = self._write_data(
-                out, next_version, snap.schema_version, max(len(touched), 1)
+                out, next_version, snap.schema_version, n_out,
+                pre_partitioned=single_exchange,
             )
         finally:
             if owns_persist:
@@ -556,6 +604,7 @@ class LakeTable:
                 "epoch": epoch,
                 "touched_buckets": len(touched),
                 "rows_written": rows_written,
+                "merge_plan": "single-exchange" if single_exchange else "classic",
             },
         )
         self._commit(new)

@@ -158,16 +158,17 @@ def main() -> None:
 
     # --- per-query timings ---------------------------------------------
     qs = E.queries()
-    # untimed warmup at the smallest sf: first execution of the
-    # interpreted-HOF-heavy queries pays ~10s of JIT that says nothing
-    # about throughput; report steady-state
-    warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir):
-        for name in BENCH_QUERIES:
-            try:
-                _materialize(qs[name](spark, warm_dir))
-            except Exception:
-                pass
+    # untimed warmup at the benchmark sf itself: the first execution
+    # pays JIT + codegen + Arrow python-worker spin-up (~10s across the
+    # suite) that says nothing about throughput, and warming at a
+    # smaller sf was observed to leave the python-worker pool cold for
+    # the mapInPandas queries (multimodal_features read 3.2s in both
+    # timed reps vs 0.7-1.0s steady state); report steady-state
+    for name in BENCH_QUERIES:
+        try:
+            _materialize(qs[name](spark, sf_dir))
+        except Exception:
+            pass
     for name in BENCH_QUERIES:
         best = None
         for _ in range(2):

@@ -113,6 +113,37 @@ def test_fused_prunes_untouched_buckets(spark, tmp_path, corpus):
         assert digest(p) == before_digests[p]
 
 
+def test_fused_single_exchange_equals_classic(spark, tmp_path, corpus):
+    """Wide batches (touched buckets >= shuffle parallelism) take the
+    single-exchange plan: hash-partition the union by _bucket once,
+    group by (_bucket, keys) with no second exchange, write without a
+    repartition.  Verified interactively to plan exactly ONE Exchange
+    (vs 2 for the classic keys-agg + bucket-repartition plan); this
+    test pins that both plans are result-identical and that the plan
+    selector picks each variant when it should."""
+    base, events = corpus
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    outs = {}
+    try:
+        # n_buckets=8: shuffle=8 -> touched(8) >= 8 -> single-exchange;
+        # shuffle=64 -> touched(8) < 64 -> classic
+        for label, parts in (("single-exchange", "8"), ("classic", "64")):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            pipe = CdcPipeline(
+                os.path.join(tmp_path, label), n_buckets=8,
+                merge_strategy="fused",
+            )
+            pipe.bootstrap(spark, base)
+            stats = pipe.replay(spark, events, batch_lsns=800)
+            assert all(s.committed for s in stats)
+            assert pipe.table().snapshot().summary["merge_plan"] == label
+            outs[label] = _final(spark, pipe)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert outs["single-exchange"] == outs["classic"]
+    assert len(outs["single-exchange"]) > 0
+
+
 def test_fused_hwm_state(spark, tmp_path, corpus):
     base, events = corpus
     pipe = CdcPipeline(os.path.join(tmp_path, "t"), n_buckets=8)
