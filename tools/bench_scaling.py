@@ -85,10 +85,14 @@ finally:
 """
 
 
-def run_at(cpus: int, n_events: int, reps: int = 2) -> dict:
+def run_at(cpus: int, n_events: int, reps: int = 3) -> dict:
     """Best of ``reps`` fresh-JVM runs: the sandbox is a Firecracker
     guest whose host steals CPU unpredictably (observed +-30% on
-    identical runs); best-of rejects the noise-contaminated samples."""
+    identical runs).  The noise is strictly one-sided — steal can only
+    slow a run down, never speed it up — so best-of-N estimates the
+    un-stolen throughput and N=3 measurably tightens it (round-3
+    remeasurements on a slow host morning saw adjacent identical runs
+    spread 112k-227k events/sec at 4 cores)."""
     script = CHILD.format(repo=REPO, tmpfs=TMPFS)
     cmd = [sys.executable, "-c", script, str(cpus), str(n_events)]
     if shutil.which("taskset"):
