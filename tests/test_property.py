@@ -1,0 +1,254 @@
+"""Property-based replay correctness (hypothesis).
+
+The reference pins CDC semantics with fixed replay fixtures
+(base-normalization/integration_tests/resources/test_simple_streams/
+data_input/messages*.txt) — a handful of hand-written sequences.  A
+generative twin is stronger: ANY changelog (inserts, updates, deletes
+of absent keys, delete-then-reinsert, empty batches, unicode content),
+split into ANY consecutive epoch partition, replayed through EVERY
+merge strategy (fused COW / pruned COW / merge-on-read), must produce
+the exact final table a pure-Python last-writer-wins fold produces —
+including the content_sha256 invariant from BASELINE.json's input
+hint — and re-applying an already-committed epoch must be a no-op
+(exactly-once).
+
+Data stays tiny (≤ ~24 events over a 2×4 key space to force
+collisions) because each example pays full Spark jobs; the point is
+the random *structure*, not volume — volume is bench/scaling's job.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import uuid
+from datetime import datetime, timezone
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from airbyte_spark.engine.changelog import EXT_TO_LANG
+from airbyte_spark.engine.pipeline import CdcPipeline
+from airbyte_spark.lake.table import LakeTable
+
+REPOS = ["org/alpha", "org/beta"]
+# already-canonical paths (canonicalization has its own parity sweep)
+PATHS = ["src/a.py", "lib/c.rs", "README.md", "pkg/e.go"]
+
+EVENT_SCHEMA = (
+    "lsn long, op string, repo string, path string, commit string, "
+    "lang string, content string, ts timestamp"
+)
+
+contents = st.text(
+    alphabet=list("abλ\n🙂 "), min_size=0, max_size=8
+)
+
+events_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["i", "u", "d"]),
+        st.integers(0, len(REPOS) - 1),
+        st.integers(0, len(PATHS) - 1),
+        contents,
+    ),
+    min_size=0,
+    max_size=24,
+)
+
+base_strategy = st.lists(
+    st.tuples(
+        st.integers(0, len(REPOS) - 1),
+        st.integers(0, len(PATHS) - 1),
+        contents,
+    ),
+    min_size=0,
+    max_size=4,
+    unique_by=lambda t: (t[0], t[1]),
+)
+
+
+def _ts(lsn: int) -> datetime:
+    return datetime.fromtimestamp(1_700_000_000 + lsn, tz=timezone.utc)
+
+
+def _lang(path: str) -> str:
+    return EXT_TO_LANG.get(path.rsplit(".", 1)[-1], "unknown")
+
+
+def _sha(content: str) -> str:
+    return hashlib.sha256((content or "").encode("utf-8")).hexdigest()
+
+
+def _fold(base_rows, events):
+    """Pure-Python LWW fold — the oracle.  base rows land at lsn -1;
+    events apply in lsn order; 'd' removes the key, else upsert."""
+    state = {}
+    for repo_i, path_i, content in base_rows:
+        repo, path = REPOS[repo_i], PATHS[path_i]
+        state[(repo, path)] = ("c-base", content, -1)
+    for lsn, (op, repo_i, path_i, content) in enumerate(events):
+        repo, path = REPOS[repo_i], PATHS[path_i]
+        if op == "d":
+            state.pop((repo, path), None)
+        else:
+            state[(repo, path)] = (f"c{lsn}", content, lsn)
+    return {
+        (repo, path, commit, _lang(path), content, _sha(content), lsn)
+        for (repo, path), (commit, content, lsn) in state.items()
+    }
+
+
+def _event_rows(events, lo, hi):
+    return [
+        (
+            lsn,
+            op,
+            REPOS[repo_i],
+            PATHS[path_i],
+            f"c{lsn}",
+            "unknown",
+            content,
+            _ts(lsn),
+        )
+        for lsn, (op, repo_i, path_i, content) in enumerate(events)
+        if lo <= lsn < hi
+    ]
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(
+    base=base_strategy,
+    events=events_strategy,
+    cuts=st.lists(st.integers(0, 24), min_size=0, max_size=2),
+    strategy=st.sampled_from(["fused", "pruned", "mor"]),
+)
+def test_any_replay_matches_python_lww_fold(
+    spark, tmp_path, base, events, cuts, strategy
+):
+    root = os.path.join(tmp_path, uuid.uuid4().hex[:12])
+    pipe = CdcPipeline(root, n_buckets=4, merge_strategy=strategy)
+
+    base_df = None
+    if base:
+        base_df = spark.createDataFrame(
+            [
+                (REPOS[ri], PATHS[pi], "c-base", "unknown", content)
+                for ri, pi, content in base
+            ],
+            "repo string, path string, commit string, lang string, content string",
+        )
+    pipe.bootstrap(spark, base_df)
+
+    bounds = sorted({0, len(events), *[min(c, len(events)) for c in cuts]})
+    epochs = list(zip(bounds, bounds[1:])) or [(0, 0)]
+    for epoch, (lo, hi) in enumerate(epochs):
+        batch = spark.createDataFrame(
+            _event_rows(events, lo, hi), EVENT_SCHEMA
+        )
+        st_ = pipe.apply_batch(spark, batch, epoch=epoch)
+        assert st_.committed or hi == lo or epoch == 0 and not events
+
+    t = LakeTable(root)
+    got = {
+        (
+            r["repo"], r["path"], r["commit"], r["lang"], r["content"],
+            r["content_sha256"], r["last_lsn"],
+        )
+        for r in t.read(spark).collect()
+    }
+    assert got == _fold(base, events)
+
+    # exactly-once: replaying the final epoch is a committed no-op
+    last_epoch = len(epochs) - 1
+    lo, hi = epochs[-1]
+    replay = spark.createDataFrame(_event_rows(events, lo, hi), EVENT_SCHEMA)
+    st2 = pipe.apply_batch(spark, replay, epoch=last_epoch)
+    assert not st2.committed
+    got2 = {
+        (
+            r["repo"], r["path"], r["commit"], r["lang"], r["content"],
+            r["content_sha256"], r["last_lsn"],
+        )
+        for r in t.read(spark).collect()
+    }
+    assert got2 == got
+
+
+def _fold_history(base, events):
+    """Pure-Python SCD2 fold: every version (base seed at lsn -1,
+    then each event) becomes an interval row; valid_to = next
+    version's lsn; active = open and not a delete."""
+    versions: dict[tuple, list] = {}
+    for repo_i, path_i, content in base:
+        key = (REPOS[repo_i], PATHS[path_i])
+        versions[key] = [(-1, "i", "c-base", content)]
+    for lsn, (op, repo_i, path_i, content) in enumerate(events):
+        key = (REPOS[repo_i], PATHS[path_i])
+        versions.setdefault(key, []).append((lsn, op, f"c{lsn}", content))
+    out = set()
+    for (repo, path), vs in versions.items():
+        for i, (lsn, op, commit, content) in enumerate(vs):
+            valid_to = vs[i + 1][0] if i + 1 < len(vs) else None
+            active = valid_to is None and op != "d"
+            out.add((repo, path, lsn, valid_to, active, op, commit, content))
+    return out
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(
+    base=base_strategy,
+    events=events_strategy,
+    cuts=st.lists(st.integers(0, 24), min_size=0, max_size=2),
+    strategy=st.sampled_from(["fused", "mor"]),
+)
+def test_any_replay_scd2_history_matches_interval_fold(
+    spark, tmp_path, base, events, cuts, strategy
+):
+    """The flagship incremental-deduped-history mode, property-style:
+    the split open/closed history layout maintained epoch by epoch
+    must equal the straightforward interval fold of the whole
+    changelog, for any event sequence and any epoch partition."""
+    root = os.path.join(tmp_path, uuid.uuid4().hex[:12])
+    pipe = CdcPipeline(
+        root, n_buckets=4, merge_strategy=strategy,
+        history_root=os.path.join(root, "_history"),
+    )
+    base_df = None
+    if base:
+        base_df = spark.createDataFrame(
+            [
+                (REPOS[ri], PATHS[pi], "c-base", "unknown", content)
+                for ri, pi, content in base
+            ],
+            "repo string, path string, commit string, lang string, content string",
+        )
+    pipe.bootstrap(spark, base_df)
+
+    bounds = sorted({0, len(events), *[min(c, len(events)) for c in cuts]})
+    epochs = list(zip(bounds, bounds[1:])) or [(0, 0)]
+    for epoch, (lo, hi) in enumerate(epochs):
+        batch = spark.createDataFrame(_event_rows(events, lo, hi), EVENT_SCHEMA)
+        pipe.apply_batch(spark, batch, epoch=epoch)
+
+    got = {
+        (
+            r["repo"], r["path"], r["valid_from"], r["valid_to"],
+            bool(r["active_row"]), r["op"], r["commit"], r["content"],
+        )
+        for r in pipe.read_history(spark).collect()
+    }
+    assert got == _fold_history(base, events)
