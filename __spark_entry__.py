@@ -471,6 +471,16 @@ def emb_cosine_pairs(spark, sf):
     return A_sim.cosine_pairs(e, q, threshold=0.2)
 
 
+def emb_neardup_dedup(spark, sf):
+    """Embedding-cosine near-dup dedup (the last flavor of the dedup
+    family): survivors of the greedy min-id rule at cosine >= 0.4
+    over the full corpus self-join — exact, so the oracle is the
+    same NOT EXISTS in DuckDB."""
+    return A_sim.neardup_dedup(
+        _t(spark, sf, "embeddings"), threshold=0.4
+    ).select("vec_id", "label")
+
+
 def emb_topk(spark, sf):
     e = _t(spark, sf, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
@@ -634,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_lsh_pairs": doc_minhash_lsh_pairs,
         "doc_simhash_pairs": doc_simhash_pairs,
         "emb_cosine_pairs": emb_cosine_pairs,
+        "emb_neardup_dedup": emb_neardup_dedup,
         "emb_topk": emb_topk,
         "emb_topk_lsh": emb_topk_lsh,
         "emb_topk_ivf": emb_topk_ivf,
@@ -1195,6 +1206,15 @@ SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
 FROM embeddings c, embeddings q
 WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
   AND round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) >= 0.2
+""",
+        "emb_neardup_dedup": """
+SELECT e.vec_id, e.label FROM embeddings e
+WHERE NOT EXISTS (
+  SELECT 1 FROM embeddings a
+  WHERE a.vec_id < e.vec_id
+    AND round(list_cosine_similarity(
+          a.embedding::DOUBLE[], e.embedding::DOUBLE[]), 4) >= 0.4
+)
 """,
         "emb_topk": """
 SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (

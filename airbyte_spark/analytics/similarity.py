@@ -67,6 +67,93 @@ def cosine_pairs(
     )
 
 
+def neardup_dedup(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate DEDUP: drop every row that has
+    a smaller-id neighbor within the cosine threshold, keep the rest
+    (the same min-id canonicalization rule as ``dedup_exact``; no
+    reference analog — LLM-pipeline mandate, like the minhash/simhash
+    family it completes).
+
+    Greedy min-id (a row dies iff ANY smaller id is within threshold)
+    rather than connected components: components need an iterative
+    min-label propagation (union-find) pass, and the greedy rule is
+    what C4-style pipelines ship — deterministic, one join deep,
+    oracle-expressible.
+
+    Hot path is a GEMM, not a join: the id-sorted corpus matrix is
+    broadcast (10^5 x 64 float64 unit vectors = ~50 MB — the
+    broadcast-class regime this exact operator is for; the driver
+    collect IS the broadcast, same pattern as the k-means codebook
+    sample) and each Arrow batch of corpus rows computes
+    block @ M.T in numpy with a smaller-id column mask —
+    O(n^2 d / p) distributed FLOPs, zero per-pair expression eval
+    (a zip_with/aggregate HOF variant measured ~60s on 12.5M pairs;
+    the GEMM covers them in under a second).  Beyond broadcast scale,
+    pass ``candidates`` (columns ``a_id``/``b_id``) from the bucketed
+    generators already here (``topk_lsh``'s SRP bands or
+    ``topk_ivf``'s cells): only those pairs are scored — JVM
+    expressions, no broadcast matrix — and the survivor anti-join is
+    unchanged."""
+    if candidates is not None:
+        a = corpus.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("avec"))
+        b = F.broadcast(
+            corpus.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("bvec"))
+        )
+        pairs = candidates.select("a_id", "b_id").join(a, "a_id").join(b, "b_id")
+        sim = _dot(F.col("avec"), F.col("bvec")) / (
+            _norm(F.col("avec")) * _norm(F.col("bvec"))
+        )
+        dropped = (
+            pairs.withColumn("cosine", F.round(sim, 4))
+            .filter(F.col("cosine") >= threshold)
+            .select(F.col("b_id").alias(id_col))
+            .distinct()
+        )
+        return corpus.join(dropped, id_col, "left_anti")
+
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    mat_rows = sorted(
+        corpus.select(id_col, vec_col).collect(), key=lambda r: r[0]
+    )
+    ids_sorted = np.asarray([r[0] for r in mat_rows], dtype=np.int64)
+    m = np.asarray([list(r[1]) for r in mat_rows], dtype=np.float64)
+    m_unit = m / np.linalg.norm(m, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids_sorted, m_unit))
+
+    def find_dropped(batches):
+        ids_s, mu = bc.value
+        # chunk the score block to ~256 MB regardless of corpus size
+        chunk = max(1, (1 << 25) // max(1, len(ids_s)))
+        for pdf in batches:
+            bid = pdf["_nid"].to_numpy(dtype=np.int64)
+            if not len(bid):
+                continue
+            bvec = np.stack(pdf["_nvec"].to_numpy()).astype(np.float64)
+            bvec /= np.linalg.norm(bvec, axis=1, keepdims=True)
+            flags = np.zeros(len(bid), dtype=bool)
+            for lo in range(0, len(bid), chunk):
+                hi = lo + chunk
+                scores = np.round(bvec[lo:hi] @ mu.T, 4)
+                smaller = ids_s[None, :] < bid[lo:hi, None]
+                flags[lo:hi] = ((scores >= threshold) & smaller).any(axis=1)
+            yield pd.DataFrame({id_col: bid[flags]})
+
+    dropped = corpus.select(
+        F.col(id_col).alias("_nid"), F.col(vec_col).alias("_nvec")
+    ).mapInPandas(find_dropped, schema=f"{id_col} long")
+    return corpus.join(dropped, id_col, "left_anti")
+
+
 def _topk_rank(pairs: DataFrame, k: int) -> DataFrame:
     """Per-query top-k of a (query_id, neighbor_id, cosine) pair set.
 

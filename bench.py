@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "doc_clean_corpus_neardup",
     "doc_simhash_pairs",
     "emb_topk",
+    "emb_neardup_dedup",
     "emb_topk_lsh",
     "emb_topk_ivf",
     "emb_topk_ivf_kmeans",

@@ -320,3 +320,40 @@ def test_topk_plan_has_partial_prereduction(spark):
     # the partial (map-side, pre-exchange) instance must be present
     pre_exchange = plan.split("Exchange hashpartitioning(query_id")[-1]
     assert "WindowGroupLimit" in pre_exchange and "Partial" in pre_exchange
+
+
+def test_neardup_dedup_matches_numpy(spark):
+    """Greedy min-id cosine dedup vs a numpy fold: planted exact dup
+    (id 30 == id 0) and near-dup (id 31 ~ id 1) must die; survivors
+    exactly match the brute-force rule; the candidates-path (pruned
+    pair set) reproduces the full-join result when the candidate set
+    covers the threshold pairs."""
+    rng = np.random.RandomState(23)
+    vecs = rng.randn(30, 16).astype(np.float32)
+    vecs = np.vstack([vecs, vecs[0], vecs[1] + 0.01 * rng.randn(16).astype(np.float32)])
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in vecs[i]]) for i in range(32)]
+    )
+    tau = 0.8
+    got = sorted(r["vec_id"] for r in similarity.neardup_dedup(df, threshold=tau).collect())
+
+    sims = (vecs @ vecs.T) / (
+        np.linalg.norm(vecs, axis=1)[:, None] * np.linalg.norm(vecs, axis=1)[None, :]
+    )
+    expect = [
+        i for i in range(32)
+        if not any(round(float(sims[j, i]), 4) >= tau for j in range(i))
+    ]
+    assert got == expect
+    assert 30 not in got and 31 not in got and 0 in got and 1 in got
+
+    # candidates-path: score only the pairs a generator proposed
+    cand = spark.createDataFrame(
+        [Row(a_id=a, b_id=b) for a in range(32) for b in range(a + 1, 32)
+         if round(float(sims[a, b]), 4) >= tau or (a + b) % 7 == 0]
+    )
+    got_cand = sorted(
+        r["vec_id"]
+        for r in similarity.neardup_dedup(df, threshold=tau, candidates=cand).collect()
+    )
+    assert got_cand == expect
