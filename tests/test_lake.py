@@ -159,3 +159,51 @@ def test_time_travel_and_compact(spark, tmp_path):
     # vacuum removes dead files without breaking current reads
     t.vacuum()
     assert len(_state(t, spark)) == 4
+
+
+def test_concurrent_commit_conflict_one_winner(spark, tmp_path):
+    """Optimistic concurrency (the Iceberg atomic-metadata-swap
+    analog, log.py commit_snapshot): two writers racing to publish
+    the same next version -> exactly one wins, the loser gets
+    CommitConflict with the table untouched by its attempt, and a
+    reload-and-retry lands its rows in the NEXT version with both
+    writers' data live."""
+    import pytest
+
+    from airbyte_spark.lake.log import CommitConflict
+
+    root = str(tmp_path / "t")
+    t1 = LakeTable.create(root, SCHEMA, ["repo", "path"], n_buckets=4)
+    t1.overwrite(
+        spark, spark.createDataFrame(_rows(("r0", "base.py", "c0", "py", "b")), SCHEMA)
+    )
+
+    # two independent handles, both basing their commit on version 1
+    a, b = LakeTable(root), LakeTable(root)
+    df_a = spark.createDataFrame(_rows(("r1", "a.py", "c1", "py", "xa")), SCHEMA)
+    df_b = spark.createDataFrame(_rows(("r2", "b.rs", "c1", "rs", "xb")), SCHEMA)
+    a.append(spark, df_a)  # writer A wins version 2
+    with pytest.raises(CommitConflict):
+        # writer B derived its snapshot before A committed; force the
+        # same race by replaying an append against the stale snapshot
+        from airbyte_spark.lake.log import Snapshot, commit_snapshot
+
+        stale = b.snapshot(1)
+        commit_snapshot(
+            root,
+            Snapshot(
+                version=2,
+                schema_version=stale.schema_version,
+                schemas=stale.schemas,
+                n_buckets=stale.n_buckets,
+                key_cols=stale.key_cols,
+                files=stale.files,
+                epochs=stale.epochs,
+                props=dict(stale.props),
+                summary={"operation": "append"},
+            ),
+        )
+    # loser retries from the CURRENT snapshot and succeeds
+    b.append(spark, df_b)
+    got = _state(LakeTable(root), spark)
+    assert set(got) == {("r0", "base.py"), ("r1", "a.py"), ("r2", "b.rs")}
