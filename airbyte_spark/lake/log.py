@@ -46,9 +46,17 @@ class FileEntry:
     # resolve LWW at scan time, compact() folds them into base files
     # (Iceberg v2 delete-file analog)
     delta: bool = False
+    # per-column [lower_bound, upper_bound], keyed by FIELD ID (as a
+    # str, for JSON) so bounds survive column renames — Iceberg's
+    # manifest lower_bounds/upper_bounds analog.  Bounds come from the
+    # parquet footers the writer already opens for row counts, so they
+    # are free; they may be inexact (parquet truncates long binary
+    # stats) but are always valid bounds, which is all pruning needs.
+    # None = written before stats were recorded (never prunes).
+    stats: dict[str, list[Any]] | None = None
 
     def to_json(self) -> dict[str, Any]:
-        return {
+        d = {
             "path": self.path,
             "bucket": self.bucket,
             "rows": self.rows,
@@ -56,12 +64,15 @@ class FileEntry:
             "schema_version": self.schema_version,
             "delta": self.delta,
         }
+        if self.stats is not None:
+            d["stats"] = self.stats
+        return d
 
     @staticmethod
     def from_json(d: dict[str, Any]) -> "FileEntry":
         return FileEntry(
             d["path"], d["bucket"], d["rows"], d["bytes"], d["schema_version"],
-            d.get("delta", False),
+            d.get("delta", False), d.get("stats"),
         )
 
 

@@ -51,6 +51,101 @@ from airbyte_spark.lake.log import (
 _BUCKET = "_bucket"
 
 
+def _encode_bound(v: Any) -> Any:
+    """Canonical JSON-safe encoding for a column bound, chosen so the
+    PLAIN comparison operators order encoded values the same way the
+    column type orders raw values: ints/floats/bools/strs as-is,
+    date/datetime as fixed-width ISO strings (microsecond-padded, so
+    lexicographic order == instant order).  Returns None for types we
+    don't track (bytes, decimals, nested)."""
+    import datetime
+
+    if isinstance(v, bool) or v is None:
+        return v
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, datetime.datetime):
+        # canonical naive-UTC: footer stats come back tz-aware, plan-time
+        # predicate values are usually naive (session TZ is UTC) — both
+        # must encode identically for lexicographic compare to be exact
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v.isoformat(timespec="microseconds")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return None
+
+
+def _bounds_from_footer(meta, name_to_id: dict[str, int]) -> dict[str, list[Any]]:
+    """Per-column [lower, upper] from an open parquet footer, keyed by
+    field id.  Only top-level primitives in the table schema; columns
+    with missing/untracked stats are simply absent (absent = never
+    prunes).  Parquet truncates long string stats but guarantees the
+    truncated min <= all values and max >= all values, so footer
+    bounds are always valid bounds."""
+    out: dict[str, list[Any]] = {}
+    acc: dict[str, list[Any]] = {}
+    dropped: set[str] = set()
+    for rg in range(meta.num_row_groups):
+        row_group = meta.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            if "." in name or name not in name_to_id or name in dropped:
+                continue  # nested leaf or not a table column
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                dropped.add(name)  # one stat-less row group poisons the file's bound
+                acc.pop(name, None)
+                continue
+            lo, hi = _encode_bound(st.min), _encode_bound(st.max)
+            if lo is None or hi is None:
+                dropped.add(name)
+                acc.pop(name, None)
+                continue
+            if name in acc:
+                acc[name] = [min(acc[name][0], lo), max(acc[name][1], hi)]
+            else:
+                acc[name] = [lo, hi]
+    for name, bounds in acc.items():
+        out[str(name_to_id[name])] = bounds
+    return out
+
+
+_PRUNE_OPS = ("=", "<", "<=", ">", ">=")
+
+
+def _entry_may_match(entry: FileEntry, field_id: int, op: str, value: Any) -> bool:
+    """Conservative containment test: False only when the file's
+    recorded bounds PROVE no row can satisfy (col op value)."""
+    if entry.stats is None:
+        return True
+    b = entry.stats.get(str(field_id))
+    if not b:
+        return True
+    lo, hi = b
+    # mixed-type guard (e.g. schema widen int->long keeps int bounds —
+    # fine; but str-vs-num comparisons would raise): only compare
+    # like-with-like, otherwise keep the file
+    same_kind = (
+        (isinstance(value, (int, float)) and isinstance(lo, (int, float)))
+        or (isinstance(value, str) and isinstance(lo, str))
+    )
+    if not same_kind:
+        return True
+    if op == "=":
+        return lo <= value <= hi
+    if op == "<":
+        return lo < value
+    if op == "<=":
+        return lo <= value
+    if op == ">":
+        return hi > value
+    if op == ">=":
+        return hi >= value
+    return True
+
+
 def _dt_to_json_value(dt: DataType) -> Any:
     return json.loads(dt.json())
 
@@ -142,6 +237,130 @@ class LakeTable:
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         snap = self.snapshot(version)
         return self._read_resolved(spark, snap, snap.files)
+
+    def plan_scan(
+        self,
+        where: list[tuple[str, str, Any]] | None = None,
+        version: int | None = None,
+    ) -> tuple[Snapshot, list[FileEntry]]:
+        """Manifest-level file pruning (Iceberg's plan-files analog):
+        drop every file whose recorded column bounds prove no row can
+        satisfy ALL of ``where`` — pure driver metadata, no footer or
+        data I/O, which is the point at 10^5-file scale.
+
+        ``where``: [(column, op, value)], op in =, <, <=, >, >=,
+        conjunctive.  MOR safety rule: when delta files exist, only
+        KEY-column predicates prune (a key predicate selects a key
+        subspace, and every file that can contain a matching key —
+        base or delta — survives by its bounds; a non-key predicate
+        could prune a base row whose key's LWW winner it would have
+        been, changing resolution).  Pure-COW tables prune on any
+        column.  Pruning is an optimization only — ``scan`` applies
+        the full residual filter after resolution regardless."""
+        snap = self.snapshot(version)
+        if not where:
+            return snap, list(snap.files)
+        name_to_id = {f["name"]: f["id"] for f in snap.fields}
+        preds = []
+        for col, op, value in where:
+            if col not in name_to_id:
+                raise ValueError(f"unknown column {col!r}")
+            if op not in _PRUNE_OPS:
+                raise ValueError(f"unsupported op {op!r} (use {_PRUNE_OPS})")
+            preds.append((col, name_to_id[col], op, _encode_bound(value)))
+        has_delta = any(f.delta for f in snap.files)
+        kept = []
+        for f in snap.files:
+            keep = True
+            for col, fid, op, val in preds:
+                if val is None:
+                    continue  # untracked predicate type — can't prune
+                if has_delta and col not in snap.key_cols:
+                    continue
+                if not _entry_may_match(f, fid, op, val):
+                    keep = False
+                    break
+            if keep:
+                kept.append(f)
+        return snap, kept
+
+    def scan(
+        self,
+        spark: SparkSession,
+        where: list[tuple[str, str, Any]] | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """``read`` with manifest pruning + the residual filter.  The
+        residual runs post-MOR-resolution on the pruned file set, so
+        the result equals ``read(...).filter(...)`` exactly; the
+        pruning just keeps provably-irrelevant files out of the scan."""
+        snap, files = self.plan_scan(where, version)
+        df = self._read_resolved(spark, snap, files)
+        for col, op, value in where or []:
+            c = F.col(col)
+            df = df.filter(
+                {"=": c == value, "<": c < value, "<=": c <= value,
+                 ">": c > value, ">=": c >= value}[op]
+            )
+        return df
+
+    def read_appends(
+        self,
+        spark: SparkSession,
+        since_version: int,
+        until_version: int | None = None,
+    ) -> DataFrame:
+        """Incremental consumption of appended rows between two
+        snapshots (Iceberg's incremental append scan): read only the
+        data files added in (since, until].  Valid only when every
+        snapshot in the range is additive (append / heartbeat /
+        evolve / merge-mor deltas would change row meaning — merge,
+        overwrite and compact rewrite files, so the diff is not "new
+        rows"); raises ValueError otherwise, same restriction Iceberg
+        enforces.  Files are projected to ``until``'s schema, so an
+        evolve inside the range is fine."""
+        until = self.snapshot(until_version)
+        additive = {"append", "epoch-heartbeat", "evolve", "create"}
+        for v in range(since_version + 1, until.version + 1):
+            op = self.snapshot(v).summary.get("operation")
+            if op not in additive:
+                raise ValueError(
+                    f"snapshot v{v} is {op!r}; incremental append read "
+                    f"requires an additive history (one of {sorted(additive)})"
+                )
+        since_paths = {f.path for f in self.snapshot(since_version).files}
+        new_files = [f for f in until.files if f.path not in since_paths]
+        return self._read_files(spark, until, new_files)
+
+    def files_df(self, spark: SparkSession) -> DataFrame:
+        """Metadata table: one row per live data file (Iceberg's
+        ``table.files`` analog).  Driver-side log only."""
+        snap = self.snapshot()
+        rows = [
+            (f.path, f.bucket, f.rows, f.bytes, f.schema_version, f.delta,
+             json.dumps(f.stats) if f.stats is not None else None)
+            for f in snap.files
+        ]
+        return spark.createDataFrame(
+            rows,
+            "path string, bucket int, rows long, bytes long, "
+            "schema_version int, delta boolean, stats string",
+        )
+
+    def history_df(self, spark: SparkSession) -> DataFrame:
+        """Metadata table: one row per snapshot (Iceberg's
+        ``table.history``/``table.snapshots`` analog)."""
+        rows = [
+            (s.version, s.summary.get("operation"), s.schema_version,
+             len(s.files), sum(f.rows for f in s.files),
+             sum(f.bytes for f in s.files), json.dumps(s.epochs))
+            for s in self.history()
+        ]
+        return spark.createDataFrame(
+            rows,
+            "version int, operation string, schema_version int, "
+            "n_files int, total_rows long, total_bytes long, epochs string",
+        )
 
     def _read_files(
         self,
@@ -237,15 +456,25 @@ class LakeTable:
         # serial loop costs ~0.5s per microbatch, pure driver latency
         from concurrent.futures import ThreadPoolExecutor
 
+        # name -> field id for THIS write's schema version, so per-file
+        # column bounds are recorded by field id (rename-stable, the
+        # Iceberg manifest lower_bounds/upper_bounds analog) at zero
+        # extra I/O — the footer is already open for the row count.
+        name_to_id = {
+            f["name"]: f["id"] for f in self.snapshot().schemas[schema_version]
+        }
+
         def _entry(path: str) -> FileEntry:
             bucket = int(os.path.basename(os.path.dirname(path)).split("=")[1])
-            meta = pq.ParquetFile(path).metadata
+            pf = pq.ParquetFile(path)
+            meta = pf.metadata
             return FileEntry(
                 path=os.path.relpath(path, self.root),
                 bucket=bucket,
                 rows=meta.num_rows,
                 bytes=os.path.getsize(path),
                 schema_version=schema_version,
+                stats=_bounds_from_footer(meta, name_to_id),
             )
 
         paths = glob.glob(os.path.join(out_dir, f"{_BUCKET}=*", "*.parquet"))
@@ -666,7 +895,8 @@ class LakeTable:
             cur_fields + [{"name": "_deleted", "type": "boolean"}],
         ).withColumn(_BUCKET, self._bucket_expr(snap))
         entries = [
-            FileEntry(e.path, e.bucket, e.rows, e.bytes, e.schema_version, delta=True)
+            FileEntry(e.path, e.bucket, e.rows, e.bytes, e.schema_version,
+                      delta=True, stats=e.stats)
             for e in self._write_data(
                 d, next_version, snap.schema_version,
                 n_partitions or snap.n_buckets,
@@ -699,28 +929,56 @@ class LakeTable:
         )
 
     def stats_from_footers(self, entries: list[FileEntry], column: str) -> dict:
-        """Driver-side (rows, max(column)) from parquet footer
-        statistics of freshly written files — observability without an
-        extra Spark job."""
+        """Driver-side (rows, max(column)) — answered from the
+        manifest's recorded per-file bounds when present (pure
+        metadata, no I/O: the 100 TB path, where ``entries`` can be
+        the whole table), falling back to parquet footer reads only
+        for files written before bounds were recorded.  ``column`` is
+        the CURRENT name; old files are matched by field id, so the
+        answer is rename-stable."""
         from concurrent.futures import ThreadPoolExecutor
 
-        def _one(e: FileEntry):
-            pf = pq.ParquetFile(os.path.join(self.root, e.path))
-            rows = pf.metadata.num_rows
-            mx = None
-            idx = pf.schema_arrow.get_field_index(column)
-            if idx >= 0:
-                for rg in range(pf.metadata.num_row_groups):
-                    st = pf.metadata.row_group(rg).column(idx).statistics
-                    if st is not None and st.has_min_max:
-                        mx = st.max if mx is None else max(mx, st.max)
-            return rows, mx
+        snap = self.snapshot()
+        fid = next((f["id"] for f in snap.fields if f["name"] == column), None)
+        total, mx = 0, None
+        slow: list[FileEntry] = []
+        for e in entries:
+            b = e.stats.get(str(fid)) if (e.stats is not None and fid is not None) else None
+            if b is not None:
+                total += e.rows
+                mx = b[1] if mx is None else max(mx, b[1])
+            else:
+                slow.append(e)
 
-        with ThreadPoolExecutor(max_workers=16) as pool:
-            results = list(pool.map(_one, entries))
-        total = sum(r for r, _ in results)
-        maxes = [m for _, m in results if m is not None]
-        return {"rows": total, "max": max(maxes) if maxes else None}
+        if slow:
+            # physical column name under each old schema version
+            name_by_sv = {
+                sv: next((f["name"] for f in fields if f["id"] == fid), column)
+                for sv, fields in snap.schemas.items()
+            }
+
+            def _one(e: FileEntry):
+                pf = pq.ParquetFile(os.path.join(self.root, e.path))
+                rows = pf.metadata.num_rows
+                m = None
+                idx = pf.schema_arrow.get_field_index(
+                    name_by_sv.get(e.schema_version, column)
+                )
+                if idx >= 0:
+                    for rg in range(pf.metadata.num_row_groups):
+                        st = pf.metadata.row_group(rg).column(idx).statistics
+                        if st is not None and st.has_min_max:
+                            v = _encode_bound(st.max)
+                            if v is not None:
+                                m = v if m is None else max(m, v)
+                return rows, m
+
+            with ThreadPoolExecutor(max_workers=16) as pool:
+                for rows, m in pool.map(_one, slow):
+                    total += rows
+                    if m is not None:
+                        mx = m if mx is None else max(mx, m)
+        return {"rows": total, "max": mx}
 
     # ------------------------------------------------------------------
     # schema evolution (Iceberg-style: add / rename / widen by field id)

@@ -57,6 +57,10 @@ def get_spark(
         # slot busy during the scan->normalize->map-combine stage)
         .config("spark.sql.files.minPartitionNum", str(2 * cpus))
         .config("spark.sql.parquet.filterPushdown", "true")
+        # INT96 (the legacy default) has no footer min/max statistics,
+        # which blinds both parquet row-group pushdown and the lake's
+        # manifest bounds (lake/table.py) on timestamp columns
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # --- misc -------------------------------------------------------
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

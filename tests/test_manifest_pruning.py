@@ -1,0 +1,207 @@
+"""Manifest-level file pruning, incremental append reads, and metadata
+tables — the Iceberg planning surface (manifest lower/upper bounds ->
+plan-files pruning, incremental append scan, `.files`/`.history`
+metadata tables; reference lands through destination-iceberg
+IcebergConsumer.java, which inherits these from the Iceberg library —
+here they are reimplemented on the from-scratch snapshot log).
+
+The scale claim under test: a selective scan must be answerable from
+DRIVER METADATA ONLY — at 10^5 files, deciding which files to read
+cannot touch footers, let alone data.
+"""
+
+import datetime
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql.types import (
+    LongType, StringType, StructField, StructType, TimestampType,
+)
+
+from airbyte_spark.lake import LakeTable
+from airbyte_spark.lake.log import FileEntry
+
+SCHEMA = StructType(
+    [
+        StructField("repo", StringType()),
+        StructField("path", StringType()),
+        StructField("lsn", LongType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+T0 = datetime.datetime(2024, 1, 1)
+
+
+def _batch(spark, lo, hi, repo_prefix="r"):
+    return spark.createDataFrame(
+        [
+            Row(
+                repo=f"{repo_prefix}{i % 3}",
+                path=f"p{i}",
+                lsn=i,
+                ts=T0 + datetime.timedelta(seconds=i),
+            )
+            for i in range(lo, hi)
+        ],
+        SCHEMA,
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = LakeTable.create(str(tmp_path / "t"), SCHEMA, ["repo", "path"], n_buckets=4)
+    t.append(spark, _batch(spark, 0, 100), epoch=1)
+    t.append(spark, _batch(spark, 100, 200), epoch=2)
+    return t
+
+
+def test_write_records_column_bounds(table):
+    snap = table.snapshot()
+    name_to_id = {f["name"]: f["id"] for f in snap.fields}
+    for f in snap.files:
+        assert f.stats is not None
+        lo, hi = f.stats[str(name_to_id["lsn"])]
+        assert 0 <= lo <= hi < 200
+        tlo, thi = f.stats[str(name_to_id["ts"])]
+        # fixed-width ISO bound (micro-padded) — lexicographic == instant order
+        assert tlo.startswith("2024-01-01T00:0") and len(tlo) == 26
+
+
+def test_prune_long_predicate(table):
+    snap, kept = table.plan_scan([("lsn", ">=", 150)])
+    # epoch-1 files (lsn 0-99) must be pruned without any I/O
+    assert len(kept) < len(snap.files)
+    name_to_id = {f["name"]: f["id"] for f in snap.fields}
+    lsn_id = str(name_to_id["lsn"])
+    assert all(f.stats[lsn_id][1] >= 150 for f in kept)
+
+
+def test_scan_equals_read_filter(spark, table):
+    for where in (
+        [("lsn", ">=", 150)],
+        [("lsn", "<", 37)],
+        [("repo", "=", "r1"), ("lsn", ">", 120)],
+        [("ts", ">=", T0 + datetime.timedelta(seconds=150))],
+    ):
+        got = {tuple(r) for r in table.scan(spark, where).collect()}
+        df = table.read(spark)
+        for col, op, v in where:
+            from pyspark.sql import functions as F
+
+            c = F.col(col)
+            df = df.filter({"=": c == v, "<": c < v, "<=": c <= v,
+                            ">": c > v, ">=": c >= v}[op])
+        want = {tuple(r) for r in df.collect()}
+        assert got == want and got
+
+
+def test_ts_predicate_prunes_files(spark, table):
+    # TIMESTAMP_MICROS stats (session.py) make time-range retention
+    # scans metadata-prunable
+    snap, kept = table.plan_scan([("ts", ">=", T0 + datetime.timedelta(seconds=150))])
+    assert len(kept) < len(snap.files)
+
+
+def test_prune_is_metadata_only(spark, table, monkeypatch):
+    # deny all file I/O during planning: plan_scan must not open anything
+    import builtins
+
+    real_open = builtins.open
+    opened = []
+
+    def spy(path, *a, **kw):
+        opened.append(str(path))
+        return real_open(path, *a, **kw)
+
+    monkeypatch.setattr(builtins, "open", spy)
+    table.plan_scan([("lsn", ">=", 150)])
+    assert all("_log" in p or ".json" in p for p in opened), opened
+
+
+def test_files_without_stats_never_prune(table):
+    # files written before stats existed (stats=None) must never prune,
+    # and None must round-trip the JSON log cleanly
+    snap = table.snapshot()
+    stripped = [
+        FileEntry(f.path, f.bucket, f.rows, f.bytes, f.schema_version, f.delta, None)
+        for f in snap.files
+    ]
+    assert all("stats" not in f.to_json() for f in stripped)
+    assert all(FileEntry.from_json(f.to_json()).stats is None for f in stripped)
+    from airbyte_spark.lake.table import _entry_may_match
+
+    assert all(_entry_may_match(f, 3, ">=", 10**9) for f in stripped)
+
+
+def test_bounds_survive_rename(spark, table):
+    # rename lsn -> seq: old files' bounds are keyed by field id, so a
+    # predicate on the NEW name still prunes OLD files
+    table.evolve([("rename", "lsn", "seq")])
+    snap, kept = table.plan_scan([("seq", ">=", 150)])
+    assert len(kept) < len(snap.files)
+    rows = table.scan(spark, [("seq", ">=", 150)]).collect()
+    assert sorted(r["seq"] for r in rows) == list(range(150, 200))
+
+
+def test_mor_delta_blocks_nonkey_pruning_but_not_key(spark, tmp_path):
+    t = LakeTable.create(str(tmp_path / "m"), SCHEMA, ["repo", "path"], n_buckets=4)
+    t.append(spark, _batch(spark, 0, 100), epoch=1)
+    # delta layer: updates for p0..p9 with HIGH lsn values; a naive
+    # lsn-pruned base scan would resurrect/lose LWW winners
+    upd = spark.createDataFrame(
+        [Row(repo=f"r{i % 3}", path=f"p{i}", lsn=1000 + i, ts=T0) for i in range(10)],
+        SCHEMA,
+    )
+    t.merge_mor(spark, upd, order_cols=["lsn"], epoch=2)
+    snap = t.snapshot()
+    # non-key predicate: nothing may be pruned (delta present)
+    _, kept = t.plan_scan([("lsn", ">=", 1000)])
+    assert len(kept) == len(snap.files)
+    # ...and the result is still exactly read+filter
+    got = {r["path"] for r in t.scan(spark, [("lsn", ">=", 1000)]).collect()}
+    assert got == {f"p{i}" for i in range(10)}
+    # key predicate: prunes (both sides), result still exact
+    _, kept_key = t.plan_scan([("repo", "=", "r1")])
+    rows = t.scan(spark, [("repo", "=", "r1")]).collect()
+    by_path = {r["path"]: r["lsn"] for r in rows}
+    assert by_path["p1"] == 1001 and by_path["p4"] == 1004  # LWW winners kept
+    assert all(r["repo"] == "r1" for r in rows)
+
+
+def test_read_appends_incremental(spark, table):
+    inc = table.read_appends(spark, since_version=1)
+    assert sorted(r["lsn"] for r in inc.collect()) == list(range(100, 200))
+    # full range = both appends
+    inc0 = table.read_appends(spark, since_version=0)
+    assert inc0.count() == 200
+    # bounded range (since, until]
+    assert table.read_appends(spark, 0, until_version=1).count() == 100
+
+
+def test_read_appends_rejects_rewrites(spark, table):
+    batch = _batch(spark, 0, 10)
+    table.merge(spark, batch, epoch=3)
+    with pytest.raises(ValueError, match="additive"):
+        table.read_appends(spark, since_version=1)
+    # but a range that STOPS before the merge is still valid
+    assert table.read_appends(spark, 1, until_version=2).count() == 100
+
+
+def test_read_appends_across_evolve(spark, table):
+    table.evolve([("add", "stars", LongType())])
+    table.append(spark, _batch(spark, 200, 220), epoch=3)
+    inc = table.read_appends(spark, since_version=2)
+    assert inc.count() == 20
+    assert "stars" in inc.columns  # projected to the current schema
+
+
+def test_metadata_tables(spark, table):
+    files = table.files_df(spark)
+    snap = table.snapshot()
+    assert files.count() == len(snap.files)
+    total = files.groupBy().sum("rows").collect()[0][0]
+    assert total == 200
+    hist = table.history_df(spark).orderBy("version").collect()
+    assert [h["operation"] for h in hist] == ["create", "append", "append"]
+    assert hist[-1]["total_rows"] == 200
