@@ -575,6 +575,76 @@ def cdc_replay_mor_mini(spark, sf):
     return _state_digest(_cdc_replay_table(spark, sf, merge_strategy="mor"))
 
 
+def _lake_epoch_appends(spark, sf):
+    """Three disjoint-range epoch appends of the events table into a
+    fresh lake table (create=v0, appends=v1..v3); returns
+    (table, cut_a, cut_b).  Integer cuts at 1/2 and 4/5 of max id so
+    the oracle can reproduce the slicing in SQL at any sf."""
+    from airbyte_spark.lake.table import LakeTable
+
+    e = _t(spark, sf, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    mx = e.agg(F.max("event_id")).collect()[0][0]  # 1-row driver fetch
+    cut_a, cut_b = mx // 2, (mx * 4) // 5
+    root = tempfile.mkdtemp(prefix="lake_appends_")
+    t = LakeTable.create(os.path.join(root, "t"), e.schema, ["event_id"], n_buckets=8)
+    t.append(spark, e.filter(F.col("event_id") < cut_a), epoch=1)
+    t.append(
+        spark,
+        e.filter((F.col("event_id") >= cut_a) & (F.col("event_id") < cut_b)),
+        epoch=2,
+    )
+    t.append(spark, e.filter(F.col("event_id") >= cut_b), epoch=3)
+    return t, cut_a, cut_b
+
+
+def cdc_pruned_scan(spark, sf):
+    """Manifest-bound file pruning, value-verified end to end: land
+    events as three epoch appends with disjoint event_id ranges, then
+    answer a selective range scan with LakeTable.scan.  The pruning
+    decision itself is part of the checked row — with 8 always-hit
+    buckets per append, the file layout is deterministic (24 total)
+    and the disjoint ranges make exactly the last append's 8 files
+    survive plan_scan, which the oracle pins as literals.  (Iceberg
+    manifest lower/upper-bound pruning semantics; reference inherits
+    them from the Iceberg library under destination-iceberg.)"""
+    t, _cut_a, cut_b = _lake_epoch_appends(spark, sf)
+    snap, kept = t.plan_scan([("event_id", ">=", cut_b)])
+    return (
+        t.scan(spark, [("event_id", ">=", cut_b)])
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("event_id").alias("sum_event_id"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.lit(len(snap.files)).cast("long").alias("files_total"),
+            F.lit(len(kept)).cast("long").alias("files_kept"),
+            "n_rows",
+            "sum_event_id",
+            "sum_value",
+        )
+    )
+
+
+def cdc_incremental_appends(spark, sf):
+    """Iceberg-style incremental append consumption: read ONLY the
+    data files added after a snapshot (here: since v1 = the first
+    append), digest-verified row-for-row against a plain SQL range
+    filter.  The collect_list digest is test-scale only."""
+    t, _cut_a, _cut_b = _lake_epoch_appends(spark, sf)
+    inc = t.read_appends(spark, since_version=1)
+    line = F.col("event_id").cast("string")
+    return inc.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.sha2(
+            F.array_join(F.sort_array(F.collect_list(line)), "\n"), 256
+        ).alias("ids_sha256"),
+    )
+
+
 def multimodal_features(spark, sf):
     """Multimodal plumbing end-to-end: synthesize binary assets,
     extract features via Arrow-batched mapInPandas (deterministic
@@ -653,6 +723,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": multimodal_frames,
         "cdc_replay_mini": cdc_replay_mini,
         "cdc_replay_mor_mini": cdc_replay_mor_mini,
+        "cdc_pruned_scan": cdc_pruned_scan,
+        "cdc_incremental_appends": cdc_incremental_appends,
     }
 
 
@@ -1199,6 +1271,27 @@ SELECT CAST(275 AS BIGINT) AS final_rows,
         "cdc_replay_mor_mini": f"""
 SELECT CAST(275 AS BIGINT) AS final_rows,
        '{_CDC_MINI_DIGEST}' AS state_sha256
+""",
+        # file counts are layout constants: 3 epoch appends x 8
+        # always-hit hash buckets = 24 files; disjoint event_id ranges
+        # mean exactly the last append's 8 survive the >= 4/5 cut
+        "cdc_pruned_scan": """
+WITH mx AS (SELECT max(event_id) AS m FROM events)
+SELECT CAST(24 AS BIGINT) AS files_total,
+       CAST(8 AS BIGINT) AS files_kept,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+       round(sum(value), 2) AS sum_value
+FROM events, mx WHERE event_id >= (m * 4) // 5
+""",
+        "cdc_incremental_appends": """
+WITH mx AS (SELECT max(event_id) AS m FROM events),
+inc AS (SELECT * FROM events, mx WHERE event_id >= m // 2)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(value), 2) AS sum_value,
+       sha256(string_agg(CAST(event_id AS VARCHAR), chr(10)
+              ORDER BY CAST(event_id AS VARCHAR))) AS ids_sha256
+FROM inc
 """,
         "emb_cosine_pairs": """
 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
