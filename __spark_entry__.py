@@ -628,6 +628,28 @@ def cdc_pruned_scan(spark, sf):
     )
 
 
+def cdc_lake_source_scan(spark, sf):
+    """The lake read through Spark's planner as a registered Python
+    data source (format "lake", lake/datasource.py): Catalyst pushes
+    the range predicate into pushFilters, which prunes data files from
+    manifest bounds; executors read the survivors as Arrow batches.
+    Same slicing as cdc_pruned_scan, so the oracle is plain SQL."""
+    from airbyte_spark.lake import datasource as DS
+
+    DS.register(spark)
+    t, _cut_a, cut_b = _lake_epoch_appends(spark, sf)
+    return (
+        spark.read.format("lake")
+        .load(t.root)
+        .filter(F.col("event_id") >= cut_b)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("event_id").alias("sum_event_id"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
 def cdc_incremental_appends(spark, sf):
     """Iceberg-style incremental append consumption: read ONLY the
     data files added after a snapshot (here: since v1 = the first
@@ -724,6 +746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_mini": cdc_replay_mini,
         "cdc_replay_mor_mini": cdc_replay_mor_mini,
         "cdc_pruned_scan": cdc_pruned_scan,
+        "cdc_lake_source_scan": cdc_lake_source_scan,
         "cdc_incremental_appends": cdc_incremental_appends,
     }
 
@@ -1280,6 +1303,13 @@ WITH mx AS (SELECT max(event_id) AS m FROM events)
 SELECT CAST(24 AS BIGINT) AS files_total,
        CAST(8 AS BIGINT) AS files_kept,
        CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+       round(sum(value), 2) AS sum_value
+FROM events, mx WHERE event_id >= (m * 4) // 5
+""",
+        "cdc_lake_source_scan": """
+WITH mx AS (SELECT max(event_id) AS m FROM events)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(event_id) AS BIGINT) AS sum_event_id,
        round(sum(value), 2) AS sum_value
 FROM events, mx WHERE event_id >= (m * 4) // 5

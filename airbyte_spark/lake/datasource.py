@@ -1,0 +1,233 @@
+"""The lake table as a first-class Spark data source ("lake" format).
+
+PySpark 4's Python DataSource API lets the from-scratch lake format
+plug into the planner the way the reference's Iceberg tables plug
+into their engines (destination-iceberg reads back through Spark's
+Iceberg source): after ``register(spark)``,
+
+    spark.read.format("lake").load(root)                  # batch
+    spark.read.format("lake").option("version", 3)...     # time travel
+    spark.readStream.format("lake").load(root)            # append tail
+
+Scale behavior:
+* ``pushFilters`` receives Catalyst's pushed predicates and prunes
+  DATA FILES from the manifest bounds (plan_scan) before a single
+  byte is read — at 10^5 files the planning cost is driver metadata
+  only.  All filters are returned as "unhandled" so Spark re-applies
+  them exactly (pruning is conservative, never a substitute filter).
+* One InputPartition per surviving file; executors read with
+  pyarrow and yield Arrow RecordBatches (zero per-row Python).
+* The streaming reader's offsets are snapshot VERSIONS: each
+  microbatch reads exactly the files added in (start, end] — the
+  same deterministic diff as ``read_appends`` — so checkpoint replay
+  is exactly-once by construction.  Non-additive histories (merge /
+  overwrite / compact rewrite files) raise rather than double-read.
+
+Restriction: tables with live MOR delta files need scan-time LWW
+resolution across files (a shuffle), which a data source cannot
+express — ``LakeTable.read`` handles those; here it is an error.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Any, Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+from airbyte_spark.lake.log import FileEntry, Snapshot
+from airbyte_spark.lake.table import LakeTable, struct_from_fields
+
+_OPS: dict[type, str] = {
+    EqualTo: "=",
+    GreaterThan: ">",
+    GreaterThanOrEqual: ">=",
+    LessThan: "<",
+    LessThanOrEqual: "<=",
+}
+
+
+@dataclass
+class _FilePartition(InputPartition):
+    abs_path: str
+    file_fields: list  # schema the file was written under
+    cur_fields: list   # schema to project to
+
+
+def _read_file_projected(part: _FilePartition) -> Iterator:
+    """Executor-side: read one parquet file with pyarrow and project
+    it to the current schema by FIELD ID (rename -> id-stable column
+    match, add -> nulls, widen -> cast), mirroring LakeTable._read_files'
+    Spark-side projection.  Yields Arrow RecordBatches."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(struct_from_fields(part.cur_fields))
+    src_by_id = {f["id"]: f["name"] for f in part.file_fields}
+    table = pq.read_table(
+        part.abs_path,
+        columns=[
+            src_by_id[f["id"]] for f in part.cur_fields if f["id"] in src_by_id
+        ],
+    )
+    n = table.num_rows
+    arrays = []
+    for f, t_field in zip(part.cur_fields, target):
+        src = src_by_id.get(f["id"])
+        if src is None:
+            arrays.append(pa.nulls(n, t_field.type))
+        else:
+            arrays.append(table.column(src).cast(t_field.type).combine_chunks())
+    out = pa.table(dict(zip(target.names, arrays)), schema=target)
+    yield from out.to_batches()
+
+
+def _parse_filters(
+    filters: list[Filter], snap: Snapshot
+) -> tuple[list[tuple[str, str, Any]], list[Filter]]:
+    """Split pushed filters into manifest-prunable (col, op, value)
+    triples and the rest.  Only single-part column paths on table
+    columns with simple comparison ops qualify."""
+    names = {f["name"] for f in snap.fields}
+    preds: list[tuple[str, str, Any]] = []
+    for flt in filters:
+        op = _OPS.get(type(flt))
+        if op is None:
+            continue
+        path = flt.attribute
+        if len(path) != 1 or path[0] not in names:
+            continue
+        preds.append((path[0], op, flt.value))
+    return preds, list(filters)
+
+
+class _LakeBatchReader(DataSourceReader):
+    def __init__(self, root: str, version: int | None):
+        self._t = LakeTable(root)
+        self._snap = self._t.snapshot(version)
+        if any(f.delta for f in self._snap.files):
+            raise ValueError(
+                "lake data source cannot resolve MOR delta files; "
+                "compact() the table or use LakeTable.read"
+            )
+        self._files: list[FileEntry] = list(self._snap.files)
+        self._version = version
+
+    def pushFilters(self, filters: list[Filter]):
+        preds, unhandled = _parse_filters(filters, self._snap)
+        if preds:
+            _, self._files = self._t.plan_scan(preds, self._version)
+        # everything is re-applied by Spark: bounds pruning is
+        # conservative, not an exact filter
+        return unhandled
+
+    def partitions(self):
+        snap = self._snap
+        return [
+            _FilePartition(
+                os.path.join(self._t.root, f.path),
+                snap.schemas[f.schema_version],
+                snap.fields,
+            )
+            for f in self._files
+        ]
+
+    def read(self, partition: _FilePartition):
+        return _read_file_projected(partition)
+
+
+_ADDITIVE = {"append", "epoch-heartbeat", "evolve", "create"}
+
+
+class _LakeStreamReader(DataSourceStreamReader):
+    def __init__(self, root: str, starting_version: int):
+        self._t = LakeTable(root)
+        self._start = starting_version
+
+    def initialOffset(self) -> dict:
+        return {"version": self._start}
+
+    def latestOffset(self) -> dict:
+        return {"version": self._t.snapshot().version}
+
+    def partitions(self, start: dict, end: dict):
+        sv, ev = start["version"], end["version"]
+        until = self._t.snapshot(ev)
+        for v in range(sv + 1, ev + 1):
+            op = self._t.snapshot(v).summary.get("operation")
+            if op not in _ADDITIVE:
+                raise ValueError(
+                    f"snapshot v{v} is {op!r}: the lake stream tails "
+                    "additive histories only; re-bootstrap the consumer "
+                    "after merges/overwrites/compactions"
+                )
+        since_paths = {f.path for f in self._t.snapshot(sv).files}
+        return [
+            _FilePartition(
+                os.path.join(self._t.root, f.path),
+                until.schemas[f.schema_version],
+                until.fields,
+            )
+            for f in until.files
+            if f.path not in since_paths
+        ]
+
+    def read(self, partition: _FilePartition):
+        return _read_file_projected(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # exactly-once comes from the deterministic version diff
+
+    def stop(self) -> None:
+        pass
+
+
+class LakeDataSource(DataSource):
+    """``format("lake")``: options ``path`` (table root), ``version``
+    (batch time travel), ``starting_version`` (stream start point,
+    default 0 = everything)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "lake"
+
+    def _root(self) -> str:
+        root = self.options.get("path")
+        if not root:
+            raise ValueError("lake data source requires a path (load(root))")
+        return root
+
+    def schema(self) -> StructType:
+        version = self.options.get("version")
+        t = LakeTable(self._root())
+        snap = t.snapshot(int(version) if version is not None else None)
+        return struct_from_fields(snap.fields)
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        version = self.options.get("version")
+        return _LakeBatchReader(
+            self._root(), int(version) if version is not None else None
+        )
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return _LakeStreamReader(
+            self._root(), int(self.options.get("starting_version", 0))
+        )
+
+
+def register(spark) -> None:
+    spark.dataSource.register(LakeDataSource)

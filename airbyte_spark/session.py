@@ -61,6 +61,9 @@ def get_spark(
         # which blinds both parquet row-group pushdown and the lake's
         # manifest bounds (lake/table.py) on timestamp columns
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        # let Python data sources (lake/datasource.py) receive pushed
+        # predicates for manifest-bound file pruning
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # --- misc -------------------------------------------------------
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

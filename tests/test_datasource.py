@@ -1,0 +1,133 @@
+"""The "lake" Spark data source (PySpark Python DataSource API):
+batch read parity, pushFilters manifest pruning, time travel, schema
+evolution projection, the MOR guard, and the exactly-once streaming
+append tail.  (Reference analog: Iceberg tables read back through an
+engine's native source; here the from-scratch lake format plugs into
+Spark's planner directly.)"""
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from airbyte_spark.lake import datasource as DS
+from airbyte_spark.lake.datasource import _LakeBatchReader, _LakeStreamReader
+from airbyte_spark.lake.table import LakeTable
+
+SCHEMA = StructType(
+    [
+        StructField("repo", StringType()),
+        StructField("path", StringType()),
+        StructField("lsn", LongType()),
+    ]
+)
+
+
+def _mk(spark, lo, hi):
+    return spark.createDataFrame(
+        [Row(repo=f"r{i % 3}", path=f"p{i}", lsn=i) for i in range(lo, hi)], SCHEMA
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    DS.register(spark)
+    t = LakeTable.create(str(tmp_path / "t"), SCHEMA, ["repo", "path"], n_buckets=4)
+    t.append(spark, _mk(spark, 0, 100), epoch=1)
+    t.append(spark, _mk(spark, 100, 200), epoch=2)
+    return t
+
+
+def test_batch_read_parity(spark, table):
+    via_source = {tuple(r) for r in spark.read.format("lake").load(table.root).collect()}
+    via_api = {tuple(r) for r in table.read(spark).collect()}
+    assert via_source == via_api and len(via_source) == 200
+
+
+def test_filter_parity_and_schema(spark, table):
+    df = spark.read.format("lake").load(table.root)
+    assert df.schema == SCHEMA
+    got = sorted(r["lsn"] for r in df.filter("lsn >= 150 AND repo = 'r1'").collect())
+    assert got == [i for i in range(150, 200) if i % 3 == 1]
+
+
+def test_pushdown_prunes_files(table):
+    # drive the reader directly: the >= cut must prune epoch-1 files
+    r = _LakeBatchReader(table.root, None)
+    n_total = len(r.partitions())
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    unhandled = r.pushFilters([GreaterThanOrEqual(("lsn",), 150)])
+    assert len(list(unhandled)) == 1  # everything re-applied by Spark
+    assert 0 < len(r.partitions()) < n_total
+
+
+def test_unsupported_filters_still_correct(spark, table):
+    df = spark.read.format("lake").load(table.root)
+    assert df.filter("path LIKE 'p19%'").count() == 11  # p19, p190..p199
+
+
+def test_time_travel_option(spark, table):
+    assert (
+        spark.read.format("lake").option("version", 1).load(table.root).count() == 100
+    )
+
+
+def test_schema_evolution_projection(spark, table):
+    table.evolve([("rename", "lsn", "seq"), ("add", "stars", LongType())])
+    table.append(
+        spark,
+        spark.createDataFrame([Row(repo="rx", path="px", seq=999, stars=7)]),
+        epoch=3,
+    )
+    df = spark.read.format("lake").load(table.root)
+    assert df.columns == ["repo", "path", "seq", "stars"]
+    assert df.count() == 201
+    assert df.filter("stars IS NULL").count() == 200  # old files -> null column
+    assert df.filter("seq = 150").count() == 1  # renamed col reaches old files
+
+
+def test_mor_delta_rejected(spark, table):
+    upd = spark.createDataFrame([Row(repo="r0", path="p0", lsn=1000)], SCHEMA)
+    table.merge_mor(spark, upd, order_cols=["lsn"], epoch=3)
+    with pytest.raises(Exception, match="MOR|compact"):
+        spark.read.format("lake").load(table.root).collect()
+
+
+def test_stream_tail_exactly_once(spark, table, tmp_path):
+    cp = str(tmp_path / "cp")
+    got = []
+
+    def run():
+        batch_rows = []
+
+        def sink(bdf, bid):
+            batch_rows.extend(r["lsn"] for r in bdf.collect())
+
+        q = (
+            spark.readStream.format("lake")
+            .load(table.root)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return batch_rows
+
+    first = run()
+    assert sorted(first) == list(range(200))
+    # nothing new: a resumed run reads zero rows (no double-read)
+    assert run() == []
+    # two more appends, resume: exactly the new rows
+    table.append(spark, _mk(spark, 200, 230), epoch=3)
+    table.append(spark, _mk(spark, 230, 250), epoch=4)
+    assert sorted(run()) == list(range(200, 250))
+
+
+def test_stream_rejects_rewrite_history(spark, table):
+    table.merge(spark, _mk(spark, 0, 10), epoch=3)
+    r = _LakeStreamReader(table.root, 0)
+    with pytest.raises(ValueError, match="additive"):
+        r.partitions({"version": 1}, r.latestOffset())
