@@ -1059,27 +1059,50 @@ class LakeTable:
     # ------------------------------------------------------------------
     # maintenance
     # ------------------------------------------------------------------
-    def compact(self, spark: SparkSession, max_files_per_bucket: int = 1) -> int | None:
+    def compact(
+        self,
+        spark: SparkSession,
+        max_files_per_bucket: int = 1,
+        *,
+        cluster_by: list[str] | None = None,
+        target_rows_per_file: int | None = None,
+    ) -> int | None:
         """Rewrite buckets that accumulated more than
         ``max_files_per_bucket`` files, hold old-schema files, or hold
         MOR delta files (reference: IcebergConsumer.java:210-224
         rewriteDataFiles).  Delta folding requires whole-bucket
         rewrites (resolution needs base+delta together), so selection
-        is bucket-granular; resolved rows land as plain base files."""
+        is bucket-granular; resolved rows land as plain base files.
+
+        ``cluster_by``: Iceberg sort-order rewrite — rewrite EVERY
+        file, range-partitioned and sorted on (bucket, *cluster_by)
+        and split at ~``target_rows_per_file``.  Hash buckets scatter
+        keys, so ordinary files carry near-table-wide column bounds;
+        after clustering each file covers a tight ``cluster_by`` range,
+        which makes manifest pruning (plan_scan / pushFilters) and
+        parquet row-group stats effective for range predicates —
+        the layout maintenance step for time/LSN retention scans.
+        Content-preserving and epoch-free like plain compaction."""
         snap = self.snapshot()
-        by_bucket: dict[int, list[FileEntry]] = {}
-        for f in snap.files:
-            by_bucket.setdefault(f.bucket, []).append(f)
-        to_rewrite = [
-            f
-            for bucket, fs in by_bucket.items()
-            if (
-                len(fs) > max_files_per_bucket
-                or any(g.schema_version != snap.schema_version for g in fs)
-                or any(g.delta for g in fs)
-            )
-            for f in fs
-        ]
+        if cluster_by:
+            missing = [c for c in cluster_by if c not in {f["name"] for f in snap.fields}]
+            if missing:
+                raise ValueError(f"unknown cluster_by columns {missing}")
+            to_rewrite = list(snap.files)
+        else:
+            by_bucket: dict[int, list[FileEntry]] = {}
+            for f in snap.files:
+                by_bucket.setdefault(f.bucket, []).append(f)
+            to_rewrite = [
+                f
+                for bucket, fs in by_bucket.items()
+                if (
+                    len(fs) > max_files_per_bucket
+                    or any(g.schema_version != snap.schema_version for g in fs)
+                    or any(g.delta for g in fs)
+                )
+                for f in fs
+            ]
         if not to_rewrite:
             return None
         keep = [f for f in snap.files if f not in to_rewrite]
@@ -1088,7 +1111,18 @@ class LakeTable:
         )
         n_bkts = len({f.bucket for f in to_rewrite})
         next_version = snap.version + 1
-        entries = self._write_data(df, next_version, snap.schema_version, n_bkts)
+        if cluster_by:
+            total_rows = sum(f.rows for f in to_rewrite if not f.delta)
+            n_out = n_bkts
+            if target_rows_per_file:
+                n_out = max(n_bkts, -(-total_rows // target_rows_per_file))
+            cols = [F.col(_BUCKET)] + [F.col(c) for c in cluster_by]
+            df = df.repartitionByRange(n_out, *cols).sortWithinPartitions(*cols)
+            entries = self._write_data(
+                df, next_version, snap.schema_version, n_out, pre_partitioned=True
+            )
+        else:
+            entries = self._write_data(df, next_version, snap.schema_version, n_bkts)
         new = Snapshot(
             version=next_version,
             schema_version=snap.schema_version,
@@ -1098,7 +1132,11 @@ class LakeTable:
             files=keep + entries,
             epochs=dict(snap.epochs),
             props=dict(snap.props),
-            summary={"operation": "compact", "rewritten": len(to_rewrite)},
+            summary={
+                "operation": "compact",
+                "rewritten": len(to_rewrite),
+                **({"cluster_by": list(cluster_by)} if cluster_by else {}),
+            },
         )
         self._commit(new)
         return next_version

@@ -196,6 +196,39 @@ def test_read_appends_across_evolve(spark, table):
     assert "stars" in inc.columns  # projected to the current schema
 
 
+def test_clustered_compaction_tightens_bounds(spark, tmp_path):
+    t = LakeTable.create(str(tmp_path / "c"), SCHEMA, ["repo", "path"], n_buckets=4)
+    # three striped appends: every append (and so every file) spans the
+    # FULL lsn range -> bounds are table-wide, range predicates prune nothing
+    for k in range(3):
+        df = spark.createDataFrame(
+            [
+                Row(repo=f"r{i % 3}", path=f"p{i}", lsn=i,
+                    ts=T0 + datetime.timedelta(seconds=i))
+                for i in range(k, 300, 3)
+            ],
+            SCHEMA,
+        )
+        t.append(spark, df, epoch=k + 1)
+    before = {tuple(r) for r in t.read(spark).collect()}
+    snap0, kept0 = t.plan_scan([("lsn", ">=", 290)])
+    frac0 = len(kept0) / len(snap0.files)
+    assert frac0 > 0.5  # near-table-wide bounds: pruning mostly blind
+
+    v = t.compact(spark, cluster_by=["lsn"], target_rows_per_file=50)
+    assert v is not None
+    assert t.snapshot().summary["cluster_by"] == ["lsn"]
+    # content-preserving
+    assert {tuple(r) for r in t.read(spark).collect()} == before
+    # bounds are now tight: the same predicate prunes most files
+    snap1, kept1 = t.plan_scan([("lsn", ">=", 290)])
+    assert len(snap1.files) >= 6  # split at ~50 rows/file
+    frac1 = len(kept1) / len(snap1.files)
+    assert frac1 < 0.5 and frac1 < frac0  # tight ranges: mostly pruned
+    rows = t.scan(spark, [("lsn", ">=", 290)]).collect()
+    assert sorted(r["lsn"] for r in rows) == list(range(290, 300))
+
+
 def test_metadata_tables(spark, table):
     files = table.files_df(spark)
     snap = table.snapshot()
