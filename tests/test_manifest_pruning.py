@@ -229,6 +229,101 @@ def test_clustered_compaction_tightens_bounds(spark, tmp_path):
     assert sorted(r["lsn"] for r in rows) == list(range(290, 300))
 
 
+_OPS_ST = None
+
+
+def _predicate_filter(df, where):
+    from pyspark.sql import functions as F
+
+    for col, op, v in where:
+        c = F.col(col)
+        df = df.filter({"=": c == v, "<": c < v, "<=": c <= v,
+                        ">": c > v, ">=": c >= v}[op])
+    return df
+
+
+def test_property_scan_equals_filter_any_history(spark, tmp_path):
+    """Property: for ANY mixed table history (appends / MOR deltas with
+    tombstones / plain and clustered compactions) and ANY conjunctive
+    range/equality predicate, the pruned scan equals read+filter
+    exactly.  This pins the MOR pruning safety rule (non-key
+    predicates must not prune under live deltas) generatively."""
+    import uuid as _uuid
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    ops_st = st.lists(
+        st.tuples(
+            st.sampled_from(["append", "mor", "mor_del", "compact", "cluster"]),
+            st.integers(0, 400),
+            st.integers(1, 60),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+    preds_st = st.lists(
+        st.tuples(
+            st.sampled_from(["lsn", "repo", "path"]),
+            st.sampled_from(["=", "<", "<=", ">", ">="]),
+            st.integers(0, 460),
+        ),
+        min_size=1,
+        max_size=2,
+    )
+
+    # StructType.add mutates in place — copy before extending
+    op_schema = StructType(list(SCHEMA.fields)).add("op", StringType())
+
+    @settings(
+        max_examples=6, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture,
+                               HealthCheck.too_slow],
+    )
+    @given(ops=ops_st, preds=preds_st)
+    def run(ops, preds):
+        root = str(tmp_path / _uuid.uuid4().hex[:12])
+        t = LakeTable.create(root, SCHEMA, ["repo", "path"], n_buckets=4)
+        epoch = 0
+        for kind, lo, n in ops:
+            epoch += 1
+            rows = [
+                Row(repo=f"r{i % 3}", path=f"p{i % 8}", lsn=i,
+                    ts=T0 + datetime.timedelta(seconds=i))
+                for i in range(lo, lo + n)
+            ]
+            if kind == "append":
+                t.append(spark, spark.createDataFrame(rows, SCHEMA), epoch=epoch)
+            elif kind in ("mor", "mor_del"):
+                # per-key winners only (merge_mor contract); random deletes
+                winners = {}
+                for r in rows:
+                    winners[(r.repo, r.path)] = r
+                del_every = 3 if kind == "mor_del" else 10**9
+                w = [
+                    Row(**r.asDict(), op="d" if j % del_every == 2 else "u")
+                    for j, r in enumerate(winners.values())
+                ]
+                t.merge_mor(
+                    spark, spark.createDataFrame(w, op_schema),
+                    order_cols=["lsn"], op_col="op", delete_value="d",
+                    epoch=epoch,
+                )
+            elif kind == "compact":
+                t.compact(spark)
+            else:
+                t.compact(spark, cluster_by=["lsn"], target_rows_per_file=40)
+        where = [
+            (c, o, v if c == "lsn" else f"{'r' if c == 'repo' else 'p'}{v % 8}")
+            for c, o, v in preds
+        ]
+        got = {tuple(r) for r in t.scan(spark, where).collect()}
+        want = {tuple(r) for r in _predicate_filter(t.read(spark), where).collect()}
+        assert got == want
+
+    run()
+
+
 def test_metadata_tables(spark, table):
     files = table.files_df(spark)
     snap = table.snapshot()
