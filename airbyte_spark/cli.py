@@ -7,7 +7,10 @@ re-imagined as lakehouse-ingest verbs).
   python -m airbyte_spark.cli run --table /t --tail /tail --checkpoint /cp
   python -m airbyte_spark.cli replay --table /t --events 1000000 --batch-lsns 100000
   python -m airbyte_spark.cli lineage --table /t
-  python -m airbyte_spark.cli compact --table /t
+  python -m airbyte_spark.cli compact --table /t [--cluster-by lsn]
+  python -m airbyte_spark.cli scan --table /t --where 'lsn>=150'
+  python -m airbyte_spark.cli files|history --table /t
+  python -m airbyte_spark.cli appends --table /t --since 3
 
 On a cluster: spark-submit --py-files airbyte_spark.zip -m airbyte_spark.cli ...
 (local mode picks cpus from $SPARK_GRAFT_CPUS).
@@ -43,6 +46,21 @@ def _json_schema_type(ann: str) -> dict:
     if nullable:
         out["type"] = [out["type"], "null"]
     return out
+
+
+def _parse_predicate(s: str) -> tuple:
+    """'lsn>=150' -> ("lsn", ">=", 150); values parse as int when
+    numeric, else as (optionally quoted) strings."""
+    for op in (">=", "<=", "=", ">", "<"):  # two-char ops first
+        if op in s:
+            col, _, raw = s.partition(op)
+            raw = raw.strip().strip("'\"")
+            try:
+                value = int(raw)
+            except ValueError:
+                value = raw
+            return (col.strip(), op, value)
+    raise ValueError(f"cannot parse predicate {s!r} (use col>=value)")
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -89,6 +107,25 @@ def main(argv: list[str] | None = None) -> int:
 
     sp = sub.add_parser("compact", help="rewrite fragmented buckets")
     sp.add_argument("--table", required=True)
+    sp.add_argument("--cluster-by", default=None,
+                    help="comma-separated sort-order rewrite columns")
+    sp.add_argument("--target-rows-per-file", type=int, default=None)
+
+    sp = sub.add_parser("scan", help="manifest-pruned selective read")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--where", action="append", default=[],
+                    help="predicate like 'lsn>=150' (repeatable, ANDed)")
+    sp.add_argument("--limit", type=int, default=20)
+
+    sp = sub.add_parser("files", help="metadata table: live data files")
+    sp.add_argument("--table", required=True)
+
+    sp = sub.add_parser("history", help="metadata table: snapshot history")
+    sp.add_argument("--table", required=True)
+
+    sp = sub.add_parser("appends", help="incremental append read since a version")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--since", type=int, required=True)
 
     sub.add_parser("spec", help="emit the engine's job-config schema")
 
@@ -181,8 +218,39 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "compact":
         from airbyte_spark.lake import LakeTable
 
-        v = LakeTable(args.table).compact(spark)
+        v = LakeTable(args.table).compact(
+            spark,
+            cluster_by=args.cluster_by.split(",") if args.cluster_by else None,
+            target_rows_per_file=args.target_rows_per_file,
+        )
         print(json.dumps({"compacted_to_version": v}))
+    elif args.cmd == "scan":
+        from airbyte_spark.lake import LakeTable
+
+        t = LakeTable(args.table)
+        where = [_parse_predicate(w) for w in args.where]
+        snap, kept = t.plan_scan(where)
+        rows = t.scan(spark, where).limit(args.limit).collect()
+        print(json.dumps({
+            "files_total": len(snap.files),
+            "files_kept": len(kept),
+            "rows": [r.asDict() for r in rows],
+        }, default=str, indent=2))
+    elif args.cmd == "files":
+        from airbyte_spark.lake import LakeTable
+
+        for r in LakeTable(args.table).files_df(spark).collect():
+            print(json.dumps(r.asDict(), default=str))
+    elif args.cmd == "history":
+        from airbyte_spark.lake import LakeTable
+
+        for r in LakeTable(args.table).history_df(spark).collect():
+            print(json.dumps(r.asDict(), default=str))
+    elif args.cmd == "appends":
+        from airbyte_spark.lake import LakeTable
+
+        n = LakeTable(args.table).read_appends(spark, args.since).count()
+        print(json.dumps({"since_version": args.since, "new_rows": n}))
     elif args.cmd == "discover":
         from airbyte_spark.catalog import discover
 

@@ -150,9 +150,6 @@ class _LakeBatchReader(DataSourceReader):
         return _read_file_projected(partition)
 
 
-_ADDITIVE = {"append", "epoch-heartbeat", "evolve", "create"}
-
-
 class _LakeStreamReader(DataSourceStreamReader):
     def __init__(self, root: str, starting_version: int):
         self._t = LakeTable(root)
@@ -165,16 +162,14 @@ class _LakeStreamReader(DataSourceStreamReader):
         return {"version": self._t.snapshot().version}
 
     def partitions(self, start: dict, end: dict):
+        from airbyte_spark.lake.table import _check_additive
+
         sv, ev = start["version"], end["version"]
         until = self._t.snapshot(ev)
         for v in range(sv + 1, ev + 1):
-            op = self._t.snapshot(v).summary.get("operation")
-            if op not in _ADDITIVE:
-                raise ValueError(
-                    f"snapshot v{v} is {op!r}: the lake stream tails "
-                    "additive histories only; re-bootstrap the consumer "
-                    "after merges/overwrites/compactions"
-                )
+            # structural additivity (files retained, no new deltas) —
+            # same rule as LakeTable.read_appends
+            _check_additive(self._t.snapshot(v - 1), self._t.snapshot(v))
         since_paths = {f.path for f in self._t.snapshot(sv).files}
         return [
             _FilePartition(

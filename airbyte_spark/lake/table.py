@@ -112,6 +112,22 @@ def _bounds_from_footer(meta, name_to_id: dict[str, int]) -> dict[str, list[Any]
     return out
 
 
+def _check_additive(prev: Snapshot, cur: Snapshot) -> None:
+    """Raise unless ``cur`` only ADDS plain base files on top of
+    ``prev`` (no file removed/rewritten, no new MOR delta)."""
+    prev_paths = {f.path for f in prev.files}
+    removed = prev_paths - {f.path for f in cur.files}
+    new_deltas = [f for f in cur.files if f.delta and f.path not in prev_paths]
+    if removed or new_deltas:
+        op = cur.summary.get("operation")
+        raise ValueError(
+            f"snapshot v{cur.version} ({op!r}) is not additive "
+            f"({len(removed)} files removed/rewritten, "
+            f"{len(new_deltas)} delta files added); incremental append "
+            "reads require an additive history — re-bootstrap the consumer"
+        )
+
+
 _PRUNE_OPS = ("=", "<", "<=", ">", ">=")
 
 
@@ -313,21 +329,19 @@ class LakeTable:
         """Incremental consumption of appended rows between two
         snapshots (Iceberg's incremental append scan): read only the
         data files added in (since, until].  Valid only when every
-        snapshot in the range is additive (append / heartbeat /
-        evolve / merge-mor deltas would change row meaning — merge,
-        overwrite and compact rewrite files, so the diff is not "new
-        rows"); raises ValueError otherwise, same restriction Iceberg
-        enforces.  Files are projected to ``until``'s schema, so an
-        evolve inside the range is fine."""
+        snapshot in the range is STRUCTURALLY additive — it retains
+        all of its predecessor's files and adds no MOR delta files
+        (merges/overwrites/compactions drop or rewrite files, so the
+        file diff would not mean "new rows"; deltas change existing
+        rows' meaning).  Checked from the manifests themselves, not
+        operation labels, so e.g. the bootstrap overwrite of an empty
+        table counts as additive.  Raises ValueError otherwise — the
+        same restriction Iceberg's incremental scan enforces.  Files
+        are projected to ``until``'s schema, so an evolve inside the
+        range is fine."""
         until = self.snapshot(until_version)
-        additive = {"append", "epoch-heartbeat", "evolve", "create"}
         for v in range(since_version + 1, until.version + 1):
-            op = self.snapshot(v).summary.get("operation")
-            if op not in additive:
-                raise ValueError(
-                    f"snapshot v{v} is {op!r}; incremental append read "
-                    f"requires an additive history (one of {sorted(additive)})"
-                )
+            _check_additive(self.snapshot(v - 1), self.snapshot(v))
         since_paths = {f.path for f in self.snapshot(since_version).files}
         new_files = [f for f in until.files if f.path not in since_paths]
         return self._read_files(spark, until, new_files)

@@ -109,6 +109,38 @@ def test_spark_submit_py_files(tmp_path):
     assert json.loads(out.stdout)["status"] == "SUCCEEDED"
 
 
+def test_scan_files_history_appends_verbs(tmp_path):
+    """The lake planning verbs: scan (with pruning stats), files /
+    history metadata listings, and the incremental appends count."""
+    table = os.path.join(tmp_path, "t")
+    json.loads(_cli(
+        "init", "--table", table, "--base-rows", "200",
+        "--buckets", "4", "--repos", "5", "--paths-per-repo", "50",
+    ))
+    # bootstrap rows land at last_lsn == -1
+    r = json.loads(_cli("scan", "--table", table,
+                        "--where", "last_lsn>=-1", "--limit", "3"))
+    assert r["files_total"] >= r["files_kept"] >= 1
+    assert len(r["rows"]) == 3 and "repo" in r["rows"][0]
+
+    files = [json.loads(line) for line in
+             _cli("files", "--table", table).strip().splitlines()]
+    total_rows = sum(f["rows"] for f in files)  # one row per distinct key
+    assert 0 < total_rows <= 200
+    hist = [json.loads(line) for line in
+            _cli("history", "--table", table).strip().splitlines()]
+    assert [h["operation"] for h in hist][:1] == ["create"]
+
+    # bootstrap's overwrite-of-empty is structurally additive
+    r = json.loads(_cli("appends", "--table", table, "--since", "0"))
+    assert r["new_rows"] == total_rows
+
+    r = json.loads(_cli("compact", "--table", table,
+                        "--cluster-by", "last_lsn",
+                        "--target-rows-per-file", "50"))
+    assert r["compacted_to_version"] is not None
+
+
 def test_discover_and_check():
     cat = json.loads(_cli("discover", "--data-dir", "/root/testdata/sf0.001"))
     streams = {s["name"] for s in cat["streams"]}
