@@ -346,6 +346,66 @@ class LakeTable:
         new_files = [f for f in until.files if f.path not in since_paths]
         return self._read_files(spark, until, new_files)
 
+    def read_changes(
+        self,
+        spark: SparkSession,
+        since_version: int,
+        until_version: int | None = None,
+    ) -> DataFrame:
+        """Row-level changelog between two snapshots (Iceberg's
+        changelog scan analog): every row added in (since, until]
+        tagged with a ``_change_type`` column — ``insert`` for rows in
+        new base files (appends), ``update_after`` / ``delete`` for
+        per-key winners / tombstones in new MOR delta files.  A
+        brand-new key arriving via a delta is emitted as
+        ``update_after`` (deltas carry no before-image, so insert vs
+        update is indistinguishable there — downstream MERGE treats
+        both as upsert, which is the point of a changelog read).
+        Snapshots that REMOVE files (COW merge, overwrite, compact)
+        fold history and are not change-consumable: ValueError."""
+        until = self.snapshot(until_version)
+        names = [f["name"] for f in until.fields]
+        frames: list[DataFrame] = []
+        for v in range(since_version + 1, until.version + 1):
+            prev, cur = self.snapshot(v - 1), self.snapshot(v)
+            prev_paths = {f.path for f in prev.files}
+            removed = prev_paths - {f.path for f in cur.files}
+            if removed:
+                op = cur.summary.get("operation")
+                raise ValueError(
+                    f"snapshot v{v} ({op!r}) removed/rewrote "
+                    f"{len(removed)} files; change reads need append/"
+                    "delta-only history — re-bootstrap the consumer"
+                )
+            new = [f for f in cur.files if f.path not in prev_paths]
+            base_new = [f for f in new if not f.delta]
+            delta_new = [f for f in new if f.delta]
+            if base_new:
+                frames.append(
+                    self._read_files(spark, until, base_new)
+                    .withColumn("_change_type", F.lit("insert"))
+                )
+            if delta_new:
+                d = self._read_files(
+                    spark, until, delta_new, extra={"_deleted": "boolean"}
+                )
+                frames.append(
+                    d.withColumn(
+                        "_change_type",
+                        F.when(
+                            F.coalesce(F.col("_deleted"), F.lit(False)),
+                            F.lit("delete"),
+                        ).otherwise(F.lit("update_after")),
+                    ).select(*names, "_change_type")
+                )
+        if not frames:
+            schema = struct_from_fields(until.fields).add("_change_type", "string")
+            return spark.createDataFrame([], schema)
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
     def files_df(self, spark: SparkSession) -> DataFrame:
         """Metadata table: one row per live data file (Iceberg's
         ``table.files`` analog).  Driver-side log only."""

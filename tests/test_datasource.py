@@ -126,6 +126,42 @@ def test_stream_tail_exactly_once(spark, table, tmp_path):
     assert sorted(run()) == list(range(200, 250))
 
 
+def test_append_sync_then_downstream_tail(spark, tmp_path):
+    """End-to-end handoff: an append-mode CDC sync lands epochs in the
+    lake; a DOWNSTREAM consumer tails the same table through
+    format("lake") and sees exactly the table's rows — the
+    ingest -> lakehouse -> incremental-consumer chain in one test."""
+    from airbyte_spark.engine.changelog import base_table, changelog
+    from airbyte_spark.engine.pipeline import CdcPipeline
+
+    root = str(tmp_path / "t")
+    pipe = CdcPipeline(root, n_buckets=4, mode="append")
+    pipe.bootstrap(spark, base_table(spark, 50, n_repos=4, paths_per_repo=10))
+    pipe.replay(
+        spark, changelog(spark, 100, n_repos=4, paths_per_repo=10), batch_lsns=50
+    )
+    DS.register(spark)
+
+    got = []
+
+    def sink(bdf, bid):
+        got.extend(tuple(r) for r in bdf.collect())
+
+    q = (
+        spark.readStream.format("lake")
+        .load(root)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    from airbyte_spark.lake.table import LakeTable
+
+    want = {tuple(r) for r in LakeTable(root).read(spark).collect()}
+    assert set(got) == want and len(got) == len(want) > 0
+
+
 def test_stream_rejects_rewrite_history(spark, table):
     table.merge(spark, _mk(spark, 0, 10), epoch=3)
     r = _LakeStreamReader(table.root, 0)

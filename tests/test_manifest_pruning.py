@@ -324,6 +324,44 @@ def test_property_scan_equals_filter_any_history(spark, tmp_path):
     run()
 
 
+def test_read_changes_changelog(spark, tmp_path):
+    """Iceberg-changelog-scan analog: appends surface as inserts, MOR
+    delta winners as update_after, tombstones as delete; rewrites in
+    the range raise."""
+    t = LakeTable.create(str(tmp_path / "ch"), SCHEMA, ["repo", "path"], n_buckets=4)
+    t.append(spark, _batch(spark, 0, 50), epoch=1)           # v1
+    op_schema = StructType(list(SCHEMA.fields)).add("op", StringType())
+    upd = spark.createDataFrame(
+        [
+            Row(repo=f"r{i % 3}", path=f"p{i}", lsn=1000 + i, ts=T0,
+                op="d" if i < 3 else "u")
+            for i in range(10)
+        ],
+        op_schema,
+    )
+    t.merge_mor(spark, upd, order_cols=["lsn"], op_col="op",
+                delete_value="d", epoch=2)                    # v2
+    t.append(spark, _batch(spark, 50, 60), epoch=3)          # v3
+
+    ch = t.read_changes(spark, since_version=1).collect()
+    by_type = {}
+    for r in ch:
+        by_type.setdefault(r["_change_type"], []).append(r["path"])
+    assert sorted(by_type["delete"]) == ["p0", "p1", "p2"]
+    assert sorted(by_type["update_after"]) == [f"p{i}" for i in range(3, 10)]
+    assert sorted(by_type["insert"]) == sorted(f"p{i}" for i in range(50, 60))
+    # bounded range excludes the append
+    ch12 = t.read_changes(spark, 1, until_version=2).collect()
+    assert all(r["_change_type"] != "insert" for r in ch12) and len(ch12) == 10
+    # empty range -> empty frame with the right schema
+    empty = t.read_changes(spark, 3)
+    assert empty.count() == 0 and "_change_type" in empty.columns
+
+    t.compact(spark)                                          # v4 rewrites
+    with pytest.raises(ValueError, match="re-bootstrap"):
+        t.read_changes(spark, 1)
+
+
 def test_metadata_tables(spark, table):
     files = table.files_df(spark)
     snap = table.snapshot()
