@@ -41,6 +41,12 @@ BENCH_QUERIES = [
     "events_json_normalize",
     "events_incremental_scan",
     "events_props_child",
+    # round 3: the two lake read paths over manifest-pruned scans —
+    # native JVM (plan_scan + residual) and the registered Python
+    # data source (Catalyst pushFilters); both include the 3-epoch
+    # table build, so they measure write+plan+scan end to end
+    "cdc_pruned_scan",
+    "cdc_lake_source_scan",
 ]
 
 
