@@ -154,6 +154,11 @@ class _LakeStreamReader(DataSourceStreamReader):
     def __init__(self, root: str, starting_version: int):
         self._t = LakeTable(root)
         self._start = starting_version
+        # the stream's output schema is pinned at query start; later
+        # files (even ones written after an evolve) are projected DOWN
+        # to it by field id — restart the stream to pick up new columns
+        # (the same contract as Spark's own file sources)
+        self._fields = self._t.snapshot().fields
 
     def initialOffset(self) -> dict:
         return {"version": self._start}
@@ -175,7 +180,7 @@ class _LakeStreamReader(DataSourceStreamReader):
             _FilePartition(
                 os.path.join(self._t.root, f.path),
                 until.schemas[f.schema_version],
-                until.fields,
+                self._fields,
             )
             for f in until.files
             if f.path not in since_paths

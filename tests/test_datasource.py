@@ -162,6 +162,27 @@ def test_append_sync_then_downstream_tail(spark, tmp_path):
     assert set(got) == want and len(got) == len(want) > 0
 
 
+def test_stream_schema_pinned_across_midrun_evolve(spark, table):
+    """A running stream's output schema is pinned at start: files
+    written AFTER an evolve are projected DOWN to the pinned schema by
+    field id (renamed cols still land, added cols are dropped) — the
+    restart-to-pick-up-columns contract of Spark's own sources."""
+    r = _LakeStreamReader(table.root, 0)  # pins pre-evolve fields
+    table.evolve([("rename", "lsn", "seq"), ("add", "stars", LongType())])
+    table.append(
+        spark,
+        spark.createDataFrame([Row(repo="rx", path="px", seq=999, stars=7)]),
+        epoch=3,
+    )
+    parts = r.partitions({"version": 2}, r.latestOffset())
+    import pyarrow as pa
+
+    batches = [b for p in parts for b in r.read(p)]
+    got = pa.Table.from_batches(batches)
+    assert got.column_names == ["repo", "path", "lsn"]  # pinned names
+    assert got.to_pydict()["lsn"] == [999]  # renamed source col still mapped
+
+
 def test_stream_rejects_rewrite_history(spark, table):
     table.merge(spark, _mk(spark, 0, 10), epoch=3)
     r = _LakeStreamReader(table.root, 0)
