@@ -650,6 +650,46 @@ def cdc_lake_source_scan(spark, sf):
     )
 
 
+def cdc_changelog_scan(spark, sf):
+    """Row-level changelog consumption (read_changes, the Iceberg
+    changelog-scan analog): epoch 1 appends the low event_id slice,
+    epoch 2 lands a MOR delta batch over the mid slice (every 7th id a
+    tombstone, the rest upserts), epoch 3 appends the high slice.
+    Changes since v1 = the delta winners + tombstones + the appended
+    rows, aggregated per _change_type — all reproducible in SQL from
+    the same integer cuts and modular rule."""
+    from airbyte_spark.lake.table import LakeTable
+
+    e = _t(spark, sf, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    mx = e.agg(F.max("event_id")).collect()[0][0]
+    cut_a, cut_b = mx // 2, (mx * 4) // 5
+    root = tempfile.mkdtemp(prefix="lake_changes_")
+    t = LakeTable.create(os.path.join(root, "t"), e.schema, ["event_id"], n_buckets=8)
+    t.append(spark, e.filter(F.col("event_id") < cut_a), epoch=1)          # v1
+    mid = e.filter(
+        (F.col("event_id") >= cut_a) & (F.col("event_id") < cut_b)
+    ).withColumn(
+        "op", F.when(F.col("event_id") % 7 == 0, F.lit("d")).otherwise(F.lit("u"))
+    )
+    t.merge_mor(spark, mid, order_cols=["event_id"], op_col="op",
+                delete_value="d", epoch=2)                                  # v2
+    t.append(spark, e.filter(F.col("event_id") >= cut_b), epoch=3)         # v3
+    ch = t.read_changes(spark, since_version=1)
+    return (
+        ch.groupBy("_change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("event_id").alias("sum_event_id"),
+        )
+        .select(
+            "_change_type", "n_rows",
+            F.col("sum_event_id").cast("long").alias("sum_event_id"),
+        )
+    )
+
+
 def cdc_incremental_appends(spark, sf):
     """Iceberg-style incremental append consumption: read ONLY the
     data files added after a snapshot (here: since v1 = the first
@@ -748,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_pruned_scan": cdc_pruned_scan,
         "cdc_lake_source_scan": cdc_lake_source_scan,
         "cdc_incremental_appends": cdc_incremental_appends,
+        "cdc_changelog_scan": cdc_changelog_scan,
     }
 
 
@@ -1313,6 +1354,22 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(event_id) AS BIGINT) AS sum_event_id,
        round(sum(value), 2) AS sum_value
 FROM events, mx WHERE event_id >= (m * 4) // 5
+""",
+        "cdc_changelog_scan": """
+WITH mx AS (SELECT max(event_id) AS m FROM events),
+mid AS (SELECT event_id FROM events, mx
+        WHERE event_id >= m // 2 AND event_id < (m * 4) // 5),
+hi  AS (SELECT event_id FROM events, mx WHERE event_id >= (m * 4) // 5),
+ch AS (
+  SELECT CASE WHEN event_id % 7 = 0 THEN 'delete' ELSE 'update_after' END
+           AS _change_type, event_id FROM mid
+  UNION ALL
+  SELECT 'insert' AS _change_type, event_id FROM hi
+)
+SELECT _change_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(event_id) AS BIGINT) AS sum_event_id
+FROM ch GROUP BY _change_type
 """,
         "cdc_incremental_appends": """
 WITH mx AS (SELECT max(event_id) AS m FROM events),

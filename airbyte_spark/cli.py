@@ -127,6 +127,10 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--table", required=True)
     sp.add_argument("--since", type=int, required=True)
 
+    sp = sub.add_parser("changes", help="row-level changelog read since a version")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--since", type=int, required=True)
+
     sub.add_parser("spec", help="emit the engine's job-config schema")
 
     sp = sub.add_parser("discover", help="emit the catalog of a parquet dir")
@@ -251,6 +255,20 @@ def main(argv: list[str] | None = None) -> int:
 
         n = LakeTable(args.table).read_appends(spark, args.since).count()
         print(json.dumps({"since_version": args.since, "new_rows": n}))
+    elif args.cmd == "changes":
+        from pyspark.sql import functions as F
+
+        from airbyte_spark.lake import LakeTable
+
+        counts = (
+            LakeTable(args.table).read_changes(spark, args.since)
+            .groupBy("_change_type").agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        print(json.dumps({
+            "since_version": args.since,
+            "changes": {r["_change_type"]: r["n"] for r in counts},
+        }))
     elif args.cmd == "discover":
         from airbyte_spark.catalog import discover
 

@@ -135,6 +135,9 @@ def test_scan_files_history_appends_verbs(tmp_path):
     r = json.loads(_cli("appends", "--table", table, "--since", "0"))
     assert r["new_rows"] == total_rows
 
+    r = json.loads(_cli("changes", "--table", table, "--since", "0"))
+    assert r["changes"] == {"insert": total_rows}
+
     r = json.loads(_cli("compact", "--table", table,
                         "--cluster-by", "last_lsn",
                         "--target-rows-per-file", "50"))
