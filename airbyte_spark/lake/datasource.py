@@ -51,6 +51,8 @@ from pyspark.sql.types import StructType
 from airbyte_spark.lake.log import FileEntry, Snapshot
 from airbyte_spark.lake.table import LakeTable, struct_from_fields
 
+_TARGET_SPLIT_BYTES = 128 << 20  # ~ Spark's files.maxPartitionBytes
+
 _OPS: dict[type, str] = {
     EqualTo: "=",
     GreaterThan: ">",
@@ -65,25 +67,32 @@ class _FilePartition(InputPartition):
     abs_path: str
     file_fields: list  # schema the file was written under
     cur_fields: list   # schema to project to
+    # sub-file split: read only these parquet row groups (None = all).
+    # Planned from the manifest's recorded row-group counts, so a
+    # 1.5 GB compacted bucket file becomes many parallel read tasks
+    # without any driver-side footer I/O.
+    row_groups: list | None = None
 
 
 def _read_file_projected(part: _FilePartition) -> Iterator:
-    """Executor-side: read one parquet file with pyarrow and project
-    it to the current schema by FIELD ID (rename -> id-stable column
-    match, add -> nulls, widen -> cast), mirroring LakeTable._read_files'
-    Spark-side projection.  Yields Arrow RecordBatches."""
+    """Executor-side: read one parquet file (or a row-group slice of
+    it) with pyarrow and project it to the current schema by FIELD ID
+    (rename -> id-stable column match, add -> nulls, widen -> cast),
+    mirroring LakeTable._read_files' Spark-side projection.  Yields
+    Arrow RecordBatches."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
 
     target = to_arrow_schema(struct_from_fields(part.cur_fields))
     src_by_id = {f["id"]: f["name"] for f in part.file_fields}
-    table = pq.read_table(
-        part.abs_path,
-        columns=[
-            src_by_id[f["id"]] for f in part.cur_fields if f["id"] in src_by_id
-        ],
-    )
+    cols = [src_by_id[f["id"]] for f in part.cur_fields if f["id"] in src_by_id]
+    if part.row_groups is not None:
+        table = pq.ParquetFile(part.abs_path).read_row_groups(
+            part.row_groups, columns=cols
+        )
+    else:
+        table = pq.read_table(part.abs_path, columns=cols)
     n = table.num_rows
     arrays = []
     for f, t_field in zip(part.cur_fields, target):
@@ -137,14 +146,28 @@ class _LakeBatchReader(DataSourceReader):
 
     def partitions(self):
         snap = self._snap
-        return [
-            _FilePartition(
-                os.path.join(self._t.root, f.path),
-                snap.schemas[f.schema_version],
-                snap.fields,
-            )
-            for f in self._files
-        ]
+        parts = []
+        for f in self._files:
+            splits: list = [None]
+            if f.rgs and f.rgs > 1:
+                # one task per row-group run of ~target size; counts
+                # come from the manifest, zero footer I/O here
+                per_rg = max(f.bytes // f.rgs, 1)
+                step = max(int(_TARGET_SPLIT_BYTES // per_rg), 1)
+                splits = [
+                    list(range(lo, min(lo + step, f.rgs)))
+                    for lo in range(0, f.rgs, step)
+                ]
+            for rg in splits:
+                parts.append(
+                    _FilePartition(
+                        os.path.join(self._t.root, f.path),
+                        snap.schemas[f.schema_version],
+                        snap.fields,
+                        rg,
+                    )
+                )
+        return parts
 
     def read(self, partition: _FilePartition):
         return _read_file_projected(partition)

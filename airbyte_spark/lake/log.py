@@ -54,6 +54,10 @@ class FileEntry:
     # stats) but are always valid bounds, which is all pruning needs.
     # None = written before stats were recorded (never prunes).
     stats: dict[str, list[Any]] | None = None
+    # parquet row-group count (from the same free footer read) — lets
+    # readers plan sub-file splits without reopening footers; None =
+    # unknown (pre-stats files), read whole-file.
+    rgs: int | None = None
 
     def to_json(self) -> dict[str, Any]:
         d = {
@@ -66,13 +70,15 @@ class FileEntry:
         }
         if self.stats is not None:
             d["stats"] = self.stats
+        if self.rgs is not None:
+            d["rgs"] = self.rgs
         return d
 
     @staticmethod
     def from_json(d: dict[str, Any]) -> "FileEntry":
         return FileEntry(
             d["path"], d["bucket"], d["rows"], d["bytes"], d["schema_version"],
-            d.get("delta", False), d.get("stats"),
+            d.get("delta", False), d.get("stats"), d.get("rgs"),
         )
 
 

@@ -549,6 +549,7 @@ class LakeTable:
                 bytes=os.path.getsize(path),
                 schema_version=schema_version,
                 stats=_bounds_from_footer(meta, name_to_id),
+                rgs=meta.num_row_groups,
             )
 
         paths = glob.glob(os.path.join(out_dir, f"{_BUCKET}=*", "*.parquet"))
@@ -970,7 +971,7 @@ class LakeTable:
         ).withColumn(_BUCKET, self._bucket_expr(snap))
         entries = [
             FileEntry(e.path, e.bucket, e.rows, e.bytes, e.schema_version,
-                      delta=True, stats=e.stats)
+                      delta=True, stats=e.stats, rgs=e.rgs)
             for e in self._write_data(
                 d, next_version, snap.schema_version,
                 n_partitions or snap.n_buckets,
