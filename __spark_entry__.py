@@ -446,6 +446,21 @@ def doc_jaccard_pairs(spark, sf):
     )
 
 
+def doc_decontaminate(spark, sf):
+    """Benchmark decontamination: docs with id < 50 play the eval set,
+    the rest the training corpus; flag every corpus doc sharing >= 3
+    distinct 5-gram shingles with an eval doc (bipartite inverted-
+    index join with the hot-gram guard — the GPT-3-style n-gram
+    eval-overlap hygiene pass).  Oracle brute-forces the same grams
+    in DuckDB."""
+    d = _t(spark, sf, "documents")
+    return A_dedup.contamination_pairs(
+        d.filter(F.col("doc_id") >= 50),
+        d.filter(F.col("doc_id") < 50),
+        n=5, min_shared=3, max_gram_df=50,
+    )
+
+
 def doc_minhash_lsh_pairs(spark, sf):
     """LSH banding prunes the pair space; candidates are verified with
     EXACT Jaccard, so the output is oracle-checkable against the
@@ -773,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_clean_corpus": doc_clean_corpus,
         "doc_clean_corpus_neardup": doc_clean_corpus_neardup,
         "doc_jaccard_pairs": doc_jaccard_pairs,
+        "doc_decontaminate": doc_decontaminate,
         "doc_minhash_lsh_pairs": doc_minhash_lsh_pairs,
         "doc_simhash_pairs": doc_simhash_pairs,
         "emb_cosine_pairs": emb_cosine_pairs,
@@ -798,12 +814,19 @@ _STOP_EN = "['the','a','of','and','to','in','is','that','it','for']"
 # 3-gram shingle list (DuckDB list comprehension; slice is 1-based
 # inclusive, so toks[i:i+2] is 3 elements) with the same short-text
 # fallback as analytics.dedup._grams_expr
-_GRAMS3 = (
-    f"CASE WHEN len({_TOKS}) >= 3 THEN "
-    f"list_distinct([array_to_string({_TOKS}[i:i+2], ' ') "
-    f"for i in range(1, len({_TOKS}) - 3 + 1 + 1)]) "
-    f"ELSE list_distinct({_TOKS}) END"
-)
+def _grams_sql(n: int) -> str:
+    """DuckDB n-gram shingle list (slice is 1-based inclusive, so
+    toks[i:i+n-1] is n elements) with the same short-text fallback as
+    analytics.dedup._grams_expr."""
+    return (
+        f"CASE WHEN len({_TOKS}) >= {n} THEN "
+        f"list_distinct([array_to_string({_TOKS}[i:i+{n - 1}], ' ') "
+        f"for i in range(1, len({_TOKS}) - {n} + 1 + 1)]) "
+        f"ELSE list_distinct({_TOKS}) END"
+    )
+
+
+_GRAMS3 = _grams_sql(3)
 
 
 def _jaccard3_sql(threshold: float, max_token_df: int | None) -> str:
@@ -1318,6 +1341,19 @@ SELECT doc_id,
 FROM d
 """,
         "doc_jaccard_pairs": _jaccard3_sql(0.5, 50),
+        "doc_decontaminate": f"""
+WITH d AS (
+  SELECT doc_id, {_grams_sql(5)} AS grams
+  FROM documents WHERE length(trim(text)) > 0
+),
+invc0 AS (SELECT doc_id AS cid, unnest(grams) AS g FROM d WHERE doc_id >= 50),
+hot AS (SELECT g FROM invc0 GROUP BY g HAVING count(*) > 50),
+invc AS (SELECT invc0.* FROM invc0 ANTI JOIN hot USING (g)),
+inve AS (SELECT doc_id AS eid, unnest(grams) AS g FROM d WHERE doc_id < 50)
+SELECT cid, eid, CAST(count(*) AS BIGINT) AS shared
+FROM invc JOIN inve USING (g)
+GROUP BY cid, eid HAVING count(*) >= 3
+""",
         "doc_minhash_lsh_pairs": _jaccard3_sql(0.5, None),
         "doc_simhash_pairs": _simhash60_sql(8),
         "emb_topk_lsh": _topk_lsh_sql(5, 4),

@@ -108,6 +108,66 @@ def ngram_jaccard_pairs(
     return out
 
 
+def contamination_pairs(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_shared: int = 1,
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3-style n-gram eval-overlap
+    check): (corpus_id, eval_id, shared) for every corpus document
+    sharing >= ``min_shared`` distinct word n-grams with an eval
+    document.  Bipartite inverted-index join — corpus grams explode
+    once, eval grams explode once, the equi-join on the gram never
+    goes corpus-x-corpus, and at real scale the eval side (benchmarks,
+    ~10^5 docs) broadcasts while the corpus side streams.
+    ``max_gram_df`` drops grams appearing in more than that many
+    CORPUS docs (hot-boilerplate guard, same role as in
+    ngram_jaccard_pairs)."""
+    c = corpus.select(
+        F.col(id_col).alias("cid"), _grams_expr(text_col, n).alias("grams")
+    ).filter(F.size("grams") > 0)
+    e = eval_df.select(
+        F.col(id_col).alias("eid"), _grams_expr(text_col, n).alias("grams")
+    ).filter(F.size("grams") > 0)
+    inv_c = c.select("cid", F.explode("grams").alias("g"))
+    inv_e = e.select("eid", F.explode("grams").alias("g"))
+    if max_gram_df is not None:
+        hot = inv_c.groupBy("g").count().filter(F.col("count") > max_gram_df)
+        inv_c = inv_c.join(hot.select("g"), "g", "left_anti")
+    return (
+        inv_c.join(inv_e, "g")
+        .groupBy("cid", "eid")
+        .agg(F.count(F.lit(1)).alias("shared"))  # grams are distinct per doc
+        .filter(F.col("shared") >= min_shared)
+        .select("cid", "eid", "shared")
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_shared: int = 1,
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """Corpus minus every document contaminated against ``eval_df``
+    (anti-join on contamination_pairs) — the drop step of the
+    train/eval hygiene pass."""
+    flagged = contamination_pairs(
+        corpus, eval_df, text_col=text_col, id_col=id_col,
+        n=n, min_shared=min_shared, max_gram_df=max_gram_df,
+    ).select(F.col("cid").alias(id_col)).distinct()
+    return corpus.join(flagged, id_col, "left_anti")
+
+
 def _minhash_sig_arrow(shingle: int, num_hashes: int):
     """Factory for the Arrow-vectorized signature UDF: per batch,
     shingle in python, hash grams with pandas' vectorized murmur

@@ -61,6 +61,31 @@ def test_ngram_jaccard_matches_python(spark, docs):
     assert got[(0, 1)] > 0.5  # near dup
 
 
+def test_decontaminate_drops_eval_leaks(spark):
+    """contamination_pairs finds corpus docs sharing n-grams with the
+    eval set; decontaminate anti-joins them away and keeps the rest."""
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="the quick brown fox jumps over the lazy dog today"),
+            Row(doc_id=11, text="spark engines shuffle data across many executors"),
+            Row(doc_id=12, text="totally unrelated words about gardening and soil"),
+        ]
+    )
+    ev = spark.createDataFrame(
+        [Row(doc_id=0, text="quick brown fox jumps over the lazy dog")]
+    )
+    pairs = dedup.contamination_pairs(
+        corpus, ev, n=5, min_shared=2
+    ).collect()
+    assert {(r["cid"], r["eid"]) for r in pairs} == {(10, 0)}
+    assert pairs[0]["shared"] >= 2
+    kept = dedup.decontaminate(corpus, ev, n=5, min_shared=2)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [11, 12]
+    # hot-gram guard: df(gram) > 0 kills every gram -> nothing flagged
+    none = dedup.contamination_pairs(corpus, ev, n=5, min_shared=2, max_gram_df=0)
+    assert none.count() == 0
+
+
 def test_minhash_lsh_finds_near_dups(spark, docs):
     pairs = {
         (r["id1"], r["id2"]): r["jaccard_est"]
