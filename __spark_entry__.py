@@ -382,6 +382,16 @@ def doc_quality(spark, sf):
     )
 
 
+def doc_repetition(spark, sf):
+    """Gopher-style repetition signals: most-frequent-2-gram coverage
+    and duplicate-2-gram fraction per doc (boilerplate/spam flags for
+    the cleaning pipeline); oracle recomputes both from the same
+    with-repeats gram list in DuckDB."""
+    return A_text.repetition_stats(
+        _t(spark, sf, "documents").filter(F.length(F.trim("text")) > 0)
+    )
+
+
 def doc_lang_id(spark, sf):
     return A_text.lang_id(_t(spark, sf, "documents")).select(
         "doc_id", "lang_pred", "lang_pred_score"
@@ -783,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_exact": doc_dedup_exact,
         "doc_token_stats": doc_token_stats,
         "doc_quality": doc_quality,
+        "doc_repetition": doc_repetition,
         "doc_lang_id": doc_lang_id,
         "doc_fingerprint": doc_fingerprint,
         "doc_clean_corpus": doc_clean_corpus,
@@ -1341,6 +1352,24 @@ SELECT doc_id,
 FROM d
 """,
         "doc_jaccard_pairs": _jaccard3_sql(0.5, 50),
+        "doc_repetition": f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN len({_TOKS}) >= 2 THEN
+           [array_to_string({_TOKS}[i:i+1], ' ')
+            for i in range(1, len({_TOKS}) - 2 + 1 + 1)]
+         ELSE {_TOKS} END AS grams
+  FROM documents WHERE length(trim(text)) > 0
+),
+g AS (SELECT doc_id, unnest(grams) AS g FROM d),
+c AS (SELECT doc_id, g, count(*) AS cnt FROM g GROUP BY doc_id, g)
+SELECT doc_id,
+       CAST(sum(cnt) AS BIGINT) AS total_grams,
+       CAST(count(*) AS BIGINT) AS distinct_grams,
+       round(max(cnt) / sum(cnt), 4) AS top_gram_frac,
+       round(1 - count(*) / sum(cnt), 4) AS dup_gram_frac
+FROM c GROUP BY doc_id
+""",
         "doc_decontaminate": f"""
 WITH d AS (
   SELECT doc_id, {_grams_sql(5)} AS grams

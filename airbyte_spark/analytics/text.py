@@ -129,3 +129,36 @@ def fingerprint(df: DataFrame, text_col: str = "text", shingle: int = 5) -> Data
     return df.withColumn(
         "fingerprint", F.when(n > 0, F.array_min(windows)).otherwise(F.lit(None))
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document: the
+    fraction of the text covered by its single most frequent token
+    n-gram (``top_gram_frac``) and the duplicate-gram fraction
+    (``dup_gram_frac`` = 1 - distinct/total over n-grams WITH
+    repeats).  High values mark boilerplate/spam for the cleaning
+    pipeline.  Pure JVM: explode -> two-level hash aggregation with
+    map-side partial combine; per-doc gram counts are bounded by doc
+    length, so there is no hot-key risk at corpus scale."""
+    toks = tokens_expr(F.lower(F.col(text_col)))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(toks)
+    g = df.select(F.col(id_col), F.explode(grams).alias("g"))
+    per_gram = g.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("cnt"))
+    return per_gram.groupBy(id_col).agg(
+        F.sum("cnt").alias("total_grams"),
+        F.count(F.lit(1)).alias("distinct_grams"),
+        F.round(F.max("cnt") / F.sum("cnt"), 4).alias("top_gram_frac"),
+        F.round(1 - F.count(F.lit(1)) / F.sum("cnt"), 4).alias("dup_gram_frac"),
+    )
