@@ -392,6 +392,28 @@ def doc_repetition(spark, sf):
     )
 
 
+def doc_pii_scrub(spark, sf):
+    """PII redaction value-verified end to end: plant a deterministic
+    email/IP/phone per document, scrub with the JVM regexp chain, and
+    md5 the result — the oracle replants and re-scrubs the same bytes
+    with RE2 in DuckDB, so patterns must behave identically in both
+    engines."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    planted = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com at 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.7 or 555-123-4567"),
+        ),
+    )
+    return A_text.redact_pii(planted).select(
+        "doc_id", F.md5("text_redacted").alias("redacted_md5")
+    )
+
+
 def doc_lang_id(spark, sf):
     return A_text.lang_id(_t(spark, sf, "documents")).select(
         "doc_id", "lang_pred", "lang_pred_score"
@@ -665,6 +687,7 @@ def cdc_lake_source_scan(spark, sf):
     t, _cut_a, cut_b = _lake_epoch_appends(spark, sf)
     return (
         spark.read.format("lake")
+        .option("pushdown", "true")  # fresh load, single query: safe
         .load(t.root)
         .filter(F.col("event_id") >= cut_b)
         .agg(
@@ -794,6 +817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_stats": doc_token_stats,
         "doc_quality": doc_quality,
         "doc_repetition": doc_repetition,
+        "doc_pii_scrub": doc_pii_scrub,
         "doc_lang_id": doc_lang_id,
         "doc_fingerprint": doc_fingerprint,
         "doc_clean_corpus": doc_clean_corpus,
@@ -1352,6 +1376,26 @@ SELECT doc_id,
 FROM d
 """,
         "doc_jaccard_pairs": _jaccard3_sql(0.5, 50),
+        "doc_pii_scrub": r"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         '@example.com at 10.' || CAST(doc_id % 256 AS VARCHAR) ||
+         '.0.7 or 555-123-4567' AS text
+  FROM documents
+)
+SELECT doc_id,
+       md5(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+           '\b[0-9]{3}-[0-9]{3,4}-[0-9]{4}\b', '<PHONE>', 'g')
+       ) AS redacted_md5
+FROM planted
+""",
         "doc_repetition": f"""
 WITH d AS (
   SELECT doc_id,

@@ -162,3 +162,26 @@ def repetition_stats(
         F.round(F.max("cnt") / F.sum("cnt"), 4).alias("top_gram_frac"),
         F.round(1 - F.count(F.lit(1)) / F.sum("cnt"), 4).alias("dup_gram_frac"),
     )
+
+
+# PII patterns restricted to constructs Java regex and RE2 (a SQL
+# oracle's engine) interpret identically: ASCII classes, bounded
+# quantifiers, \b word boundaries.
+PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    (r"\b[0-9]{3}-[0-9]{3,4}-[0-9]{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_redacted"
+) -> DataFrame:
+    """Scrub emails, IPv4 addresses, and dashed phone numbers from a
+    text column — the PII pass of a training-data cleaning pipeline.
+    Pure JVM regexp_replace chain (order matters: emails first, so an
+    address's host part is never half-eaten by the IP rule)."""
+    col = F.col(text_col)
+    for pat, repl in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, repl)
+    return df.withColumn(out_col, col)

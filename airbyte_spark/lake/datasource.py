@@ -10,11 +10,14 @@ Iceberg source): after ``register(spark)``,
     spark.readStream.format("lake").load(root)            # append tail
 
 Scale behavior:
-* ``pushFilters`` receives Catalyst's pushed predicates and prunes
-  DATA FILES from the manifest bounds (plan_scan) before a single
-  byte is read — at 10^5 files the planning cost is driver metadata
-  only.  All filters are returned as "unhandled" so Spark re-applies
-  them exactly (pruning is conservative, never a substitute filter).
+* With ``option("pushdown", "true")`` (opt-in; see
+  _LakeBatchReaderPushdown for the Spark 4.1 shared-handle hazard
+  that keeps it off by default), ``pushFilters`` receives Catalyst's
+  pushed predicates and prunes DATA FILES from the manifest bounds
+  (plan_scan) before a single byte is read — at 10^5 files the
+  planning cost is driver metadata only.  All filters are returned
+  as "unhandled" so Spark re-applies them exactly (pruning is
+  conservative, never a substitute filter).
 * One InputPartition per surviving file; executors read with
   pyarrow and yield Arrow RecordBatches (zero per-row Python).
 * The streaming reader's offsets are snapshot VERSIONS: each
@@ -135,19 +138,15 @@ class _LakeBatchReader(DataSourceReader):
             )
         self._files: list[FileEntry] = list(self._snap.files)
         self._version = version
-
-    def pushFilters(self, filters: list[Filter]):
-        preds, unhandled = _parse_filters(filters, self._snap)
-        if preds:
-            _, self._files = self._t.plan_scan(preds, self._version)
-        # everything is re-applied by Spark: bounds pruning is
-        # conservative, not an exact filter
-        return unhandled
+        self._pushed: list[tuple[str, str, Any]] = []
 
     def partitions(self):
         snap = self._snap
+        files = self._files
+        if self._pushed:
+            _, files = self._t.plan_scan(self._pushed, self._version)
         parts = []
-        for f in self._files:
+        for f in files:
             splits: list = [None]
             if f.rgs and f.rgs > 1:
                 # one task per row-group run of ~target size; counts
@@ -171,6 +170,26 @@ class _LakeBatchReader(DataSourceReader):
 
     def read(self, partition: _FilePartition):
         return _read_file_projected(partition)
+
+
+class _LakeBatchReaderPushdown(_LakeBatchReader):
+    """The pushdown-capable reader, opt-in via option("pushdown",
+    "true").  Not the default because of a Spark 4.1 planning hazard
+    with Python data sources: the JVM caches the planned scan (pushed
+    filters applied) inside the shared relation node of a DataFrame,
+    so REUSING one DataFrame handle across differently-filtered
+    queries lets whichever query planned last poison the others —
+    for ANY pushFilters implementation, even an exact one (verified
+    empirically: count() after filter().count() on a shared handle
+    returns the filtered scan's rows).  With a fresh load() per query
+    — the normal pattern, and what the opt-in makes explicit —
+    pruning is sound: filters are all returned as unhandled, so Spark
+    re-applies them exactly on the pruned file set."""
+
+    def pushFilters(self, filters: list[Filter]):
+        preds, unhandled = _parse_filters(filters, self._snap)
+        self._pushed = preds
+        return unhandled
 
 
 class _LakeStreamReader(DataSourceStreamReader):
@@ -242,9 +261,10 @@ class LakeDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         version = self.options.get("version")
-        return _LakeBatchReader(
-            self._root(), int(version) if version is not None else None
-        )
+        v = int(version) if version is not None else None
+        if str(self.options.get("pushdown", "")).lower() == "true":
+            return _LakeBatchReaderPushdown(self._root(), v)
+        return _LakeBatchReader(self._root(), v)
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return _LakeStreamReader(

@@ -86,6 +86,26 @@ def test_decontaminate_drops_eval_leaks(spark):
     assert none.count() == 0
 
 
+def test_redact_pii(spark):
+    rows = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="mail a.b-c_1@sub.example.org now"),
+            Row(doc_id=1, text="srv at 192.168.0.255:8080 up"),
+            Row(doc_id=2, text="call 555-123-4567 or 555-1234-4567"),
+            Row(doc_id=3, text="clean text 1234 no pii 1.2 here"),
+            Row(doc_id=4, text="x@y.io then 10.0.0.1"),
+        ]
+    )
+    got = {r["doc_id"]: r["text_redacted"]
+           for r in text.redact_pii(rows).collect()}
+    assert got[0] == "mail <EMAIL> now"
+    assert got[1] == "srv at <IP>:8080 up"
+    assert got[2] == "call <PHONE> or <PHONE>"
+    assert got[3] == "clean text 1234 no pii 1.2 here"  # untouched
+    # email rule runs first: the host part never half-matches the IP rule
+    assert got[4] == "<EMAIL> then <IP>"
+
+
 def test_minhash_lsh_finds_near_dups(spark, docs):
     pairs = {
         (r["id1"], r["id2"]): r["jaccard_est"]

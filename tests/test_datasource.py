@@ -52,15 +52,37 @@ def test_filter_parity_and_schema(spark, table):
     assert got == [i for i in range(150, 200) if i % 3 == 1]
 
 
-def test_pushdown_prunes_files(table):
-    # drive the reader directly: the >= cut must prune epoch-1 files
-    r = _LakeBatchReader(table.root, None)
+def test_pushdown_prunes_files(spark, table):
+    # drive the opt-in reader directly: the >= cut must prune epoch-1
+    # files
+    from airbyte_spark.lake.datasource import _LakeBatchReaderPushdown
+
+    r = _LakeBatchReaderPushdown(table.root, None)
     n_total = len(r.partitions())
     from pyspark.sql.datasource import GreaterThanOrEqual
 
     unhandled = r.pushFilters([GreaterThanOrEqual(("lsn",), 150)])
     assert len(list(unhandled)) == 1  # everything re-applied by Spark
     assert 0 < len(r.partitions()) < n_total
+    # ...and through Spark, on a fresh single-query load: exact result
+    got = (
+        spark.read.format("lake").option("pushdown", "true").load(table.root)
+        .filter("lsn >= 150").count()
+    )
+    assert got == 50
+
+
+def test_filtered_scan_does_not_poison_reused_reader(spark, table):
+    # regression: the DEFAULT reader must not implement pushFilters —
+    # Spark 4.1 caches the planned python scan in the shared relation
+    # node, so a pushdown-pruned filtered count would make a later
+    # plain count() on the same handle silently return half the table
+    df = spark.read.format("lake").load(table.root)
+    assert df.count() == 200
+    assert df.filter("lsn >= 150").count() == 50
+    assert df.count() == 200
+    assert not hasattr(type(_LakeBatchReader(table.root, None)), "pushFilters") or \
+        "pushFilters" not in _LakeBatchReader.__dict__
 
 
 def test_unsupported_filters_still_correct(spark, table):
@@ -86,6 +108,16 @@ def test_schema_evolution_projection(spark, table):
     assert df.count() == 201
     assert df.filter("stars IS NULL").count() == 200  # old files -> null column
     assert df.filter("seq = 150").count() == 1  # renamed col reaches old files
+
+
+def test_batch_read_after_widen(spark, table):
+    from pyspark.sql.types import DoubleType
+
+    table.evolve([("widen", "lsn", DoubleType())])
+    df = spark.read.format("lake").load(table.root)
+    assert dict(df.dtypes)["lsn"] == "double"  # old long files cast up
+    assert df.filter("lsn = 150.0").count() == 1
+    assert df.count() == 200
 
 
 def test_mor_delta_rejected(spark, table):
