@@ -469,6 +469,47 @@ def doc_clean_corpus_neardup(spark, sf):
     return clean.join(losers, "doc_id", "left_anti").select("doc_id")
 
 
+def doc_clean_corpus_full(spark, sf):
+    """The COMPLETE C4/FineWeb-shaped pipeline, every stage one of
+    this repo's verified operators, composed as one declarative plan:
+    PII scrub -> quality gate -> english lang-ID -> repetition gate
+    (top-2-gram coverage <= 0.2) -> exact dedup (min-id winner) ->
+    LSH-verified near-dup removal -> benchmark decontamination
+    (docs id < 50 play the held-out eval set; training corpus is the
+    id >= 50 survivors).  Cheap JVM filters run first so the
+    expensive shingling stages see the reduced corpus; the oracle
+    recomputes all seven stages in SQL (the PII regexes provably
+    no-op on this digit-free corpus, asserted by the md5-grouped
+    dedup matching)."""
+    d = A_dedup._widen(_t(spark, sf, "documents"))
+    d = (
+        A_text.redact_pii(d)
+        .drop("text")
+        .withColumnRenamed("text_redacted", "text")
+    )
+    q = A_text.quality_score(A_text.lang_id(d))
+    rep = A_text.repetition_stats(d.filter(F.length(F.trim("text")) > 0))
+    kept = (
+        q.join(rep.select("doc_id", "top_gram_frac"), "doc_id")
+        .filter(
+            F.col("quality_ok")
+            & (F.col("lang_pred") == "en")
+            & (F.col("top_gram_frac") <= 0.2)
+        )
+    )
+    clean = A_dedup.dedup_exact(kept).localCheckpoint(eager=True)
+    pairs = A_dedup.minhash_lsh_verified_pairs(
+        clean, shingle=3, bands=32, threshold=0.5
+    )
+    losers = pairs.select(F.col("id2").alias("doc_id")).distinct()
+    survivors = clean.join(losers, "doc_id", "left_anti")
+    ev = _t(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    corpus = survivors.filter(F.col("doc_id") >= 50)
+    return A_dedup.decontaminate(
+        corpus, ev, n=5, min_shared=3, max_gram_df=50
+    ).select("doc_id")
+
+
 def doc_jaccard_pairs(spark, sf):
     """Scale-safe configuration: 3-gram shingles + the inverted-index
     hot-token guard (max_token_df) — unigrams with no guard blow up
@@ -822,6 +863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": doc_fingerprint,
         "doc_clean_corpus": doc_clean_corpus,
         "doc_clean_corpus_neardup": doc_clean_corpus_neardup,
+        "doc_clean_corpus_full": doc_clean_corpus_full,
         "doc_jaccard_pairs": doc_jaccard_pairs,
         "doc_decontaminate": doc_decontaminate,
         "doc_minhash_lsh_pairs": doc_minhash_lsh_pairs,
@@ -951,6 +993,90 @@ losers AS (
 )
 SELECT doc_id FROM clean
 WHERE doc_id NOT IN (SELECT id2 FROM losers)
+"""
+
+
+def _clean_corpus_full_sql() -> str:
+    """All seven stages in SQL.  The PII chain is skipped because the
+    corpus provably contains no digit or '@' byte (checked), so the
+    regexes cannot match — and the md5-grouped dedup would catch any
+    divergence if that ever stopped holding."""
+    return f"""
+WITH lang AS ({_lang_case()}),
+q AS (
+  SELECT doc_id, text,
+    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END AS n_tokens,
+    length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct,
+    length(regexp_replace(text, '\\s+', '', 'g')) AS nonspace
+  FROM documents
+),
+repg AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len({_TOKS}) >= 2 THEN
+                  [array_to_string({_TOKS}[i:i+1], ' ')
+                   for i in range(1, len({_TOKS}) - 2 + 1 + 1)]
+                ELSE {_TOKS} END) AS g
+  FROM documents WHERE length(trim(text)) > 0
+),
+repc AS (SELECT doc_id, g, count(*) AS cnt FROM repg GROUP BY doc_id, g),
+rep AS (
+  SELECT doc_id, round(max(cnt) / sum(cnt), 4) AS top_gram_frac
+  FROM repc GROUP BY doc_id
+),
+kept AS (
+  SELECT q.doc_id, q.text
+  FROM q
+  JOIN lang ON q.doc_id = lang.doc_id
+  JOIN rep ON q.doc_id = rep.doc_id
+  WHERE lang.lang_pred = 'en'
+    AND q.n_tokens >= 5
+    AND round(CASE WHEN n_tokens > 0 THEN nonspace / n_tokens ELSE 0.0 END, 4) >= 2
+    AND round(CASE WHEN n_tokens > 0 THEN nonspace / n_tokens ELSE 0.0 END, 4) <= 15
+    AND round(CASE WHEN length(text) > 0 THEN punct / length(text) ELSE 0.0 END, 4) <= 0.3
+    AND rep.top_gram_frac <= 0.2
+),
+clean AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+d3 AS (
+  SELECT documents.doc_id AS id, {_GRAMS3} AS grams
+  FROM documents JOIN clean USING (doc_id)
+  WHERE length(trim(text)) > 0
+),
+s AS (SELECT id, len(grams) AS sz FROM d3),
+inv AS (SELECT id, unnest(grams) AS g FROM d3),
+inter AS (
+  SELECT a.id AS id1, b.id AS id2, count(*) AS inter
+  FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+losers AS (
+  SELECT DISTINCT id2
+  FROM inter
+  JOIN s s1 ON id1 = s1.id
+  JOIN s s2 ON id2 = s2.id
+  WHERE round(inter / (s1.sz + s2.sz - inter), 4) >= 0.5
+),
+surv AS (
+  SELECT doc_id FROM clean WHERE doc_id NOT IN (SELECT id2 FROM losers)
+),
+d5 AS (
+  SELECT doc_id, {_grams_sql(5)} AS grams
+  FROM documents WHERE length(trim(text)) > 0
+),
+invc0 AS (
+  SELECT d5.doc_id AS cid, unnest(grams) AS g
+  FROM d5 JOIN surv USING (doc_id) WHERE d5.doc_id >= 50
+),
+hot AS (SELECT g FROM invc0 GROUP BY g HAVING count(*) > 50),
+invc AS (SELECT invc0.* FROM invc0 ANTI JOIN hot USING (g)),
+inve AS (
+  SELECT doc_id AS eid, unnest(grams) AS g FROM d5 WHERE doc_id < 50
+),
+flagged AS (
+  SELECT cid FROM invc JOIN inve USING (g)
+  GROUP BY cid, eid HAVING count(*) >= 3
+)
+SELECT doc_id FROM surv
+WHERE doc_id >= 50 AND doc_id NOT IN (SELECT DISTINCT cid FROM flagged)
 """
 
 
@@ -1362,6 +1488,7 @@ FROM q
         "doc_lang_id": _lang_case(),
         "doc_clean_corpus": _clean_corpus_sql(),
         "doc_clean_corpus_neardup": _clean_corpus_neardup_sql(),
+        "doc_clean_corpus_full": _clean_corpus_full_sql(),
         "doc_fingerprint": f"""
 WITH d AS (
   SELECT doc_id,
