@@ -30,6 +30,7 @@ BENCH_QUERIES = [
     "doc_quality",
     "doc_minhash_lsh_pairs",
     "doc_clean_corpus_neardup",
+    "doc_clean_corpus_full",
     "doc_simhash_pairs",
     "emb_topk",
     "emb_neardup_dedup",
