@@ -414,6 +414,18 @@ def doc_pii_scrub(spark, sf):
     )
 
 
+def doc_sample_mix(spark, sf):
+    """Deterministic data mixing: english docs sampled at 50%, german
+    at 20%, everything else dropped — per-language blending weights
+    for corpus construction.  The keep/drop decision is
+    md5-hash-bucketed, so the oracle reproduces the EXACT row set in
+    SQL (rand()-based sampling could never be value-verified)."""
+    d = A_text.lang_id(_t(spark, sf, "documents"))
+    return A_text.stratified_sample(
+        d, {"en": 0.5, "de": 0.2}, strata_col="lang_pred"
+    ).select("doc_id", "lang_pred")
+
+
 def doc_lang_id(spark, sf):
     return A_text.lang_id(_t(spark, sf, "documents")).select(
         "doc_id", "lang_pred", "lang_pred_score"
@@ -859,6 +871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": doc_quality,
         "doc_repetition": doc_repetition,
         "doc_pii_scrub": doc_pii_scrub,
+        "doc_sample_mix": doc_sample_mix,
         "doc_lang_id": doc_lang_id,
         "doc_fingerprint": doc_fingerprint,
         "doc_clean_corpus": doc_clean_corpus,
@@ -1503,6 +1516,18 @@ SELECT doc_id,
 FROM d
 """,
         "doc_jaccard_pairs": _jaccard3_sql(0.5, 50),
+        "doc_sample_mix": f"""
+WITH lang AS ({{_lang}}),
+b AS (
+  SELECT doc_id, lang_pred,
+         ('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % 10000 AS bkt
+  FROM lang
+)
+SELECT doc_id, lang_pred FROM b
+WHERE (lang_pred = 'en' AND bkt < 5000)
+   OR (lang_pred = 'de' AND bkt < 2000)
+""".replace("{_lang}", _lang_case()),
         "doc_pii_scrub": r"""
 WITH planted AS (
   SELECT doc_id,

@@ -185,3 +185,35 @@ def redact_pii(
     for pat, repl in PII_PATTERNS:
         col = F.regexp_replace(col, pat, repl)
     return df.withColumn(out_col, col)
+
+
+def hash_bucket(key: Column, *, salt: str = "", buckets: int = 10000) -> Column:
+    """Deterministic [0, buckets) bucket from md5(salt || key) — the
+    same value any SQL engine computes, so sampling decisions are
+    reproducible across engines and reruns (unlike rand()-based
+    sampling, which depends on partitioning)."""
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    return F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(buckets))
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    *,
+    strata_col: str,
+    key_col: str = "doc_id",
+    salt: str = "mix",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic data mixing: keep each row with its stratum's
+    target fraction (e.g. per-language sampling weights when blending
+    corpus sources).  A row survives iff hash_bucket(key) falls below
+    fraction*10000 — exact, partitioning-independent, and cheap (one
+    md5 per row, no shuffle; the filter fuses into the scan)."""
+    bucket = hash_bucket(F.col(key_col), salt=salt)
+    cut = F.lit(int(default_fraction * 10000))
+    for stratum, frac in sorted(fractions.items()):
+        cut = F.when(
+            F.col(strata_col) == stratum, F.lit(int(frac * 10000))
+        ).otherwise(cut)
+    return df.filter(bucket < cut)

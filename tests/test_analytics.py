@@ -86,6 +86,26 @@ def test_decontaminate_drops_eval_leaks(spark):
     assert none.count() == 0
 
 
+def test_stratified_sample_deterministic(spark):
+    rows = spark.createDataFrame(
+        [Row(doc_id=i, src="a" if i % 2 == 0 else "b") for i in range(2000)]
+    )
+    take = lambda: sorted(
+        r["doc_id"]
+        for r in text.stratified_sample(
+            rows, {"a": 0.5, "b": 0.1}, strata_col="src"
+        ).collect()
+    )
+    first = take()
+    assert first == take()  # rerun-identical, unlike rand() sampling
+    a = sum(1 for i in first if i % 2 == 0)
+    b = len(first) - a
+    assert 400 < a < 600 and 50 < b < 150  # ~50% / ~10% of 1000 each
+    # stratum not in fractions -> default 0.0 -> dropped
+    c = text.stratified_sample(rows, {"a": 0.5}, strata_col="src")
+    assert c.filter("src = 'b'").count() == 0
+
+
 def test_redact_pii(spark):
     rows = spark.createDataFrame(
         [
