@@ -426,6 +426,17 @@ def doc_sample_mix(spark, sf):
     ).select("doc_id", "lang_pred")
 
 
+def doc_pack_sequences(spark, sf):
+    """Pretraining sequence packing (chunked cumulative-fill variant):
+    per hash bucket, docs in id order fill fixed 512-token sequence
+    budgets; returns each doc's sequence assignment.  Bucketed ordered
+    windows parallelize — no global sort — and the oracle reproduces
+    the exact assignment with the same window in SQL."""
+    return A_text.pack_sequences(
+        _t(spark, sf, "documents"), seq_len=512, n_buckets=16
+    )
+
+
 def doc_lang_id(spark, sf):
     return A_text.lang_id(_t(spark, sf, "documents")).select(
         "doc_id", "lang_pred", "lang_pred_score"
@@ -872,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": doc_repetition,
         "doc_pii_scrub": doc_pii_scrub,
         "doc_sample_mix": doc_sample_mix,
+        "doc_pack_sequences": doc_pack_sequences,
         "doc_lang_id": doc_lang_id,
         "doc_fingerprint": doc_fingerprint,
         "doc_clean_corpus": doc_clean_corpus,
@@ -1516,6 +1528,20 @@ SELECT doc_id,
 FROM d
 """,
         "doc_jaccard_pairs": _jaccard3_sql(0.5, 50),
+        "doc_pack_sequences": f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END AS n_tokens,
+         doc_id % 16 AS pack_bucket
+  FROM documents
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(pack_bucket AS BIGINT) AS pack_bucket,
+       CAST(floor((sum(n_tokens) OVER (PARTITION BY pack_bucket ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens) / 512.0) AS BIGINT)
+         AS seq_id
+FROM d
+""",
         "doc_sample_mix": f"""
 WITH lang AS ({{_lang}}),
 b AS (

@@ -217,3 +217,42 @@ def stratified_sample(
             F.col(strata_col) == stratum, F.lit(int(frac * 10000))
         ).otherwise(cut)
     return df.filter(bucket < cut)
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    seq_len: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_col: Column | None = None,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Assign documents to fixed-budget training sequences by
+    cumulative token fill: within a bucket, docs (in id order) land in
+    sequence floor(running_token_count_before_doc / seq_len) — the
+    deterministic chunked variant of pretraining sequence packing.
+    Buckets (default doc_id % n_buckets) bound each ordered window to
+    ~1/n_buckets of the corpus, so the running sum parallelizes
+    across buckets instead of one global single-task sort — the
+    difference that matters at 10^10 docs.  Returns one row per doc:
+    (id, n_tokens, pack_bucket, seq_id)."""
+    from pyspark.sql import Window
+
+    toks = tokens_expr(F.col(text_col))
+    if bucket_col is None:
+        bucket_col = F.pmod(F.col(id_col), F.lit(n_buckets))
+    d = df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        bucket_col.cast("long").alias("pack_bucket"),
+    )
+    w = (
+        Window.partitionBy("pack_bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return d.withColumn(
+        "seq_id", F.floor(running / seq_len).cast("long")
+    )
