@@ -127,12 +127,16 @@ def contamination_pairs(
     ~10^5 docs) broadcasts while the corpus side streams.
     ``max_gram_df`` drops grams appearing in more than that many
     CORPUS docs (hot-boilerplate guard, same role as in
-    ngram_jaccard_pairs)."""
+    ngram_jaccard_pairs).  Gram construction uses the Arrow-vectorized
+    twin of the JVM expression (parity-pinned; the interpreted HOF
+    costs ~5ms/doc and dominated the composed pipeline at ~22s/5k
+    docs before the swap)."""
+    gram_udf = _grams_arrow(n)
     c = corpus.select(
-        F.col(id_col).alias("cid"), _grams_expr(text_col, n).alias("grams")
+        F.col(id_col).alias("cid"), gram_udf(F.col(text_col)).alias("grams")
     ).filter(F.size("grams") > 0)
     e = eval_df.select(
-        F.col(id_col).alias("eid"), _grams_expr(text_col, n).alias("grams")
+        F.col(id_col).alias("eid"), gram_udf(F.col(text_col)).alias("grams")
     ).filter(F.size("grams") > 0)
     inv_c = c.select("cid", F.explode("grams").alias("g"))
     inv_e = e.select("eid", F.explode("grams").alias("g"))
