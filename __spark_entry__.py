@@ -459,7 +459,7 @@ def doc_clean_corpus(spark, sf):
     # widen first: the interpreted-HOF scoring chain must not
     # serialize on a single-file scan's one input partition
     d = A_dedup._widen(_t(spark, sf, "documents"))
-    q = A_text.quality_score(A_text.lang_id(d))
+    q = A_text.quality_score(A_text.lang_id(d, engine="arrow"), engine="arrow")
     kept = q.filter(F.col("quality_ok") & (F.col("lang_pred") == "en"))
     return A_dedup.dedup_exact(kept).select("doc_id")
 
@@ -477,7 +477,7 @@ def doc_clean_corpus_neardup(spark, sf):
     # widen first (single-file scan -> one partition would serialize
     # the interpreted-HOF scoring chain on one core)
     d = A_dedup._widen(_t(spark, sf, "documents"))
-    q = A_text.quality_score(A_text.lang_id(d))
+    q = A_text.quality_score(A_text.lang_id(d, engine="arrow"), engine="arrow")
     kept = q.filter(F.col("quality_ok") & (F.col("lang_pred") == "en"))
     # materialize the cleaned corpus ONCE: the near-dup stage references
     # it three times (signatures, candidate shingling, final anti-join),
@@ -510,7 +510,7 @@ def doc_clean_corpus_full(spark, sf):
         .drop("text")
         .withColumnRenamed("text_redacted", "text")
     )
-    q = A_text.quality_score(A_text.lang_id(d))
+    q = A_text.quality_score(A_text.lang_id(d, engine="arrow"), engine="arrow")
     rep = A_text.repetition_stats(d.filter(F.length(F.trim("text")) > 0))
     kept = (
         q.join(rep.select("doc_id", "top_gram_frac"), "doc_id")

