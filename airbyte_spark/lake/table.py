@@ -250,8 +250,22 @@ class LakeTable:
     # ------------------------------------------------------------------
     # read path
     # ------------------------------------------------------------------
+    def _check_readable(self, snap: Snapshot) -> None:
+        """Raise a clear retention error for versions whose files a
+        vacuum may have deleted (metadata stays readable — history(),
+        lineage, and additivity walks still work on expired
+        versions; only DATA reads are guarded)."""
+        mrv = self.snapshot().props.get("min_readable_version", 0)
+        if snap.version < mrv:
+            raise ValueError(
+                f"version {snap.version} expired by vacuum "
+                f"(min readable version is {mrv})"
+            )
+
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         snap = self.snapshot(version)
+        if version is not None:
+            self._check_readable(snap)
         return self._read_resolved(spark, snap, snap.files)
 
     def plan_scan(
@@ -274,6 +288,8 @@ class LakeTable:
         column.  Pruning is an optimization only — ``scan`` applies
         the full residual filter after resolution regardless."""
         snap = self.snapshot(version)
+        if version is not None:
+            self._check_readable(snap)
         if not where:
             return snap, list(snap.files)
         name_to_id = {f["name"]: f["id"] for f in snap.fields}
@@ -1216,17 +1232,44 @@ class LakeTable:
         self._commit(new)
         return next_version
 
-    def vacuum(self) -> int:
-        """Delete data files not referenced by the latest snapshot.
-        (Time travel to older versions stops working for vacuumed
-        files, as in Iceberg's expire_snapshots.)"""
-        snap = self.snapshot()
-        live = {os.path.join(self.root, f.path) for f in snap.files}
+    def vacuum(self, keep_last: int = 1) -> int:
+        """Delete data files not referenced by the last ``keep_last``
+        snapshots (Iceberg's expire_snapshots analog).  Time travel
+        below the retained window is then impossible, so vacuum
+        commits a metadata-only snapshot recording
+        ``min_readable_version`` — reads of expired versions raise a
+        clear retention error instead of a file-not-found mid-scan."""
+        hist = self.history()
+        retained = hist[-keep_last:] if keep_last > 0 else hist[-1:]
+        live = {
+            os.path.join(self.root, f.path)
+            for s in retained
+            for f in s.files
+        }
         removed = 0
         for path in glob.glob(os.path.join(self.root, "data", "*", "*", "*.parquet")):
             if path not in live:
                 os.unlink(path)
                 removed += 1
+        latest = hist[-1]
+        min_readable = retained[0].version
+        if min_readable > latest.props.get("min_readable_version", 0):
+            new = Snapshot(
+                version=latest.version + 1,
+                schema_version=latest.schema_version,
+                schemas=latest.schemas,
+                n_buckets=latest.n_buckets,
+                key_cols=latest.key_cols,
+                files=latest.files,
+                epochs=dict(latest.epochs),
+                props={**latest.props, "min_readable_version": min_readable},
+                summary={
+                    "operation": "vacuum",
+                    "removed_files": removed,
+                    "min_readable_version": min_readable,
+                },
+            )
+            self._commit(new)
         return removed
 
 

@@ -362,6 +362,29 @@ def test_read_changes_changelog(spark, tmp_path):
         t.read_changes(spark, 1)
 
 
+def test_vacuum_retention_window(spark, tmp_path):
+    """vacuum(keep_last=N) expires only versions below the retained
+    window and guards expired DATA reads with a clear retention error,
+    while metadata (history) stays readable — Iceberg's
+    expire_snapshots contract."""
+    t = LakeTable.create(str(tmp_path / "v"), SCHEMA, ["repo", "path"], n_buckets=2)
+    for k in range(3):  # overwrites: each version has its OWN files
+        t.overwrite(spark, _batch(spark, 100 * k, 100 * k + 50), epoch=k + 1)
+    assert t.read(spark, version=1).count() == 50  # time travel pre-vacuum
+    removed = t.vacuum(keep_last=2)
+    assert removed > 0  # v1's files expired
+    assert t.snapshot().summary["operation"] == "vacuum"
+    # retained window still readable, incl. time travel to v2
+    assert t.read(spark).count() == 50
+    assert t.read(spark, version=2).count() == 50
+    with pytest.raises(ValueError, match="expired by vacuum"):
+        t.read(spark, version=1)
+    with pytest.raises(ValueError, match="expired by vacuum"):
+        t.plan_scan([("lsn", ">=", 0)], version=1)
+    # metadata of expired versions is still walkable
+    assert len(t.history()) == 5  # create + 3 overwrites + vacuum
+
+
 def test_metadata_tables(spark, table):
     files = table.files_df(spark)
     snap = table.snapshot()
