@@ -10,7 +10,8 @@ re-imagined as lakehouse-ingest verbs).
   python -m airbyte_spark.cli compact --table /t [--cluster-by lsn]
   python -m airbyte_spark.cli scan --table /t --where 'lsn>=150'
   python -m airbyte_spark.cli files|history --table /t
-  python -m airbyte_spark.cli appends --table /t --since 3
+  python -m airbyte_spark.cli appends|changes --table /t --since 3
+  python -m airbyte_spark.cli tail --table /t --checkpoint /cp --out /sink
 
 On a cluster: spark-submit --py-files airbyte_spark.zip -m airbyte_spark.cli ...
 (local mode picks cpus from $SPARK_GRAFT_CPUS).
@@ -130,6 +131,14 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("changes", help="row-level changelog read since a version")
     sp.add_argument("--table", required=True)
     sp.add_argument("--since", type=int, required=True)
+
+    sp = sub.add_parser(
+        "tail", help="stream the table's appends to parquet (exactly-once)"
+    )
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--checkpoint", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--starting-version", type=int, default=0)
 
     sub.add_parser("spec", help="emit the engine's job-config schema")
 
@@ -269,6 +278,23 @@ def main(argv: list[str] | None = None) -> int:
             "since_version": args.since,
             "changes": {r["_change_type"]: r["n"] for r in counts},
         }))
+    elif args.cmd == "tail":
+        from airbyte_spark.lake import datasource as lake_ds
+
+        lake_ds.register(spark)
+        q = (
+            spark.readStream.format("lake")
+            .option("starting_version", str(args.starting_version))
+            .load(args.table)
+            .writeStream.format("parquet")
+            .option("path", args.out)
+            .option("checkpointLocation", args.checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n = spark.read.parquet(args.out).count()
+        print(json.dumps({"out": args.out, "rows_total": n}))
     elif args.cmd == "discover":
         from airbyte_spark.catalog import discover
 

@@ -138,6 +138,17 @@ def test_scan_files_history_appends_verbs(tmp_path):
     r = json.loads(_cli("changes", "--table", table, "--since", "0"))
     assert r["changes"] == {"insert": total_rows}
 
+    # downstream tail: two invocations with one checkpoint read the
+    # table exactly once (no new appends -> second run adds nothing)
+    tail_out = os.path.join(tmp_path, "tail_out")
+    tail_cp = os.path.join(tmp_path, "tail_cp")
+    r = json.loads(_cli("tail", "--table", table,
+                        "--checkpoint", tail_cp, "--out", tail_out))
+    assert r["rows_total"] == total_rows
+    r = json.loads(_cli("tail", "--table", table,
+                        "--checkpoint", tail_cp, "--out", tail_out))
+    assert r["rows_total"] == total_rows  # exactly-once resume
+
     r = json.loads(_cli("compact", "--table", table,
                         "--cluster-by", "last_lsn",
                         "--target-rows-per-file", "50"))
