@@ -16,6 +16,49 @@ from airbyte_spark.engine.pipeline import CdcPipeline
 from airbyte_spark.lake.table import LakeTable
 
 
+def test_clustered_compaction_crash_is_invisible(spark, tmp_path, monkeypatch):
+    """A sort-order compaction that dies between writing its rewritten
+    files and the snapshot swap must leave the table byte-identical;
+    a retried compaction then succeeds and preserves content."""
+    import airbyte_spark.lake.table as table_mod
+    from airbyte_spark.lake.table import LakeTable as LT
+
+    root = os.path.join(tmp_path, "c")
+    pipe = CdcPipeline(root, n_buckets=4)
+    pipe.bootstrap(spark, base_table(spark, 300, n_repos=5, paths_per_repo=20))
+    t = LakeTable(root)
+    before = sorted(
+        (r["repo"], r["path"], r["content_sha256"]) for r in t.read(spark).collect()
+    )
+    v_before = t.snapshot().version
+
+    real_commit = table_mod.commit_snapshot
+
+    def boom(root_, snap):
+        raise RuntimeError("crash before snapshot swap")
+
+    monkeypatch.setattr(table_mod, "commit_snapshot", boom)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="crash"):
+        t.compact(spark, cluster_by=["last_lsn"], target_rows_per_file=50)
+    monkeypatch.setattr(table_mod, "commit_snapshot", real_commit)
+
+    assert t.snapshot().version == v_before  # swap never happened
+    after_crash = sorted(
+        (r["repo"], r["path"], r["content_sha256"]) for r in t.read(spark).collect()
+    )
+    assert after_crash == before
+    # retry succeeds; content preserved; the crashed attempt's files
+    # are orphans that vacuum clears
+    assert t.compact(spark, cluster_by=["last_lsn"], target_rows_per_file=50)
+    assert t.vacuum() > 0
+    final = sorted(
+        (r["repo"], r["path"], r["content_sha256"]) for r in t.read(spark).collect()
+    )
+    assert final == before
+
+
 def test_crash_between_write_and_commit_is_invisible(spark, tmp_path):
     """Simulate a crash after data files land but before the snapshot
     commit: the table must read as if the batch never happened, the
