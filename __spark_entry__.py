@@ -433,7 +433,10 @@ def doc_pack_sequences(spark, sf):
     windows parallelize — no global sort — and the oracle reproduces
     the exact assignment with the same window in SQL."""
     return A_text.pack_sequences(
-        _t(spark, sf, "documents"), seq_len=512, n_buckets=16
+        _t(spark, sf, "documents"), seq_len=512,
+        # explicit modulo buckets so the oracle's `doc_id % 16` matches
+        # (the library default is xxhash64, which SQL can't reproduce)
+        bucket_col=F.pmod(F.col("doc_id"), F.lit(16)),
     )
 
 
@@ -459,7 +462,9 @@ def doc_clean_corpus(spark, sf):
     # widen first: the interpreted-HOF scoring chain must not
     # serialize on a single-file scan's one input partition
     d = A_dedup._widen(_t(spark, sf, "documents"))
-    q = A_text.quality_score(A_text.lang_id(d, engine="arrow"), engine="arrow")
+    q = A_text.quality_score(
+        A_text.lang_id(d, engine="arrow", keep_scores=True), engine="arrow"
+    )
     kept = q.filter(F.col("quality_ok") & (F.col("lang_pred") == "en"))
     return A_dedup.dedup_exact(kept).select("doc_id")
 
@@ -477,7 +482,9 @@ def doc_clean_corpus_neardup(spark, sf):
     # widen first (single-file scan -> one partition would serialize
     # the interpreted-HOF scoring chain on one core)
     d = A_dedup._widen(_t(spark, sf, "documents"))
-    q = A_text.quality_score(A_text.lang_id(d, engine="arrow"), engine="arrow")
+    q = A_text.quality_score(
+        A_text.lang_id(d, engine="arrow", keep_scores=True), engine="arrow"
+    )
     kept = q.filter(F.col("quality_ok") & (F.col("lang_pred") == "en"))
     # materialize the cleaned corpus ONCE: the near-dup stage references
     # it three times (signatures, candidate shingling, final anti-join),
@@ -510,7 +517,9 @@ def doc_clean_corpus_full(spark, sf):
         .drop("text")
         .withColumnRenamed("text_redacted", "text")
     )
-    q = A_text.quality_score(A_text.lang_id(d, engine="arrow"), engine="arrow")
+    q = A_text.quality_score(
+        A_text.lang_id(d, engine="arrow", keep_scores=True), engine="arrow"
+    )
     rep = A_text.repetition_stats(d.filter(F.length(F.trim("text")) > 0))
     kept = (
         q.join(rep.select("doc_id", "top_gram_frac"), "doc_id")

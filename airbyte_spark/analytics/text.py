@@ -100,13 +100,18 @@ def quality_score(
     n_tokens = F.size(toks)
     en = STOPWORDS["en"]
     if engine == "arrow":
-        stop_hits = F.element_at(
-            _lex_counts_arrow()(t), _LEX_CODES.index("en") + 1
+        # reuse an upstream lang_id(keep_scores=True) pass when present
+        # instead of a second Arrow round trip over the same text
+        scores = (
+            F.col("_lex_scores")
+            if "_lex_scores" in df.columns
+            else _lex_counts_arrow()(t)
         )
+        stop_hits = F.element_at(scores, _LEX_CODES.index("en") + 1)
     else:
         stop_hits = F.size(F.filter(toks, lambda x: F.lower(x).isin(*en)))
     punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
-    return (
+    out = (
         df.withColumn("n_tokens", n_tokens.cast("long"))
         .withColumn(
             "mean_token_len",
@@ -129,10 +134,15 @@ def quality_score(
             & (F.col("punct_ratio") <= 0.3),
         )
     )
+    return out.drop("_lex_scores") if "_lex_scores" in df.columns else out
 
 
 def lang_id(
-    df: DataFrame, text_col: str = "text", *, engine: str = "expr"
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    engine: str = "expr",
+    keep_scores: bool = False,
 ) -> DataFrame:
     """Stopword-hit language ID: score each language by lexicon hits
     over tokens, pick the argmax (ties broken by language code).
@@ -141,7 +151,8 @@ def lang_id(
     scores (the 5 interpreted filter HOFs dominate composed pipelines
     otherwise), argmax still the same JVM struct-array expression."""
     if engine == "arrow":
-        scores = _lex_counts_arrow()(F.col(text_col))
+        out = df.withColumn("_lex_scores", _lex_counts_arrow()(F.col(text_col)))
+        scores = F.col("_lex_scores")
         scored = F.array(
             *[
                 F.struct(
@@ -152,10 +163,13 @@ def lang_id(
             ]
         )
         best = F.array_max(scored)
-        return df.withColumn(
+        out = out.withColumn(
             "lang_pred",
             F.when(best["score"] > 0, best["code"]).otherwise(F.lit("unknown")),
         ).withColumn("lang_pred_score", best["score"].cast("long"))
+        # keep_scores=True lets a downstream quality_score(engine=
+        # "arrow") reuse the counts instead of re-running the UDF
+        return out if keep_scores else out.drop("_lex_scores")
     toks = tokens_expr(F.lower(F.col(text_col)))
     scored = F.array(
         *[
@@ -271,10 +285,11 @@ def stratified_sample(
     fraction*10000 — exact, partitioning-independent, and cheap (one
     md5 per row, no shuffle; the filter fuses into the scan)."""
     bucket = hash_bucket(F.col(key_col), salt=salt)
-    cut = F.lit(int(default_fraction * 10000))
+    # round, don't truncate: int(0.29 * 10000) is 2899 in IEEE 754
+    cut = F.lit(int(round(default_fraction * 10000)))
     for stratum, frac in sorted(fractions.items()):
         cut = F.when(
-            F.col(strata_col) == stratum, F.lit(int(frac * 10000))
+            F.col(strata_col) == stratum, F.lit(int(round(frac * 10000)))
         ).otherwise(cut)
     return df.filter(bucket < cut)
 
@@ -301,7 +316,10 @@ def pack_sequences(
 
     toks = tokens_expr(F.col(text_col))
     if bucket_col is None:
-        bucket_col = F.pmod(F.col(id_col), F.lit(n_buckets))
+        # xxhash64 works for ANY id type; pmod on a string id would
+        # implicit-cast to NULL and collapse every row into one
+        # single-task window partition
+        bucket_col = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets))
     d = df.select(
         F.col(id_col),
         F.size(toks).alias("n_tokens"),

@@ -293,7 +293,13 @@ def main(argv: list[str] | None = None) -> int:
             .start()
         )
         q.awaitTermination()
-        n = spark.read.parquet(args.out).count()
+        import os as _os
+
+        n = (
+            spark.read.parquet(args.out).count()
+            if _os.path.isdir(args.out)  # zero batches -> sink dir never made
+            else 0
+        )
         print(json.dumps({"out": args.out, "rows_total": n}))
     elif args.cmd == "discover":
         from airbyte_spark.catalog import discover

@@ -131,6 +131,9 @@ class _LakeBatchReader(DataSourceReader):
     def __init__(self, root: str, version: int | None):
         self._t = LakeTable(root)
         self._snap = self._t.snapshot(version)
+        if version is not None:
+            # clean retention error instead of FileNotFound mid-scan
+            self._t._check_readable(self._snap)
         if any(f.delta for f in self._snap.files):
             raise ValueError(
                 "lake data source cannot resolve MOR delta files; "
@@ -213,11 +216,15 @@ class _LakeStreamReader(DataSourceStreamReader):
 
         sv, ev = start["version"], end["version"]
         until = self._t.snapshot(ev)
+        prev = self._t.snapshot(sv)
+        since_paths = {f.path for f in prev.files}
         for v in range(sv + 1, ev + 1):
             # structural additivity (files retained, no new deltas) —
-            # same rule as LakeTable.read_appends
-            _check_additive(self._t.snapshot(v - 1), self._t.snapshot(v))
-        since_paths = {f.path for f in self._t.snapshot(sv).files}
+            # same rule as LakeTable.read_appends; each snapshot JSON
+            # loads once per walk, not twice
+            cur = self._t.snapshot(v) if v != ev else until
+            _check_additive(prev, cur)
+            prev = cur
         return [
             _FilePartition(
                 os.path.join(self._t.root, f.path),

@@ -72,7 +72,15 @@ def _encode_bound(v: Any) -> Any:
             v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
         return v.isoformat(timespec="microseconds")
     if isinstance(v, datetime.date):
-        return v.isoformat()
+        # midnight-padded to the SAME 26-char form as datetimes: Spark
+        # promotes a date to its midnight timestamp when comparing
+        # against a timestamp column, and a bare 'YYYY-MM-DD' would
+        # sort BELOW that day's timestamps lexicographically, making
+        # a date predicate wrongly prune timestamp files (and vice
+        # versa)
+        return datetime.datetime(v.year, v.month, v.day).isoformat(
+            timespec="microseconds"
+        )
     return None
 
 
@@ -356,9 +364,14 @@ class LakeTable:
         are projected to ``until``'s schema, so an evolve inside the
         range is fine."""
         until = self.snapshot(until_version)
+        if until_version is not None:
+            self._check_readable(until)
+        prev = self.snapshot(since_version)
+        since_paths = {f.path for f in prev.files}
         for v in range(since_version + 1, until.version + 1):
-            _check_additive(self.snapshot(v - 1), self.snapshot(v))
-        since_paths = {f.path for f in self.snapshot(since_version).files}
+            cur = self.snapshot(v) if v != until.version else until
+            _check_additive(prev, cur)
+            prev = cur
         new_files = [f for f in until.files if f.path not in since_paths]
         return self._read_files(spark, until, new_files)
 
@@ -380,10 +393,13 @@ class LakeTable:
         Snapshots that REMOVE files (COW merge, overwrite, compact)
         fold history and are not change-consumable: ValueError."""
         until = self.snapshot(until_version)
+        if until_version is not None:
+            self._check_readable(until)
         names = [f["name"] for f in until.fields]
         frames: list[DataFrame] = []
+        prev = self.snapshot(since_version)
         for v in range(since_version + 1, until.version + 1):
-            prev, cur = self.snapshot(v - 1), self.snapshot(v)
+            cur = self.snapshot(v) if v != until.version else until
             prev_paths = {f.path for f in prev.files}
             removed = prev_paths - {f.path for f in cur.files}
             if removed:
@@ -414,6 +430,7 @@ class LakeTable:
                         ).otherwise(F.lit("update_after")),
                     ).select(*names, "_change_type")
                 )
+            prev = cur
         if not frames:
             schema = struct_from_fields(until.fields).add("_change_type", "string")
             return spark.createDataFrame([], schema)
@@ -1203,7 +1220,10 @@ class LakeTable:
         n_bkts = len({f.bucket for f in to_rewrite})
         next_version = snap.version + 1
         if cluster_by:
-            total_rows = sum(f.rows for f in to_rewrite if not f.delta)
+            # delta rows included: upsert-heavy deltas add resolved
+            # rows (undercount -> oversized files), tombstone-heavy
+            # ones only make files smaller — the safe direction
+            total_rows = sum(f.rows for f in to_rewrite)
             n_out = n_bkts
             if target_rows_per_file:
                 n_out = max(n_bkts, -(-total_rows // target_rows_per_file))
@@ -1232,28 +1252,48 @@ class LakeTable:
         self._commit(new)
         return next_version
 
-    def vacuum(self, keep_last: int = 1) -> int:
+    def vacuum(self, keep_last: int = 1, *, grace_seconds: float = 3600.0) -> int:
         """Delete data files not referenced by the last ``keep_last``
-        snapshots (Iceberg's expire_snapshots analog).  Time travel
-        below the retained window is then impossible, so vacuum
-        commits a metadata-only snapshot recording
+        DATA snapshots (Iceberg's expire_snapshots analog; vacuum's
+        own metadata-only marker snapshots don't count toward the
+        window, so repeated maintenance runs can't ratchet the
+        retention forward).  Time travel below the retained window is
+        then impossible, so vacuum commits a marker snapshot recording
         ``min_readable_version`` — reads of expired versions raise a
-        clear retention error instead of a file-not-found mid-scan."""
+        clear retention error instead of a file-not-found mid-scan.
+
+        ``grace_seconds``: files younger than this are never deleted
+        even when unreferenced — a concurrent writer may have written
+        them but not yet committed (the two-writer optimistic
+        concurrency this log supports); Iceberg's remove_orphan_files
+        has the same age threshold.  Crash-cleanup tests pass 0."""
+        import time as _time
+
         hist = self.history()
-        retained = hist[-keep_last:] if keep_last > 0 else hist[-1:]
+        data_snaps = [
+            s for s in hist if s.summary.get("operation") != "vacuum"
+        ] or hist[-1:]
+        retained = data_snaps[-keep_last:] if keep_last > 0 else data_snaps[-1:]
         live = {
             os.path.join(self.root, f.path)
             for s in retained
             for f in s.files
         }
+        # the current latest (marker or not) must always stay readable
+        live |= {os.path.join(self.root, f.path) for f in hist[-1].files}
+        cutoff = _time.time() - grace_seconds
         removed = 0
         for path in glob.glob(os.path.join(self.root, "data", "*", "*", "*.parquet")):
-            if path not in live:
+            if path not in live and os.path.getmtime(path) <= cutoff:
                 os.unlink(path)
                 removed += 1
-        latest = hist[-1]
         min_readable = retained[0].version
-        if min_readable > latest.props.get("min_readable_version", 0):
+        # marker commit with optimistic-concurrency retry: a concurrent
+        # writer taking our version number must not lose the marker
+        for _attempt in range(5):
+            latest = self.snapshot()
+            if min_readable <= latest.props.get("min_readable_version", 0):
+                break
             new = Snapshot(
                 version=latest.version + 1,
                 schema_version=latest.schema_version,
@@ -1269,7 +1309,11 @@ class LakeTable:
                     "min_readable_version": min_readable,
                 },
             )
-            self._commit(new)
+            try:
+                self._commit(new)
+                break
+            except CommitConflict:
+                continue
         return removed
 
 

@@ -52,7 +52,7 @@ def test_clustered_compaction_crash_is_invisible(spark, tmp_path, monkeypatch):
     # retry succeeds; content preserved; the crashed attempt's files
     # are orphans that vacuum clears
     assert t.compact(spark, cluster_by=["last_lsn"], target_rows_per_file=50)
-    assert t.vacuum() > 0
+    assert t.vacuum(grace_seconds=0) > 0
     final = sorted(
         (r["repo"], r["path"], r["content_sha256"]) for r in t.read(spark).collect()
     )
@@ -95,7 +95,7 @@ def test_crash_between_write_and_commit_is_invisible(spark, tmp_path):
         (r["repo"], r["path"], r["content_sha256"]) for r in t.read(spark).collect()
     )
     # orphans from the crashed attempt are vacuumable
-    removed = t.vacuum()
+    removed = t.vacuum(grace_seconds=0)
     assert removed >= len(orphaned)
     final2 = sorted(
         (r["repo"], r["path"], r["content_sha256"]) for r in t.read(spark).collect()
@@ -135,7 +135,7 @@ def test_mor_crash_between_delta_write_and_commit(spark, tmp_path):
     final1 = sorted(
         (r["repo"], r["path"], r["content_sha256"]) for r in t.read(spark).collect()
     )
-    removed = t.vacuum()
+    removed = t.vacuum(grace_seconds=0)
     assert removed >= len(orphaned)
     assert sorted(
         (r["repo"], r["path"], r["content_sha256"]) for r in t.read(spark).collect()

@@ -157,7 +157,7 @@ def test_time_travel_and_compact(spark, tmp_path):
     # content preserved
     assert len(_state(t, spark)) == 4
     # vacuum removes dead files without breaking current reads
-    t.vacuum()
+    t.vacuum(grace_seconds=0)
     assert len(_state(t, spark)) == 4
 
 

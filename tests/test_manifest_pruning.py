@@ -371,7 +371,7 @@ def test_vacuum_retention_window(spark, tmp_path):
     for k in range(3):  # overwrites: each version has its OWN files
         t.overwrite(spark, _batch(spark, 100 * k, 100 * k + 50), epoch=k + 1)
     assert t.read(spark, version=1).count() == 50  # time travel pre-vacuum
-    removed = t.vacuum(keep_last=2)
+    removed = t.vacuum(keep_last=2, grace_seconds=0)
     assert removed > 0  # v1's files expired
     assert t.snapshot().summary["operation"] == "vacuum"
     # retained window still readable, incl. time travel to v2
@@ -383,6 +383,51 @@ def test_vacuum_retention_window(spark, tmp_path):
         t.plan_scan([("lsn", ">=", 0)], version=1)
     # metadata of expired versions is still walkable
     assert len(t.history()) == 5  # create + 3 overwrites + vacuum
+
+
+def test_date_predicate_on_timestamp_column(spark, table):
+    """A date predicate promotes to its midnight timestamp in Spark;
+    the manifest bounds must order the same way (dates are encoded
+    midnight-padded) — a bare 'YYYY-MM-DD' encoding sorted BELOW that
+    day's timestamps and silently pruned matching files."""
+    where = [("ts", ">=", datetime.date(2024, 1, 1))]
+    assert table.scan(spark, where).count() == 200  # nothing mis-pruned
+    got = [r["lsn"] for r in table.scan(
+        spark, [("ts", "=", datetime.date(2024, 1, 1))]).collect()]
+    assert got == [0]  # only the exact-midnight row
+
+
+def test_vacuum_does_not_ratchet(spark, tmp_path):
+    """Repeated maintenance vacuums must not advance the retention
+    floor: marker snapshots are excluded from the keep_last window."""
+    t = LakeTable.create(str(tmp_path / "r"), SCHEMA, ["repo", "path"], n_buckets=2)
+    for k in range(3):
+        t.overwrite(spark, _batch(spark, 100 * k, 100 * k + 50), epoch=k + 1)
+    t.vacuum(keep_last=2, grace_seconds=0)
+    mrv1 = t.snapshot().props["min_readable_version"]
+    n_hist = len(t.history())
+    t.vacuum(keep_last=2, grace_seconds=0)  # no intervening writes
+    assert t.snapshot().props["min_readable_version"] == mrv1
+    assert len(t.history()) == n_hist  # no second marker committed
+    assert t.read(spark, version=mrv1).count() == 50  # floor still readable
+
+
+def test_read_appends_guarded_after_vacuum(spark, tmp_path):
+    """Bounded incremental reads below the retention floor raise the
+    clean expiry error instead of FileNotFound mid-scan."""
+    t = LakeTable.create(str(tmp_path / "g"), SCHEMA, ["repo", "path"], n_buckets=2)
+    t.append(spark, _batch(spark, 0, 50), epoch=1)
+    t.append(spark, _batch(spark, 50, 100), epoch=2)
+    t.overwrite(spark, _batch(spark, 100, 150), epoch=3)
+    t.vacuum(keep_last=1, grace_seconds=0)  # v1/v2 files expired
+    with pytest.raises(ValueError, match="expired by vacuum"):
+        t.read_appends(spark, 0, until_version=2)
+    with pytest.raises(ValueError, match="expired by vacuum"):
+        t.read_changes(spark, 0, until_version=2)
+    from airbyte_spark.lake.datasource import _LakeBatchReader
+
+    with pytest.raises(ValueError, match="expired by vacuum"):
+        _LakeBatchReader(t.root, 2)
 
 
 def test_metadata_tables(spark, table):

@@ -77,7 +77,7 @@ def test_mor_compact_folds_deltas(spark, tmp_path, corpus):
     assert not any(f.delta for f in snap.files)
     assert len({f.bucket for f in snap.files}) <= 8
     assert _final(spark, pipe) == before
-    removed = t.vacuum()
+    removed = t.vacuum(grace_seconds=0)
     assert removed > 0
     assert _final(spark, pipe) == before
 
