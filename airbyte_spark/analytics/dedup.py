@@ -357,20 +357,17 @@ def _grams_arrow(n: int):
     ``\\s+`` split (keeping a leading empty token like
     java.lang.String.split does), lowercase, distinct n-grams with the
     short-text fallback."""
-    import re
-
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    ws = re.compile(r"\s+", re.ASCII)
+    from airbyte_spark.analytics.text import py_tokens_lower
 
     # NB: hint-free function + explicit return type (the hint-based
     # inference can't resolve locally-imported pd — see _minhash_sig_arrow)
     def g_fn(texts):
         out = []
         for t in texts:
-            s = (t or "").lower().strip(" ")
-            toks = ws.split(s) if s else []
+            toks = py_tokens_lower(t) or []  # NULL text -> no grams
             if len(toks) >= n:
                 gr = list({" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)})
             else:

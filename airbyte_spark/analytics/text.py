@@ -8,6 +8,8 @@ DuckDB oracle where SQL-expressible.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -20,6 +22,21 @@ STOPWORDS = {
     "fr": ["le", "la", "de", "et", "un", "est", "que", "pour", "dans", "ce"],
     "zh": ["的", "是", "了", "在", "我", "有", "和", "就", "不", "人"],
 }
+
+
+_PY_WS = re.compile(r"\s+", re.ASCII)
+
+
+def py_tokens_lower(t: str | None) -> list[str] | None:
+    """THE Python-side tokenizer every Arrow twin must use — one copy
+    of the parity-critical details (lower, strip of ASCII spaces only,
+    ASCII \\s+ split, leading-empty-token behavior) mirroring the JVM
+    ``tokens_expr(lower(col))`` chain.  None stays None so callers can
+    match the expression engine's NULL propagation."""
+    if t is None:
+        return None
+    s = t.lower().strip(" ")
+    return _PY_WS.split(s) if s else []
 
 
 def tokens_expr(col: Column) -> Column:
@@ -73,14 +90,17 @@ def _lex_counts_arrow():
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    ws = re.compile(r"\s+", re.ASCII)
     lex = {c: frozenset(STOPWORDS[c]) for c in _LEX_CODES}
 
     def fn(texts):
         out = []
         for t in texts:
-            s = (t or "").lower().strip(" ")
-            toks = ws.split(s) if s else []
+            toks = py_tokens_lower(t)
+            if toks is None:
+                # NULL text stays NULL, matching the expr engine's
+                # NULL propagation through size(filter(NULL))
+                out.append(None)
+                continue
             out.append([sum(1 for x in toks if x in lex[c]) for c in _LEX_CODES])
         return pd.Series(out)
 
@@ -134,7 +154,7 @@ def quality_score(
             & (F.col("punct_ratio") <= 0.3),
         )
     )
-    return out.drop("_lex_scores") if "_lex_scores" in df.columns else out
+    return out.drop("_lex_scores")  # no-op when the column is absent
 
 
 def lang_id(

@@ -216,6 +216,10 @@ class _LakeStreamReader(DataSourceStreamReader):
 
         sv, ev = start["version"], end["version"]
         until = self._t.snapshot(ev)
+        # a checkpoint replaying a batch whose files a later
+        # compact+vacuum expired must fail with the clean retention
+        # error, not executor FileNotFound
+        self._t._check_readable(until)
         prev = self._t.snapshot(sv)
         since_paths = {f.path for f in prev.files}
         for v in range(sv + 1, ev + 1):

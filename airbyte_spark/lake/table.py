@@ -139,9 +139,41 @@ def _check_additive(prev: Snapshot, cur: Snapshot) -> None:
 _PRUNE_OPS = ("=", "<", "<=", ">", ">=")
 
 
-def _entry_may_match(entry: FileEntry, field_id: int, op: str, value: Any) -> bool:
+_ISO_DATE_RE = None
+
+
+def _norm_iso(s: str) -> str:
+    """Pad date/second/milli-precision ISO strings to the canonical
+    26-char micro-padded form so lexicographic comparison agrees with
+    instant order regardless of which precision either side used —
+    e.g. a CLI predicate string '2024-01-01' vs a stored bound
+    '2024-01-01T00:00:00.000000' (or a pre-padding bare date bound).
+    Non-ISO strings pass through untouched."""
+    global _ISO_DATE_RE
+    import re
+
+    if _ISO_DATE_RE is None:
+        _ISO_DATE_RE = re.compile(
+            r"(\d{4}-\d{2}-\d{2})([T ](\d{2}:\d{2}:\d{2})(\.(\d{1,6}))?)?$"
+        )
+    m = _ISO_DATE_RE.match(s)
+    if not m:
+        return s
+    frac = (m.group(5) or "").ljust(6, "0")
+    return f"{m.group(1)}T{m.group(3) or '00:00:00'}.{frac}"
+
+
+def _entry_may_match(
+    entry: FileEntry, field_id: int, op: str, value: Any,
+    *, temporal: bool = False,
+) -> bool:
     """Conservative containment test: False only when the file's
-    recorded bounds PROVE no row can satisfy (col op value)."""
+    recorded bounds PROVE no row can satisfy (col op value).
+    ``temporal``: the column is a date/timestamp, so string-encoded
+    bounds/values are ISO forms that must be precision-normalized
+    before lexicographic comparison (NEVER applied to genuine string
+    columns — a value that merely looks like a date must keep raw
+    string order)."""
     if entry.stats is None:
         return True
     b = entry.stats.get(str(field_id))
@@ -157,6 +189,8 @@ def _entry_may_match(entry: FileEntry, field_id: int, op: str, value: Any) -> bo
     )
     if not same_kind:
         return True
+    if temporal and isinstance(value, str):
+        lo, hi, value = _norm_iso(lo), _norm_iso(hi), _norm_iso(value)
     if op == "=":
         return lo <= value <= hi
     if op == "<":
@@ -300,24 +334,26 @@ class LakeTable:
             self._check_readable(snap)
         if not where:
             return snap, list(snap.files)
-        name_to_id = {f["name"]: f["id"] for f in snap.fields}
+        fields_by_name = {f["name"]: f for f in snap.fields}
         preds = []
         for col, op, value in where:
-            if col not in name_to_id:
+            if col not in fields_by_name:
                 raise ValueError(f"unknown column {col!r}")
             if op not in _PRUNE_OPS:
                 raise ValueError(f"unsupported op {op!r} (use {_PRUNE_OPS})")
-            preds.append((col, name_to_id[col], op, _encode_bound(value)))
+            fld = fields_by_name[col]
+            temporal = fld["type"] in ("date", "timestamp", "timestamp_ntz")
+            preds.append((col, fld["id"], op, _encode_bound(value), temporal))
         has_delta = any(f.delta for f in snap.files)
         kept = []
         for f in snap.files:
             keep = True
-            for col, fid, op, val in preds:
+            for col, fid, op, val, temporal in preds:
                 if val is None:
                     continue  # untracked predicate type — can't prune
                 if has_delta and col not in snap.key_cols:
                     continue
-                if not _entry_may_match(f, fid, op, val):
+                if not _entry_may_match(f, fid, op, val, temporal=temporal):
                     keep = False
                     break
             if keep:
@@ -1282,15 +1318,15 @@ class LakeTable:
         # the current latest (marker or not) must always stay readable
         live |= {os.path.join(self.root, f.path) for f in hist[-1].files}
         cutoff = _time.time() - grace_seconds
-        removed = 0
-        for path in glob.glob(os.path.join(self.root, "data", "*", "*", "*.parquet")):
-            if path not in live and os.path.getmtime(path) <= cutoff:
-                os.unlink(path)
-                removed += 1
         min_readable = retained[0].version
-        # marker commit with optimistic-concurrency retry: a concurrent
-        # writer taking our version number must not lose the marker
-        for _attempt in range(5):
+
+        # marker commits BEFORE any deletion: if we crash mid-delete,
+        # expired reads already raise the clean retention error rather
+        # than FileNotFound; files-not-yet-deleted are merely retained
+        # longer (the safe direction).  Optimistic-concurrency retry —
+        # a concurrent writer taking our version must not lose the
+        # marker; give up loudly, never silently.
+        for attempt in range(5):
             latest = self.snapshot()
             if min_readable <= latest.props.get("min_readable_version", 0):
                 break
@@ -1305,7 +1341,6 @@ class LakeTable:
                 props={**latest.props, "min_readable_version": min_readable},
                 summary={
                     "operation": "vacuum",
-                    "removed_files": removed,
                     "min_readable_version": min_readable,
                 },
             )
@@ -1313,7 +1348,17 @@ class LakeTable:
                 self._commit(new)
                 break
             except CommitConflict:
-                continue
+                if attempt == 4:
+                    raise
+
+        removed = 0
+        for path in glob.glob(os.path.join(self.root, "data", "*", "*", "*.parquet")):
+            try:
+                if path not in live and os.path.getmtime(path) <= cutoff:
+                    os.unlink(path)
+                    removed += 1
+            except FileNotFoundError:
+                continue  # a concurrent vacuum got there first
         return removed
 
 

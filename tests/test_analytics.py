@@ -97,6 +97,7 @@ def test_lex_counts_engine_parity(spark):
             Row(doc_id=10, text="  the\tthe  und der λ 🙂 "),
             Row(doc_id=11, text="el la de que y en un es por con"),
             Row(doc_id=12, text="的 是 了 the der"),
+            Row(doc_id=13, text=None),  # NULL must propagate identically
         ]
     )
     for fn in (text.quality_score, text.lang_id):

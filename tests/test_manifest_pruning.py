@@ -397,6 +397,23 @@ def test_date_predicate_on_timestamp_column(spark, table):
     assert got == [0]  # only the exact-midnight row
 
 
+def test_string_iso_predicates_on_timestamp_column(spark, table):
+    """CLI-style STRING predicates on a temporal column: bare-date and
+    second-precision forms must precision-normalize against the
+    micro-padded stored bounds — before the fix, '2024-01-01' compared
+    lexicographically below every padded bound and pruned everything."""
+    assert table.scan(spark, [("ts", ">=", "2024-01-01")]).count() == 200
+    got = table.scan(spark, [("ts", ">=", "2024-01-01 00:02:30")]).count()
+    assert got == 50  # seconds 150..199
+    # genuine string column: date-shaped values must KEEP raw order
+    from airbyte_spark.lake.table import _entry_may_match
+    from airbyte_spark.lake.log import FileEntry
+
+    e = FileEntry("p", 0, 1, 1, 0, stats={"9": ["2024-01-01", "zebra"]})
+    # raw string order: "2024-01-01" < "2024-01-01 x" -> may match
+    assert _entry_may_match(e, 9, "<", "2024-01-01 x", temporal=False)
+
+
 def test_vacuum_does_not_ratchet(spark, tmp_path):
     """Repeated maintenance vacuums must not advance the retention
     floor: marker snapshots are excluded from the keep_last window."""
@@ -424,10 +441,15 @@ def test_read_appends_guarded_after_vacuum(spark, tmp_path):
         t.read_appends(spark, 0, until_version=2)
     with pytest.raises(ValueError, match="expired by vacuum"):
         t.read_changes(spark, 0, until_version=2)
-    from airbyte_spark.lake.datasource import _LakeBatchReader
+    from airbyte_spark.lake.datasource import _LakeBatchReader, _LakeStreamReader
 
     with pytest.raises(ValueError, match="expired by vacuum"):
         _LakeBatchReader(t.root, 2)
+    # a checkpointed stream replaying an expired batch gets the same
+    # clean error instead of executor FileNotFound
+    r = _LakeStreamReader(t.root, 0)
+    with pytest.raises(ValueError, match="expired by vacuum"):
+        r.partitions({"version": 0}, {"version": 2})
 
 
 def test_metadata_tables(spark, table):
