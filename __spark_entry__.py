@@ -756,6 +756,11 @@ def cdc_lake_source_scan(spark, sf):
     Same slicing as cdc_pruned_scan, so the oracle is plain SQL."""
     from airbyte_spark.lake import datasource as DS
 
+    # runtime SQL conf; Spark-default sessions (like the driver's) have
+    # it off, and 4.1 hard-fails any pushFilters reader without it.
+    # DS.register sets it too — this explicit set documents the
+    # requirement and survives alternate registration paths.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     DS.register(spark)
     t, _cut_a, cut_b = _lake_epoch_appends(spark, sf)
     return (

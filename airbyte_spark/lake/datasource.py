@@ -147,7 +147,12 @@ class _LakeBatchReader(DataSourceReader):
         snap = self._snap
         files = self._files
         if self._pushed:
-            _, files = self._t.plan_scan(self._pushed, self._version)
+            # pin planning to the snapshot captured in __init__ (NOT
+            # latest): a commit landing between reader construction and
+            # planning could add MOR deltas that bypass the __init__
+            # delta rejection or reference a schema_version absent from
+            # snap.schemas — plan against the version schema() negotiated
+            _, files = self._t.plan_scan(self._pushed, snap.version)
         parts = []
         for f in files:
             splits: list = [None]
@@ -284,4 +289,21 @@ class LakeDataSource(DataSource):
 
 
 def register(spark) -> None:
+    """Register the "lake" format on ``spark`` and enable the runtime
+    SQL conf the pushdown reader needs.
+
+    Spark 4.1 refuses to even INITIALIZE a Python data source reader
+    that implements ``pushFilters()`` while
+    ``spark.sql.python.filterPushdown.enabled`` is false (the Spark
+    default) — the planning worker raises DATA_SOURCE_PUSHDOWN_DISABLED
+    before a byte is read.  The reader cannot degrade by itself: it is
+    constructed inside a planning worker with no active session, so the
+    conf is invisible there (verified empirically — getActiveSession()
+    is None in the worker).  The session IS visible here, so
+    registration repairs the conf.  This is safe session-wide: the conf
+    only unlocks pushdown support for sources that implement it, and
+    the lake source keeps pushdown itself opt-in per read via
+    ``option("pushdown", "true")`` (see _LakeBatchReaderPushdown for
+    the shared-handle hazard that motivates the opt-in)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(LakeDataSource)

@@ -142,13 +142,18 @@ _PRUNE_OPS = ("=", "<", "<=", ">", ">=")
 _ISO_DATE_RE = None
 
 
-def _norm_iso(s: str) -> str:
+def _norm_iso(s: str) -> str | None:
     """Pad date/second/milli-precision ISO strings to the canonical
     26-char micro-padded form so lexicographic comparison agrees with
     instant order regardless of which precision either side used —
     e.g. a CLI predicate string '2024-01-01' vs a stored bound
     '2024-01-01T00:00:00.000000' (or a pre-padding bare date bound).
-    Non-ISO strings pass through untouched."""
+    Returns None for strings that are NOT canonical ISO (e.g. a
+    non-zero-padded '2024-1-5' or a tz-suffixed instant): such forms
+    don't order lexicographically against the padded bounds, so the
+    caller must refuse to prune on them — Spark's residual cast still
+    accepts them, and pruning a file the residual would keep silently
+    drops rows."""
     global _ISO_DATE_RE
     import re
 
@@ -158,7 +163,7 @@ def _norm_iso(s: str) -> str:
         )
     m = _ISO_DATE_RE.match(s)
     if not m:
-        return s
+        return None
     frac = (m.group(5) or "").ljust(6, "0")
     return f"{m.group(1)}T{m.group(3) or '00:00:00'}.{frac}"
 
@@ -190,7 +195,14 @@ def _entry_may_match(
     if not same_kind:
         return True
     if temporal and isinstance(value, str):
-        lo, hi, value = _norm_iso(lo), _norm_iso(hi), _norm_iso(value)
+        nlo, nhi, nval = _norm_iso(lo), _norm_iso(hi), _norm_iso(value)
+        if nlo is None or nhi is None or nval is None:
+            # non-canonical ISO form somewhere (e.g. '2024-1-5' or a
+            # tz-suffixed instant): lexicographic order is meaningless
+            # against padded bounds — keep the file, let the residual
+            # filter decide
+            return True
+        lo, hi, value = nlo, nhi, nval
     if op == "=":
         return lo <= value <= hi
     if op == "<":
@@ -426,6 +438,11 @@ class LakeTable:
         ``update_after`` (deltas carry no before-image, so insert vs
         update is indistinguishable there — downstream MERGE treats
         both as upsert, which is the point of a changelog read).
+        Every row also carries ``_change_version`` (the snapshot that
+        produced it — Iceberg's change-ordinal analog): a range
+        spanning two commits that touch the same key emits both rows,
+        and only this column lets a downstream MERGE pick the final
+        winner (LWW on ``_change_version``; union order is arbitrary).
         Snapshots that REMOVE files (COW merge, overwrite, compact)
         fold history and are not change-consumable: ValueError."""
         until = self.snapshot(until_version)
@@ -452,6 +469,7 @@ class LakeTable:
                 frames.append(
                     self._read_files(spark, until, base_new)
                     .withColumn("_change_type", F.lit("insert"))
+                    .withColumn("_change_version", F.lit(v).cast("int"))
                 )
             if delta_new:
                 d = self._read_files(
@@ -464,11 +482,17 @@ class LakeTable:
                             F.coalesce(F.col("_deleted"), F.lit(False)),
                             F.lit("delete"),
                         ).otherwise(F.lit("update_after")),
-                    ).select(*names, "_change_type")
+                    )
+                    .withColumn("_change_version", F.lit(v).cast("int"))
+                    .select(*names, "_change_type", "_change_version")
                 )
             prev = cur
         if not frames:
-            schema = struct_from_fields(until.fields).add("_change_type", "string")
+            schema = (
+                struct_from_fields(until.fields)
+                .add("_change_type", "string")
+                .add("_change_version", "integer")
+            )
             return spark.createDataFrame([], schema)
         out = frames[0]
         for f in frames[1:]:

@@ -72,6 +72,48 @@ def test_pushdown_prunes_files(spark, table):
     assert got == 50
 
 
+def test_pushdown_under_spark_default_conf(spark, table):
+    """Regression (round-3 driver gate): a session built with plain
+    SparkSession.builder — Spark-default confs, so
+    spark.sql.python.filterPushdown.enabled is FALSE — must still run
+    a pushdown read after DS.register.  Spark 4.1 hard-fails ANY
+    pushFilters reader under that conf, and the reader can't degrade
+    itself (it is constructed in a planning worker with no session),
+    so register(spark) repairs the runtime conf.  Reproduced here by
+    resetting the shared session's conf to the Spark default first."""
+    spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+    try:
+        assert spark.conf.get("spark.sql.python.filterPushdown.enabled") == "false"
+        DS.register(spark)  # must flip the conf back on
+        got = (
+            spark.read.format("lake").option("pushdown", "true").load(table.root)
+            .filter("lsn >= 150").count()
+        )
+        assert got == 50
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+
+
+def test_pushdown_planning_pinned_to_captured_snapshot(spark, table):
+    """A commit landing between reader construction and partition
+    planning must not leak into the scan: planning is pinned to the
+    snapshot captured in __init__, so a concurrent MOR merge (which
+    would bypass the __init__ delta rejection) stays invisible."""
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    from airbyte_spark.lake.datasource import _LakeBatchReaderPushdown
+
+    r = _LakeBatchReaderPushdown(table.root, None)
+    r.pushFilters([GreaterThanOrEqual(("lsn",), 0)])
+    # concurrent writer lands a delta commit after reader construction
+    upd = spark.createDataFrame([Row(repo="r0", path="p0", lsn=1000)], SCHEMA)
+    table.merge_mor(spark, upd, order_cols=["lsn"], epoch=3)
+    parts = r.partitions()
+    planned = {os.path.relpath(p.abs_path, table.root) for p in parts}
+    captured = {f.path for f in r._snap.files}
+    assert planned <= captured  # nothing from the later commit
+
+
 def test_filtered_scan_does_not_poison_reused_reader(spark, table):
     # regression: the DEFAULT reader must not implement pushFilters —
     # Spark 4.1 caches the planned python scan in the shared relation

@@ -414,6 +414,66 @@ def test_string_iso_predicates_on_timestamp_column(spark, table):
     assert _entry_may_match(e, 9, "<", "2024-01-01 x", temporal=False)
 
 
+def test_noncanonical_iso_string_never_prunes(spark, table):
+    """Temporal string forms that _norm_iso can't canonicalize (a
+    non-zero-padded '2024-1-5', a tz-suffixed instant) must NOT prune:
+    they don't order lexicographically against micro-padded bounds,
+    yet Spark's residual cast accepts them — pruning on the raw string
+    silently dropped matching files (round-3 advice, medium)."""
+    from airbyte_spark.lake.table import _entry_may_match
+    from airbyte_spark.lake.log import FileEntry
+
+    e = FileEntry(
+        "p", 0, 1, 1, 0,
+        stats={"9": ["2024-06-01T00:00:00.000000", "2024-06-30T00:00:00.000000"]},
+    )
+    # every row of this file is > 2024-1-5, but raw-lex '2024-1-5' >
+    # '2024-06-30...' wrongly proved exclusion before the fix
+    assert _entry_may_match(e, 9, ">", "2024-1-5", temporal=True)
+    assert _entry_may_match(e, 9, "<=", "2024-06-15T00:00:00+00:00", temporal=True)
+    # canonical forms still prune
+    assert not _entry_may_match(e, 9, ">", "2024-06-30", temporal=True)
+    # end to end: scan with the sloppy form equals read().filter()
+    from pyspark.sql import functions as F
+
+    got = table.scan(spark, [("ts", ">", "2024-1-1")]).count()
+    want = table.read(spark).filter(F.col("ts") > "2024-1-1").count()
+    assert got == want == 199  # strict > drops the exact-midnight row
+
+
+def test_read_changes_change_version_ordering(spark, tmp_path):
+    """A range spanning two commits that upsert the SAME key emits both
+    rows; _change_version (the Iceberg change-ordinal analog) is the
+    only thing that lets a downstream MERGE pick the final winner —
+    union order is arbitrary (round-3 advice)."""
+    t = LakeTable.create(str(tmp_path / "cv"), SCHEMA, ["repo", "path"], n_buckets=2)
+    t.append(spark, _batch(spark, 0, 10), epoch=1)                      # v1
+    op_schema = StructType(list(SCHEMA.fields)).add("op", StringType())
+
+    def upd(lsn, op):
+        return spark.createDataFrame(
+            [Row(repo="r0", path="p0", lsn=lsn, ts=T0, op=op)], op_schema
+        )
+
+    t.merge_mor(spark, upd(100, "u"), order_cols=["lsn"], op_col="op",
+                delete_value="d", epoch=2)                              # v2
+    t.merge_mor(spark, upd(200, "d"), order_cols=["lsn"], op_col="op",
+                delete_value="d", epoch=3)                              # v3
+    ch = t.read_changes(spark, since_version=1)
+    assert "_change_version" in ch.columns
+    p0 = sorted(
+        ((r["_change_version"], r["_change_type"]) for r in ch.collect()
+         if r["path"] == "p0")
+    )
+    assert p0 == [(2, "update_after"), (3, "delete")]
+    # LWW on _change_version resolves the final state: p0 is deleted
+    from airbyte_spark.engine.dedup import lww_dedup
+
+    win = lww_dedup(ch, ["repo", "path"], ["_change_version"])
+    final = {r["path"]: r["_change_type"] for r in win.collect()}
+    assert final["p0"] == "delete"
+
+
 def test_vacuum_does_not_ratchet(spark, tmp_path):
     """Repeated maintenance vacuums must not advance the retention
     floor: marker snapshots are excluded from the keep_last window."""
