@@ -776,14 +776,13 @@ def cdc_lake_source_scan(spark, sf):
     )
 
 
-def cdc_changelog_scan(spark, sf):
-    """Row-level changelog consumption (read_changes, the Iceberg
-    changelog-scan analog): epoch 1 appends the low event_id slice,
-    epoch 2 lands a MOR delta batch over the mid slice (every 7th id a
-    tombstone, the rest upserts), epoch 3 appends the high slice.
-    Changes since v1 = the delta winners + tombstones + the appended
-    rows, aggregated per _change_type — all reproducible in SQL from
-    the same integer cuts and modular rule."""
+def _lake_mor_fixture(spark, sf):
+    """Append-then-delta lake fixture shared by the changelog and MOR
+    data-source queries: epoch 1 appends the low event_id slice (v1),
+    epoch 2 lands a MOR delta batch over the mid slice — every 7th id
+    a tombstone, the rest upserts (v2), epoch 3 appends the high slice
+    (v3).  Integer cuts at 1/2 and 4/5 of max id so the oracle can
+    reproduce the slicing in SQL at any sf."""
     from airbyte_spark.lake.table import LakeTable
 
     e = _t(spark, sf, "events").select(
@@ -791,7 +790,7 @@ def cdc_changelog_scan(spark, sf):
     )
     mx = e.agg(F.max("event_id")).collect()[0][0]
     cut_a, cut_b = mx // 2, (mx * 4) // 5
-    root = tempfile.mkdtemp(prefix="lake_changes_")
+    root = tempfile.mkdtemp(prefix="lake_mor_")
     t = LakeTable.create(os.path.join(root, "t"), e.schema, ["event_id"], n_buckets=8)
     t.append(spark, e.filter(F.col("event_id") < cut_a), epoch=1)          # v1
     mid = e.filter(
@@ -802,6 +801,43 @@ def cdc_changelog_scan(spark, sf):
     t.merge_mor(spark, mid, order_cols=["event_id"], op_col="op",
                 delete_value="d", epoch=2)                                  # v2
     t.append(spark, e.filter(F.col("event_id") >= cut_b), epoch=3)         # v3
+    return t, cut_a, cut_b
+
+
+def cdc_lake_source_mor(spark, sf):
+    """A LIVE-delta (merge-on-read) table read through Spark's planner
+    as the registered "lake" source: buckets holding delta files
+    become single InputPartitions whose executors resolve per-key LWW
+    winners and drop tombstones in-process with pyarrow (keys are
+    bucket-co-located, so no shuffle — Iceberg v2 readers resolve
+    delete files at scan time the same way; lake/datasource.py
+    _read_bucket_mor).  The key predicate is pushed: plan_scan's
+    MOR-safe rule prunes the high-slice append's files from manifest
+    bounds, which the oracle's WHERE reproduces."""
+    from airbyte_spark.lake import datasource as DS
+
+    DS.register(spark)
+    t, _cut_a, cut_b = _lake_mor_fixture(spark, sf)
+    return (
+        spark.read.format("lake")
+        .option("pushdown", "true")  # fresh load, single query: safe
+        .load(t.root)
+        .filter(F.col("event_id") < cut_b)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("event_id").alias("sum_event_id"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def cdc_changelog_scan(spark, sf):
+    """Row-level changelog consumption (read_changes, the Iceberg
+    changelog-scan analog) over the append/delta/append fixture.
+    Changes since v1 = the delta winners + tombstones + the appended
+    rows, aggregated per _change_type — all reproducible in SQL from
+    the same integer cuts and modular rule."""
+    t, _cut_a, _cut_b = _lake_mor_fixture(spark, sf)
     ch = t.read_changes(spark, since_version=1)
     return (
         ch.groupBy("_change_type")
@@ -919,6 +955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_mor_mini": cdc_replay_mor_mini,
         "cdc_pruned_scan": cdc_pruned_scan,
         "cdc_lake_source_scan": cdc_lake_source_scan,
+        "cdc_lake_source_mor": cdc_lake_source_mor,
         "cdc_incremental_appends": cdc_incremental_appends,
         "cdc_changelog_scan": cdc_changelog_scan,
     }
@@ -1655,6 +1692,18 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(event_id) AS BIGINT) AS sum_event_id,
        round(sum(value), 2) AS sum_value
 FROM events, mx WHERE event_id >= (m * 4) // 5
+""",
+        # final MOR state below cut_b = low slice + mid-slice upsert
+        # winners (the %7 tombstones never existed as rows, so they
+        # simply subtract); values identical to the source events
+        "cdc_lake_source_mor": """
+WITH mx AS (SELECT max(event_id) AS m FROM events)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+       round(sum(value), 2) AS sum_value
+FROM events, mx
+WHERE event_id < (m * 4) // 5
+  AND NOT (event_id >= m // 2 AND event_id % 7 = 0)
 """,
         "cdc_changelog_scan": """
 WITH mx AS (SELECT max(event_id) AS m FROM events),

@@ -67,6 +67,74 @@ def cosine_pairs(
     )
 
 
+# broadcast-matrix budget for neardup_dedup's exact GEMM path: above
+# this, the corpus matrix (rows x dim x 8 bytes) no longer ships to
+# every executor and the operator auto-routes to SRP-band candidate
+# pairs instead (tests shrink it to force the scale path)
+_BROADCAST_BUDGET_BYTES = 100 << 20
+
+
+def srp_band_candidates(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bands: int = 8,
+    band_planes: int = 10,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Candidate near-duplicate pairs ``(a_id, b_id)`` (a_id < b_id):
+    ids whose SRP sign-signatures collide in at least one of
+    ``n_bands`` independent bands of ``band_planes`` hyperplanes —
+    the classic banding amplification (collision prob per band =
+    (1 - theta/pi)^r, OR'd across bands), sub-quadratic because pairs
+    only form inside (band, bucket) groups.
+
+    All ``n_bands * band_planes`` dot products run as ONE numpy GEMM
+    per Arrow batch (a JVM zip_with/aggregate chain would interpret
+    the lambda per element per plane); the shuffle then carries only
+    the slim (id, band, bucket) triples.  Used by ``neardup_dedup``'s
+    beyond-broadcast auto-route; recall is tunable via n_bands /
+    band_planes (more bands -> higher recall, more candidates)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if dim is None:
+        head = corpus.select(vec_col).head()
+        dim = len(head[0]) if head else 1
+    planes = np.asarray(
+        [
+            p
+            for b in range(n_bands)
+            for p in _hyperplanes(dim, band_planes, seed + 7919 * b)
+        ],
+        dtype=np.float64,
+    )  # (n_bands*band_planes, dim); ~tens of KB, ships in the closure
+    weights = (1 << np.arange(band_planes, dtype=np.int64))
+
+    def _band_sigs_fn(v):
+        M = np.stack(v.to_numpy()).astype(np.float64)  # (n, dim)
+        bits = (M @ planes.T) > 0  # one GEMM for every band x plane
+        S = bits.reshape(len(M), n_bands, band_planes).astype(np.int64) @ weights
+        return pd.Series(list(S))
+
+    _band_sigs = pandas_udf(_band_sigs_fn, "array<long>")
+    s = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .withColumn("_sigs", _band_sigs("_v"))
+        .select("_id", F.posexplode("_sigs").alias("_band", "_bkt"))
+    )
+    return (
+        s.alias("l")
+        .join(s.alias("r"), ["_band", "_bkt"])
+        .filter(F.col("l._id") < F.col("r._id"))
+        .select(F.col("l._id").alias("a_id"), F.col("r._id").alias("b_id"))
+        .distinct()
+    )
+
+
 def neardup_dedup(
     corpus: DataFrame,
     *,
@@ -74,6 +142,7 @@ def neardup_dedup(
     vec_col: str = "embedding",
     threshold: float = 0.4,
     candidates: DataFrame | None = None,
+    broadcast_budget_bytes: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate DEDUP: drop every row that has
     a smaller-id neighbor within the cosine threshold, keep the rest
@@ -95,17 +164,37 @@ def neardup_dedup(
     block @ M.T in numpy with a smaller-id column mask —
     O(n^2 d / p) distributed FLOPs, zero per-pair expression eval
     (a zip_with/aggregate HOF variant measured ~60s on 12.5M pairs;
-    the GEMM covers them in under a second).  Beyond broadcast scale,
-    pass ``candidates`` (columns ``a_id``/``b_id``) from the bucketed
-    generators already here (``topk_lsh``'s SRP bands or
-    ``topk_ivf``'s cells): only those pairs are scored — JVM
-    expressions, no broadcast matrix — and the survivor anti-join is
-    unchanged."""
+    the GEMM covers them in under a second).  Beyond the broadcast
+    budget (rows x dim x 8 bytes vs ``broadcast_budget_bytes``,
+    default ~100 MB) the operator AUTO-ROUTES: it builds SRP-band
+    candidate pairs internally (:func:`srp_band_candidates`) and
+    scores only those — JVM expressions over equi-joins, no broadcast
+    matrix, no all-pairs FLOPs — with the survivor anti-join
+    unchanged.  The routed variant is approximate with tunable recall
+    (banding can miss a pair just over the threshold), which is the
+    standard trade every beyond-RAM near-dup pipeline makes; callers
+    needing exact results above the budget can still pass their own
+    exhaustive ``candidates``.  Both paths are pinned equal on a
+    planted corpus in tests/test_analytics.py."""
+    budget = (
+        broadcast_budget_bytes
+        if broadcast_budget_bytes is not None
+        else _BROADCAST_BUDGET_BYTES
+    )
+    if candidates is None:
+        head = corpus.select(vec_col).head()
+        dim = len(head[0]) if head else 1
+        # count() is a metadata read on parquet sources; vs the O(n^2 d)
+        # work it gates, always worth it
+        if corpus.count() * dim * 8 > budget:
+            candidates = srp_band_candidates(
+                corpus, id_col=id_col, vec_col=vec_col, dim=dim
+            )
     if candidates is not None:
         a = corpus.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("avec"))
-        b = F.broadcast(
-            corpus.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("bvec"))
-        )
+        # no forced broadcast: above the budget the corpus must not
+        # ship whole; AQE still broadcasts genuinely small sides
+        b = corpus.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("bvec"))
         pairs = candidates.select("a_id", "b_id").join(a, "a_id").join(b, "b_id")
         sim = _dot(F.col("avec"), F.col("bvec")) / (
             _norm(F.col("avec")) * _norm(F.col("bvec"))

@@ -20,15 +20,25 @@ Scale behavior:
   conservative, never a substitute filter).
 * One InputPartition per surviving file; executors read with
   pyarrow and yield Arrow RecordBatches (zero per-row Python).
+* MOR tables read WITHOUT a shuffle: the lake co-locates every key's
+  rows in one hash bucket, so LWW resolution is bucket-local.  Each
+  bucket holding live delta files becomes ONE InputPartition that
+  reads its base+delta files and resolves winners/tombstones
+  in-executor with pyarrow — the same order/tombstone rules as
+  ``LakeTable._read_resolved``, parity-pinned in tests.  (Iceberg v2
+  readers resolve delete files at scan time the same way.)  Buckets
+  with no deltas keep the per-file fast path, including row-group
+  splits; a delta bucket is a single task until ``compact()`` folds
+  it, which is also what bounds its size.
 * The streaming reader's offsets are snapshot VERSIONS: each
-  microbatch reads exactly the files added in (start, end] — the
-  same deterministic diff as ``read_appends`` — so checkpoint replay
-  is exactly-once by construction.  Non-additive histories (merge /
-  overwrite / compact rewrite files) raise rather than double-read.
-
-Restriction: tables with live MOR delta files need scan-time LWW
-resolution across files (a shuffle), which a data source cannot
-express — ``LakeTable.read`` handles those; here it is an error.
+  microbatch reads exactly the base files added in (start, end] —
+  the same deterministic diff as ``read_appends`` — so checkpoint
+  replay is exactly-once by construction.  Content-preserving
+  maintenance (compact rewrites, vacuum markers) is SKIPPED rather
+  than fatal (Delta's ``skipChangeCommits`` semantics): a tail is
+  no longer wedged the first time someone compacts the table.
+  Histories that change row content (MOR merges, overwrites) still
+  raise — those require a re-bootstrap.
 """
 
 from __future__ import annotations
@@ -77,34 +87,108 @@ class _FilePartition(InputPartition):
     row_groups: list | None = None
 
 
-def _read_file_projected(part: _FilePartition) -> Iterator:
+@dataclass
+class _BucketMorPartition(InputPartition):
+    """One hash bucket of a table with live MOR delta files.  The lake
+    co-locates every key's rows in one bucket, so last-writer-wins
+    resolution is bucket-local: this single task reads the bucket's
+    base+delta files and resolves winners/tombstones in-executor —
+    no shuffle, same rules as ``LakeTable._read_resolved``."""
+
+    base: list  # [(abs_path, file_fields)]
+    deltas: list  # [(abs_path, file_fields)] — physical cols + _deleted
+    cur_fields: list
+    key_cols: list
+    order_cols: list  # the table's recorded mor_order
+
+
+def _load_projected(
+    abs_path: str,
+    file_fields: list,
+    cur_fields: list,
+    row_groups: list | None = None,
+    with_deleted: str | None = None,
+):
     """Executor-side: read one parquet file (or a row-group slice of
     it) with pyarrow and project it to the current schema by FIELD ID
     (rename -> id-stable column match, add -> nulls, widen -> cast),
-    mirroring LakeTable._read_files' Spark-side projection.  Yields
-    Arrow RecordBatches."""
+    mirroring LakeTable._read_files' Spark-side projection.  Returns
+    a pyarrow Table.  ``with_deleted``: append a ``_deleted`` bool
+    column — "file" reads the physical tombstone column (delta
+    files), "false" synthesizes all-False (base files in a MOR
+    union)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
 
-    target = to_arrow_schema(struct_from_fields(part.cur_fields))
-    src_by_id = {f["id"]: f["name"] for f in part.file_fields}
-    cols = [src_by_id[f["id"]] for f in part.cur_fields if f["id"] in src_by_id]
-    if part.row_groups is not None:
-        table = pq.ParquetFile(part.abs_path).read_row_groups(
-            part.row_groups, columns=cols
-        )
+    target = to_arrow_schema(struct_from_fields(cur_fields))
+    src_by_id = {f["id"]: f["name"] for f in file_fields}
+    cols = [src_by_id[f["id"]] for f in cur_fields if f["id"] in src_by_id]
+    if with_deleted == "file":
+        cols.append("_deleted")
+    if row_groups is not None:
+        table = pq.ParquetFile(abs_path).read_row_groups(row_groups, columns=cols)
     else:
-        table = pq.read_table(part.abs_path, columns=cols)
+        table = pq.read_table(abs_path, columns=cols)
     n = table.num_rows
     arrays = []
-    for f, t_field in zip(part.cur_fields, target):
+    for f, t_field in zip(cur_fields, target):
         src = src_by_id.get(f["id"])
         if src is None:
             arrays.append(pa.nulls(n, t_field.type))
         else:
             arrays.append(table.column(src).cast(t_field.type).combine_chunks())
-    out = pa.table(dict(zip(target.names, arrays)), schema=target)
+    names = list(target.names)
+    if with_deleted == "file":
+        arrays.append(table.column("_deleted").cast(pa.bool_()).combine_chunks())
+        names.append("_deleted")
+        target = target.append(pa.field("_deleted", pa.bool_()))
+    elif with_deleted == "false":
+        arrays.append(pa.array([False] * n, pa.bool_()))
+        names.append("_deleted")
+        target = target.append(pa.field("_deleted", pa.bool_()))
+    return pa.table(dict(zip(names, arrays)), schema=target)
+
+
+def _read_file_projected(part: _FilePartition) -> Iterator:
+    out = _load_projected(
+        part.abs_path, part.file_fields, part.cur_fields, part.row_groups
+    )
+    yield from out.to_batches()
+
+
+def _read_bucket_mor(part: _BucketMorPartition) -> Iterator:
+    """Executor-side MOR resolution for one bucket: base ∪ delta →
+    per-key max(order_cols) winner → drop tombstones.  Mirrors
+    ``LakeTable._read_resolved`` (lww_dedup max_by + ``~_deleted``
+    filter) exactly; parity is pinned in tests/test_datasource.py.
+    NULL order values sort lowest (Spark's struct-ordering rule), via
+    pandas ``na_position="last"`` under a descending sort."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    tables = [
+        _load_projected(p, ff, part.cur_fields, with_deleted="false")
+        for p, ff in part.base
+    ] + [
+        _load_projected(p, ff, part.cur_fields, with_deleted="file")
+        for p, ff in part.deltas
+    ]
+    u = pa.concat_tables(tables)
+    if u.num_rows:
+        # grouping/ordering runs on the (key, order) column slice only;
+        # payload columns never round-trip through pandas
+        kdf = u.select(list(dict.fromkeys(part.key_cols + part.order_cols))).to_pandas()
+        win_idx = (
+            kdf.sort_values(
+                part.order_cols, ascending=False, na_position="last", kind="mergesort"
+            )
+            .drop_duplicates(subset=part.key_cols, keep="first")
+            .index.to_numpy()
+        )
+        u = u.take(win_idx)
+        u = u.filter(pc.invert(pc.fill_null(u.column("_deleted"), False)))
+    out = u.drop_columns(["_deleted"])
     yield from out.to_batches()
 
 
@@ -134,11 +218,10 @@ class _LakeBatchReader(DataSourceReader):
         if version is not None:
             # clean retention error instead of FileNotFound mid-scan
             self._t._check_readable(self._snap)
-        if any(f.delta for f in self._snap.files):
-            raise ValueError(
-                "lake data source cannot resolve MOR delta files; "
-                "compact() the table or use LakeTable.read"
-            )
+        if any(f.delta for f in self._snap.files) and not self._snap.props.get(
+            "mor_order"
+        ):
+            raise ValueError("delta files present but no mor_order recorded")
         self._files: list[FileEntry] = list(self._snap.files)
         self._version = version
         self._pushed: list[tuple[str, str, Any]] = []
@@ -153,7 +236,30 @@ class _LakeBatchReader(DataSourceReader):
             # delta rejection or reference a schema_version absent from
             # snap.schemas — plan against the version schema() negotiated
             _, files = self._t.plan_scan(self._pushed, snap.version)
-        parts = []
+        # buckets holding live delta files resolve LWW in-executor —
+        # one partition per such bucket (keys are co-located, so the
+        # resolution needs no shuffle); pruning above is MOR-safe by
+        # plan_scan's key-predicate-only rule, so every file a
+        # surviving key could live in is still present here
+        delta_buckets = {f.bucket for f in files if f.delta}
+        parts: list = []
+        if delta_buckets:
+            order = list(snap.props["mor_order"])
+            by_bucket: dict[int, tuple[list, list]] = {
+                b: ([], []) for b in delta_buckets
+            }
+            for f in files:
+                if f.bucket in delta_buckets:
+                    abs_path = os.path.join(self._t.root, f.path)
+                    by_bucket[f.bucket][1 if f.delta else 0].append(
+                        (abs_path, snap.schemas[f.schema_version])
+                    )
+            parts.extend(
+                _BucketMorPartition(base, deltas, snap.fields,
+                                    list(snap.key_cols), order)
+                for base, deltas in by_bucket.values()
+            )
+            files = [f for f in files if f.bucket not in delta_buckets]
         for f in files:
             splits: list = [None]
             if f.rgs and f.rgs > 1:
@@ -176,7 +282,9 @@ class _LakeBatchReader(DataSourceReader):
                 )
         return parts
 
-    def read(self, partition: _FilePartition):
+    def read(self, partition):
+        if isinstance(partition, _BucketMorPartition):
+            return _read_bucket_mor(partition)
         return _read_file_projected(partition)
 
 
@@ -216,32 +324,58 @@ class _LakeStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         return {"version": self._t.snapshot().version}
 
-    def partitions(self, start: dict, end: dict):
-        from airbyte_spark.lake.table import _check_additive
+    # snapshot operations that rewrite files WITHOUT changing row
+    # content — a tail skips them instead of dying (Delta's
+    # skipChangeCommits semantics): compact rewrites/splits files and
+    # folds deltas the stream already never emitted; a vacuum marker
+    # is metadata-only.  Operations that change row content (COW
+    # merge, overwrite, MOR delta commits) still raise — those need a
+    # re-bootstrap, same as the reference's bounded-tail consumer.
+    _MAINTENANCE_OPS = frozenset({"compact", "vacuum"})
 
+    def partitions(self, start: dict, end: dict):
         sv, ev = start["version"], end["version"]
         until = self._t.snapshot(ev)
-        # a checkpoint replaying a batch whose files a later
-        # compact+vacuum expired must fail with the clean retention
-        # error, not executor FileNotFound
-        self._t._check_readable(until)
+        new_files: list[tuple[FileEntry, int]] = []
         prev = self._t.snapshot(sv)
-        since_paths = {f.path for f in prev.files}
         for v in range(sv + 1, ev + 1):
-            # structural additivity (files retained, no new deltas) —
-            # same rule as LakeTable.read_appends; each snapshot JSON
-            # loads once per walk, not twice
+            # per-version walk (each snapshot JSON loads once): collect
+            # base files added by ADDITIVE snapshots only — after a
+            # compact inside the range, `until.files - start.files`
+            # would wrongly include rewritten files holding old rows
             cur = self._t.snapshot(v) if v != ev else until
-            _check_additive(prev, cur)
+            op = cur.summary.get("operation")
+            if op in self._MAINTENANCE_OPS:
+                prev = cur
+                continue
+            prev_paths = {f.path for f in prev.files}
+            removed = prev_paths - {f.path for f in cur.files}
+            added = [f for f in cur.files if f.path not in prev_paths]
+            if removed or any(f.delta for f in added):
+                raise ValueError(
+                    f"snapshot v{v} ({op!r}) is not additive "
+                    f"({len(removed)} files removed/rewritten, "
+                    f"{sum(f.delta for f in added)} delta files added); "
+                    "streaming tail requires append-only commits "
+                    "(maintenance ops are skipped) — re-bootstrap the consumer"
+                )
+            new_files.extend((f, v) for f in added)
             prev = cur
+        if new_files:
+            # a file appended at version v stays physically live as long
+            # as v itself is vacuum-retained (retention keeps a suffix of
+            # data snapshots), even if a later compact rewrote it — so
+            # guarding the EARLIEST emitting version turns a replay of
+            # vacuum-expired files into the clean retention error instead
+            # of executor FileNotFound
+            self._t._check_readable(self._t.snapshot(min(v for _, v in new_files)))
         return [
             _FilePartition(
                 os.path.join(self._t.root, f.path),
                 until.schemas[f.schema_version],
                 self._fields,
             )
-            for f in until.files
-            if f.path not in since_paths
+            for f, _ in new_files
         ]
 
     def read(self, partition: _FilePartition):

@@ -48,6 +48,9 @@ BENCH_QUERIES = [
     # table build, so they measure write+plan+scan end to end
     "cdc_pruned_scan",
     "cdc_lake_source_scan",
+    # round 4: live-delta (MOR) table read through the planner —
+    # bucket-granular in-executor LWW resolution, key-pruned
+    "cdc_lake_source_mor",
 ]
 
 

@@ -162,11 +162,70 @@ def test_batch_read_after_widen(spark, table):
     assert df.count() == 200
 
 
-def test_mor_delta_rejected(spark, table):
-    upd = spark.createDataFrame([Row(repo="r0", path="p0", lsn=1000)], SCHEMA)
-    table.merge_mor(spark, upd, order_cols=["lsn"], epoch=3)
-    with pytest.raises(Exception, match="MOR|compact"):
-        spark.read.format("lake").load(table.root).collect()
+def _mor_table(spark, table):
+    """Layer a MOR delta on the fixture: update p0/p3, tombstone p1,
+    insert a brand-new key — the four delta row kinds."""
+    upd = spark.createDataFrame(
+        [
+            Row(repo="r0", path="p0", lsn=1000, op="u"),
+            Row(repo="r0", path="p3", lsn=1001, op="u"),
+            Row(repo="r1", path="p1", lsn=1002, op="d"),
+            Row(repo="rz", path="new", lsn=1003, op="u"),
+        ],
+        StructType(SCHEMA.fields + [StructField("op", StringType())]),
+    )
+    table.merge_mor(spark, upd, order_cols=["lsn"], op_col="op", epoch=3)
+    return table
+
+
+def test_mor_read_parity(spark, table):
+    """A table with live MOR delta files reads through format("lake")
+    — bucket-granular partitions resolve LWW in-executor — and must
+    equal LakeTable.read exactly, before AND after compact folds the
+    deltas (round-3 verdict Missing #1)."""
+    t = _mor_table(spark, table)
+    want = {tuple(r) for r in t.read(spark).collect()}
+    got = {tuple(r) for r in spark.read.format("lake").load(t.root).collect()}
+    assert got == want
+    assert ("r0", "p0", 1000) in got and ("rz", "new", 1003) in got
+    assert not any(r[:2] == ("r1", "p1") for r in got)  # tombstone dropped
+    t.compact(spark)
+    want2 = {tuple(r) for r in t.read(spark).collect()}
+    got2 = {tuple(r) for r in spark.read.format("lake").load(t.root).collect()}
+    assert got2 == want2 == want
+
+
+def test_mor_read_pushdown_parity(spark, table):
+    """Key-column pushdown over a live-delta table: plan_scan's
+    MOR-safe rule prunes only on key predicates, and the resolved
+    result still equals read().filter()."""
+    t = _mor_table(spark, table)
+    want = {
+        tuple(r) for r in t.read(spark).filter("repo = 'r0'").collect()
+    }
+    got = {
+        tuple(r)
+        for r in spark.read.format("lake")
+        .option("pushdown", "true")
+        .load(t.root)
+        .filter("repo = 'r0'")
+        .collect()
+    }
+    assert got == want and ("r0", "p0", 1000) in got
+
+
+def test_mor_read_after_evolve(spark, table):
+    """Old-schema base files + post-evolve delta files resolve by
+    field id in the executor-side MOR path."""
+    t = _mor_table(spark, table)
+    table.evolve([("add", "stars", LongType())])
+    upd = spark.createDataFrame(
+        [Row(repo="r0", path="p0", lsn=2000, stars=5)],
+    )
+    t.merge_mor(spark, upd, order_cols=["lsn"], epoch=4)
+    want = {tuple(r) for r in t.read(spark).collect()}
+    got = {tuple(r) for r in spark.read.format("lake").load(t.root).collect()}
+    assert got == want and ("r0", "p0", 2000, 5) in got
 
 
 def test_stream_tail_exactly_once(spark, table, tmp_path):
@@ -303,3 +362,62 @@ def test_stream_rejects_rewrite_history(spark, table):
     r = _LakeStreamReader(table.root, 0)
     with pytest.raises(ValueError, match="additive"):
         r.partitions({"version": 1}, r.latestOffset())
+
+
+def test_stream_tail_survives_compact(spark, table, tmp_path):
+    """Round-3 verdict Missing #2: content-preserving maintenance
+    (compact / vacuum markers) must be SKIPPED by a checkpointed tail
+    — Delta's skipChangeCommits semantics — not wedge it forever.
+    Stream two epochs, compact, append, resume: exactly-once rows."""
+    cp = str(tmp_path / "cp")
+
+    def run():
+        rows = []
+
+        def sink(bdf, bid):
+            rows.extend(r["lsn"] for r in bdf.collect())
+
+        q = (
+            spark.readStream.format("lake")
+            .load(table.root)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return rows
+
+    assert sorted(run()) == list(range(200))  # epochs 1+2
+    table.compact(spark)  # rewrites every bucket (2 files each)
+    table.append(spark, _mk(spark, 200, 230), epoch=3)
+    # resume across the compact: only the new epoch, nothing re-read
+    assert sorted(run()) == list(range(200, 230))
+    table.vacuum(keep_last=1, grace_seconds=0.0)  # marker snapshot
+    table.append(spark, _mk(spark, 230, 250), epoch=4)
+    assert sorted(run()) == list(range(230, 250))
+
+
+def test_stream_compact_inside_one_batch(spark, table):
+    """A single batch range spanning append -> compact -> append emits
+    exactly the two appends' files: the compact's rewritten files
+    (which hold OLD rows) must not be double-emitted."""
+    table.compact(spark)  # v3: folds the two fixture appends
+    table.append(spark, _mk(spark, 200, 230), epoch=3)  # v4
+    r = _LakeStreamReader(table.root, 0)
+    parts = r.partitions({"version": 2}, {"version": 4})
+    import pyarrow as pa
+
+    got = pa.Table.from_batches([b for p in parts for b in r.read(p)])
+    assert sorted(got.to_pydict()["lsn"]) == list(range(200, 230))
+
+
+def test_stream_replay_of_vacuum_expired_files_raises_cleanly(spark, table):
+    """A checkpoint replaying a batch whose files a later
+    compact+vacuum expired gets the clean retention error, not an
+    executor FileNotFound."""
+    table.compact(spark)  # v3 rewrites epoch-1/2 files
+    table.vacuum(keep_last=1, grace_seconds=0.0)  # v4 marker + delete
+    r = _LakeStreamReader(table.root, 0)
+    with pytest.raises(ValueError, match="expired by vacuum"):
+        r.partitions({"version": 0}, {"version": 4})
