@@ -8,6 +8,7 @@ re-imagined as lakehouse-ingest verbs).
   python -m airbyte_spark.cli replay --table /t --events 1000000 --batch-lsns 100000
   python -m airbyte_spark.cli lineage --table /t
   python -m airbyte_spark.cli compact --table /t [--cluster-by lsn]
+  python -m airbyte_spark.cli vacuum --table /t --keep-last 2 [--grace-seconds 0]
   python -m airbyte_spark.cli scan --table /t --where 'lsn>=150'
   python -m airbyte_spark.cli files|history --table /t
   python -m airbyte_spark.cli appends|changes --table /t --since 3
@@ -112,11 +113,22 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated sort-order rewrite columns")
     sp.add_argument("--target-rows-per-file", type=int, default=None)
 
+    sp = sub.add_parser(
+        "vacuum", help="expire unreferenced data files (retention)"
+    )
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--keep-last", type=int, default=1,
+                    help="data snapshots whose files stay readable")
+    sp.add_argument("--grace-seconds", type=float, default=3600.0,
+                    help="never delete files younger than this")
+
     sp = sub.add_parser("scan", help="manifest-pruned selective read")
     sp.add_argument("--table", required=True)
     sp.add_argument("--where", action="append", default=[],
                     help="predicate like 'lsn>=150' (repeatable, ANDed)")
     sp.add_argument("--limit", type=int, default=20)
+    sp.add_argument("--version", type=int, default=None,
+                    help="time travel to this snapshot version")
 
     sp = sub.add_parser("files", help="metadata table: live data files")
     sp.add_argument("--table", required=True)
@@ -175,6 +187,21 @@ def main(argv: list[str] | None = None) -> int:
                 "properties": props,
             },
         }, indent=2))
+        return 0
+
+    if args.cmd == "vacuum":
+        # pure driver-side metadata + file deletes — no SparkSession
+        # (a production operator runs retention without paying a JVM)
+        from airbyte_spark.lake import LakeTable
+
+        t = LakeTable(args.table)
+        removed = t.vacuum(args.keep_last, grace_seconds=args.grace_seconds)
+        snap = t.snapshot()
+        print(json.dumps({
+            "removed_files": removed,
+            "min_readable_version": snap.props.get("min_readable_version", 0),
+            "latest_version": snap.version,
+        }))
         return 0
 
     from airbyte_spark.engine.changelog import base_table, changelog
@@ -242,8 +269,8 @@ def main(argv: list[str] | None = None) -> int:
 
         t = LakeTable(args.table)
         where = [_parse_predicate(w) for w in args.where]
-        snap, kept = t.plan_scan(where)
-        rows = t.scan(spark, where).limit(args.limit).collect()
+        snap, kept = t.plan_scan(where, args.version)
+        rows = t.scan(spark, where, args.version).limit(args.limit).collect()
         print(json.dumps({
             "files_total": len(snap.files),
             "files_kept": len(kept),

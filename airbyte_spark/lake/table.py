@@ -516,17 +516,23 @@ class LakeTable:
 
     def history_df(self, spark: SparkSession) -> DataFrame:
         """Metadata table: one row per snapshot (Iceberg's
-        ``table.history``/``table.snapshots`` analog)."""
+        ``table.history``/``table.snapshots`` analog).  ``readable``
+        surfaces the vacuum retention state: False for versions whose
+        data files may have been expired (reads of those raise the
+        retention error)."""
+        mrv = self.snapshot().props.get("min_readable_version", 0)
         rows = [
             (s.version, s.summary.get("operation"), s.schema_version,
              len(s.files), sum(f.rows for f in s.files),
-             sum(f.bytes for f in s.files), json.dumps(s.epochs))
+             sum(f.bytes for f in s.files), json.dumps(s.epochs),
+             s.version >= mrv)
             for s in self.history()
         ]
         return spark.createDataFrame(
             rows,
             "version int, operation string, schema_version int, "
-            "n_files int, total_rows long, total_bytes long, epochs string",
+            "n_files int, total_rows long, total_bytes long, epochs string, "
+            "readable boolean",
         )
 
     def _read_files(

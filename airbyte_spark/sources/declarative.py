@@ -27,8 +27,9 @@ re-expresses that graph Spark-first:
   decoded response (array -> records, object -> single record), then an
   optional predicate filters record dicts.
 
-Manifest shape (JSON/dict; a YAML loader is one ``yaml.safe_load``
-away — not bundled because pyyaml is not in this environment):
+Manifest shape (dict; :func:`load_manifest` parses YAML or JSON text
+or a file path — YAML via pyyaml when importable, with a JSON
+fallback so the module has no hard dependency):
 
     {"streams": [{
         "name": "items",
@@ -285,6 +286,27 @@ _PAGINATORS = {
     "PageIncrement": PageIncrement,
     "CursorPagination": CursorPagination,
 }
+
+
+def load_manifest(source: str) -> dict:
+    """Parse a declarative manifest from YAML/JSON text or a file path
+    (the reference's manifests are YAML files,
+    manifest_declarative_source.py).  YAML needs pyyaml; when it is
+    not importable the loader falls back to ``json.loads`` (JSON is
+    the documented dict shape), so the module keeps zero hard
+    dependencies.  Pass the result to :func:`build_streams`."""
+    import json
+    import os
+
+    text = source
+    if "\n" not in source and os.path.isfile(source):
+        with open(source) as fh:
+            text = fh.read()
+    try:
+        import yaml
+    except ImportError:  # pragma: no cover - environment-dependent
+        return json.loads(text)
+    return yaml.safe_load(text)
 
 
 def build_streams(manifest: dict) -> list[DeclarativeStream]:

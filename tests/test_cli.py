@@ -155,6 +155,52 @@ def test_scan_files_history_appends_verbs(tmp_path):
     assert r["compacted_to_version"] is not None
 
 
+def _cli_fail(*args: str) -> str:
+    """Run a verb expected to FAIL; returns stderr."""
+    env = dict(os.environ, SPARK_GRAFT_CPUS="2", PYTHONPATH=REPO)
+    out = subprocess.run(
+        [sys.executable, "-m", "airbyte_spark.cli", *args],
+        capture_output=True, text=True, timeout=240, cwd=REPO, env=env,
+    )
+    assert out.returncode != 0, out.stdout
+    return out.stderr
+
+
+def test_vacuum_verb_retention_cycle(tmp_path):
+    """The maintenance lifecycle a production operator drives from the
+    CLI: init -> compact (sort-order rewrite) -> vacuum (expires the
+    pre-compact files, no JVM needed) -> a time-travel scan of the
+    expired version fails with the clean retention error, while the
+    current version still reads."""
+    table = os.path.join(tmp_path, "t")
+    json.loads(_cli(
+        "init", "--table", table, "--base-rows", "200",
+        "--buckets", "4", "--repos", "5", "--paths-per-repo", "50",
+    ))
+    r = json.loads(_cli("compact", "--table", table, "--cluster-by", "last_lsn"))
+    compact_v = r["compacted_to_version"]
+    assert compact_v is not None
+
+    r = json.loads(_cli("vacuum", "--table", table,
+                        "--keep-last", "1", "--grace-seconds", "0"))
+    assert r["removed_files"] > 0
+    assert r["min_readable_version"] == compact_v
+    assert r["latest_version"] == compact_v + 1  # the marker snapshot
+
+    # history shows the retention state
+    hist = [json.loads(line) for line in
+            _cli("history", "--table", table).strip().splitlines()]
+    by_v = {h["version"]: h for h in hist}
+    assert by_v[compact_v]["readable"] and by_v[compact_v + 1]["readable"]
+    assert not by_v[1]["readable"]  # the expired bootstrap version
+
+    # current version still reads; the expired one raises cleanly
+    r = json.loads(_cli("scan", "--table", table, "--limit", "1"))
+    assert len(r["rows"]) == 1
+    err = _cli_fail("scan", "--table", table, "--version", "1", "--limit", "1")
+    assert "expired by vacuum" in err
+
+
 def test_discover_and_check():
     cat = json.loads(_cli("discover", "--data-dir", "/root/testdata/sf0.001"))
     streams = {s["name"] for s in cat["streams"]}

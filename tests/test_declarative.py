@@ -159,6 +159,46 @@ def test_manifest_builds_equivalent_graph():
     assert [r["region"] for r in recs] == ["eu"] * 13 + ["us"] * 12
 
 
+def test_manifest_loads_from_yaml(tmp_path):
+    """The YAML manifest path (the reference's manifests are YAML
+    files): load_manifest parses text or a file and the built graph
+    reads identically to the dict manifest."""
+    pytest.importorskip("yaml")
+    from airbyte_spark.sources.declarative import load_manifest
+
+    text = """
+streams:
+  - name: items
+    primary_key: id
+    retriever:
+      path: /v1/items
+      page_size: 10
+      request_params: {page_size: 10, mode: offset}
+      paginator: {type: OffsetIncrement}
+      selector:
+        field_path: [data, items]
+    slicer: {type: List, cursor_field: region, values: [eu, us]}
+    cursor_field: updated_at
+"""
+    (s,) = build_streams(load_manifest(text))
+    assert len(s.read_records(fake_api)) == 25
+
+    p = tmp_path / "manifest.yaml"
+    p.write_text(text)
+    (s2,) = build_streams(load_manifest(str(p)))
+    assert len(s2.read_records(fake_api)) == 25 and s2.primary_key == "id"
+
+    # JSON text parses through the same loader (YAML superset / fallback)
+    import json as _json
+
+    (s3,) = build_streams(load_manifest(_json.dumps(
+        {"streams": [{"name": "i", "retriever": {"path": "/v1/items",
+         "page_size": 25, "request_params": {"page_size": 25, "mode": "offset"},
+         "selector": {"field_path": ["data", "items"]}}}]}
+    )))
+    assert len(s3.read_records(fake_api)) == 25
+
+
 def test_runaway_pagination_guard():
     class Never(NoPagination):
         def next_page_token(self, response, records):
