@@ -68,17 +68,36 @@ def scale_embeddings(src: str, out: str, factor: int) -> int:
     return len(allr)
 
 
+def scale_events(src: str, out: str, factor: int) -> int:
+    """Replicate events with event_id offset per replica (the lake
+    queries key on event_id, so ids must stay unique); all other
+    columns verbatim — the lake-query oracles recompute their integer
+    cuts and %7 rules from the scaled table itself, so any
+    deterministic scale-up is self-consistent."""
+    pdf = pd.read_parquet(os.path.join(src, "events.parquet"))
+    reps = []
+    for r in range(factor):
+        rep = pdf.copy()
+        rep["event_id"] = rep["event_id"] + r * OFFSET
+        reps.append(rep)
+    allr = pd.concat(reps, ignore_index=True)
+    allr.to_parquet(os.path.join(out, "events.parquet"), index=False)
+    return len(allr)
+
+
 def main() -> None:
     src, out, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
     os.makedirs(out, exist_ok=True)
     nd = scale_documents(src, out, factor)
     ne = scale_embeddings(src, out, factor)
+    nv = scale_events(src, out, factor)
     for f in os.listdir(src):
         if f.endswith(".parquet") and f not in (
-            "documents.parquet", "embeddings.parquet"
+            "documents.parquet", "embeddings.parquet", "events.parquet"
         ):
             shutil.copy(os.path.join(src, f), os.path.join(out, f))
-    print(f"wrote {out}: documents={nd} embeddings={ne} (factor {factor})")
+    print(f"wrote {out}: documents={nd} embeddings={ne} events={nv} "
+          f"(factor {factor})")
 
 
 if __name__ == "__main__":
