@@ -216,6 +216,25 @@ def scd2_events_incremental(spark, sf):
     )
 
 
+def scd2_events_asof(spark, sf):
+    """Point-in-time (as-of) read over the SCD2 history (engine/scd.py
+    scd2_asof): the one version of each key valid at the mid-cursor
+    point — a pure interval filter, no window or shuffle at read
+    time."""
+    from airbyte_spark.engine.scd import scd2_asof, scd2_from_changelog
+
+    e = _t(spark, sf, "events").select("user_id", "event_id", "event_type")
+    n = e.agg(F.max("event_id")).collect()[0][0]
+    hist = scd2_from_changelog(
+        e, keys=["user_id"], order_col="event_id", op_col=None
+    )
+    return scd2_asof(hist, n // 2).select(
+        "user_id",
+        F.col("event_id").alias("asof_event_id"),
+        F.col("event_type").alias("asof_event_type"),
+    )
+
+
 def events_stream_hwm(spark, sf):
     """Custom stateful streaming operator (applyInPandasWithState,
     streaming/stateful.py): per-key running HWM + event count carried
@@ -576,6 +595,23 @@ def doc_minhash_lsh_pairs(spark, sf):
     )
 
 
+def doc_dup_clusters(spark, sf):
+    """Near-dup CLUSTER assignment: MinHash-LSH verified pairs ->
+    distributed connected components (iterative min-label propagation
+    with pointer doubling, analytics/dedup.py dup_clusters) -> every
+    clustered doc labeled with its component's min doc_id.  The oracle
+    recomputes the exact pair set brute-force and walks the transitive
+    closure with a recursive CTE — value-verifying an ITERATIVE
+    distributed algorithm, not just one plan."""
+    pairs = A_dedup.minhash_lsh_verified_pairs(
+        _t(spark, sf, "documents"), shingle=3, bands=32, threshold=0.5
+    )
+    return A_dedup.dup_clusters(pairs).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
 def doc_simhash_pairs(spark, sf):
     """Blocked SimHash pair search in the oracle-reproducible md5_60
     configuration: DuckDB brute-forces all-pairs Hamming over the same
@@ -920,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_hwm_events": cdc_hwm_events,
         "scd2_events": scd2_events,
         "scd2_events_incremental": scd2_events_incremental,
+        "scd2_events_asof": scd2_events_asof,
         "events_minmax_ts": events_minmax_ts,
         "events_stream_hwm": events_stream_hwm,
         "events_json_normalize": events_json_normalize,
@@ -942,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_jaccard_pairs": doc_jaccard_pairs,
         "doc_decontaminate": doc_decontaminate,
         "doc_minhash_lsh_pairs": doc_minhash_lsh_pairs,
+        "doc_dup_clusters": doc_dup_clusters,
         "doc_simhash_pairs": doc_simhash_pairs,
         "emb_cosine_pairs": emb_cosine_pairs,
         "emb_neardup_dedup": emb_neardup_dedup,
@@ -1481,6 +1519,19 @@ SELECT user_id, event_id, event_type,
        lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL AS is_current
 FROM events
 """,
+        "scd2_events_asof": """
+WITH mx AS (SELECT max(event_id) AS m FROM events),
+h AS (
+  SELECT user_id, event_id, event_type,
+         lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS valid_to
+  FROM events
+)
+SELECT user_id,
+       event_id AS asof_event_id,
+       event_type AS asof_event_type
+FROM h, mx
+WHERE event_id <= m // 2 AND (valid_to IS NULL OR valid_to > m // 2)
+""",
         "events_minmax_ts": """
 SELECT min(ts) AS min_ts, max(ts) AS max_ts FROM events
 """,
@@ -1657,6 +1708,23 @@ FROM invc JOIN inve USING (g)
 GROUP BY cid, eid HAVING count(*) >= 3
 """,
         "doc_minhash_lsh_pairs": _jaccard3_sql(0.5, None),
+        # transitive closure over the exact pair set: cluster id = min
+        # reachable doc_id (DuckDB recursive CTE; UNION dedup bounds it)
+        "doc_dup_clusters": f"""
+WITH RECURSIVE p AS (
+  SELECT id1, id2 FROM ({_jaccard3_sql(0.5, None)}) jp
+),
+e AS (SELECT id1 AS u, id2 AS v FROM p UNION SELECT id2, id1 FROM p),
+reach AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+),
+m AS (SELECT u, min(v) AS mn FROM reach GROUP BY u)
+SELECT CAST(u AS BIGINT) AS doc_id,
+       CAST(least(u, mn) AS BIGINT) AS cluster_id
+FROM m
+""",
         "doc_simhash_pairs": _simhash60_sql(8),
         "emb_topk_lsh": _topk_lsh_sql(5, 4),
         "emb_topk_ivf": _topk_ivf_sql(5, 16, 4),

@@ -59,6 +59,83 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.join(w, id_col, "left_semi")
 
 
+def dup_clusters(
+    pairs: DataFrame,
+    *,
+    id1: str = "id1",
+    id2: str = "id2",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair set: every id that
+    appears in a pair is labeled with the MIN id reachable through
+    pairs (transitively) — the cluster canonicalization real dedup
+    pipelines use when near-duplication is not transitive under the
+    greedy min-id rule (A~B, B~C but A!~C still collapses to one
+    cluster).  No reference analog — LLM-pipeline mandate, completing
+    ``dedup_exact``/``neardup`` with the MinHashLSH-dedup semantics
+    (keep one doc per duplicate CLUSTER).
+
+    Distributed iterative min-label propagation with path compression
+    (the large-/small-star family — Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): each round, a
+    node's label becomes min(own, neighbors' labels), then labels jump
+    to their label's label (pointer doubling), so convergence takes
+    O(log diameter) rounds — two shuffles per round over the EDGE set
+    only (never the corpus), with lineage truncated per round via
+    localCheckpoint (at 100 TB that boundary becomes a real table
+    write, like the composed-pipeline checkpoint).  Converged state is
+    detected by a changed-label count; ``max_rounds`` is a runaway
+    guard (2^20-diameter components do not occur in near-dup data).
+
+    Output: (id, cluster_id) for every id in ``pairs``.
+    """
+    e = pairs.select(F.col(id1).alias("u"), F.col(id2).alias("v"))
+    edges = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .persist()
+    )
+    cur = edges.select(F.col("u").alias("id")).distinct().select(
+        "id", F.col("id").alias("lbl")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        nbr_min = (
+            edges.join(
+                cur.select(F.col("id").alias("v"), F.col("lbl").alias("vlbl")), "v"
+            )
+            .groupBy("u")
+            .agg(F.min("vlbl").alias("nmin"))
+            .select(F.col("u").alias("id"), "nmin")
+        )
+        stepped = cur.join(nbr_min, "id", "left").select(
+            "id", F.least(F.col("lbl"), F.coalesce("nmin", F.col("lbl"))).alias("lbl")
+        )
+        parents = stepped.select(
+            F.col("id").alias("p_id"), F.col("lbl").alias("p_lbl")
+        )
+        compressed = (
+            stepped.join(parents, stepped["lbl"] == parents["p_id"], "left")
+            .select("id", F.coalesce("p_lbl", "lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            compressed.join(
+                cur.select("id", F.col("lbl").alias("old")), "id"
+            )
+            .filter(F.col("lbl") != F.col("old"))
+            .count()
+        )
+        cur = compressed
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_rounds} rounds"
+        )
+    edges.unpersist()
+    return cur.select("id", F.col("lbl").alias("cluster_id"))
+
+
 def _tokens(text_col: str):
     from airbyte_spark.analytics.text import tokens_expr
 

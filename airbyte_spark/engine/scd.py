@@ -55,6 +55,38 @@ def scd2_from_changelog(
     )
 
 
+def scd2_asof(
+    history: DataFrame,
+    as_of,
+    *,
+    op_col: str | None = None,
+    delete_value: str = "d",
+) -> DataFrame:
+    """Point-in-time read of an SCD2 history: the one version of each
+    key that was valid AT ``as_of`` — valid_from <= as_of < valid_to,
+    open intervals (valid_to NULL) extend to infinity.  THE consumer
+    query an SCD2 table exists for (the reference materializes it as
+    the de-duplicated "latest" view only for now;
+    stream_processor.py:1013-1048 — this generalizes it to any
+    cursor point).
+
+    A key whose valid-at version is a DELETE event did not exist at
+    ``as_of`` and is excluded (pass ``op_col``).
+
+    Scale shape: a pure filter over the history — no window, no
+    shuffle.  On the lake's split SCD2 layout the closed-interval
+    table compacted with ``cluster_by(valid_from)`` turns this into a
+    manifest-pruned scan that touches only files whose
+    [valid_from, valid_to) ranges straddle ``as_of``."""
+    valid = (F.col("valid_from") <= F.lit(as_of)) & (
+        F.col("valid_to").isNull() | (F.col("valid_to") > F.lit(as_of))
+    )
+    out = history.filter(valid)
+    if op_col is not None and op_col in history.columns:
+        out = out.filter(F.col(op_col) != F.lit(delete_value))
+    return out
+
+
 def scd2_incremental_step(
     prev: DataFrame,
     batch: DataFrame,

@@ -51,6 +51,10 @@ BENCH_QUERIES = [
     # round 4: live-delta (MOR) table read through the planner —
     # bucket-granular in-executor LWW resolution, key-pruned
     "cdc_lake_source_mor",
+    # round 4: iterative connected components over LSH-verified pairs
+    "doc_dup_clusters",
+    # round 4: SCD2 point-in-time read (history build + interval filter)
+    "scd2_events_asof",
 ]
 
 

@@ -444,6 +444,35 @@ def test_neardup_dedup_matches_numpy(spark):
     assert got_cand == expect
 
 
+def test_dup_clusters_connected_components(spark):
+    """Min-label propagation over pairs: a 6-node chain (needs several
+    propagation rounds), a 2-node island, a singleton-free output, and
+    label = component min everywhere."""
+    pairs = spark.createDataFrame(
+        # chain 10-11-12-13-14-15 (worst case for 1-hop propagation),
+        # island {20, 21}, and a triangle 30-31-32
+        [Row(id1=a, id2=b) for a, b in
+         [(10, 11), (11, 12), (12, 13), (13, 14), (14, 15),
+          (20, 21), (30, 31), (31, 32), (30, 32)]]
+    )
+    got = {r["id"]: r["cluster_id"] for r in dedup.dup_clusters(pairs).collect()}
+    assert got == {
+        10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 15: 10,
+        20: 20, 21: 20,
+        30: 30, 31: 30, 32: 30,
+    }
+
+
+def test_dup_clusters_long_chain_pointer_doubling(spark):
+    """A 64-node chain converges well inside max_rounds=20 — pointer
+    doubling makes rounds O(log diameter), not O(diameter)."""
+    pairs = spark.createDataFrame(
+        [Row(id1=i, id2=i + 1) for i in range(100, 163)]
+    )
+    got = {r["id"]: r["cluster_id"] for r in dedup.dup_clusters(pairs).collect()}
+    assert set(got.values()) == {100} and len(got) == 64
+
+
 def test_neardup_dedup_auto_routes_above_broadcast_budget(spark):
     """Round-3 verdict What's-wrong #3: above the broadcast budget,
     neardup_dedup must NOT collect/broadcast the full corpus matrix —

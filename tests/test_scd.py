@@ -136,6 +136,39 @@ def test_pipeline_history_table_equals_full_recompute(spark, tmp_path):
     assert active == final_keys
 
 
+def test_asof_read_picks_the_valid_version(spark):
+    """scd2_asof returns exactly the version of each key whose
+    [valid_from, valid_to) interval contains the cursor point; keys
+    whose valid-at version is a delete did not exist then."""
+    from pyspark.sql import Row
+
+    from airbyte_spark.engine.scd import scd2_asof
+
+    ev = spark.createDataFrame([
+        Row(repo="r", path="a", lsn=1, op="c"),
+        Row(repo="r", path="a", lsn=5, op="u"),
+        Row(repo="r", path="a", lsn=9, op="u"),
+        Row(repo="r", path="b", lsn=2, op="c"),
+        Row(repo="r", path="b", lsn=6, op="d"),   # deleted at 6
+        Row(repo="r", path="c", lsn=8, op="c"),   # born after the cut
+    ])
+    hist = scd2_from_changelog(ev)
+
+    at7 = {(r["path"], r["lsn"]): r["op"]
+           for r in scd2_asof(hist, 7, op_col="op").collect()}
+    # a: version at lsn 5 valid on [5,9); b: delete at 6 -> gone;
+    # c: not yet born
+    assert at7 == {("a", 5): "u"}
+
+    at3 = {(r["path"], r["lsn"]): r["op"]
+           for r in scd2_asof(hist, 3, op_col="op").collect()}
+    assert at3 == {("a", 1): "c", ("b", 2): "c"}
+
+    # without op_col the delete version itself is returned (raw history)
+    at7_raw = {(r["path"], r["lsn"]) for r in scd2_asof(hist, 7).collect()}
+    assert at7_raw == {("a", 5), ("b", 6)}
+
+
 def test_incremental_without_op_column(spark):
     """The no-op-column variant (plain cursor streams like `events`)."""
     ev = (
