@@ -731,11 +731,13 @@ def cdc_replay_mor_mini(spark, sf):
     return _state_digest(_cdc_replay_table(spark, sf, merge_strategy="mor"))
 
 
-def _lake_epoch_appends(spark, sf):
+def _lake_epoch_appends(spark, sf, bloom_cols=None):
     """Three disjoint-range epoch appends of the events table into a
     fresh lake table (create=v0, appends=v1..v3); returns
     (table, cut_a, cut_b).  Integer cuts at 1/2 and 4/5 of max id so
-    the oracle can reproduce the slicing in SQL at any sf."""
+    the oracle can reproduce the slicing in SQL at any sf.
+    ``bloom_cols``: opt-in per-file bloom sidecars (only the bloom
+    query pays the write-time hashing)."""
     from airbyte_spark.lake.table import LakeTable
 
     e = _t(spark, sf, "events").select(
@@ -744,7 +746,10 @@ def _lake_epoch_appends(spark, sf):
     mx = e.agg(F.max("event_id")).collect()[0][0]  # 1-row driver fetch
     cut_a, cut_b = mx // 2, (mx * 4) // 5
     root = tempfile.mkdtemp(prefix="lake_appends_")
-    t = LakeTable.create(os.path.join(root, "t"), e.schema, ["event_id"], n_buckets=8)
+    t = LakeTable.create(
+        os.path.join(root, "t"), e.schema, ["event_id"], n_buckets=8,
+        bloom_cols=bloom_cols,
+    )
     t.append(spark, e.filter(F.col("event_id") < cut_a), epoch=1)
     t.append(
         spark,
@@ -782,6 +787,72 @@ def cdc_pruned_scan(spark, sf):
             "sum_value",
         )
     )
+
+
+def cdc_bloom_lookup(spark, sf):
+    """Point-lookup file pruning via per-file BLOOM sidecars
+    (lake/table.py _build_bloom; Iceberg keeps the same structure in
+    parquet column blooms / puffin files, which destination-iceberg
+    inherits).  Bounds prune the disjoint epochs to 8 of 24 files, but
+    a single-key equality inside one epoch still spans its whole id
+    range — the bloom then keeps exactly the ONE bucket file that
+    contains the key, which the oracle pins as a literal (the 10^5-file
+    story: a point lookup plans from a handful of small sidecar reads,
+    never a footer sweep).  Row values verified end to end."""
+    t, cut_a, _cut_b = _lake_epoch_appends(spark, sf, bloom_cols=["event_id"])
+    target = cut_a // 2  # event_ids are dense from 0, so this exists
+    snap, kept = t.plan_scan([("event_id", "=", target)])
+    return (
+        t.scan(spark, [("event_id", "=", target)])
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("event_id").alias("sum_event_id"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.lit(len(snap.files)).cast("long").alias("files_total"),
+            F.lit(len(kept)).cast("long").alias("files_kept"),
+            "n_rows",
+            "sum_event_id",
+            "sum_value",
+        )
+    )
+
+
+def cdc_wap_publish(spark, sf):
+    """Write-audit-publish (Iceberg wap.id staged commits): the last
+    epoch is STAGED — durable, but invisible to readers (the pre-stage
+    row count proves it) — audited through read_staged, then published
+    as one atomic metadata commit; a tag taken pre-publish still reads
+    the old state afterwards (time travel by ref).  Every count is
+    reproduced from plain SQL over the source slice."""
+    from airbyte_spark.lake.table import LakeTable
+
+    e = _t(spark, sf, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    mx = e.agg(F.max("event_id")).collect()[0][0]
+    cut = (mx * 4) // 5
+    root = tempfile.mkdtemp(prefix="lake_wap_")
+    t = LakeTable.create(os.path.join(root, "t"), e.schema, ["event_id"], n_buckets=8)
+    t.append(spark, e.filter(F.col("event_id") < cut), epoch=1)
+    t.tag("pre-publish")
+    t.stage_append(spark, e.filter(F.col("event_id") >= cut), "audit-1")
+    # read() captures the file list eagerly, so these frames pin the
+    # PRE-publish views even though they evaluate after publish()
+    before = t.read(spark).agg(F.count(F.lit(1)).alias("rows_before_publish"))
+    audit = t.read_staged(spark, "audit-1").agg(
+        F.count(F.lit(1)).alias("rows_audit_view")
+    )
+    t.publish("audit-1", epoch=2)
+    after = t.read(spark).agg(
+        F.count(F.lit(1)).alias("rows_after_publish"),
+        F.sum("event_id").alias("sum_event_id"),
+    )
+    tagged = t.read(spark, version="pre-publish").agg(
+        F.count(F.lit(1)).alias("rows_at_tag")
+    )
+    return before.crossJoin(audit).crossJoin(after).crossJoin(tagged)
 
 
 def cdc_lake_source_scan(spark, sf):
@@ -992,6 +1063,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_mini": cdc_replay_mini,
         "cdc_replay_mor_mini": cdc_replay_mor_mini,
         "cdc_pruned_scan": cdc_pruned_scan,
+        "cdc_bloom_lookup": cdc_bloom_lookup,
+        "cdc_wap_publish": cdc_wap_publish,
         "cdc_lake_source_scan": cdc_lake_source_scan,
         "cdc_lake_source_mor": cdc_lake_source_mor,
         "cdc_incremental_appends": cdc_incremental_appends,
@@ -1753,6 +1826,28 @@ SELECT CAST(24 AS BIGINT) AS files_total,
        CAST(sum(event_id) AS BIGINT) AS sum_event_id,
        round(sum(value), 2) AS sum_value
 FROM events, mx WHERE event_id >= (m * 4) // 5
+""",
+        # the pinned 1 is the bloom decision itself: bounds keep epoch
+        # 1's 8 files, the key's bloom keeps its single bucket file
+        "cdc_bloom_lookup": """
+WITH mx AS (SELECT max(event_id) AS m FROM events)
+SELECT CAST(24 AS BIGINT) AS files_total,
+       CAST(1 AS BIGINT) AS files_kept,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+       round(sum(value), 2) AS sum_value
+FROM events, mx WHERE event_id = (m // 2) // 2
+""",
+        "cdc_wap_publish": """
+WITH mx AS (SELECT max(event_id) AS m FROM events),
+c AS (SELECT (m * 4) // 5 AS cut FROM mx)
+SELECT CAST((SELECT count(*) FROM events, c WHERE event_id < cut) AS BIGINT)
+           AS rows_before_publish,
+       CAST((SELECT count(*) FROM events) AS BIGINT) AS rows_audit_view,
+       CAST((SELECT count(*) FROM events) AS BIGINT) AS rows_after_publish,
+       CAST((SELECT sum(event_id) FROM events) AS BIGINT) AS sum_event_id,
+       CAST((SELECT count(*) FROM events, c WHERE event_id < cut) AS BIGINT)
+           AS rows_at_tag
 """,
         "cdc_lake_source_scan": """
 WITH mx AS (SELECT max(event_id) AS m FROM events)

@@ -122,13 +122,36 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--grace-seconds", type=float, default=3600.0,
                     help="never delete files younger than this")
 
+    sp = sub.add_parser("tag", help="create/drop/list named snapshot refs")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--name", default=None, help="tag to create (or drop)")
+    sp.add_argument("--version", type=int, default=None,
+                    help="snapshot to tag (default: latest)")
+    sp.add_argument("--drop", action="store_true")
+
+    sp = sub.add_parser(
+        "publish", help="publish a staged write-audit-publish commit"
+    )
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--wap-id", required=True)
+    sp.add_argument("--epoch", type=int, default=None)
+    sp.add_argument("--stream", default="default")
+
+    sp = sub.add_parser("abort-staged", help="drop a staged WAP commit")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--wap-id", required=True)
+
     sp = sub.add_parser("scan", help="manifest-pruned selective read")
     sp.add_argument("--table", required=True)
     sp.add_argument("--where", action="append", default=[],
                     help="predicate like 'lsn>=150' (repeatable, ANDed)")
     sp.add_argument("--limit", type=int, default=20)
-    sp.add_argument("--version", type=int, default=None,
-                    help="time travel to this snapshot version")
+    sp.add_argument(
+        "--version",
+        type=lambda s: int(s) if s.lstrip("-").isdigit() else s,
+        default=None,
+        help="time travel to a snapshot version or tag name",
+    )
 
     sp = sub.add_parser("files", help="metadata table: live data files")
     sp.add_argument("--table", required=True)
@@ -202,6 +225,35 @@ def main(argv: list[str] | None = None) -> int:
             "min_readable_version": snap.props.get("min_readable_version", 0),
             "latest_version": snap.version,
         }))
+        return 0
+
+    if args.cmd in ("tag", "publish", "abort-staged"):
+        # atomic metadata commits — no SparkSession needed
+        from airbyte_spark.lake import LakeTable
+
+        t = LakeTable(args.table)
+        if args.cmd == "tag":
+            if args.name is None:
+                print(json.dumps(t.snapshot().props.get("tags", {})))
+            elif args.drop:
+                v = t.drop_tag(args.name)
+                print(json.dumps({"dropped": args.name, "committed_version": v}))
+            else:
+                v = t.tag(args.name, args.version)
+                print(json.dumps({
+                    "tag": args.name,
+                    "points_at": t.resolve_ref(args.name),
+                    "committed_version": v,
+                }))
+        elif args.cmd == "publish":
+            v = t.publish(args.wap_id, epoch=args.epoch, stream=args.stream)
+            print(json.dumps({
+                "wap_id": args.wap_id,
+                "committed_version": v,   # null = epoch-gated replay no-op
+            }))
+        else:
+            v = t.abort_staged(args.wap_id)
+            print(json.dumps({"wap_id": args.wap_id, "committed_version": v}))
         return 0
 
     from airbyte_spark.engine.changelog import base_table, changelog

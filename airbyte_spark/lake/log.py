@@ -58,6 +58,13 @@ class FileEntry:
     # readers plan sub-file splits without reopening footers; None =
     # unknown (pre-stats files), read whole-file.
     rgs: int | None = None
+    # field ids (str, JSON-keyed like stats) that have a bloom filter
+    # in this file's sidecar (``<path>.bloom``).  Only PRESENCE lives
+    # in the manifest — the bit arrays would blow the snapshot JSON up
+    # at 10^5-file scale (Iceberg keeps them out of manifests too:
+    # parquet bloom filters / puffin files).  plan_scan loads sidecars
+    # lazily, and only for files that survive bounds pruning.
+    bloom: list[str] | None = None
 
     def to_json(self) -> dict[str, Any]:
         d = {
@@ -72,13 +79,15 @@ class FileEntry:
             d["stats"] = self.stats
         if self.rgs is not None:
             d["rgs"] = self.rgs
+        if self.bloom is not None:
+            d["bloom"] = self.bloom
         return d
 
     @staticmethod
     def from_json(d: dict[str, Any]) -> "FileEntry":
         return FileEntry(
             d["path"], d["bucket"], d["rows"], d["bytes"], d["schema_version"],
-            d.get("delta", False), d.get("stats"), d.get("rgs"),
+            d.get("delta", False), d.get("stats"), d.get("rgs"), d.get("bloom"),
         )
 
 

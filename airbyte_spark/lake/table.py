@@ -120,6 +120,88 @@ def _bounds_from_footer(meta, name_to_id: dict[str, int]) -> dict[str, list[Any]
     return out
 
 
+# ----------------------------------------------------------------------
+# Per-file bloom filters (point-lookup pruning)
+#
+# Iceberg/parquet solve "WHERE key = X touches 1 of 10^5 files" with
+# bloom filters kept NEXT TO the data (parquet column blooms / puffin
+# files), never in the manifest — the manifest only records presence.
+# Same layout here: ``<datafile>.bloom`` sidecars hold the bit arrays,
+# FileEntry.bloom lists the covered field ids.  Bounds pruning can't
+# help a point lookup on a hash-scattered column (every file's min/max
+# spans the domain); a bloom prunes to exactly the files that contain
+# the value (+ fpr).  Sizing: 16 bits/distinct-key, k=11 double-hashed
+# md5 (Kirsch-Mitzenmacher) → fpr ≈ 5e-4.
+# ----------------------------------------------------------------------
+
+_BLOOM_SUFFIX = ".bloom"
+_BLOOM_BITS_PER_KEY = 16
+_BLOOM_K = 11
+
+
+def _bloom_key_bytes(v: Any) -> bytes | None:
+    """Canonical hash input for a bloom'd value; None = untrackable
+    type (the column then simply never prunes).  Type-tagged so an int
+    and its string form can't alias."""
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, int):
+        return b"i" + str(v).encode()
+    if isinstance(v, str):
+        return b"s" + v.encode("utf-8")
+    return None
+
+
+def _bloom_positions(key: bytes, m: int) -> list[int]:
+    import hashlib
+
+    d = hashlib.md5(key).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:], "little") | 1  # odd → full-period stride
+    return [(h1 + i * h2) % m for i in range(_BLOOM_K)]
+
+
+def _build_bloom(values: Iterable[Any]) -> dict[str, Any] | None:
+    """{"m", "k", "b64"} over the DISTINCT values, or None when no
+    value is of a trackable type.  Runs at write time over distinct
+    keys of one file (a production engine does this inside the write
+    task, like parquet's native bloom writer — here it rides the
+    driver-side footer sweep that already opens every new file)."""
+    import base64
+    import zlib
+
+    keys = [k for k in (_bloom_key_bytes(v) for v in values) if k is not None]
+    if not keys:
+        return None
+    m = max(1024, ((len(keys) * _BLOOM_BITS_PER_KEY + 7) // 8) * 8)
+    bits = bytearray(m // 8)
+    for kb in keys:
+        for h in _bloom_positions(kb, m):
+            bits[h >> 3] |= 1 << (h & 7)
+    return {
+        "m": m,
+        "k": _BLOOM_K,
+        "b64": base64.b64encode(zlib.compress(bytes(bits), 1)).decode(),
+    }
+
+
+def _bloom_bits(bloom: dict[str, Any]) -> bytes:
+    import base64
+    import zlib
+
+    return zlib.decompress(base64.b64decode(bloom["b64"]))
+
+
+def _bloom_may_contain(bloom: dict[str, Any], bits: bytes, value: Any) -> bool:
+    kb = _bloom_key_bytes(value)
+    if kb is None:
+        return True
+    return all(
+        bits[h >> 3] & (1 << (h & 7))
+        for h in _bloom_positions(kb, bloom["m"])
+    )
+
+
 def _check_additive(prev: Snapshot, cur: Snapshot) -> None:
     """Raise unless ``cur`` only ADDS plain base files on top of
     ``prev`` (no file removed/rewritten, no new MOR delta)."""
@@ -216,6 +298,28 @@ def _entry_may_match(
     return True
 
 
+def _bloom_fids_for(fields: list[dict[str, Any]], cols: list[str] | None) -> list[int]:
+    """Validate + resolve bloom column names to field ids.  Only
+    integer and string columns are bloom-able (the hash input must be
+    reproducible from a plan-time predicate literal — float equality
+    and temporal precision games are exactly what blooms should NOT
+    silently mis-prune on)."""
+    ok_types = {"integer", "long", "short", "byte", "string"}
+    by_name = {f["name"]: f for f in fields}
+    fids = []
+    for c in cols or []:
+        f = by_name.get(c)
+        if f is None:
+            raise ValueError(f"unknown bloom column {c!r}")
+        if f["type"] not in ok_types:
+            raise ValueError(
+                f"bloom column {c!r} has type {f['type']!r}; only "
+                f"int/string columns are supported ({sorted(ok_types)})"
+            )
+        fids.append(f["id"])
+    return fids
+
+
 def _dt_to_json_value(dt: DataType) -> Any:
     return json.loads(dt.json())
 
@@ -261,28 +365,59 @@ class LakeTable:
         schema: StructType,
         key_cols: list[str],
         n_buckets: int = 32,
+        *,
+        bloom_cols: list[str] | None = None,
     ) -> "LakeTable":
         if latest_version(root) is not None:
             raise ValueError(f"table already exists at {root}")
         os.makedirs(root, exist_ok=True)
+        fields = fields_from_struct(schema)
         snap = Snapshot(
             version=0,
             schema_version=0,
-            schemas={0: fields_from_struct(schema)},
+            schemas={0: fields},
             n_buckets=n_buckets,
             key_cols=list(key_cols),
             files=[],
             epochs={},
             summary={"operation": "create"},
+            props=(
+                {"bloom_fids": _bloom_fids_for(fields, bloom_cols)}
+                if bloom_cols
+                else {}
+            ),
         )
         commit_snapshot(root, snap)
         return LakeTable(root)
+
+    def set_bloom_cols(self, cols: list[str]) -> int:
+        """Record bloom-filter columns (by FIELD ID, so the config
+        survives renames).  Applies to files written AFTER this commit;
+        ``compact()`` backfills older files since it rewrites through
+        the same write path."""
+        snap = self.snapshot()
+        fids = _bloom_fids_for(snap.fields, cols)
+        new = Snapshot(
+            version=snap.version + 1,
+            schema_version=snap.schema_version,
+            schemas=snap.schemas,
+            n_buckets=snap.n_buckets,
+            key_cols=snap.key_cols,
+            files=snap.files,
+            epochs=dict(snap.epochs),
+            props={**snap.props, "bloom_fids": fids},
+            summary={"operation": "set-bloom", "cols": list(cols)},
+        )
+        self._commit(new)
+        return new.version
 
     @staticmethod
     def exists(root: str) -> bool:
         return latest_version(root) is not None
 
-    def snapshot(self, version: int | None = None) -> Snapshot:
+    def snapshot(self, version: int | str | None = None) -> Snapshot:
+        if isinstance(version, str):  # a tag name (Iceberg ref syntax)
+            version = self.resolve_ref(version)
         snap = read_snapshot(self.root, version)
         if snap is None:
             raise ValueError(f"no table at {self.root}")
@@ -316,7 +451,7 @@ class LakeTable:
                 f"(min readable version is {mrv})"
             )
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+    def read(self, spark: SparkSession, version: int | str | None = None) -> DataFrame:
         snap = self.snapshot(version)
         if version is not None:
             self._check_readable(snap)
@@ -325,7 +460,7 @@ class LakeTable:
     def plan_scan(
         self,
         where: list[tuple[str, str, Any]] | None = None,
-        version: int | None = None,
+        version: int | str | None = None,
     ) -> tuple[Snapshot, list[FileEntry]]:
         """Manifest-level file pruning (Iceberg's plan-files analog):
         drop every file whose recorded column bounds prove no row can
@@ -357,6 +492,30 @@ class LakeTable:
             temporal = fld["type"] in ("date", "timestamp", "timestamp_ntz")
             preds.append((col, fld["id"], op, _encode_bound(value), temporal))
         has_delta = any(f.delta for f in snap.files)
+        sidecars: dict[str, dict[str, Any] | None] = {}  # path -> loaded sidecar
+
+        def _bloom_rejects(f: FileEntry, fid: int, value: Any) -> bool:
+            """True when f's bloom PROVES value absent.  Sidecars load
+            lazily and only for files that survived bounds pruning —
+            a point lookup on a 10^5-file table reads a handful of
+            small sidecars, not 10^5 footers."""
+            if f.bloom is None or str(fid) not in f.bloom:
+                return False
+            if f.path not in sidecars:
+                try:
+                    with open(os.path.join(self.root, f.path + _BLOOM_SUFFIX)) as fh:
+                        side = json.load(fh)
+                    sidecars[f.path] = {
+                        k: {**v, "_bits": _bloom_bits(v)} for k, v in side.items()
+                    }
+                except (OSError, ValueError):
+                    sidecars[f.path] = None  # lost sidecar: never prune
+            side = sidecars[f.path]
+            if side is None or str(fid) not in side:
+                return False
+            b = side[str(fid)]
+            return not _bloom_may_contain(b, b["_bits"], value)
+
         kept = []
         for f in snap.files:
             keep = True
@@ -368,6 +527,9 @@ class LakeTable:
                 if not _entry_may_match(f, fid, op, val, temporal=temporal):
                     keep = False
                     break
+                if op == "=" and not temporal and _bloom_rejects(f, fid, val):
+                    keep = False
+                    break
             if keep:
                 kept.append(f)
         return snap, kept
@@ -376,7 +538,7 @@ class LakeTable:
         self,
         spark: SparkSession,
         where: list[tuple[str, str, Any]] | None = None,
-        version: int | None = None,
+        version: int | str | None = None,
     ) -> DataFrame:
         """``read`` with manifest pruning + the residual filter.  The
         residual runs post-MOR-resolution on the pruned file set, so
@@ -633,14 +795,40 @@ class LakeTable:
         # column bounds are recorded by field id (rename-stable, the
         # Iceberg manifest lower_bounds/upper_bounds analog) at zero
         # extra I/O — the footer is already open for the row count.
+        snap_now = self.snapshot()
         name_to_id = {
-            f["name"]: f["id"] for f in self.snapshot().schemas[schema_version]
+            f["name"]: f["id"] for f in snap_now.schemas[schema_version]
+        }
+        # bloom columns configured for this table that exist under this
+        # write's schema version (fid-keyed config, name resolved here)
+        bloom_cols = {
+            name: fid
+            for name, fid in name_to_id.items()
+            if fid in set(snap_now.props.get("bloom_fids", []))
         }
 
         def _entry(path: str) -> FileEntry:
             bucket = int(os.path.basename(os.path.dirname(path)).split("=")[1])
             pf = pq.ParquetFile(path)
             meta = pf.metadata
+            bloom_fids: list[str] | None = None
+            if bloom_cols:
+                import pyarrow.compute as pc
+
+                # one columnar read of just the bloom'd columns while
+                # the file is open; distinct values bound the work
+                tbl = pf.read(columns=list(bloom_cols))
+                side: dict[str, Any] = {}
+                for name, fid in bloom_cols.items():
+                    b = _build_bloom(
+                        pc.unique(tbl.column(name)).to_pylist()
+                    )
+                    if b is not None:
+                        side[str(fid)] = b
+                if side:
+                    with open(path + _BLOOM_SUFFIX, "w") as fh:
+                        json.dump(side, fh)
+                    bloom_fids = sorted(side)
             return FileEntry(
                 path=os.path.relpath(path, self.root),
                 bucket=bucket,
@@ -649,6 +837,7 @@ class LakeTable:
                 schema_version=schema_version,
                 stats=_bounds_from_footer(meta, name_to_id),
                 rgs=meta.num_row_groups,
+                bloom=bloom_fids,
             )
 
         paths = glob.glob(os.path.join(out_dir, f"{_BUCKET}=*", "*.parquet"))
@@ -702,6 +891,183 @@ class LakeTable:
         )
         self._commit(new)
         return next_version
+
+    # ------------------------------------------------------------------
+    # Write-audit-publish (Iceberg WAP) + named refs (tags)
+    #
+    # Staged file entries live in snapshot PROPS (``props["staged"]``,
+    # wap_id -> [FileEntry json]), never in ``files`` — so every read
+    # path that exists (read / scan / read_appends / read_changes /
+    # the data source / the streaming tail) is blind to staged data BY
+    # CONSTRUCTION, with zero per-path guards.  ``publish`` moves the
+    # entries into ``files`` in one atomic metadata commit (an additive
+    # append, so incremental consumers see the rows exactly once, at
+    # publish time).  Reference analog: Iceberg's wap.id staged
+    # snapshots + cherry-pick, which destination-iceberg inherits.
+    # ------------------------------------------------------------------
+
+    def stage_append(self, spark: SparkSession, df: DataFrame, wap_id: str) -> int:
+        """Write df's data files and stage them under ``wap_id``:
+        durable on disk, invisible to every reader until ``publish``.
+        Repeated stage_append to one wap_id accumulates (a multi-batch
+        audit set).  Append-only staging: merge semantics on staged
+        data would need scan-time resolution in every reader, which is
+        exactly the complexity the props trick avoids — publish, then
+        merge, if you need upserts."""
+        snap = self.snapshot()
+        next_version = snap.version + 1
+        df = _align(df, snap.fields).withColumn(_BUCKET, self._bucket_expr(snap))
+        entries = self._write_data(df, next_version, snap.schema_version, snap.n_buckets)
+        staged = {k: list(v) for k, v in snap.props.get("staged", {}).items()}
+        staged.setdefault(wap_id, []).extend(e.to_json() for e in entries)
+        new = Snapshot(
+            version=next_version,
+            schema_version=snap.schema_version,
+            schemas=snap.schemas,
+            n_buckets=snap.n_buckets,
+            key_cols=snap.key_cols,
+            files=snap.files,  # unchanged: staged data is invisible
+            epochs=dict(snap.epochs),
+            props={**snap.props, "staged": staged},
+            summary={
+                "operation": "stage",
+                "wap_id": wap_id,
+                "rows": sum(e.rows for e in entries),
+            },
+        )
+        self._commit(new)
+        return next_version
+
+    def staged_entries(self, wap_id: str, snap: Snapshot | None = None) -> list[FileEntry]:
+        snap = snap or self.snapshot()
+        staged = snap.props.get("staged", {})
+        if wap_id not in staged:
+            raise ValueError(f"no staged write {wap_id!r} (staged: {sorted(staged)})")
+        return [FileEntry.from_json(e) for e in staged[wap_id]]
+
+    def read_staged(self, spark: SparkSession, wap_id: str) -> DataFrame:
+        """The AUDIT view: current table plus the staged rows, i.e.
+        exactly what ``read`` would return after ``publish``.  The
+        live side goes through MOR resolution; staged entries are
+        plain appends layered on top."""
+        snap = self.snapshot()
+        live = self._read_resolved(spark, snap, snap.files)
+        return live.unionByName(
+            self._read_files(spark, snap, self.staged_entries(wap_id, snap))
+        )
+
+    def publish(
+        self, wap_id: str, *, epoch: int | None = None, stream: str = "default"
+    ) -> int | None:
+        """Atomically move ``wap_id``'s staged files into the table
+        (metadata-only — no data I/O).  Epoch-gated like every other
+        commit, so a replayed publish is a no-op."""
+        snap = self.snapshot()
+        if epoch is not None and snap.epochs.get(stream, -1) >= epoch:
+            return None
+        entries = self.staged_entries(wap_id, snap)
+        staged = {k: list(v) for k, v in snap.props.get("staged", {}).items()}
+        del staged[wap_id]
+        epochs = dict(snap.epochs)
+        if epoch is not None:
+            epochs[stream] = epoch
+        new = Snapshot(
+            version=snap.version + 1,
+            schema_version=snap.schema_version,
+            schemas=snap.schemas,
+            n_buckets=snap.n_buckets,
+            key_cols=snap.key_cols,
+            files=snap.files + entries,
+            epochs=epochs,
+            props={**snap.props, "staged": staged},
+            summary={
+                "operation": "publish",
+                "wap_id": wap_id,
+                "rows": sum(e.rows for e in entries),
+                "epoch": epoch,
+            },
+        )
+        self._commit(new)
+        return new.version
+
+    def abort_staged(self, wap_id: str) -> int:
+        """Drop a staged write and delete its files.  Metadata commit
+        FIRST (vacuum's marker-before-delete rule): a crash mid-delete
+        leaves only unreferenced files for vacuum's orphan sweep."""
+        snap = self.snapshot()
+        entries = self.staged_entries(wap_id, snap)
+        staged = {k: list(v) for k, v in snap.props.get("staged", {}).items()}
+        del staged[wap_id]
+        new = Snapshot(
+            version=snap.version + 1,
+            schema_version=snap.schema_version,
+            schemas=snap.schemas,
+            n_buckets=snap.n_buckets,
+            key_cols=snap.key_cols,
+            files=snap.files,
+            epochs=dict(snap.epochs),
+            props={**snap.props, "staged": staged},
+            summary={"operation": "abort", "wap_id": wap_id},
+        )
+        self._commit(new)
+        for e in entries:
+            for p in (
+                os.path.join(self.root, e.path),
+                os.path.join(self.root, e.path + _BLOOM_SUFFIX),
+            ):
+                try:
+                    os.unlink(p)
+                except FileNotFoundError:
+                    pass
+        return new.version
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Named immutable ref to a snapshot version (Iceberg tag).
+        Tagged versions are pinned: vacuum keeps their files live and
+        never advances min_readable past them."""
+        snap = self.snapshot()
+        version = snap.version if version is None else version
+        target = self.snapshot(version)  # must exist
+        self._check_readable(target)
+        new = Snapshot(
+            version=snap.version + 1,
+            schema_version=snap.schema_version,
+            schemas=snap.schemas,
+            n_buckets=snap.n_buckets,
+            key_cols=snap.key_cols,
+            files=snap.files,
+            epochs=dict(snap.epochs),
+            props={**snap.props, "tags": {**snap.props.get("tags", {}), name: version}},
+            summary={"operation": "tag", "name": name, "version": version},
+        )
+        self._commit(new)
+        return new.version
+
+    def drop_tag(self, name: str) -> int:
+        snap = self.snapshot()
+        tags = dict(snap.props.get("tags", {}))
+        if name not in tags:
+            raise ValueError(f"no tag {name!r} (tags: {sorted(tags)})")
+        del tags[name]
+        new = Snapshot(
+            version=snap.version + 1,
+            schema_version=snap.schema_version,
+            schemas=snap.schemas,
+            n_buckets=snap.n_buckets,
+            key_cols=snap.key_cols,
+            files=snap.files,
+            epochs=dict(snap.epochs),
+            props={**snap.props, "tags": tags},
+            summary={"operation": "drop-tag", "name": name},
+        )
+        self._commit(new)
+        return new.version
+
+    def resolve_ref(self, name: str) -> int:
+        tags = self.snapshot().props.get("tags", {})
+        if name not in tags:
+            raise ValueError(f"no tag {name!r} (tags: {sorted(tags)})")
+        return tags[name]
 
     # ------------------------------------------------------------------
     # MERGE (the flagship operator)
@@ -1340,6 +1706,10 @@ class LakeTable:
             s for s in hist if s.summary.get("operation") != "vacuum"
         ] or hist[-1:]
         retained = data_snaps[-keep_last:] if keep_last > 0 else data_snaps[-1:]
+        # tagged versions are pinned (Iceberg: tags block expiry) —
+        # their files stay live and min_readable never passes them
+        tag_versions = set(hist[-1].props.get("tags", {}).values())
+        retained = retained + [s for s in hist if s.version in tag_versions]
         live = {
             os.path.join(self.root, f.path)
             for s in retained
@@ -1347,8 +1717,15 @@ class LakeTable:
         }
         # the current latest (marker or not) must always stay readable
         live |= {os.path.join(self.root, f.path) for f in hist[-1].files}
+        # staged (write-audit-publish) files are durable-but-unpublished
+        # — referenced only from props, never from `files`
+        for s in retained + [hist[-1]]:
+            for entries in s.props.get("staged", {}).values():
+                live |= {
+                    os.path.join(self.root, e["path"]) for e in entries
+                }
         cutoff = _time.time() - grace_seconds
-        min_readable = retained[0].version
+        min_readable = min(s.version for s in retained)
 
         # marker commits BEFORE any deletion: if we crash mid-delete,
         # expired reads already raise the clean retention error rather
@@ -1387,8 +1764,25 @@ class LakeTable:
                 if path not in live and os.path.getmtime(path) <= cutoff:
                     os.unlink(path)
                     removed += 1
+                    try:
+                        os.unlink(path + _BLOOM_SUFFIX)
+                    except FileNotFoundError:
+                        pass
             except FileNotFoundError:
                 continue  # a concurrent vacuum got there first
+        # orphaned sidecars (crash between parquet delete and sidecar
+        # delete, or a pre-bloom vacuum run) — same age guard
+        for side in glob.glob(
+            os.path.join(self.root, "data", "*", "*", f"*.parquet{_BLOOM_SUFFIX}")
+        ):
+            try:
+                if (
+                    not os.path.exists(side[: -len(_BLOOM_SUFFIX)])
+                    and os.path.getmtime(side) <= cutoff
+                ):
+                    os.unlink(side)
+            except FileNotFoundError:
+                continue
         return removed
 
 

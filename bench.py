@@ -53,6 +53,10 @@ BENCH_QUERIES = [
     "cdc_lake_source_mor",
     # round 4: iterative connected components over LSH-verified pairs
     "doc_dup_clusters",
+    # round 4: bloom-sidecar point lookup (build + plan + 1-file scan)
+    # and the write-audit-publish lifecycle (stage/audit/publish/tag)
+    "cdc_bloom_lookup",
+    "cdc_wap_publish",
     # round 4: SCD2 point-in-time read (history build + interval filter)
     "scd2_events_asof",
 ]

@@ -201,6 +201,31 @@ def test_vacuum_verb_retention_cycle(tmp_path):
     assert "expired by vacuum" in err
 
 
+def test_tag_and_scan_by_ref(tmp_path):
+    """Named refs from the CLI: tag the bootstrap state, keep writing,
+    then time-travel a scan by tag NAME (Iceberg ref syntax) — and the
+    tag list/drop round-trip."""
+    table = os.path.join(tmp_path, "t")
+    json.loads(_cli(
+        "init", "--table", table, "--base-rows", "150",
+        "--buckets", "4", "--repos", "5", "--paths-per-repo", "50",
+    ))
+    r = json.loads(_cli("tag", "--table", table, "--name", "bootstrap"))
+    assert r["tag"] == "bootstrap"
+    json.loads(_cli("compact", "--table", table, "--cluster-by", "last_lsn"))
+
+    r = json.loads(_cli("scan", "--table", table,
+                        "--version", "bootstrap", "--limit", "3"))
+    assert len(r["rows"]) == 3
+
+    tags = json.loads(_cli("tag", "--table", table))
+    assert tags["bootstrap"] == 1  # the bootstrap commit's version
+
+    r = json.loads(_cli("tag", "--table", table, "--name", "bootstrap", "--drop"))
+    assert r["dropped"] == "bootstrap"
+    assert json.loads(_cli("tag", "--table", table)) == {}
+
+
 def test_discover_and_check():
     cat = json.loads(_cli("discover", "--data-dir", "/root/testdata/sf0.001"))
     streams = {s["name"] for s in cat["streams"]}

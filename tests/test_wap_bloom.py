@@ -1,0 +1,224 @@
+"""Write-audit-publish, tags, and bloom-sidecar point-lookup pruning.
+
+WAP reference analog: Iceberg's wap.id staged snapshots (staged data
+is durable but invisible until an atomic publish), which
+destination-iceberg inherits from the Iceberg library.  Bloom analog:
+parquet column bloom filters / Iceberg puffin — bit arrays live NEXT
+TO the data, manifests record presence only, and plan-time membership
+tests prune a point lookup to the files that actually contain the key.
+
+Scale claims under test:
+* staged entries never enter ``snapshot.files`` — every existing read
+  path (read/scan/appends/changes/datasource/tail) ignores them with
+  zero per-path guards;
+* a key point-lookup on an N-file table plans from a handful of small
+  sidecar reads, never a footer sweep, and keeps ~1 file.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from airbyte_spark.lake import LakeTable
+from airbyte_spark.lake.table import _BLOOM_SUFFIX
+
+
+def _df(spark, lo, hi, lsn_base=0):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 7).cast("int").alias("user_id"),
+        F.concat(F.lit("t"), (F.col("id") % 5).cast("string")).alias("tag"),
+        (F.col("id") + lsn_base).alias("lsn"),
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    df = _df(spark, 0, 0)
+    t = LakeTable.create(
+        str(tmp_path / "t"), df.schema, ["event_id"], n_buckets=4,
+        bloom_cols=["event_id", "tag"],
+    )
+    return t
+
+
+# ---------------------------------------------------------------- bloom
+
+
+def test_bloom_point_lookup_prunes_to_containing_file(spark, table):
+    table.append(spark, _df(spark, 0, 400), epoch=1)
+    table.append(spark, _df(spark, 400, 800), epoch=2)
+    snap, kept = table.plan_scan([("event_id", "=", 123)])
+    assert len(snap.files) == 8
+    # bounds keep epoch-1's 4 files; the bloom keeps 123's bucket file
+    # (+ possible fpr, bounded hard here)
+    assert 1 <= len(kept) <= 2
+    rows = table.scan(spark, [("event_id", "=", 123)]).collect()
+    assert [r.event_id for r in rows] == [123]
+
+
+def test_bloom_absent_key_prunes_everything(spark, table):
+    table.append(spark, _df(spark, 0, 400), epoch=1)
+    snap, kept = table.plan_scan([("event_id", "=", 10_000_000)])
+    assert kept == []
+    assert table.scan(spark, [("event_id", "=", 10_000_000)]).count() == 0
+
+
+def test_bloom_string_column_and_results_exact(spark, table):
+    table.append(spark, _df(spark, 0, 400), epoch=1)
+    # every file contains all 5 tags -> bloom must NOT over-prune
+    got = table.scan(spark, [("tag", "=", "t3")]).count()
+    assert got == 400 // 5
+    snap, kept = table.plan_scan([("tag", "=", "nope")])
+    assert kept == []  # absent string everywhere
+
+
+def test_bloom_survives_rename(spark, table):
+    table.append(spark, _df(spark, 0, 400), epoch=1)
+    table.evolve([("rename", "event_id", "eid")])
+    snap, kept = table.plan_scan([("eid", "=", 42)])
+    assert 1 <= len(kept) <= 2  # fid-keyed sidecars, name resolved at plan
+    assert table.scan(spark, [("eid", "=", 42)]).count() == 1
+
+
+def test_bloom_lost_sidecar_never_prunes_wrongly(spark, table):
+    table.append(spark, _df(spark, 0, 400), epoch=1)
+    for f in table.snapshot().files:
+        side = os.path.join(table.root, f.path + _BLOOM_SUFFIX)
+        if os.path.exists(side):
+            os.unlink(side)
+    # membership unknowable -> bounds-only pruning, results still exact
+    assert table.scan(spark, [("event_id", "=", 123)]).count() == 1
+
+
+def test_bloom_mor_guard_key_pred_only(spark, table):
+    table.append(spark, _df(spark, 0, 400), epoch=1)
+    upd = _df(spark, 100, 110, lsn_base=10_000).withColumn("tag", F.lit("t9"))
+    table.merge_mor(spark, upd, order_cols=["lsn"], op_col=None, epoch=2)
+    # non-key equality must not prune while deltas exist (t9 rows live
+    # only in deltas; a base-file bloom would wrongly drop winners)
+    assert table.scan(spark, [("tag", "=", "t9")]).count() == 10
+    # key-col bloom pruning stays exact through MOR resolution
+    assert table.scan(spark, [("event_id", "=", 105)]).collect()[0].tag == "t9"
+
+
+def test_bloom_backfilled_by_compact(spark, tmp_path):
+    df = _df(spark, 0, 200)
+    t = LakeTable.create(str(tmp_path / "nb"), df.schema, ["event_id"], n_buckets=4)
+    t.append(spark, df, epoch=1)
+    assert all(f.bloom is None for f in t.snapshot().files)
+    t.set_bloom_cols(["event_id"])
+    t.append(spark, _df(spark, 200, 210), epoch=2)  # forces >1 file/bucket
+    t.compact(spark)
+    assert all(f.bloom for f in t.snapshot().files)
+    snap, kept = t.plan_scan([("event_id", "=", 10_000)])
+    assert kept == []
+
+
+def test_bloom_rejects_untrackable_column_types(spark, tmp_path):
+    df = spark.range(1).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v")
+    )
+    with pytest.raises(ValueError, match="only int/string"):
+        LakeTable.create(
+            str(tmp_path / "bad"), df.schema, ["k"], bloom_cols=["v"]
+        )
+
+
+def test_vacuum_removes_sidecars_with_files(spark, table):
+    table.append(spark, _df(spark, 0, 200), epoch=1)
+    table.append(spark, _df(spark, 200, 400), epoch=2)
+    table.compact(spark)
+    table.vacuum(keep_last=1, grace_seconds=0)
+    live = {f.path for f in table.snapshot().files}
+    for side in _all_sidecars(table.root):
+        rel = os.path.relpath(side[: -len(_BLOOM_SUFFIX)], table.root)
+        assert rel in live, f"orphan sidecar {rel}"
+
+
+def _all_sidecars(root):
+    out = []
+    for dirpath, _dirs, names in os.walk(root):
+        out += [os.path.join(dirpath, n) for n in names if n.endswith(_BLOOM_SUFFIX)]
+    return out
+
+
+# ------------------------------------------------------------- WAP/tags
+
+
+def test_stage_invisible_until_publish(spark, table):
+    table.append(spark, _df(spark, 0, 100), epoch=1)
+    table.stage_append(spark, _df(spark, 100, 150), "wap-1")
+    assert table.read(spark).count() == 100
+    assert table.scan(spark, [("event_id", ">=", 0)]).count() == 100
+    assert table.read_staged(spark, "wap-1").count() == 150
+    v = table.publish("wap-1", epoch=2)
+    assert v is not None
+    assert table.read(spark).count() == 150
+
+
+def test_publish_epoch_idempotent_and_exactly_once_downstream(spark, table):
+    table.append(spark, _df(spark, 0, 100), epoch=1)
+    v0 = table.snapshot().version
+    table.stage_append(spark, _df(spark, 100, 160), "wap-1")
+    table.publish("wap-1", epoch=2)
+    # replayed publish: epoch gate -> silent no-op
+    assert table.publish("wap-1", epoch=2) is None
+    # incremental consumer sees the staged rows exactly once, at publish
+    appends = table.read_appends(spark, since_version=v0)
+    assert appends.count() == 60
+
+
+def test_stage_accumulates_batches(spark, table):
+    table.stage_append(spark, _df(spark, 0, 50), "wap-1")
+    table.stage_append(spark, _df(spark, 50, 80), "wap-1")
+    assert table.read_staged(spark, "wap-1").count() == 80
+    table.publish("wap-1")
+    assert table.read(spark).count() == 80
+
+
+def test_abort_drops_rows_and_files(spark, table):
+    table.append(spark, _df(spark, 0, 100), epoch=1)
+    table.stage_append(spark, _df(spark, 100, 150), "wap-bad")
+    staged = table.staged_entries("wap-bad")
+    table.abort_staged("wap-bad")
+    assert table.read(spark).count() == 100
+    for e in staged:
+        assert not os.path.exists(os.path.join(table.root, e.path))
+    with pytest.raises(ValueError, match="no staged write"):
+        table.publish("wap-bad")
+
+
+def test_vacuum_keeps_staged_files(spark, table):
+    table.append(spark, _df(spark, 0, 100), epoch=1)
+    table.stage_append(spark, _df(spark, 100, 150), "wap-1")
+    table.append(spark, _df(spark, 150, 160), epoch=2)
+    table.compact(spark)
+    table.vacuum(keep_last=1, grace_seconds=0)
+    assert table.read_staged(spark, "wap-1").count() == 160
+    table.publish("wap-1")
+    assert table.read(spark).count() == 160
+
+
+def test_tag_time_travel_and_vacuum_pin(spark, table):
+    table.append(spark, _df(spark, 0, 100), epoch=1)
+    table.tag("v-first")
+    table.append(spark, _df(spark, 100, 200), epoch=2)
+    table.compact(spark)
+    table.vacuum(keep_last=1, grace_seconds=0)
+    # the tagged version stays readable after expiry of its neighbors
+    assert table.read(spark, version="v-first").count() == 100
+    assert table.read(spark).count() == 200
+    # dropping the tag releases the pin: next vacuum expires it
+    pinned = table.resolve_ref("v-first")
+    table.drop_tag("v-first")
+    table.vacuum(keep_last=1, grace_seconds=0)
+    with pytest.raises(ValueError, match="expired by vacuum"):
+        table.read(spark, version=pinned)
+
+
+def test_tag_unknown_ref_errors(spark, table):
+    table.append(spark, _df(spark, 0, 10), epoch=1)
+    with pytest.raises(ValueError, match="no tag"):
+        table.read(spark, version="nope")
