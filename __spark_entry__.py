@@ -819,6 +819,37 @@ def cdc_bloom_lookup(spark, sf):
     )
 
 
+def cdc_delete_where(spark, sf):
+    """Row-level DELETE by predicate (Iceberg copy-on-write delete —
+    the GDPR-erasure path): remove 'error' events from the last epoch
+    only.  Manifest bounds prune the rewrite to the 8 files of that
+    epoch (pinned as literals: 24 files live, 8 rewritten); the other
+    16 are carried by reference, which is the whole point at 10^5-file
+    scale.  deleted_rows comes from manifest row-count deltas (no
+    count job), and the surviving table is value-verified in SQL."""
+    t, _cut_a, cut_b = _lake_epoch_appends(spark, sf)
+    res = t.delete_where(
+        spark,
+        [("event_id", ">=", cut_b), ("event_type", "=", "error")],
+        epoch=4,
+    )
+    return (
+        t.read(spark)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("event_id").alias("sum_event_id"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.lit(res["rewritten_files"]).cast("long").alias("files_rewritten"),
+            F.lit(res["deleted_rows"]).cast("long").alias("deleted_rows"),
+            "n_rows",
+            "sum_event_id",
+            "sum_value",
+        )
+    )
+
+
 def cdc_wap_publish(spark, sf):
     """Write-audit-publish (Iceberg wap.id staged commits): the last
     epoch is STAGED — durable, but invisible to readers (the pre-stage
@@ -1064,6 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_mor_mini": cdc_replay_mor_mini,
         "cdc_pruned_scan": cdc_pruned_scan,
         "cdc_bloom_lookup": cdc_bloom_lookup,
+        "cdc_delete_where": cdc_delete_where,
         "cdc_wap_publish": cdc_wap_publish,
         "cdc_lake_source_scan": cdc_lake_source_scan,
         "cdc_lake_source_mor": cdc_lake_source_mor,
@@ -1837,6 +1869,22 @@ SELECT CAST(24 AS BIGINT) AS files_total,
        CAST(sum(event_id) AS BIGINT) AS sum_event_id,
        round(sum(value), 2) AS sum_value
 FROM events, mx WHERE event_id = (m // 2) // 2
+""",
+        # pinned 8 = the pruned COW rewrite set (bounds keep only the
+        # last epoch's 8 files; the conjunction's event_type leg can't
+        # prune further — every file holds all five types)
+        "cdc_delete_where": """
+WITH mx AS (SELECT max(event_id) AS m FROM events),
+c AS (SELECT (m * 4) // 5 AS cut FROM mx)
+SELECT CAST(8 AS BIGINT) AS files_rewritten,
+       CAST((SELECT count(*) FROM events, c
+             WHERE event_id >= cut AND event_type = 'error') AS BIGINT)
+           AS deleted_rows,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+       round(sum(value), 2) AS sum_value
+FROM events, c
+WHERE NOT (event_id >= cut AND event_type = 'error')
 """,
         "cdc_wap_publish": """
 WITH mx AS (SELECT max(event_id) AS m FROM events),

@@ -153,6 +153,14 @@ def main(argv: list[str] | None = None) -> int:
         help="time travel to a snapshot version or tag name",
     )
 
+    sp = sub.add_parser(
+        "delete", help="row-level DELETE by predicate (pruned COW rewrite)"
+    )
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--where", action="append", required=True,
+                    help="predicate like 'user_id=3' (repeatable, ANDed)")
+    sp.add_argument("--epoch", type=int, default=None)
+
     sp = sub.add_parser("files", help="metadata table: live data files")
     sp.add_argument("--table", required=True)
 
@@ -328,6 +336,14 @@ def main(argv: list[str] | None = None) -> int:
             "files_kept": len(kept),
             "rows": [r.asDict() for r in rows],
         }, default=str, indent=2))
+    elif args.cmd == "delete":
+        from airbyte_spark.lake import LakeTable
+
+        t = LakeTable(args.table)
+        res = t.delete_where(
+            spark, [_parse_predicate(w) for w in args.where], epoch=args.epoch
+        )
+        print(json.dumps(res if res is not None else {"noop": True}))
     elif args.cmd == "files":
         from airbyte_spark.lake import LakeTable
 

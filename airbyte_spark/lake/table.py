@@ -1021,6 +1021,92 @@ class LakeTable:
                     pass
         return new.version
 
+    def delete_where(
+        self,
+        spark: SparkSession,
+        where: list[tuple[str, str, Any]],
+        *,
+        epoch: int | None = None,
+        stream: str = "default",
+    ) -> dict[str, Any] | None:
+        """Row-level DELETE by predicate (SQL ``DELETE FROM t WHERE``,
+        Iceberg copy-on-write delete; the GDPR-erasure path).  Cost is
+        bounded by pruning, not table size: only files whose bounds /
+        blooms admit a match are rewritten — on a bounds-clustered
+        10^5-file table a targeted delete rewrites a handful of files
+        and the other ~10^5 entries are carried by reference.
+
+        MOR interaction: if a candidate bucket holds delta files, the
+        WHOLE bucket is rewritten through LWW resolution (a base-only
+        rewrite could delete a row whose delta superseded it, or keep
+        a tombstoned one); pure-COW buckets rewrite only the candidate
+        files.  Deletes are content-changing, so incremental/tail
+        consumers correctly demand a re-bootstrap (never silently
+        skipped, unlike compaction's content-preserving rewrites).
+
+        Returns {"version", "rewritten_files", "deleted_rows"} or None
+        when the epoch gate or an empty candidate set made it a no-op.
+        ``deleted_rows`` comes free from manifest row counts — exact
+        for pure-COW rewrites; for MOR buckets it also counts the
+        delta rows the rewrite folded (tombstones/superseded
+        versions), i.e. "rows removed from storage"."""
+        snap = self.snapshot()
+        if epoch is not None and snap.epochs.get(stream, -1) >= epoch:
+            return None
+        _, candidates = self.plan_scan(where)
+        if not candidates:
+            return None
+        touched = {f.bucket for f in candidates}
+        deltas_touched = any(
+            f.delta and f.bucket in touched for f in snap.files
+        )
+        if deltas_touched:
+            rewrite = [f for f in snap.files if f.bucket in touched]
+            df = self._read_resolved(spark, snap, rewrite)
+        else:
+            rewrite = candidates
+            df = self._read_files(spark, snap, rewrite)
+        cond = None
+        for col, op, value in where:
+            c = F.col(col)
+            p = {"=": c == value, "<": c < value, "<=": c <= value,
+                 ">": c > value, ">=": c >= value}[op]
+            cond = p if cond is None else cond & p
+        df = df.filter(~F.coalesce(cond, F.lit(False))).withColumn(
+            _BUCKET, self._bucket_expr(snap)
+        )
+        next_version = snap.version + 1
+        entries = self._write_data(
+            df, next_version, snap.schema_version, len(touched)
+        )
+        rewritten_paths = {f.path for f in rewrite}
+        epochs = dict(snap.epochs)
+        if epoch is not None:
+            epochs[stream] = epoch
+        deleted = sum(f.rows for f in rewrite) - sum(e.rows for e in entries)
+        new = Snapshot(
+            version=next_version,
+            schema_version=snap.schema_version,
+            schemas=snap.schemas,
+            n_buckets=snap.n_buckets,
+            key_cols=snap.key_cols,
+            files=[f for f in snap.files if f.path not in rewritten_paths] + entries,
+            epochs=epochs,
+            props=dict(snap.props),
+            summary={
+                "operation": "delete",
+                "rewritten": len(rewrite),
+                "deleted_rows": deleted,
+                "epoch": epoch,
+            },
+        )
+        self._commit(new)
+        return {
+            "version": next_version,
+            "rewritten_files": len(rewrite),
+            "deleted_rows": deleted,
+        }
+
     def tag(self, name: str, version: int | None = None) -> int:
         """Named immutable ref to a snapshot version (Iceberg tag).
         Tagged versions are pinned: vacuum keeps their files live and

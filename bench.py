@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     # and the write-audit-publish lifecycle (stage/audit/publish/tag)
     "cdc_bloom_lookup",
     "cdc_wap_publish",
+    # round 4: pruned copy-on-write DELETE (build + plan + 8-file rewrite)
+    "cdc_delete_where",
     # round 4: SCD2 point-in-time read (history build + interval filter)
     "scd2_events_asof",
 ]

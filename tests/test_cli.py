@@ -225,6 +225,14 @@ def test_tag_and_scan_by_ref(tmp_path):
     assert r["dropped"] == "bootstrap"
     assert json.loads(_cli("tag", "--table", table)) == {}
 
+    # row-level DELETE from the CLI (pruned COW rewrite); generator
+    # repo names are repo-0..repo-4, Zipf-skewed so repo-0 is hot
+    r = json.loads(_cli("delete", "--table", table, "--where", "repo=repo-0"))
+    assert r["deleted_rows"] > 0
+    r = json.loads(_cli("scan", "--table", table, "--where", "repo=repo-0",
+                        "--limit", "5"))
+    assert r["rows"] == []
+
 
 def test_discover_and_check():
     cat = json.loads(_cli("discover", "--data-dir", "/root/testdata/sf0.001"))

@@ -144,6 +144,63 @@ def _all_sidecars(root):
     return out
 
 
+# --------------------------------------------------------- delete_where
+
+
+def test_delete_where_prunes_rewrite_set(spark, table):
+    table.append(spark, _df(spark, 0, 400), epoch=1)
+    table.append(spark, _df(spark, 400, 800), epoch=2)
+    res = table.delete_where(spark, [("event_id", ">=", 400), ("user_id", "=", 3)])
+    # bounds prune the rewrite to epoch-2's 4 files
+    assert res["rewritten_files"] == 4
+    assert res["deleted_rows"] == sum(1 for i in range(400, 800) if i % 7 == 3)
+    got = table.read(spark)
+    assert got.count() == 800 - res["deleted_rows"]
+    assert got.filter("event_id >= 400 and user_id = 3").count() == 0
+    # untouched epoch intact
+    assert got.filter("event_id < 400").count() == 400
+
+
+def test_delete_where_noop_when_nothing_matches(spark, table):
+    table.append(spark, _df(spark, 0, 100), epoch=1)
+    v = table.snapshot().version
+    assert table.delete_where(spark, [("event_id", "=", 10_000)]) is None
+    assert table.snapshot().version == v  # no empty commit
+
+
+def test_delete_where_epoch_gated(spark, table):
+    table.append(spark, _df(spark, 0, 100), epoch=1)
+    assert table.delete_where(spark, [("event_id", "<", 10)], epoch=2) is not None
+    assert table.delete_where(spark, [("event_id", "<", 50)], epoch=2) is None
+    assert table.read(spark).count() == 90  # replay did not double-delete
+
+
+def test_delete_where_resolves_mor_buckets(spark, table):
+    table.append(spark, _df(spark, 0, 400), epoch=1)
+    # upsert 100..110 with tag t9 as MOR deltas, then delete t9 rows:
+    # a base-only rewrite would keep the superseded base versions
+    upd = _df(spark, 100, 110, lsn_base=10_000).withColumn("tag", F.lit("t9"))
+    table.merge_mor(spark, upd, order_cols=["lsn"], op_col=None, epoch=2)
+    res = table.delete_where(spark, [("tag", "=", "t9")])
+    assert res["deleted_rows"] >= 10
+    got = table.read(spark)
+    assert got.filter("tag = 't9'").count() == 0
+    assert got.count() == 390
+    # the touched buckets folded their deltas
+    assert not any(f.delta for f in table.snapshot().files)
+
+
+def test_delete_where_null_predicate_rows_survive(spark, table):
+    df = _df(spark, 0, 100).withColumn(
+        "tag", F.when(F.col("event_id") < 10, F.lit(None)).otherwise(F.col("tag"))
+    )
+    table.append(spark, df, epoch=1)
+    table.delete_where(spark, [("tag", "=", "t3")])
+    got = table.read(spark)
+    assert got.filter("tag IS NULL").count() == 10  # SQL DELETE keeps NULLs
+    assert got.filter("tag = 't3'").count() == 0
+
+
 # ------------------------------------------------------------- WAP/tags
 
 
