@@ -649,6 +649,18 @@ def emb_topk_lsh(spark, sf):
     return A_sim.topk_lsh(e, q, k=5, n_planes=4)
 
 
+def emb_topk_sq(spark, sf):
+    """int8 scalar-quantized first pass + exact float rescore of the
+    shortlist (FAISS SQ8+refine; analytics/similarity.py topk_sq).
+    The quantized corpus column is 4x smaller than float32 — the
+    bandwidth story when the corpus streams past broadcast queries —
+    and the oracle reproduces quantize -> shortlist -> rescore
+    exactly in SQL (round-half-up quantization matches DuckDB)."""
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return A_sim.topk_sq(e, q, k=5, refine=4)
+
+
 def emb_topk_ivf(spark, sf):
     """IVF-bucketed ANN (coarse quantizer cells, nprobe probing) —
     the corpus-partitioned scale path; deterministic codebook makes
@@ -1086,6 +1098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_pairs": emb_cosine_pairs,
         "emb_neardup_dedup": emb_neardup_dedup,
         "emb_topk": emb_topk,
+        "emb_topk_sq": emb_topk_sq,
         "emb_topk_lsh": emb_topk_lsh,
         "emb_topk_ivf": emb_topk_ivf,
         "emb_topk_ivf_kmeans": emb_topk_ivf_kmeans,
@@ -1956,6 +1969,45 @@ WHERE NOT EXISTS (
     AND round(list_cosine_similarity(
           a.embedding::DOUBLE[], e.embedding::DOUBLE[]), 4) >= 0.4
 )
+""",
+        # quantize -> int8 shortlist (rn <= k*refine = 20) -> exact
+        # float rescore; per-vector scales cancel in cosine, so the
+        # shortlist ranks on cosine of the int vectors directly
+        "emb_topk_sq": """
+WITH quant AS (
+  SELECT vec_id, embedding,
+         list_transform(
+           embedding::DOUBLE[],
+           x -> CAST(round(x * 127 / mx) AS INT)
+         ) AS q
+  FROM (SELECT vec_id, embedding,
+               list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS mx
+        FROM embeddings)
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+      row_number() OVER (
+        PARTITION BY qq.vec_id
+        ORDER BY round(list_cosine_similarity(c.q::DOUBLE[], qq.q::DOUBLE[]), 4) DESC,
+                 c.vec_id ASC
+      ) AS rn
+    FROM quant c, quant qq
+    WHERE qq.vec_id < 10 AND c.vec_id != qq.vec_id
+  ) WHERE rn <= 20
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT s.query_id, s.neighbor_id,
+    round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cosine,
+    row_number() OVER (
+      PARTITION BY s.query_id
+      ORDER BY round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) DESC,
+               s.neighbor_id ASC
+    ) AS rank
+  FROM short s
+  JOIN embeddings c ON c.vec_id = s.neighbor_id
+  JOIN embeddings q ON q.vec_id = s.query_id
+) WHERE rank <= 5
 """,
         "emb_topk": """
 SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (

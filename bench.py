@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "cdc_wap_publish",
     # round 4: pruned copy-on-write DELETE (build + plan + 8-file rewrite)
     "cdc_delete_where",
+    # round 4: int8 scalar-quantized shortlist + exact float rescore
+    "emb_topk_sq",
     # round 4: SCD2 point-in-time read (history build + interval filter)
     "scd2_events_asof",
 ]

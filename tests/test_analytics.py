@@ -304,6 +304,31 @@ def test_topk_lsh_recall(spark):
     assert sum(recalls) / len(recalls) >= 0.6  # clustered data, few planes
 
 
+def test_topk_sq_recall_and_quantization_range(spark):
+    """SQ8 + refine: the int8 shortlist must recover (nearly) the
+    exact top-k — int8 keeps ~2 decimal digits of each component, so
+    with refine=4 recall is high; and the exact rescore means every
+    returned cosine equals the brute-force cosine for that pair."""
+    rng = np.random.RandomState(17)
+    vecs = rng.rand(80, 64).astype(np.float32)
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in vecs[i]]) for i in range(80)]
+    )
+    queries = df.filter(F.col("vec_id").isin(1, 40))
+    exact = similarity.topk_bruteforce(df, queries, k=5).collect()
+    approx = similarity.topk_sq(df, queries, k=5, refine=4).collect()
+    exact_by = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact}
+    approx_by = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in approx}
+    hits = set(exact_by) & set(approx_by)
+    assert len(hits) / len(exact_by) >= 0.9
+    # rescored cosines are EXACT (same rounding as brute force)
+    assert all(approx_by[p] == exact_by[p] for p in hits)
+    # quantized vectors stay in int8 range with max-component at ±127
+    q = similarity.quantize_sq8(df).select("qvec").head()[0]
+    assert max(abs(v) for v in q) == 127
+    assert all(-127 <= v <= 127 for v in q)
+
+
 def test_topk_ivf_recall_and_probe_bound(spark):
     rng = np.random.RandomState(13)
     centers = rng.rand(4, 64)
