@@ -862,6 +862,34 @@ def cdc_delete_where(spark, sf):
     )
 
 
+def cdc_rebucket_read(spark, sf):
+    """Partition-spec evolution (lake/table.py rebucket; Iceberg's
+    bucket-count change): grow the epoch-append fixture from 8 to 16
+    buckets in one content-preserving rewrite, then value-verify the
+    whole table — identical rows, new layout (16 files, one per
+    bucket, pinned as literals).  The grow operation a 10^10-row
+    table needs when its bucket count starts capping merge
+    parallelism."""
+    t, _cut_a, _cut_b = _lake_epoch_appends(spark, sf)
+    t.rebucket(spark, 16)
+    snap = t.snapshot()
+    return (
+        t.read(spark)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("event_id").alias("sum_event_id"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.lit(snap.n_buckets).cast("long").alias("n_buckets"),
+            F.lit(len(snap.files)).cast("long").alias("files_total"),
+            "n_rows",
+            "sum_event_id",
+            "sum_value",
+        )
+    )
+
+
 def cdc_wap_publish(spark, sf):
     """Write-audit-publish (Iceberg wap.id staged commits): the last
     epoch is STAGED — durable, but invisible to readers (the pre-stage
@@ -1109,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_pruned_scan": cdc_pruned_scan,
         "cdc_bloom_lookup": cdc_bloom_lookup,
         "cdc_delete_where": cdc_delete_where,
+        "cdc_rebucket_read": cdc_rebucket_read,
         "cdc_wap_publish": cdc_wap_publish,
         "cdc_lake_source_scan": cdc_lake_source_scan,
         "cdc_lake_source_mor": cdc_lake_source_mor,
@@ -1898,6 +1927,16 @@ SELECT CAST(8 AS BIGINT) AS files_rewritten,
        round(sum(value), 2) AS sum_value
 FROM events, c
 WHERE NOT (event_id >= cut AND event_type = 'error')
+""",
+        # whole-table values survive the rewrite; 16 = one file per
+        # (all non-empty) new bucket, the pinned layout decision
+        "cdc_rebucket_read": """
+SELECT CAST(16 AS BIGINT) AS n_buckets,
+       CAST(16 AS BIGINT) AS files_total,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+       round(sum(value), 2) AS sum_value
+FROM events
 """,
         "cdc_wap_publish": """
 WITH mx AS (SELECT max(event_id) AS m FROM events),

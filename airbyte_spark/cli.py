@@ -114,6 +114,12 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--target-rows-per-file", type=int, default=None)
 
     sp = sub.add_parser(
+        "rebucket", help="partition-spec evolution: rewrite to a new bucket count"
+    )
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--buckets", type=int, required=True)
+
+    sp = sub.add_parser(
         "vacuum", help="expire unreferenced data files (retention)"
     )
     sp.add_argument("--table", required=True)
@@ -324,6 +330,15 @@ def main(argv: list[str] | None = None) -> int:
             target_rows_per_file=args.target_rows_per_file,
         )
         print(json.dumps({"compacted_to_version": v}))
+    elif args.cmd == "rebucket":
+        from airbyte_spark.lake import LakeTable
+
+        t = LakeTable(args.table)
+        v = t.rebucket(spark, args.buckets)
+        print(json.dumps({
+            "rebucketed_to_version": v,  # null = already at that count
+            "n_buckets": t.snapshot().n_buckets,
+        }))
     elif args.cmd == "scan":
         from airbyte_spark.lake import LakeTable
 

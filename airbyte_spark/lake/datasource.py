@@ -331,7 +331,9 @@ class _LakeStreamReader(DataSourceStreamReader):
     # is metadata-only.  Operations that change row content (COW
     # merge, overwrite, MOR delta commits) still raise — those need a
     # re-bootstrap, same as the reference's bounded-tail consumer.
-    _MAINTENANCE_OPS = frozenset({"compact", "vacuum"})
+    # rebucket is a content-preserving whole-table rewrite (partition
+    # spec evolution), same skip rule as compact
+    _MAINTENANCE_OPS = frozenset({"compact", "vacuum", "rebucket"})
 
     def partitions(self, start: dict, end: dict):
         sv, ev = start["version"], end["version"]

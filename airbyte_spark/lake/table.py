@@ -1021,6 +1021,59 @@ class LakeTable:
                     pass
         return new.version
 
+    def rebucket(self, spark: SparkSession, n_buckets: int) -> int | None:
+        """Partition-spec evolution (Iceberg's bucket-count change):
+        rewrite the table under a new bucket count in one
+        content-preserving commit.  This is the GROW operation a
+        long-lived table needs: a table created at 64 buckets caps
+        merge/write parallelism at 64 tasks forever — at 10^10 rows
+        the per-bucket rewrite units get too big and the fix is more
+        buckets, not bigger executors.  MOR deltas fold during the
+        rewrite (resolution needs the OLD bucketing, which this is the
+        last commit to have).  Content-preserving like compact: the
+        streaming tail skips it; incremental append reads across it
+        still demand a re-bootstrap (same Iceberg restriction as
+        compaction).  Epoch tags, props, tags, and staged WAP entries
+        carry forward — staged files keep their old bucket ids and are
+        re-bucketed by the publish-side reader... except they aren't:
+        staged entries' bucket ids would lie under the new spec, so
+        rebucket REFUSES while staged writes exist (publish or abort
+        them first — the same order-of-operations rule Iceberg applies
+        to spec changes over pending WAP snapshots)."""
+        snap = self.snapshot()
+        if n_buckets == snap.n_buckets:
+            return None
+        if snap.props.get("staged"):
+            raise ValueError(
+                "cannot rebucket with staged WAP writes pending "
+                f"({sorted(snap.props['staged'])}); publish or abort first"
+            )
+        df = self._read_resolved(spark, snap, snap.files).withColumn(
+            _BUCKET,
+            F.pmod(F.xxhash64(*snap.key_cols), F.lit(n_buckets)).cast("int"),
+        )
+        next_version = snap.version + 1
+        entries = self._write_data(
+            df, next_version, snap.schema_version, n_buckets
+        )
+        new = Snapshot(
+            version=next_version,
+            schema_version=snap.schema_version,
+            schemas=snap.schemas,
+            n_buckets=n_buckets,
+            key_cols=snap.key_cols,
+            files=entries,
+            epochs=dict(snap.epochs),
+            props=dict(snap.props),
+            summary={
+                "operation": "rebucket",
+                "from_buckets": snap.n_buckets,
+                "to_buckets": n_buckets,
+            },
+        )
+        self._commit(new)
+        return next_version
+
     def delete_where(
         self,
         spark: SparkSession,

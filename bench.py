@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     "cdc_delete_where",
     # round 4: int8 scalar-quantized shortlist + exact float rescore
     "emb_topk_sq",
+    # round 4: partition-spec evolution (8->16 bucket full rewrite)
+    "cdc_rebucket_read",
     # round 4: SCD2 point-in-time read (history build + interval filter)
     "scd2_events_asof",
 ]

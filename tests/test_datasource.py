@@ -396,6 +396,10 @@ def test_stream_tail_survives_compact(spark, table, tmp_path):
     table.vacuum(keep_last=1, grace_seconds=0.0)  # marker snapshot
     table.append(spark, _mk(spark, 230, 250), epoch=4)
     assert sorted(run()) == list(range(230, 250))
+    # partition-spec evolution is content-preserving too: skipped
+    table.rebucket(spark, 8)
+    table.append(spark, _mk(spark, 250, 260), epoch=5)
+    assert sorted(run()) == list(range(250, 260))
 
 
 def test_stream_compact_inside_one_batch(spark, table):

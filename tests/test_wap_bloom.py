@@ -144,6 +144,55 @@ def _all_sidecars(root):
     return out
 
 
+# -------------------------------------------------------------- rebucket
+
+
+def test_rebucket_preserves_content_and_grows_parallelism(spark, table):
+    table.append(spark, _df(spark, 0, 400), epoch=1)
+    before = {r.event_id: r.tag for r in table.read(spark).collect()}
+    v = table.rebucket(spark, 16)
+    assert v is not None
+    snap = table.snapshot()
+    assert snap.n_buckets == 16
+    assert {f.bucket for f in snap.files} <= set(range(16))
+    assert len({f.bucket for f in snap.files}) > 4  # actually spread
+    after = {r.event_id: r.tag for r in table.read(spark).collect()}
+    assert after == before
+    # bloom sidecars rebuilt under the new spec (same write path)
+    assert all(f.bloom for f in snap.files)
+    _, kept = table.plan_scan([("event_id", "=", 123)])
+    assert 1 <= len(kept) <= 2
+    # merges route by the NEW bucketing
+    table.merge_mor(
+        spark, _df(spark, 100, 105, lsn_base=10_000).withColumn("tag", F.lit("t9")),
+        order_cols=["lsn"], op_col=None, epoch=2,
+    )
+    assert table.read(spark).filter("tag = 't9'").count() == 5
+
+
+def test_rebucket_folds_mor_and_noops_on_same_count(spark, table):
+    table.append(spark, _df(spark, 0, 200), epoch=1)
+    table.merge_mor(
+        spark, _df(spark, 50, 60, lsn_base=10_000).withColumn("tag", F.lit("t9")),
+        order_cols=["lsn"], op_col=None, epoch=2,
+    )
+    assert table.rebucket(spark, 4) is None  # already at 4
+    table.rebucket(spark, 8)
+    snap = table.snapshot()
+    assert not any(f.delta for f in snap.files)  # deltas folded
+    assert table.read(spark).filter("tag = 't9'").count() == 10
+
+
+def test_rebucket_refuses_pending_wap(spark, table):
+    table.append(spark, _df(spark, 0, 100), epoch=1)
+    table.stage_append(spark, _df(spark, 100, 120), "wap-1")
+    with pytest.raises(ValueError, match="staged WAP"):
+        table.rebucket(spark, 8)
+    table.publish("wap-1", epoch=2)
+    assert table.rebucket(spark, 8) is not None
+    assert table.read(spark).count() == 120
+
+
 # --------------------------------------------------------- delete_where
 
 
