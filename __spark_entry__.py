@@ -812,7 +812,15 @@ def cdc_bloom_lookup(spark, sf):
     story: a point lookup plans from a handful of small sidecar reads,
     never a footer sweep).  Row values verified end to end."""
     t, cut_a, _cut_b = _lake_epoch_appends(spark, sf, bloom_cols=["event_id"])
-    target = cut_a // 2  # event_ids are dense from 0, so this exists
+    # largest id in the first epoch: exists by construction under ANY
+    # id layout (the shipped sfs are dense from 0, gen_scale's sf1 is
+    # offset-sparse), and the oracle reproduces it as a subquery
+    target = (
+        _t(spark, sf, "events")
+        .filter(F.col("event_id") < cut_a)
+        .agg(F.max("event_id"))
+        .collect()[0][0]
+    )
     snap, kept = t.plan_scan([("event_id", "=", target)])
     return (
         t.scan(spark, [("event_id", "=", target)])
@@ -1904,13 +1912,14 @@ FROM events, mx WHERE event_id >= (m * 4) // 5
         # the pinned 1 is the bloom decision itself: bounds keep epoch
         # 1's 8 files, the key's bloom keeps its single bucket file
         "cdc_bloom_lookup": """
-WITH mx AS (SELECT max(event_id) AS m FROM events)
+WITH mx AS (SELECT max(event_id) AS m FROM events),
+tgt AS (SELECT max(event_id) AS t FROM events, mx WHERE event_id < m // 2)
 SELECT CAST(24 AS BIGINT) AS files_total,
        CAST(1 AS BIGINT) AS files_kept,
        CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(event_id) AS BIGINT) AS sum_event_id,
        round(sum(value), 2) AS sum_value
-FROM events, mx WHERE event_id = (m // 2) // 2
+FROM events, tgt WHERE event_id = t
 """,
         # pinned 8 = the pruned COW rewrite set (bounds keep only the
         # last epoch's 8 files; the conjunction's event_type leg can't
