@@ -147,6 +147,17 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--table", required=True)
     sp.add_argument("--wap-id", required=True)
 
+    sp = sub.add_parser(
+        "rollback", help="revert to an earlier snapshot via a new commit"
+    )
+    sp.add_argument("--table", required=True)
+    sp.add_argument(
+        "--to",
+        required=True,
+        type=lambda s: int(s) if s.lstrip("-").isdigit() else s,
+        help="snapshot version or tag name to restore",
+    )
+
     sp = sub.add_parser("scan", help="manifest-pruned selective read")
     sp.add_argument("--table", required=True)
     sp.add_argument("--where", action="append", default=[],
@@ -241,7 +252,7 @@ def main(argv: list[str] | None = None) -> int:
         }))
         return 0
 
-    if args.cmd in ("tag", "publish", "abort-staged"):
+    if args.cmd in ("tag", "publish", "abort-staged", "rollback"):
         # atomic metadata commits — no SparkSession needed
         from airbyte_spark.lake import LakeTable
 
@@ -259,6 +270,12 @@ def main(argv: list[str] | None = None) -> int:
                     "points_at": t.resolve_ref(args.name),
                     "committed_version": v,
                 }))
+        elif args.cmd == "rollback":
+            v = t.rollback(args.to)
+            print(json.dumps({
+                "rolled_back_to": args.to,
+                "committed_version": v,
+            }))
         elif args.cmd == "publish":
             v = t.publish(args.wap_id, epoch=args.epoch, stream=args.stream)
             print(json.dumps({

@@ -1160,6 +1160,44 @@ class LakeTable:
             "deleted_rows": deleted,
         }
 
+    def rollback(self, version: int | str) -> int:
+        """Revert the table to an earlier snapshot's state via a NEW
+        commit (Iceberg rollback_to_snapshot — history is append-only,
+        so undo is a forward commit pointing at the old file set).
+        The bad-publish escape hatch: tag, publish, audit finds a
+        problem later, rollback("pre-publish").
+
+        Restores files, schema lineage position, AND epoch tags (the
+        replay gate must match the data state, or re-ingesting the
+        rolled-back epochs would be skipped as already-committed).
+        Retention state and pending WAP stages carry forward from the
+        CURRENT snapshot (the vacuum watermark must never regress;
+        staged entries are unpublished and unaffected) — except a
+        rollback ACROSS a rebucket with stages pending refuses, since
+        staged bucket ids would lie under the restored spec."""
+        snap = self.snapshot()
+        target = self.snapshot(version)
+        self._check_readable(target)
+        if snap.props.get("staged") and target.n_buckets != snap.n_buckets:
+            raise ValueError(
+                "cannot roll back across a rebucket with staged WAP "
+                f"writes pending ({sorted(snap.props['staged'])}); "
+                "publish or abort first"
+            )
+        new = Snapshot(
+            version=snap.version + 1,
+            schema_version=target.schema_version,
+            schemas=snap.schemas,  # full lineage retained (superset)
+            n_buckets=target.n_buckets,
+            key_cols=target.key_cols,
+            files=list(target.files),
+            epochs=dict(target.epochs),
+            props=dict(snap.props),
+            summary={"operation": "rollback", "to_version": target.version},
+        )
+        self._commit(new)
+        return new.version
+
     def tag(self, name: str, version: int | None = None) -> int:
         """Named immutable ref to a snapshot version (Iceberg tag).
         Tagged versions are pinned: vacuum keeps their files live and

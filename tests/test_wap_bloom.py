@@ -144,6 +144,45 @@ def _all_sidecars(root):
     return out
 
 
+# -------------------------------------------------------------- rollback
+
+
+def test_rollback_restores_state_and_replay_gate(spark, table):
+    table.append(spark, _df(spark, 0, 100), epoch=1)
+    table.tag("good")
+    table.append(spark, _df(spark, 100, 180), epoch=2)  # the bad publish
+    table.rollback("good")
+    assert table.read(spark).count() == 100
+    # the epoch gate rolled back with the data: epoch 2 re-applies
+    assert table.last_epoch() == 1
+    assert table.append(spark, _df(spark, 100, 150), epoch=2) is not None
+    assert table.read(spark).count() == 150
+    # history is append-only: the bad version (v3: create, append,
+    # tag-commit, bad-append) is still inspectable
+    assert table.read(spark, version=3).count() == 180
+
+
+def test_rollback_respects_retention_and_wap(spark, table):
+    table.append(spark, _df(spark, 0, 100), epoch=1)
+    table.append(spark, _df(spark, 100, 120), epoch=2)
+    table.compact(spark)
+    table.vacuum(keep_last=1, grace_seconds=0)
+    with pytest.raises(ValueError, match="expired by vacuum"):
+        table.rollback(1)  # its files are gone — refuse cleanly
+    # rollback across a rebucket with stages pending refuses
+    table.stage_append(spark, _df(spark, 200, 210), "wap-1")
+    pre = table.snapshot().version
+    table.publish("wap-1", epoch=3)
+    table.rebucket(spark, 8)
+    table.stage_append(spark, _df(spark, 300, 310), "wap-2")
+    with pytest.raises(ValueError, match="across a rebucket"):
+        table.rollback(pre)
+    table.abort_staged("wap-2")
+    table.rollback(pre)
+    assert table.read(spark).count() == 120
+    assert table.snapshot().n_buckets == 4
+
+
 # -------------------------------------------------------------- rebucket
 
 
