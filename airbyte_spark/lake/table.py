@@ -443,9 +443,15 @@ class LakeTable:
         """Raise a clear retention error for versions whose files a
         vacuum may have deleted (metadata stays readable — history(),
         lineage, and additivity walks still work on expired
-        versions; only DATA reads are guarded)."""
-        mrv = self.snapshot().props.get("min_readable_version", 0)
-        if snap.version < mrv:
+        versions; only DATA reads are guarded).  TAGGED versions below
+        the watermark are individually readable: vacuum pins their
+        files while leaving the watermark at the retention suffix, so
+        intermediate expired versions still raise."""
+        cur = self.snapshot()
+        mrv = cur.props.get("min_readable_version", 0)
+        if snap.version < mrv and snap.version not in set(
+            cur.props.get("tags", {}).values()
+        ):
             raise ValueError(
                 f"version {snap.version} expired by vacuum "
                 f"(min readable version is {mrv})"
@@ -1883,26 +1889,32 @@ class LakeTable:
             s for s in hist if s.summary.get("operation") != "vacuum"
         ] or hist[-1:]
         retained = data_snaps[-keep_last:] if keep_last > 0 else data_snaps[-1:]
-        # tagged versions are pinned (Iceberg: tags block expiry) —
-        # their files stay live and min_readable never passes them
+        # tagged versions are pinned (Iceberg: tags block expiry):
+        # their files stay live and reads of exactly those versions
+        # stay legal — but the min_readable WATERMARK stays at the
+        # retention suffix.  Regressing the watermark to an old tag
+        # would mark every intermediate (actually-expired) version
+        # readable and turn its reads into executor FileNotFound;
+        # instead _check_readable allowlists tagged versions below
+        # the watermark individually.
         tag_versions = set(hist[-1].props.get("tags", {}).values())
-        retained = retained + [s for s in hist if s.version in tag_versions]
+        pinned = retained + [s for s in hist if s.version in tag_versions]
         live = {
             os.path.join(self.root, f.path)
-            for s in retained
+            for s in pinned
             for f in s.files
         }
         # the current latest (marker or not) must always stay readable
         live |= {os.path.join(self.root, f.path) for f in hist[-1].files}
         # staged (write-audit-publish) files are durable-but-unpublished
         # — referenced only from props, never from `files`
-        for s in retained + [hist[-1]]:
+        for s in pinned + [hist[-1]]:
             for entries in s.props.get("staged", {}).values():
                 live |= {
                     os.path.join(self.root, e["path"]) for e in entries
                 }
         cutoff = _time.time() - grace_seconds
-        min_readable = min(s.version for s in retained)
+        min_readable = retained[0].version
 
         # marker commits BEFORE any deletion: if we crash mid-delete,
         # expired reads already raise the clean retention error rather

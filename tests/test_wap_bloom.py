@@ -363,6 +363,21 @@ def test_tag_time_travel_and_vacuum_pin(spark, table):
         table.read(spark, version=pinned)
 
 
+def test_tag_pin_does_not_resurrect_intermediate_versions(spark, table):
+    """A tag below the vacuum watermark must allowlist ONLY its own
+    version: regressing the watermark to the tag would mark every
+    intermediate expired version readable and turn those reads into
+    executor FileNotFound mid-scan."""
+    table.append(spark, _df(spark, 0, 100), epoch=1)   # v1
+    table.tag("old")                                    # v2
+    table.append(spark, _df(spark, 100, 150), epoch=2)  # v3
+    table.compact(spark)                                 # v4 rewrite
+    table.vacuum(keep_last=1, grace_seconds=0)
+    assert table.read(spark, version="old").count() == 100  # pinned
+    with pytest.raises(ValueError, match="expired by vacuum"):
+        table.read(spark, version=3)  # intermediate: still expired
+
+
 def test_tag_unknown_ref_errors(spark, table):
     table.append(spark, _df(spark, 0, 10), epoch=1)
     with pytest.raises(ValueError, match="no tag"):
