@@ -909,7 +909,11 @@ class LakeTable:
     # entries into ``files`` in one atomic metadata commit (an additive
     # append, so incremental consumers see the rows exactly once, at
     # publish time).  Reference analog: Iceberg's wap.id staged
-    # snapshots + cherry-pick, which destination-iceberg inherits.
+    # snapshots + cherry-pick, which destination-iceberg inherits —
+    # and the reference's own sync ALREADY lands data this way at a
+    # coarser grain: IcebergConsumer.java:168-202 writes every stream
+    # to a TEMP table (durable, invisible) and only publishes it into
+    # the real table at commit time, dropping it on failure.
     # ------------------------------------------------------------------
 
     def stage_append(self, spark: SparkSession, df: DataFrame, wap_id: str) -> int:
@@ -1169,7 +1173,9 @@ class LakeTable:
     def rollback(self, version: int | str) -> int:
         """Revert the table to an earlier snapshot's state via a NEW
         commit (Iceberg rollback_to_snapshot — history is append-only,
-        so undo is a forward commit pointing at the old file set).
+        so undo is a forward commit pointing at the old file set; the
+        reference inherits the capability from the Iceberg library its
+        consumer embeds, IcebergConsumer.java:35,217 SparkActions).
         The bad-publish escape hatch: tag, publish, audit finds a
         problem later, rollback("pre-publish").
 
