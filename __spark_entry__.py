@@ -870,6 +870,36 @@ def cdc_delete_where(spark, sf):
     )
 
 
+def cdc_lake_sink_write(spark, sf):
+    """The WRITE half of format("lake") (lake/datasource.py
+    _LakeArrowWriter): land events through df.write.format("lake") —
+    executor tasks bucket rows with the numpy XXH64 kernel
+    (functions/xxh64.py, pinned bit-equal to the JVM hash) — then
+    prove the bucket-parity invariant by running a JVM-side merge_lww
+    OVER the python-written base: the patched slice must beat every
+    stale row.  The final table is value-verified row-for-row in SQL.
+    """
+    from airbyte_spark.lake import datasource as DS
+    from airbyte_spark.lake.table import LakeTable
+
+    DS.register(spark)
+    e = _t(spark, sf, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    mx = e.agg(F.max("event_id")).collect()[0][0]
+    cut = mx // 10
+    root = tempfile.mkdtemp(prefix="lake_sink_")
+    t = LakeTable.create(os.path.join(root, "t"), e.schema, ["event_id"], n_buckets=8)
+    e.write.format("lake").mode("append").save(t.root)
+    upd = (
+        e.filter(F.col("event_id") < cut)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 DAY"))
+        .withColumn("event_type", F.lit("patched"))
+    )
+    t.merge_lww(spark, upd, order_cols=["ts"], op_col=None, epoch=1)
+    return t.read(spark)
+
+
 def cdc_rebucket_read(spark, sf):
     """Partition-spec evolution (lake/table.py rebucket; Iceberg's
     bucket-count change): grow the epoch-append fixture from 8 to 16
@@ -1146,6 +1176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_bloom_lookup": cdc_bloom_lookup,
         "cdc_delete_where": cdc_delete_where,
         "cdc_rebucket_read": cdc_rebucket_read,
+        "cdc_lake_sink_write": cdc_lake_sink_write,
         "cdc_wap_publish": cdc_wap_publish,
         "cdc_lake_source_scan": cdc_lake_source_scan,
         "cdc_lake_source_mor": cdc_lake_source_mor,
@@ -1936,6 +1967,17 @@ SELECT CAST(8 AS BIGINT) AS files_rewritten,
        round(sum(value), 2) AS sum_value
 FROM events, c
 WHERE NOT (event_id >= cut AND event_type = 'error')
+""",
+        # the merged state: patched slice wins by strictly-newer ts,
+        # everything else is the python-written original
+        "cdc_lake_sink_write": """
+WITH mx AS (SELECT max(event_id) AS m FROM events)
+SELECT event_id, ts + INTERVAL 1 DAY AS ts, user_id,
+       CAST('patched' AS VARCHAR) AS event_type, value
+FROM events, mx WHERE event_id < m // 10
+UNION ALL
+SELECT event_id, ts, user_id, event_type, value
+FROM events, mx WHERE event_id >= m // 10
 """,
         # whole-table values survive the rewrite; 16 = one file per
         # (all non-empty) new bucket, the pinned layout decision

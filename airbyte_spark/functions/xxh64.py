@@ -1,0 +1,223 @@
+"""Numpy-vectorized XXH64 matching Spark's ``xxhash64`` bit-for-bit.
+
+Why this exists: the lake table's bucket routing is
+``pmod(xxhash64(key_cols), n_buckets)`` evaluated as a JVM expression
+(lake/table.py _bucket_expr).  Any OTHER writer — the Python
+``format("lake")`` sink (lake/datasource.py), an external backfill
+tool — must place a key in the SAME bucket, or a later JVM-side MERGE
+would route the key's batch rows to a bucket that does not hold its
+base rows and silently resurrect overwritten versions.  So this module
+reimplements the exact algorithm Spark uses (public spec: xxHash64 by
+Yann Collet, and Spark's XXH64 — sql/catalyst XXH64.java: hashInt /
+hashLong / hashUnsafeBytes with per-column seed chaining, seed 42) as
+vectorized numpy over Arrow buffers, and tests/test_xxh64.py pins
+EXACT equality against ``F.xxhash64`` over randomized inputs.
+
+Vectorization strategy: int32/int64 columns are fixed-width — one
+numpy expression over the whole array.  Strings are variable-length,
+but a batch's length distribution is small (path-like keys cluster
+hard), so rows are grouped BY BYTE LENGTH and each group is processed
+as an (n_rows, length) uint8 matrix — python-level work is
+O(distinct_lengths · length/8), not O(rows).
+
+All arithmetic is uint64 with wraparound (numpy's native behavior);
+Spark's Long.MIN/negative values round-trip via the signed view.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_P1 = np.uint64(0x9E3779B185EBCA87)
+_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_P3 = np.uint64(0x165667B19E3779F9)
+_P4 = np.uint64(0x85EBCA77C2B2AE63)
+_P5 = np.uint64(0x27D4EB2F165667C5)
+
+DEFAULT_SEED = 42
+
+
+def _rotl(x: np.ndarray, r: int) -> np.ndarray:
+    r = np.uint64(r)
+    return (x << r) | (x >> (np.uint64(64) - r))
+
+
+def _avalanche(h: np.ndarray) -> np.ndarray:
+    h = h ^ (h >> np.uint64(33))
+    h = h * _P2
+    h = h ^ (h >> np.uint64(29))
+    h = h * _P3
+    h = h ^ (h >> np.uint64(32))
+    return h
+
+
+def hash_long(values: np.ndarray, seed: np.ndarray | int) -> np.ndarray:
+    """Spark XXH64.hashLong over an int64/uint64 array (LongType,
+    TimestampType).  ``seed`` may be a scalar or a per-row array
+    (column chaining)."""
+    v = values.astype(np.int64, copy=False).view(np.uint64)
+    h = np.uint64(seed) + _P5 + np.uint64(8) if np.isscalar(seed) else (
+        seed.astype(np.uint64, copy=False) + _P5 + np.uint64(8)
+    )
+    k = _rotl(v * _P2, 31) * _P1
+    h = h ^ k
+    h = _rotl(h, 27) * _P1 + _P4
+    return _avalanche(h)
+
+
+def hash_int(values: np.ndarray, seed: np.ndarray | int) -> np.ndarray:
+    """Spark XXH64.hashInt over an int32 array (IntegerType, DateType):
+    the value is zero-extended to a uint, NOT sign-extended to a long
+    (Spark hashes `i & 0xFFFFFFFFL`)."""
+    v = values.astype(np.int32, copy=False).view(np.uint32).astype(np.uint64)
+    h = np.uint64(seed) + _P5 + np.uint64(4) if np.isscalar(seed) else (
+        seed.astype(np.uint64, copy=False) + _P5 + np.uint64(4)
+    )
+    h = h ^ (v * _P1)
+    h = _rotl(h, 23) * _P2 + _P3
+    return _avalanche(h)
+
+
+def _hash_bytes_matrix(m: np.ndarray, seed: np.ndarray) -> np.ndarray:
+    """XXH64 over an (n_rows, L) uint8 matrix — every row has the SAME
+    byte length L, so the whole group vectorizes: the stripe loop and
+    word loop run L/32 resp. L/8 times over all rows at once."""
+    n, L = m.shape
+    seed = seed.astype(np.uint64, copy=False)
+    pos = 0
+    if L >= 32:
+        v1 = seed + _P1 + _P2
+        v2 = seed + _P2
+        v3 = seed.copy()
+        v4 = seed - _P1
+        n_stripes = L // 32
+        words = m[:, : n_stripes * 32].reshape(n, n_stripes, 4, 8)
+        # little-endian 8-byte lanes
+        lanes = words.view("<u8").reshape(n, n_stripes, 4)
+        for s in range(n_stripes):
+            v1 = _rotl(v1 + lanes[:, s, 0] * _P2, 31) * _P1
+            v2 = _rotl(v2 + lanes[:, s, 1] * _P2, 31) * _P1
+            v3 = _rotl(v3 + lanes[:, s, 2] * _P2, 31) * _P1
+            v4 = _rotl(v4 + lanes[:, s, 3] * _P2, 31) * _P1
+        h = _rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)
+        for v in (v1, v2, v3, v4):
+            h = (h ^ (_rotl(v * _P2, 31) * _P1)) * _P1 + _P4
+        pos = n_stripes * 32
+    else:
+        h = seed + _P5
+    h = h + np.uint64(L)
+    while L - pos >= 8:
+        w = m[:, pos : pos + 8].copy().view("<u8").ravel()
+        h = h ^ (_rotl(w * _P2, 31) * _P1)
+        h = _rotl(h, 27) * _P1 + _P4
+        pos += 8
+    if L - pos >= 4:
+        w = m[:, pos : pos + 4].copy().view("<u4").ravel().astype(np.uint64)
+        h = h ^ (w * _P1)
+        h = _rotl(h, 23) * _P2 + _P3
+        pos += 4
+    while pos < L:
+        b = m[:, pos].astype(np.uint64)
+        h = h ^ (b * _P5)
+        h = _rotl(h, 11) * _P1
+        pos += 1
+    return _avalanche(h)
+
+
+def hash_utf8(strings, seed: np.ndarray | int) -> np.ndarray:
+    """Spark XXH64.hashUnsafeBytes over a pyarrow StringArray (or any
+    sequence of python strings).  Rows grouped by UTF-8 byte length;
+    each group vectorizes as a fixed-width matrix."""
+    import pyarrow as pa
+
+    if not isinstance(strings, (pa.StringArray, pa.LargeStringArray, pa.Array)):
+        strings = pa.array(strings, type=pa.string())
+    if isinstance(strings, pa.ChunkedArray):  # pragma: no cover - caller ease
+        strings = strings.combine_chunks()
+    n = len(strings)
+    out = np.zeros(n, dtype=np.uint64)
+    seeds = (
+        np.full(n, seed, dtype=np.uint64)
+        if np.isscalar(seed)
+        else seed.astype(np.uint64, copy=False)
+    )
+    # arrow layout: one contiguous byte buffer + int32/int64 offsets
+    bufs = strings.buffers()
+    width = 8 if pa.types.is_large_string(strings.type) else 4
+    offsets = np.frombuffer(
+        bufs[1], dtype=np.int64 if width == 8 else np.int32,
+        count=n + 1, offset=strings.offset * width,
+    ).astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.zeros(
+        0, dtype=np.uint8
+    )
+    lens = offsets[1:] - offsets[:-1]
+    for L in np.unique(lens):
+        idx = np.nonzero(lens == L)[0]
+        if L == 0:
+            h = seeds[idx] + _P5 + np.uint64(0)
+            out[idx] = _avalanche(h)
+            continue
+        starts = offsets[:-1][idx]
+        gather = starts[:, None] + np.arange(L, dtype=np.int64)[None, :]
+        out[idx] = _hash_bytes_matrix(data[gather], seeds[idx])
+    return out
+
+
+def spark_xxhash64(columns: list[tuple[str, object]], seed: int = DEFAULT_SEED) -> np.ndarray:
+    """Spark's multi-column ``xxhash64(c1, c2, ...)``: per-column hash
+    with the previous result as the next column's seed; NULL columns
+    leave the running seed unchanged (Spark skips them).
+
+    ``columns``: [(spark_type_name, array)] where array is a pyarrow
+    array (strings) or numpy array (ints); supported types: string,
+    long/bigint/timestamp, int/integer/date.  Returns uint64 (view as
+    int64 for the Spark-visible signed value)."""
+    import pyarrow as pa
+
+    running: np.ndarray | None = None
+    n = None
+    for typ, arr in columns:
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        n = len(arr) if n is None else n
+        seeds = (
+            np.full(n, seed, dtype=np.uint64) if running is None else running
+        )
+        if isinstance(arr, pa.Array) and arr.null_count:
+            valid = ~np.asarray(arr.is_null())
+        else:
+            valid = None
+        if typ in ("string",):
+            h = hash_utf8(arr, seeds)
+        elif typ in ("long", "bigint", "timestamp", "timestamp_ntz"):
+            vals = (
+                arr.to_numpy(zero_copy_only=False)
+                if isinstance(arr, pa.Array)
+                else np.asarray(arr)
+            )
+            h = hash_long(np.nan_to_num(vals).astype(np.int64), seeds)
+        elif typ in ("int", "integer", "date"):
+            vals = (
+                arr.to_numpy(zero_copy_only=False)
+                if isinstance(arr, pa.Array)
+                else np.asarray(arr)
+            )
+            h = hash_int(np.nan_to_num(vals).astype(np.int32), seeds)
+        else:
+            raise ValueError(f"unsupported key type for python-side xxhash64: {typ!r}")
+        if valid is not None:
+            h = np.where(valid, h, seeds)  # null column -> seed unchanged
+        running = h
+    assert running is not None, "at least one column required"
+    return running
+
+
+def bucket_ids(
+    columns: list[tuple[str, object]], n_buckets: int, seed: int = DEFAULT_SEED
+) -> np.ndarray:
+    """``pmod(xxhash64(cols), n_buckets)`` exactly as _bucket_expr
+    computes it JVM-side: pmod of the SIGNED hash."""
+    h = spark_xxhash64(columns, seed).view(np.int64)
+    m = h % np.int64(n_buckets)  # numpy % already yields sign-of-divisor
+    return m.astype(np.int32)

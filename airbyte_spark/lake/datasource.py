@@ -49,7 +49,9 @@ from typing import Any, Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     Filter,
@@ -58,6 +60,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -390,6 +393,158 @@ class _LakeStreamReader(DataSourceStreamReader):
         pass
 
 
+@dataclass
+class _LakeCommitMessage(WriterCommitMessage):
+    # (abs_path, bucket) of every file this task staged
+    files: list[tuple[str, int]]
+
+
+class _LakeArrowWriter(DataSourceArrowWriter):
+    """Executor half of ``df.write.format("lake")``: each task buckets
+    its Arrow batches with the numpy XXH64 kernel
+    (functions/xxh64.py — pinned bit-equal to the JVM
+    ``pmod(xxhash64(keys), n)`` the engine's merge paths route by, the
+    invariant that makes python-written files mergeable) and writes
+    one parquet file per touched bucket into a shared staging dir.
+    No per-row Python: hashing is vectorized per length-class, the
+    split is arrow ``take``.
+
+    The driver half (``commit``) turns staged paths into manifest
+    entries through the same footer sweep as the engine write path
+    (bounds + bloom sidecars included) and publishes them in one
+    atomic snapshot; ``abort`` deletes the staged files.  Streaming
+    subclass commits with epoch=batchId, so checkpoint replays are
+    exactly-once — a replayed batch's duplicate files are deleted
+    instead of committed (the engine's idempotent replay gate,
+    reference: state emitted only after durable commit,
+    airbyte-protocol.md:467-479)."""
+
+    def __init__(self, root: str, overwrite: bool):
+        t = LakeTable(root)
+        snap = t.snapshot()
+        self._root = root
+        self._overwrite = overwrite
+        self._names = [f["name"] for f in snap.fields]
+        self._key_cols = list(snap.key_cols)
+        by_name = {f["name"]: f for f in snap.fields}
+        self._key_types = [by_name[c]["type"] for c in snap.key_cols]
+        self._n_buckets = snap.n_buckets
+        self._schema_version = snap.schema_version
+        import uuid
+
+        self._stage_rel = os.path.join(
+            "data", f"commit-pywrite-{uuid.uuid4().hex[:12]}"
+        )
+
+    # -------------------------------------------------- executor side
+    def write(self, iterator):
+        import uuid
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from airbyte_spark.functions.xxh64 import bucket_ids
+
+        per_bucket: dict[int, list] = {}
+        for batch in iterator:
+            if batch.num_rows == 0:
+                continue
+            batch = batch.select(self._names)
+            cols = [
+                (t, batch.column(c))
+                for c, t in zip(self._key_cols, self._key_types)
+            ]
+            b = bucket_ids(cols, self._n_buckets)
+            tbl = pa.Table.from_batches([batch])
+            for bucket in np.unique(b):
+                idx = np.nonzero(b == bucket)[0]
+                per_bucket.setdefault(int(bucket), []).append(tbl.take(idx))
+        files: list[tuple[str, int]] = []
+        task_id = uuid.uuid4().hex[:12]
+        for bucket, parts in per_bucket.items():
+            d = os.path.join(self._root, self._stage_rel, f"_bucket={bucket}")
+            os.makedirs(d, exist_ok=True)
+            path = os.path.join(d, f"part-{task_id}.parquet")
+            pq.write_table(pa.concat_tables(parts), path)
+            files.append((path, bucket))
+        return _LakeCommitMessage(files=files)
+
+    # ---------------------------------------------------- driver side
+    def _collect(self, messages):
+        files: list[tuple[str, int]] = []
+        for m in messages:
+            if m is not None:
+                files.extend(m.files)
+        return files
+
+    def _entries(self, files):
+        t = LakeTable(self._root)
+        return t.entries_for_paths(
+            [p for p, _ in files],
+            self._schema_version,
+            buckets=dict(files),
+        )
+
+    def _cleanup(self, files):
+        for p, _ in files:
+            for victim in (p, p + ".bloom"):
+                try:
+                    os.unlink(victim)
+                except FileNotFoundError:
+                    pass
+
+    def commit(self, messages):
+        files = self._collect(messages)
+        t = LakeTable(self._root)
+        t.commit_entries(
+            self._entries(files),
+            replace=self._overwrite,
+            operation="python-write",
+        )
+
+    def abort(self, messages):
+        self._cleanup(self._collect(messages))
+
+
+class _LakeStreamArrowWriter(_LakeArrowWriter, DataSourceStreamArrowWriter):
+    """``df.writeStream.format("lake")``: every microbatch commits
+    with epoch=batchId through the engine's replay gate — after a
+    checkpoint recovery Spark re-runs the last batch, the gate returns
+    None, and the duplicate staged files are deleted, never published
+    (exactly-once without a transactional sink protocol; same shape as
+    the engine's own foreachBatch runner, streaming/runner.py)."""
+
+    def __init__(self, root: str, overwrite: bool, stream: str):
+        super().__init__(root, overwrite)
+        self._stream = stream
+
+    def write(self, iterator):
+        # each microbatch stages into its own directory so a replayed
+        # batch's duplicates never collide with committed files
+        import uuid
+
+        self._stage_rel = os.path.join(
+            "data", f"commit-pystream-{uuid.uuid4().hex[:12]}"
+        )
+        return super().write(iterator)
+
+    def commit(self, messages, batchId: int):
+        files = self._collect(messages)
+        t = LakeTable(self._root)
+        v = t.commit_entries(
+            self._entries(files),
+            epoch=batchId,
+            stream=self._stream,
+            operation="python-stream-write",
+        )
+        if v is None:  # replayed batch: gate held, drop duplicates
+            self._cleanup(files)
+
+    def abort(self, messages, batchId: int):
+        self._cleanup(self._collect(messages))
+
+
 class LakeDataSource(DataSource):
     """``format("lake")``: options ``path`` (table root), ``version``
     (batch time travel), ``starting_version`` (stream start point,
@@ -421,6 +576,35 @@ class LakeDataSource(DataSource):
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return _LakeStreamReader(
             self._root(), int(self.options.get("starting_version", 0))
+        )
+
+    def _check_write_schema(self, schema: StructType) -> None:
+        """The writer demands an exact name/type match with the table
+        (column ORDER is free — batches are realigned by name).  Drift
+        belongs to the engine's reconciler (engine/schema_evolution.py),
+        not a silent cast in a sink."""
+        t = LakeTable(self._root())
+        snap = t.snapshot()
+        want = {f["name"]: f["type"] for f in snap.fields}
+        got = {
+            f.name: __import__("json").loads(f.dataType.json())
+            for f in schema.fields
+        }
+        if want != got:
+            raise ValueError(
+                f"schema mismatch writing to lake table {self._root()!r}: "
+                f"table={want} df={got} — evolve() the table first "
+                "(engine/schema_evolution.py reconciles drift)"
+            )
+
+    def writer(self, schema: StructType, overwrite: bool):
+        self._check_write_schema(schema)
+        return _LakeArrowWriter(self._root(), overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        self._check_write_schema(schema)
+        return _LakeStreamArrowWriter(
+            self._root(), overwrite, self.options.get("stream", "python-stream")
         )
 
 

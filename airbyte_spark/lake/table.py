@@ -793,14 +793,26 @@ class LakeTable:
             .mode("error")
             .parquet(out_dir)
         )
-        # footer reads in a driver thread pool: at 64+ files the
-        # serial loop costs ~0.5s per microbatch, pure driver latency
+        paths = glob.glob(os.path.join(out_dir, f"{_BUCKET}=*", "*.parquet"))
+        return self.entries_for_paths(paths, schema_version)
+
+    def entries_for_paths(
+        self, paths: list[str], schema_version: int,
+        buckets: dict[str, int] | None = None,
+    ) -> list[FileEntry]:
+        """Build manifest entries (row counts, per-column bounds, bloom
+        sidecars) for already-written parquet files.  Shared by the
+        engine write path and the ``format("lake")`` writer's commit.
+
+        Footer reads run in a driver thread pool: at 64+ files a serial
+        loop costs ~0.5s per microbatch, pure driver latency.  Bounds
+        are keyed by FIELD ID for THIS write's schema version
+        (rename-stable, the Iceberg manifest lower/upper_bounds analog)
+        at zero extra I/O — the footer is already open for the row
+        count.  ``buckets``: abs path -> bucket id; default parses the
+        ``_bucket=N`` directory name."""
         from concurrent.futures import ThreadPoolExecutor
 
-        # name -> field id for THIS write's schema version, so per-file
-        # column bounds are recorded by field id (rename-stable, the
-        # Iceberg manifest lower_bounds/upper_bounds analog) at zero
-        # extra I/O — the footer is already open for the row count.
         snap_now = self.snapshot()
         name_to_id = {
             f["name"]: f["id"] for f in snap_now.schemas[schema_version]
@@ -814,7 +826,10 @@ class LakeTable:
         }
 
         def _entry(path: str) -> FileEntry:
-            bucket = int(os.path.basename(os.path.dirname(path)).split("=")[1])
+            if buckets is not None:
+                bucket = buckets[path]
+            else:
+                bucket = int(os.path.basename(os.path.dirname(path)).split("=")[1])
             pf = pq.ParquetFile(path)
             meta = pf.metadata
             bloom_fids: list[str] | None = None
@@ -846,7 +861,6 @@ class LakeTable:
                 bloom=bloom_fids,
             )
 
-        paths = glob.glob(os.path.join(out_dir, f"{_BUCKET}=*", "*.parquet"))
         with ThreadPoolExecutor(max_workers=16) as pool:
             return list(pool.map(_entry, paths))
 
@@ -877,11 +891,33 @@ class LakeTable:
         next_version = snap.version + 1
         df = _align(df, snap.fields).withColumn(_BUCKET, self._bucket_expr(snap))
         entries = self._write_data(df, next_version, snap.schema_version, snap.n_buckets)
+        return self.commit_entries(
+            entries, replace=replace, epoch=epoch, stream=stream
+        )
+
+    def commit_entries(
+        self,
+        entries: list[FileEntry],
+        *,
+        replace: bool = False,
+        epoch: int | None = None,
+        stream: str = "default",
+        operation: str | None = None,
+    ) -> int | None:
+        """Publish already-written data files as an append/overwrite
+        snapshot — the metadata half of _replace_or_add, shared with
+        the ``format("lake")`` writer whose data files are produced by
+        executor tasks rather than a Spark write job.  Epoch-gated:
+        a replayed commit returns None WITHOUT touching the log (the
+        caller owns cleanup of its duplicate files)."""
+        snap = self.snapshot()
+        if epoch is not None and snap.epochs.get(stream, -1) >= epoch:
+            return None
         epochs = dict(snap.epochs)
         if epoch is not None:
             epochs[stream] = epoch
         new = Snapshot(
-            version=next_version,
+            version=snap.version + 1,
             schema_version=snap.schema_version,
             schemas=snap.schemas,
             n_buckets=snap.n_buckets,
@@ -890,13 +926,14 @@ class LakeTable:
             epochs=epochs,
             props=dict(snap.props),
             summary={
-                "operation": "overwrite" if replace else "append",
+                "operation": operation
+                or ("overwrite" if replace else "append"),
                 "rows": sum(e.rows for e in entries),
                 "epoch": epoch,
             },
         )
         self._commit(new)
-        return next_version
+        return new.version
 
     # ------------------------------------------------------------------
     # Write-audit-publish (Iceberg WAP) + named refs (tags)
@@ -1394,7 +1431,7 @@ class LakeTable:
         batch: DataFrame,
         *,
         order_cols: list[str] | str,
-        op_col: str = "op",
+        op_col: str | None = "op",
         delete_value: str = "d",
         epoch: int | None = None,
         stream: str = "default",
@@ -1443,6 +1480,12 @@ class LakeTable:
         cur_fields = snap.fields
         names = [f["name"] for f in cur_fields]
 
+        # op_col=None (or a batch without the column): pure-upsert
+        # batch — the contract merge_mor already honors.  An internal
+        # sentinel name keeps the fused plan uniform; never written.
+        op_in_batch = op_col is not None and op_col in batch.columns
+        if op_col is None:
+            op_col = "_op"
         if _BUCKET not in batch.columns:
             batch = batch.withColumn(_BUCKET, self._bucket_expr(snap))
         owns_persist = precomputed_buckets is None
@@ -1475,7 +1518,10 @@ class LakeTable:
                 else:
                     b_cols.append(F.lit(None).cast(dt).alias(f["name"]))
             b = batch.select(
-                *b_cols, F.col(op_col).cast("string").alias(op_col),
+                *b_cols,
+                (F.col(op_col) if op_in_batch else F.lit(None))
+                .cast("string")
+                .alias(op_col),
                 F.lit(1).alias("_src"),
             )
             unioned = base.select(*names, op_col, "_src").unionByName(b)

@@ -63,6 +63,9 @@ BENCH_QUERIES = [
     "emb_topk_sq",
     # round 4: partition-spec evolution (8->16 bucket full rewrite)
     "cdc_rebucket_read",
+    # round 4: format("lake") WRITE path (python XXH64 bucketing) +
+    # JVM merge over the python-written base (parity end to end)
+    "cdc_lake_sink_write",
     # round 4: SCD2 point-in-time read (history build + interval filter)
     "scd2_events_asof",
 ]

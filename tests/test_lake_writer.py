@@ -1,0 +1,217 @@
+"""The ``format("lake")`` WRITE path and its XXH64 bucket-parity
+kernel.
+
+The whole feature stands on one invariant: a row written by the Python
+writer must land in the SAME bucket the JVM expression
+``pmod(xxhash64(keys), n)`` (lake/table.py _bucket_expr) would route
+it to — otherwise a later MERGE reads the wrong bucket's base files
+and silently resurrects overwritten versions.  So the kernel test pins
+EXACT equality against Spark over randomized inputs, and the merge
+test proves the invariant end to end: python-written base rows are
+found and beaten by a JVM-side merge_lww.
+"""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from pyspark.sql import Row, functions as F
+
+from airbyte_spark.functions.xxh64 import bucket_ids, spark_xxhash64
+from airbyte_spark.lake import LakeTable
+from airbyte_spark.lake import datasource as DS
+
+
+# ------------------------------------------------------------- kernel
+
+
+def test_xxh64_matches_spark_exactly(spark):
+    rng = np.random.RandomState(7)
+    longs = np.concatenate(
+        [rng.randint(-(2**62), 2**62, 500), [0, -1, 1, 2**63 - 1, -(2**63)]]
+    ).astype(np.int64)
+    df = spark.createDataFrame([Row(a=int(x)) for x in longs])
+    want = np.array(
+        [r[0] for r in df.select(F.xxhash64("a")).collect()], dtype=np.int64
+    )
+    assert np.array_equal(spark_xxhash64([("long", longs)]).view(np.int64), want)
+
+    ints = np.concatenate(
+        [rng.randint(-(2**31), 2**31, 500), [0, -1, 2**31 - 1, -(2**31)]]
+    ).astype(np.int32)
+    df = spark.createDataFrame([Row(a=int(x)) for x in ints], "a int")
+    want = np.array(
+        [r[0] for r in df.select(F.xxhash64("a")).collect()], dtype=np.int64
+    )
+    assert np.array_equal(spark_xxhash64([("int", ints)]).view(np.int64), want)
+
+    import random
+
+    random.seed(3)
+    # every interesting length class: empty, <8, 8-word tails, 4-byte
+    # tail, single bytes, >=32 stripes, multibyte UTF-8
+    strs = [""] + [
+        "".join(random.choice("abXY01/._-é漢🙂") for _ in range(random.randint(0, 100)))
+        for _ in range(800)
+    ]
+    df = spark.createDataFrame([Row(s=s) for s in strs])
+    want = np.array(
+        [r[0] for r in df.select(F.xxhash64("s")).collect()], dtype=np.int64
+    )
+    got = spark_xxhash64([("string", pa.array(strs))]).view(np.int64)
+    assert np.array_equal(got, want)
+
+
+def test_xxh64_column_chain_nulls_and_buckets(spark):
+    rows = [
+        Row(r=None if i % 17 == 0 else f"repo-{i % 23}", p=f"p/{i}", l=i * 37)
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows)
+    want = np.array(
+        [x[0] for x in df.select(F.xxhash64("r", "p", "l")).collect()],
+        dtype=np.int64,
+    )
+    got = spark_xxhash64(
+        [
+            ("string", pa.array([r.r for r in rows])),
+            ("string", pa.array([r.p for r in rows])),
+            ("long", np.array([r.l for r in rows], dtype=np.int64)),
+        ]
+    ).view(np.int64)
+    assert np.array_equal(got, want)
+    want_b = np.array(
+        [
+            x[0]
+            for x in df.select(
+                F.pmod(F.xxhash64("r", "p"), F.lit(64)).cast("int")
+            ).collect()
+        ]
+    )
+    got_b = bucket_ids(
+        [
+            ("string", pa.array([r.r for r in rows])),
+            ("string", pa.array([r.p for r in rows])),
+        ],
+        64,
+    )
+    assert np.array_equal(got_b, want_b)
+
+
+# ------------------------------------------------------------- writers
+
+
+def _df(spark, lo, hi, lsn_shift=0):
+    return spark.range(lo, hi).select(
+        F.concat(F.lit("repo-"), (F.col("id") % 7).cast("string")).alias("repo"),
+        F.concat(F.lit("p/"), F.col("id").cast("string")).alias("path"),
+        (F.col("id") + lsn_shift).alias("lsn"),
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    DS.register(spark)
+    df = _df(spark, 0, 0)
+    return LakeTable.create(
+        str(tmp_path / "t"), df.schema, ["repo", "path"], n_buckets=8
+    )
+
+
+def test_python_write_then_jvm_merge_parity(spark, table):
+    """THE invariant test: merge after a python write must beat every
+    stale base row (a bucket-routing mismatch would leave survivors)."""
+    _df(spark, 0, 500).write.format("lake").mode("append").save(table.root)
+    assert table.read(spark).count() == 500
+    # manifests carry real stats (footer sweep shared with the engine)
+    assert all(f.stats for f in table.snapshot().files)
+    upd = _df(spark, 0, 50, lsn_shift=1000)
+    table.merge_lww(spark, upd, order_cols=["lsn"], op_col=None, epoch=1)
+    got = table.read(spark)
+    assert got.count() == 500
+    assert got.filter("lsn >= 1000").count() == 50
+    assert got.filter("lsn < 50").count() == 0  # zero stale survivors
+
+
+def test_python_write_overwrite_and_reader_roundtrip(spark, table):
+    _df(spark, 0, 300).write.format("lake").mode("append").save(table.root)
+    _df(spark, 0, 40).write.format("lake").mode("overwrite").save(table.root)
+    assert table.read(spark).count() == 40
+    # read back through the planner too
+    assert spark.read.format("lake").load(table.root).count() == 40
+
+
+def test_python_write_schema_guard(spark, table):
+    bad = _df(spark, 0, 5).withColumn("extra", F.lit(1))
+    with pytest.raises(Exception, match="schema mismatch"):
+        bad.write.format("lake").mode("append").save(table.root)
+    with pytest.raises(Exception, match="schema mismatch"):
+        _df(spark, 0, 5).drop("lsn").write.format("lake").mode("append").save(
+            table.root
+        )
+
+
+def test_stream_write_exactly_once(spark, table, tmp_path):
+    """writeStream.format("lake"): epoch=batchId rides the engine's
+    replay gate — a replayed commit publishes nothing and deletes its
+    duplicate staged files."""
+    src = str(tmp_path / "src")
+    cp = str(tmp_path / "cp")
+    _df(spark, 0, 100).write.parquet(src, mode="overwrite")
+
+    def run():
+        q = (
+            spark.readStream.schema(_df(spark, 0, 0).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.format("lake")
+            .option("path", table.root)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert table.read(spark).count() == 100
+    # new source files, resumed checkpoint: only the delta lands
+    _df(spark, 100, 150).write.parquet(src, mode="append")
+    run()
+    assert table.read(spark).count() == 150
+    assert table.read(spark).select("path").distinct().count() == 150
+
+    # forced replay: same batchId commits nothing, duplicates removed
+    from airbyte_spark.lake.datasource import _LakeStreamArrowWriter
+
+    w = _LakeStreamArrowWriter(table.root, False, "manual")
+    batches = _df(spark, 500, 520).toArrow().to_batches()
+    msg = w.write(iter(batches))
+    w.commit([msg], batchId=1)
+    assert table.read(spark).count() == 170
+    msg2 = w.write(iter(batches))  # the "replay"
+    w.commit([msg2], batchId=1)
+    assert table.read(spark).count() == 170  # gate held
+    for p, _ in msg2.files:
+        assert not os.path.exists(p)  # duplicates deleted
+
+
+def test_stream_write_then_stream_read_compose(spark, table, tmp_path):
+    """tail out of one lake table INTO another, both through the
+    planner: readStream(format lake) -> writeStream(format lake)."""
+    DS.register(spark)
+    src_tbl = LakeTable.create(
+        str(tmp_path / "src_tbl"), _df(spark, 0, 0).schema, ["repo", "path"], 4
+    )
+    src_tbl.append(spark, _df(spark, 0, 80), epoch=1)
+    q = (
+        spark.readStream.format("lake")
+        .load(src_tbl.root)
+        .writeStream.format("lake")
+        .option("path", table.root)
+        .option("checkpointLocation", str(tmp_path / "cp2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert table.read(spark).count() == 80
