@@ -388,6 +388,16 @@ def doc_dedup_exact(spark, sf):
     return A_dedup.exact_dups(_t(spark, sf, "documents"))
 
 
+def doc_span_dedup(spark, sf):
+    """C4-style span dedup (analytics/text.py span_dedup): every
+    8-token chunk occurring verbatim in >1 document is deleted from
+    ALL of them, the surrounding text kept.  The planted near-dup
+    pairs share long runs, so the operator actually fires on this
+    corpus; the oracle reproduces chunk -> corpus DF -> anti-join ->
+    ordered reassembly in SQL."""
+    return A_text.span_dedup(_t(spark, sf, "documents"))
+
+
 def doc_token_stats(spark, sf):
     return A_text.token_count(_t(spark, sf, "documents")).select(
         "doc_id", "n_tokens", "n_tokens_bpe", "n_tokens_regex"
@@ -1145,6 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_incremental_scan": events_incremental_scan,
         "events_datetime_slices": events_datetime_slices,
         "doc_dedup_exact": doc_dedup_exact,
+        "doc_span_dedup": doc_span_dedup,
         "doc_token_stats": doc_token_stats,
         "doc_quality": doc_quality,
         "doc_repetition": doc_repetition,
@@ -1766,6 +1777,29 @@ SELECT md5(text) AS text_md5,
        min(doc_id) AS canonical_id,
        count(*) AS n_dups
 FROM documents GROUP BY md5(text)
+""",
+        # chunk -> corpus doc-frequency -> anti-join -> ordered
+        # reassembly, the exact span_dedup pipeline in SQL (8-token
+        # non-overlapping windows, tail exempt)
+        "doc_span_dedup": """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+),
+base AS (SELECT doc_id, toks, len(toks) // 8 AS nf FROM t),
+chunks AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         array_to_string(toks[CAST(i AS INT)*8+1 : CAST(i AS INT)*8+8], ' ') AS chunk
+  FROM base, UNNEST(range(nf)) AS u(i)
+),
+freq AS (SELECT chunk FROM chunks GROUP BY chunk HAVING count(DISTINCT doc_id) > 1),
+body AS (
+  SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS b
+  FROM chunks WHERE chunk NOT IN (SELECT chunk FROM freq)
+  GROUP BY doc_id
+),
+tails AS (SELECT doc_id, array_to_string(toks[nf*8+1 : nf*8+8], ' ') AS tail FROM base)
+SELECT d.doc_id, trim(concat_ws(' ', coalesce(b, ''), tail)) AS text
+FROM tails d LEFT JOIN body USING (doc_id)
 """,
         "doc_token_stats": f"""
 SELECT doc_id,

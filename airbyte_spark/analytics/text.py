@@ -354,3 +354,74 @@ def pack_sequences(
     return d.withColumn(
         "seq_id", F.floor(running / seq_len).cast("long")
     )
+
+
+def span_dedup(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 8,
+    max_df: int = 1,
+) -> DataFrame:
+    """C4-style SPAN dedup: delete every ``span_tokens``-token chunk of
+    text that occurs verbatim in more than ``max_df`` DOCUMENTS,
+    keeping the surrounding text (C4 removed any three-sentence span
+    occurring more than once in the corpus; reference scope: the
+    mandated LLM-pipeline additions).  Unlike document-level dedup,
+    this strips boilerplate — headers, license blurbs, navigation —
+    that rides inside otherwise-unique documents.
+
+    Chunking is positional (non-overlapping ``span_tokens`` windows;
+    the tail chunk may be shorter and is exempt, mirroring C4's
+    leave-the-remainder behavior).  Shape at scale: posexplode chunks
+    into slim (id, pos, hash) rows, ONE map-side-combined hash agg for
+    corpus-wide chunk document-frequency, an anti-join back on the
+    64-bit hash, and a per-doc ordered reassembly — sub-quadratic
+    everywhere, no driver data.  Hot chunks (the exact boilerplate
+    this exists to remove) concentrate on one aggregation key each but
+    are reduced map-side before the exchange.
+
+    Returns (id_col, text): EVERY input document survives as a row
+    (a doc made entirely of over-frequent spans keeps only its tail,
+    possibly empty — filter on length downstream; the composed
+    pipelines\' quality gate already does)."""
+    toks = tokens_expr(F.col(text_col))
+    n_full = (F.size(toks) / span_tokens).cast("int")
+    # guard: Spark's sequence(0, -1) is DESCENDING [0, -1], so a doc
+    # shorter than one span would fabricate two bogus chunks
+    chunks = F.when(n_full > 0, F.transform(
+        F.sequence(F.lit(0), n_full - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * span_tokens + 1, span_tokens)),
+    )).otherwise(F.array().cast("array<string>"))
+    tail = F.concat_ws(
+        " ", F.slice(toks, n_full * span_tokens + 1, F.lit(span_tokens))
+    )
+    exploded = df.select(
+        F.col(id_col), F.posexplode(chunks).alias("pos", "chunk")
+    )
+    freq = (
+        exploded.groupBy(F.xxhash64("chunk").alias("h"))
+        .agg(F.count_distinct(id_col).alias("df"))
+        .filter(F.col("df") > max_df)
+    )
+    body = (
+        exploded.join(freq, F.xxhash64("chunk") == F.col("h"), "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+            ).alias("_body")
+        )
+    )
+    base = df.select(F.col(id_col), tail.alias("_tail"))
+    return base.join(body, id_col, "left").select(
+        F.col(id_col),
+        F.trim(
+            F.concat_ws(" ", F.coalesce(F.col("_body"), F.lit("")), F.col("_tail"))
+        ).alias(text_col),
+    )

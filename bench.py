@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     # round 4: format("lake") WRITE path (python XXH64 bucketing) +
     # JVM merge over the python-written base (parity end to end)
     "cdc_lake_sink_write",
+    # round 4: C4-style cross-document span dedup
+    "doc_span_dedup",
     # round 4: SCD2 point-in-time read (history build + interval filter)
     "scd2_events_asof",
 ]

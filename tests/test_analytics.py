@@ -106,6 +106,35 @@ def test_lex_counts_engine_parity(spark):
         assert a == b, fn.__name__
 
 
+def test_span_dedup_semantics(spark):
+    """C4-style span dedup: shared 8-token chunks vanish from every
+    doc, unique text and sub-span tails survive, and EVERY input doc
+    stays present (even one that was pure boilerplate)."""
+    from airbyte_spark.analytics.text import span_dedup
+
+    boiler = "the quick brown fox jumps over lazy dogs"  # 8 tokens
+    docs = [
+        Row(doc_id=0, text=boiler + " u0 u1 u2 u3 u4 u5 u6 u7 tail0"),
+        Row(doc_id=1, text=boiler + " v0 v1 v2 v3 v4 v5 v6 v7 tail1"),
+        Row(doc_id=2, text="w0 w1 w2 w3 w4 w5 w6 w7 solo"),
+        Row(doc_id=3, text=boiler),  # pure boilerplate, empty result
+        Row(doc_id=4, text="tiny"),  # shorter than one span: tail only
+    ]
+    out = {r.doc_id: r.text for r in span_dedup(spark.createDataFrame(docs)).collect()}
+    assert sorted(out) == [0, 1, 2, 3, 4]
+    assert out[0] == "u0 u1 u2 u3 u4 u5 u6 u7 tail0"
+    assert out[1] == "v0 v1 v2 v3 v4 v5 v6 v7 tail1"
+    assert out[2] == docs[2].text
+    assert out[3] == ""
+    assert out[4] == "tiny"
+    # max_df=2 keeps a chunk shared by only two docs
+    out2 = {
+        r.doc_id: r.text
+        for r in span_dedup(spark.createDataFrame(docs[:2]), max_df=2).collect()
+    }
+    assert out2[0] == docs[0].text
+
+
 def test_stratified_sample_deterministic(spark):
     rows = spark.createDataFrame(
         [Row(doc_id=i, src="a" if i % 2 == 0 else "b") for i in range(2000)]
