@@ -179,3 +179,100 @@ def test_hot_key_skew_lww_correct(spark, tmp_path):
     assert rows[("hot_repo", "hot/path.py")]["content"] == "content-v49999"
     assert rows[("hot_repo", "hot/path.py")]["last_lsn"] == 49999
     assert rows[("repo_50050", "a.py")]["content"] == "cold-50050"
+
+
+def _evdf(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 7).cast("int").alias("user_id"),
+        (F.col("id") * 3).alias("lsn"),
+    )
+
+
+def test_delete_where_crash_before_commit_is_invisible(spark, tmp_path, monkeypatch):
+    """A DELETE that dies between writing the rewritten files and the
+    snapshot swap leaves the table byte-identical; the retry deletes
+    exactly once and the crashed attempt's files are vacuumable
+    orphans (same marker-before-delete discipline as compaction)."""
+    import airbyte_spark.lake.table as table_mod
+
+    df = _evdf(spark, 0, 400)
+    t = LakeTable.create(str(tmp_path / "d"), df.schema, ["event_id"], n_buckets=4)
+    t.append(spark, df, epoch=1)
+    before = sorted(r["event_id"] for r in t.read(spark).collect())
+
+    real_commit = table_mod.commit_snapshot
+    monkeypatch.setattr(
+        table_mod, "commit_snapshot",
+        lambda *a: (_ for _ in ()).throw(RuntimeError("crash")),
+    )
+    with pytest.raises(RuntimeError, match="crash"):
+        t.delete_where(spark, [("user_id", "=", 3)])
+    monkeypatch.setattr(table_mod, "commit_snapshot", real_commit)
+
+    assert sorted(r["event_id"] for r in t.read(spark).collect()) == before
+    res = t.delete_where(spark, [("user_id", "=", 3)])
+    assert res["deleted_rows"] == sum(1 for i in range(400) if i % 7 == 3)
+    assert t.read(spark).filter("user_id = 3").count() == 0
+    assert t.vacuum(grace_seconds=0) > 0  # crashed attempt's orphans
+
+
+def test_abort_staged_crash_mid_delete_leaves_consistent_table(
+    spark, tmp_path, monkeypatch
+):
+    """abort commits its metadata FIRST: a crash mid-file-delete can
+    only leave unreferenced orphans, never a snapshot that still
+    points at deleted staged files.  Readers and a later publish of
+    OTHER wap ids are unaffected; vacuum reclaims the debris."""
+    df = _evdf(spark, 0, 200)
+    t = LakeTable.create(str(tmp_path / "w"), df.schema, ["event_id"], n_buckets=4)
+    t.append(spark, df, epoch=1)
+    t.stage_append(spark, _evdf(spark, 200, 260), "bad")
+    t.stage_append(spark, _evdf(spark, 300, 320), "good")
+
+    real_unlink = os.unlink
+    calls = {"n": 0}
+
+    def flaky_unlink(path):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("crash mid-delete")
+        real_unlink(path)
+
+    monkeypatch.setattr(os, "unlink", flaky_unlink)
+    with pytest.raises(RuntimeError, match="crash mid-delete"):
+        t.abort_staged("bad")
+    monkeypatch.setattr(os, "unlink", real_unlink)
+
+    # metadata already moved: 'bad' is gone, readers see a clean table
+    with pytest.raises(ValueError, match="no staged write"):
+        t.read_staged(spark, "bad")
+    assert t.read(spark).count() == 200
+    # the other staged write is intact and publishable
+    assert t.read_staged(spark, "good").count() == 220
+    t.publish("good", epoch=2)
+    assert t.read(spark).count() == 220
+    t.vacuum(grace_seconds=0)  # reclaims the half-deleted debris
+    assert t.read(spark).count() == 220
+
+
+def test_python_writer_task_retry_leaves_only_orphans(spark, tmp_path):
+    """A failed/duplicate python-writer task (Spark retries, or
+    speculative execution) stages files whose commit message is
+    DISCARDED — they never enter the manifest and vacuum reclaims
+    them; the winning attempt's rows commit exactly once."""
+    from airbyte_spark.lake.datasource import _LakeArrowWriter
+
+    df = _evdf(spark, 0, 100)
+    t = LakeTable.create(str(tmp_path / "p"), df.schema, ["event_id"], n_buckets=4)
+    w = _LakeArrowWriter(t.root, overwrite=False)
+    batches = list(df.toArrow().to_batches())
+    lost = w.write(iter(batches))    # the attempt whose message is lost
+    won = w.write(iter(batches))     # the retry that reaches the driver
+    w.commit([won])
+    assert t.read(spark).count() == 100
+    live = {f.path for f in t.snapshot().files}
+    assert all(os.path.relpath(p, t.root) not in live for p, _ in lost.files)
+    removed = t.vacuum(grace_seconds=0)
+    assert removed >= len(lost.files)
+    assert t.read(spark).count() == 100
