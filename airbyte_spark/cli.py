@@ -127,6 +127,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="data snapshots whose files stay readable")
     sp.add_argument("--grace-seconds", type=float, default=3600.0,
                     help="never delete files younger than this")
+    sp.add_argument("--older-than-seconds", type=float, default=None,
+                    help="only snapshots committed more than this many "
+                         "seconds ago may expire (Iceberg olderThan)")
 
     sp = sub.add_parser("tag", help="create/drop/list named snapshot refs")
     sp.add_argument("--table", required=True)
@@ -243,7 +246,11 @@ def main(argv: list[str] | None = None) -> int:
         from airbyte_spark.lake import LakeTable
 
         t = LakeTable(args.table)
-        removed = t.vacuum(args.keep_last, grace_seconds=args.grace_seconds)
+        removed = t.vacuum(
+            args.keep_last,
+            grace_seconds=args.grace_seconds,
+            older_than_seconds=args.older_than_seconds,
+        )
         snap = t.snapshot()
         print(json.dumps({
             "removed_files": removed,

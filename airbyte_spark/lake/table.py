@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DataType, StructField, StructType, _parse_datatype_json_string
 
 from airbyte_spark.lake.log import (
+    LOG_DIR,
     CommitConflict,
     FileEntry,
     Snapshot,
@@ -1919,7 +1920,13 @@ class LakeTable:
         self._commit(new)
         return next_version
 
-    def vacuum(self, keep_last: int = 1, *, grace_seconds: float = 3600.0) -> int:
+    def vacuum(
+        self,
+        keep_last: int = 1,
+        *,
+        grace_seconds: float = 3600.0,
+        older_than_seconds: float | None = None,
+    ) -> int:
         """Delete data files not referenced by the last ``keep_last``
         DATA snapshots (Iceberg's expire_snapshots analog; vacuum's
         own metadata-only marker snapshots don't count toward the
@@ -1941,6 +1948,26 @@ class LakeTable:
             s for s in hist if s.summary.get("operation") != "vacuum"
         ] or hist[-1:]
         retained = data_snaps[-keep_last:] if keep_last > 0 else data_snaps[-1:]
+        if older_than_seconds is not None:
+            # Iceberg expire_snapshots(olderThan): only snapshots COMMITTED
+            # more than the window ago may expire — recent ones stay
+            # readable regardless of keep_last.  Commit time = the
+            # immutable log file's mtime (driver-side metadata).
+            age_cut = _time.time() - older_than_seconds
+            young = [
+                s
+                for s in data_snaps
+                if os.path.getmtime(
+                    os.path.join(
+                        self.root, LOG_DIR, f"v{s.version:012d}.json"
+                    )
+                )
+                > age_cut
+            ]
+            retained = sorted(
+                {s.version: s for s in retained + young}.values(),
+                key=lambda s: s.version,
+            )
         # tagged versions are pinned (Iceberg: tags block expiry):
         # their files stay live and reads of exactly those versions
         # stay legal — but the min_readable WATERMARK stays at the
@@ -1966,7 +1993,20 @@ class LakeTable:
                     os.path.join(self.root, e["path"]) for e in entries
                 }
         cutoff = _time.time() - grace_seconds
-        min_readable = retained[0].version
+        # the watermark must be the start of the CONTIGUOUS retained
+        # suffix of data snapshots: with age-based retention a hole is
+        # possible (an old-but-young-mtime snapshot below expired
+        # ones), and taking min(retained) across a hole would mark the
+        # expired middle readable -> executor FileNotFound.  Versions
+        # protected below the suffix keep their FILES live (above) but
+        # read conservatively through the tag allowlist only.
+        retained_versions = {s.version for s in retained}
+        min_readable = retained[-1].version
+        for s in reversed(data_snaps):
+            if s.version in retained_versions:
+                min_readable = s.version
+            else:
+                break
 
         # marker commits BEFORE any deletion: if we crash mid-delete,
         # expired reads already raise the clean retention error rather

@@ -461,6 +461,31 @@ def test_topk_plan_has_partial_prereduction(spark):
     assert "WindowGroupLimit" in pre_exchange and "Partial" in pre_exchange
 
 
+def test_topk_sq_plan_rides_rank_limit_pushdown(spark):
+    """Both of topk_sq's ranking passes must keep the rank-limit
+    pushdown: the int8 shortlist pre-reduces map-side (a Partial
+    WindowGroupLimit BEFORE its exchange), so only |Q|·P·(k·refine)
+    rows ever ship — the property that makes the quantized first pass
+    cheap at corpus scale."""
+    rng = np.random.RandomState(6)
+    vecs = rng.rand(60, 16).astype(np.float32)
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in vecs[i]]) for i in range(60)]
+    )
+    q = df.filter(F.col("vec_id") < 3)
+    plan = (
+        similarity.topk_sq(df, q, k=4, refine=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("WindowGroupLimit") >= 3  # final + partial+final shortlist
+    # the map-side partial must sit BELOW (after, in toString order)
+    # the shortlist's exchange
+    pre_exchange = plan.split("Exchange hashpartitioning(query_id")[-1]
+    assert "WindowGroupLimit" in pre_exchange and "Partial" in pre_exchange
+
+
 def test_neardup_dedup_matches_numpy(spark):
     """Greedy min-id cosine dedup vs a numpy fold: planted exact dup
     (id 30 == id 0) and near-dup (id 31 ~ id 1) must die; survivors

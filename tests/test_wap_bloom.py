@@ -378,6 +378,32 @@ def test_tag_pin_does_not_resurrect_intermediate_versions(spark, table):
         table.read(spark, version=3)  # intermediate: still expired
 
 
+def test_vacuum_older_than_protects_recent_snapshots(spark, table):
+    """Iceberg expire_snapshots(olderThan) semantics: a snapshot
+    committed inside the age window stays readable even when keep_last
+    would expire it; aging the log files releases the protection."""
+    import time
+
+    from airbyte_spark.lake.log import LOG_DIR
+
+    table.append(spark, _df(spark, 0, 50), epoch=1)    # v1
+    table.append(spark, _df(spark, 50, 100), epoch=2)   # v2
+    table.compact(spark)                                 # v3 rewrite
+    # everything is young: keep_last=1 alone would expire v1/v2, the
+    # age window protects them
+    table.vacuum(keep_last=1, grace_seconds=0, older_than_seconds=3600)
+    assert table.read(spark, version=1).count() == 50
+    assert table.read(spark, version=2).count() == 100
+    # age v1/v2 beyond the window: now they expire
+    for v in (1, 2):
+        p = os.path.join(table.root, LOG_DIR, f"v{v:012d}.json")
+        os.utime(p, (time.time() - 7200, time.time() - 7200))
+    table.vacuum(keep_last=1, grace_seconds=0, older_than_seconds=3600)
+    with pytest.raises(ValueError, match="expired by vacuum"):
+        table.read(spark, version=1)
+    assert table.read(spark).count() == 100
+
+
 def test_tag_unknown_ref_errors(spark, table):
     table.append(spark, _df(spark, 0, 10), epoch=1)
     with pytest.raises(ValueError, match="no tag"):
