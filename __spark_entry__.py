@@ -498,6 +498,36 @@ def doc_clean_corpus(spark, sf):
     return A_dedup.dedup_exact(kept).select("doc_id")
 
 
+def doc_clean_corpus_spans(spark, sf):
+    """Cleaning pipeline with SPAN-level dedup composed in: quality
+    gate + english lang-ID + exact dedup (the doc_clean_corpus
+    stages), then C4-style cross-document span removal over the
+    survivors, then a minimum-length re-gate on what remains (docs
+    hollowed out to boilerplate shells drop).  Span dedup runs on the
+    REDUCED corpus — at 100 TB the chunk-frequency aggregation sees
+    only documents that already passed the cheap filters.  Returns
+    (doc_id, n_tokens_after) for survivors, value-verified in SQL."""
+    from airbyte_spark.analytics.text import span_dedup, tokens_expr
+
+    d = A_dedup._widen(_t(spark, sf, "documents"))
+    q = A_text.quality_score(
+        A_text.lang_id(d, engine="arrow", keep_scores=True), engine="arrow"
+    )
+    kept = q.filter(F.col("quality_ok") & (F.col("lang_pred") == "en"))
+    clean = A_dedup.dedup_exact(kept).select("doc_id", "text")
+    spans = span_dedup(clean)
+    return (
+        spans.select(
+            "doc_id",
+            F.when(F.length(F.trim(F.col("text"))) == 0, 0)
+            .otherwise(F.size(tokens_expr(F.col("text"))))
+            .cast("long")
+            .alias("n_tokens_after"),
+        )
+        .filter(F.col("n_tokens_after") >= 5)
+    )
+
+
 def doc_clean_corpus_neardup(spark, sf):
     """The FULL C4-style cleaning pipeline: quality gate + english
     lang-ID + exact-dup removal, then NEAR-dup removal over the
@@ -1165,6 +1195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": doc_lang_id,
         "doc_fingerprint": doc_fingerprint,
         "doc_clean_corpus": doc_clean_corpus,
+        "doc_clean_corpus_spans": doc_clean_corpus_spans,
         "doc_clean_corpus_neardup": doc_clean_corpus_neardup,
         "doc_clean_corpus_full": doc_clean_corpus_full,
         "doc_jaccard_pairs": doc_jaccard_pairs,
@@ -1834,6 +1865,38 @@ FROM q
 """,
         "doc_lang_id": _lang_case(),
         "doc_clean_corpus": _clean_corpus_sql(),
+        # clean stage as a CTE, then the span_dedup pipeline over the
+        # survivors and the post-dedup length re-gate
+        "doc_clean_corpus_spans": f"""
+WITH clean AS ({_clean_corpus_sql()}),
+ct AS (SELECT d.doc_id, d.text FROM documents d JOIN clean USING (doc_id)),
+t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM ct),
+base AS (SELECT doc_id, toks, len(toks) // 8 AS nf FROM t),
+chunks AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         array_to_string(toks[CAST(i AS INT)*8+1 : CAST(i AS INT)*8+8], ' ') AS chunk
+  FROM base, UNNEST(range(nf)) AS u(i)
+),
+freq AS (SELECT chunk FROM chunks GROUP BY chunk HAVING count(DISTINCT doc_id) > 1),
+body AS (
+  SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS b
+  FROM chunks WHERE chunk NOT IN (SELECT chunk FROM freq)
+  GROUP BY doc_id
+),
+tails AS (SELECT doc_id, array_to_string(toks[nf*8+1 : nf*8+8], ' ') AS tail FROM base),
+dedup AS (
+  SELECT d.doc_id,
+         trim(concat_ws(' ', coalesce(b, ''), tail)) AS text
+  FROM tails d LEFT JOIN body USING (doc_id)
+)
+SELECT doc_id,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+           AS n_tokens_after
+FROM dedup
+WHERE (CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(string_split_regex(trim(text), '\\s+')) END) >= 5
+""",
         "doc_clean_corpus_neardup": _clean_corpus_neardup_sql(),
         "doc_clean_corpus_full": _clean_corpus_full_sql(),
         "doc_fingerprint": f"""

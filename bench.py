@@ -66,8 +66,10 @@ BENCH_QUERIES = [
     # round 4: format("lake") WRITE path (python XXH64 bucketing) +
     # JVM merge over the python-written base (parity end to end)
     "cdc_lake_sink_write",
-    # round 4: C4-style cross-document span dedup
+    # round 4: C4-style cross-document span dedup + its composed
+    # clean->span->re-gate pipeline
     "doc_span_dedup",
+    "doc_clean_corpus_spans",
     # round 4: SCD2 point-in-time read (history build + interval filter)
     "scd2_events_asof",
 ]
