@@ -968,6 +968,30 @@ def cdc_rebucket_read(spark, sf):
     )
 
 
+def cdc_changelog_delete(spark, sf):
+    """Change-consumption of a row-level DELETE (read_changes emitting
+    before-images as _change_type='delete' — Iceberg changelog-scan
+    semantics): run the cdc_delete_where delete, then read ONLY the
+    change rows it produced and value-verify them against the SQL
+    definition of the deleted set."""
+    t, _cut_a, cut_b = _lake_epoch_appends(spark, sf)
+    v = t.snapshot().version
+    t.delete_where(
+        spark,
+        [("event_id", ">=", cut_b), ("event_type", "=", "error")],
+        epoch=4,
+    )
+    return (
+        t.read_changes(spark, since_version=v)
+        .filter(F.col("_change_type") == "delete")
+        .agg(
+            F.count(F.lit(1)).alias("n_deleted"),
+            F.sum("event_id").alias("sum_event_id"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
 def cdc_wap_publish(spark, sf):
     """Write-audit-publish (Iceberg wap.id staged commits): the last
     epoch is STAGED — durable, but invisible to readers (the pre-stage
@@ -1217,6 +1241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_pruned_scan": cdc_pruned_scan,
         "cdc_bloom_lookup": cdc_bloom_lookup,
         "cdc_delete_where": cdc_delete_where,
+        "cdc_changelog_delete": cdc_changelog_delete,
         "cdc_rebucket_read": cdc_rebucket_read,
         "cdc_lake_sink_write": cdc_lake_sink_write,
         "cdc_wap_publish": cdc_wap_publish,
@@ -2085,6 +2110,15 @@ SELECT CAST(16 AS BIGINT) AS n_buckets,
        CAST(sum(event_id) AS BIGINT) AS sum_event_id,
        round(sum(value), 2) AS sum_value
 FROM events
+""",
+        # the change rows ARE the deleted set
+        "cdc_changelog_delete": """
+WITH mx AS (SELECT max(event_id) AS m FROM events),
+c AS (SELECT (m * 4) // 5 AS cut FROM mx)
+SELECT CAST(count(*) AS BIGINT) AS n_deleted,
+       CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+       round(sum(value), 2) AS sum_value
+FROM events, c WHERE event_id >= cut AND event_type = 'error'
 """,
         "cdc_wap_publish": """
 WITH mx AS (SELECT max(event_id) AS m FROM events),

@@ -612,8 +612,13 @@ class LakeTable:
         spanning two commits that touch the same key emits both rows,
         and only this column lets a downstream MERGE pick the final
         winner (LWW on ``_change_version``; union order is arbitrary).
-        Snapshots that REMOVE files (COW merge, overwrite, compact)
-        fold history and are not change-consumable: ValueError."""
+        Row-level DELETE commits are change-consumable too: the
+        deleted rows (before-images) are emitted with
+        ``_change_type='delete'``, computed as old-content-of-rewritten
+        -files anti-join surviving-rewrite on the key (Iceberg's
+        changelog scan emits exactly this).  Other snapshots that
+        REMOVE files (COW merge, overwrite, compact) fold history and
+        are not change-consumable: ValueError."""
         until = self.snapshot(until_version)
         if until_version is not None:
             self._check_readable(until)
@@ -626,6 +631,34 @@ class LakeTable:
             removed = prev_paths - {f.path for f in cur.files}
             if removed:
                 op = cur.summary.get("operation")
+                if op == "delete":
+                    # row-level DELETE commits ARE change-consumable
+                    # (Iceberg changelog scans emit the deleted rows):
+                    # the delete set = old content of the rewritten
+                    # files ANTI-JOIN the surviving rewrite on the key
+                    # — both sides bounded by the delete's pruning,
+                    # never table size.  Old content resolves through
+                    # MOR rules (a delete of a delta-holding bucket
+                    # folded it, so the before-image needs resolution).
+                    self._check_readable(prev)
+                    removed_entries = [
+                        f for f in prev.files if f.path in removed
+                    ]
+                    added = [
+                        f for f in cur.files if f.path not in prev_paths
+                    ]
+                    old = self._read_resolved(spark, until, removed_entries)
+                    survivors = self._read_files(spark, until, added).select(
+                        *cur.key_cols
+                    )
+                    frames.append(
+                        old.join(survivors, cur.key_cols, "left_anti")
+                        .withColumn("_change_type", F.lit("delete"))
+                        .withColumn("_change_version", F.lit(v).cast("int"))
+                        .select(*names, "_change_type", "_change_version")
+                    )
+                    prev = cur
+                    continue
                 raise ValueError(
                     f"snapshot v{v} ({op!r}) removed/rewrote "
                     f"{len(removed)} files; change reads need append/"

@@ -70,6 +70,8 @@ BENCH_QUERIES = [
     # clean->span->re-gate pipeline
     "doc_span_dedup",
     "doc_clean_corpus_spans",
+    # round 4: change-consumption of a row-level DELETE (before-images)
+    "cdc_changelog_delete",
     # round 4: SCD2 point-in-time read (history build + interval filter)
     "scd2_events_asof",
 ]

@@ -278,6 +278,33 @@ def test_delete_where_resolves_mor_buckets(spark, table):
     assert not any(f.delta for f in table.snapshot().files)
 
 
+def test_read_changes_emits_delete_rows(spark, table):
+    """A row-level DELETE is change-consumable: read_changes emits the
+    deleted rows (before-images) as _change_type='delete', alongside
+    the appends' inserts — including through a MOR fold, where the
+    before-image must be the RESOLVED winner, not the stale base."""
+    table.append(spark, _df(spark, 0, 100), epoch=1)
+    v0 = table.snapshot().version
+    table.append(spark, _df(spark, 100, 150), epoch=2)
+    table.delete_where(spark, [("user_id", "=", 3)])
+    ch = table.read_changes(spark, since_version=v0).collect()
+    ins = [r for r in ch if r["_change_type"] == "insert"]
+    dels = [r for r in ch if r["_change_type"] == "delete"]
+    assert len(ins) == 50
+    expect_del = [i for i in range(150) if i % 7 == 3]
+    assert sorted(r["event_id"] for r in dels) == expect_del
+    # MOR fold: upsert key 10's tag via delta, then delete tag t9 —
+    # the emitted before-image carries the UPDATED tag
+    upd = _df(spark, 10, 11, lsn_base=10_000).withColumn("tag", F.lit("t9"))
+    table.merge_mor(spark, upd, order_cols=["lsn"], op_col=None, epoch=3)
+    v1 = table.snapshot().version
+    table.delete_where(spark, [("tag", "=", "t9")])
+    ch2 = table.read_changes(spark, since_version=v1).collect()
+    assert [(r["event_id"], r["tag"], r["_change_type"]) for r in ch2] == [
+        (10, "t9", "delete")
+    ]
+
+
 def test_delete_where_null_predicate_rows_survive(spark, table):
     df = _df(spark, 0, 100).withColumn(
         "tag", F.when(F.col("event_id") < 10, F.lit(None)).otherwise(F.col("tag"))
