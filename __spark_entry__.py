@@ -1132,6 +1132,40 @@ def cdc_changelog_scan(spark, sf):
     )
 
 
+def cdc_changelog_net(spark, sf):
+    """NET changelog view (read_changes_net, the Iceberg net_changes
+    analog): the fixture grows a 4th epoch whose delta overlaps the
+    3rd epoch's appended keys — every 9th hi-slice id is deleted right
+    after being inserted (nets to NOTHING), every other 3rd id is
+    re-upserted with value+1000 (nets to a single insert carrying the
+    FINAL value).  The oracle reproduces the collapsed view from the
+    same integer rules, so intermediate-state removal is
+    value-verified, not just row-counted."""
+    t, _cut_a, cut_b = _lake_mor_fixture(spark, sf)
+    e = _t(spark, sf, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    late = (
+        e.filter((F.col("event_id") >= cut_b) & (F.col("event_id") % 3 == 0))
+        .withColumn("value", F.col("value") + 1000)
+        .withColumn(
+            "op",
+            F.when(F.col("event_id") % 9 == 0, F.lit("d")).otherwise(F.lit("u")),
+        )
+    )
+    t.merge_mor(spark, late, order_cols=["event_id"], op_col="op",
+                delete_value="d", epoch=4)                              # v4
+    net = t.read_changes_net(spark, since_version=1)
+    return (
+        net.groupBy("_change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("event_id").cast("long").alias("sum_event_id"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
 def cdc_incremental_appends(spark, sf):
     """Iceberg-style incremental append consumption: read ONLY the
     data files added after a snapshot (here: since v1 = the first
@@ -1249,6 +1283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lake_source_mor": cdc_lake_source_mor,
         "cdc_incremental_appends": cdc_incremental_appends,
         "cdc_changelog_scan": cdc_changelog_scan,
+        "cdc_changelog_net": cdc_changelog_net,
     }
 
 
@@ -2165,6 +2200,27 @@ SELECT _change_type,
        CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(event_id) AS BIGINT) AS sum_event_id
 FROM ch GROUP BY _change_type
+""",
+        "cdc_changelog_net": """
+WITH mx AS (SELECT max(event_id) AS m FROM events),
+mid AS (SELECT event_id, value FROM events, mx
+        WHERE event_id >= m // 2 AND event_id < (m * 4) // 5),
+hi  AS (SELECT event_id, value FROM events, mx WHERE event_id >= (m * 4) // 5),
+net AS (
+  SELECT CASE WHEN event_id % 7 = 0 THEN 'delete' ELSE 'update_after' END
+           AS _change_type, event_id, value FROM mid
+  UNION ALL
+  SELECT 'insert' AS _change_type, event_id, value FROM hi
+  WHERE event_id % 3 != 0
+  UNION ALL
+  SELECT 'insert' AS _change_type, event_id, value + 1000 AS value FROM hi
+  WHERE event_id % 3 = 0 AND event_id % 9 != 0
+)
+SELECT _change_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+       round(sum(value), 2) AS sum_value
+FROM net GROUP BY _change_type
 """,
         "cdc_incremental_appends": """
 WITH mx AS (SELECT max(event_id) AS m FROM events),

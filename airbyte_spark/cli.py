@@ -194,6 +194,10 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("changes", help="row-level changelog read since a version")
     sp.add_argument("--table", required=True)
     sp.add_argument("--since", type=int, required=True)
+    sp.add_argument(
+        "--net", action="store_true",
+        help="collapse to net changes per key (Iceberg net_changes view)",
+    )
 
     sp = sub.add_parser(
         "tail", help="stream the table's appends to parquet (exactly-once)"
@@ -403,13 +407,19 @@ def main(argv: list[str] | None = None) -> int:
 
         from airbyte_spark.lake import LakeTable
 
+        t = LakeTable(args.table)
+        ch = (
+            t.read_changes_net(spark, args.since)
+            if args.net
+            else t.read_changes(spark, args.since)
+        )
         counts = (
-            LakeTable(args.table).read_changes(spark, args.since)
-            .groupBy("_change_type").agg(F.count(F.lit(1)).alias("n"))
+            ch.groupBy("_change_type").agg(F.count(F.lit(1)).alias("n"))
             .collect()
         )
         print(json.dumps({
             "since_version": args.since,
+            "net": bool(args.net),
             "changes": {r["_change_type"]: r["n"] for r in counts},
         }))
     elif args.cmd == "tail":

@@ -701,6 +701,72 @@ class LakeTable:
             out = out.unionByName(f)
         return out
 
+    def read_changes_net(
+        self,
+        spark: SparkSession,
+        since_version: int,
+        until_version: int | None = None,
+    ) -> DataFrame:
+        """NET row-level changes between two snapshots (Iceberg's
+        ``net_changes`` changelog view): the per-version changelog of
+        :meth:`read_changes` collapsed to at most one row per key —
+        the range's net effect, with intermediate states removed:
+
+        * a key touched by several commits emits only its FINAL row
+          (LWW on ``_change_version``), carrying the final values;
+        * a key both created (``insert``) and deleted inside the
+          range emits NOTHING — it nets to zero for a consumer that
+          reads the range as one unit;
+        * a key created and then updated inside the range emits one
+          ``insert`` with the final values (the consumer has never
+          seen it, so the net change IS an insert);
+        * otherwise the final row keeps its own change type
+          (``update_after`` / ``delete``).
+
+        Delta-born keys are ``update_after`` even when new (deltas
+        carry no before-image — same documented ambiguity as
+        :meth:`read_changes`), so insert-collapse only fires for keys
+        whose first in-range appearance was a base-file append.
+
+        Scale: one hash shuffle on the key columns; both window
+        passes reuse the same exchange (same partitioning), so the
+        plan costs exactly one extra shuffle over the raw changelog.
+        Ties inside one version (duplicate keys in a single append)
+        are all retained — an append does not deduplicate, so the net
+        state of that key is those rows.
+        """
+        from pyspark.sql import Window
+
+        snap = self.snapshot(until_version)
+        ch = self.read_changes(spark, since_version, until_version)
+        w = Window.partitionBy(*snap.key_cols)
+        ch = ch.withColumn(
+            "_vmin", F.min("_change_version").over(w)
+        ).withColumn("_vmax", F.max("_change_version").over(w))
+        ch = ch.withColumn(
+            "_first_type",
+            F.max(
+                F.when(
+                    F.col("_change_version") == F.col("_vmin"),
+                    F.col("_change_type"),
+                )
+            ).over(w),
+        )
+        net = ch.filter(F.col("_change_version") == F.col("_vmax")).filter(
+            ~(
+                (F.col("_first_type") == "insert")
+                & (F.col("_change_type") == "delete")
+            )
+        )
+        names = [f["name"] for f in snap.fields]
+        return net.select(
+            *names,
+            F.when(F.col("_first_type") == "insert", F.lit("insert"))
+            .otherwise(F.col("_change_type"))
+            .alias("_change_type"),
+            "_change_version",
+        )
+
     def files_df(self, spark: SparkSession) -> DataFrame:
         """Metadata table: one row per live data file (Iceberg's
         ``table.files`` analog).  Driver-side log only."""

@@ -138,6 +138,11 @@ def test_scan_files_history_appends_verbs(tmp_path):
     r = json.loads(_cli("changes", "--table", table, "--since", "0"))
     assert r["changes"] == {"insert": total_rows}
 
+    # net view: a single-append history has nothing to collapse, so
+    # the verb must agree with the raw changelog
+    r = json.loads(_cli("changes", "--table", table, "--since", "0", "--net"))
+    assert r["net"] is True and r["changes"] == {"insert": total_rows}
+
     # downstream tail: two invocations with one checkpoint read the
     # table exactly once (no new appends -> second run adds nothing)
     tail_out = os.path.join(tmp_path, "tail_out")

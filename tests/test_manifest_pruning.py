@@ -14,6 +14,7 @@ import datetime
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     LongType, StringType, StructField, StructType, TimestampType,
 )
@@ -472,6 +473,60 @@ def test_read_changes_change_version_ordering(spark, tmp_path):
     win = lww_dedup(ch, ["repo", "path"], ["_change_version"])
     final = {r["path"]: r["_change_type"] for r in win.collect()}
     assert final["p0"] == "delete"
+
+
+def test_read_changes_net(spark, tmp_path):
+    """Iceberg net_changes analog: the changelog collapsed to one row
+    per key — final values win, insert-then-delete nets to nothing,
+    insert-then-update nets to a single insert, and replaying the net
+    view onto the since-state reproduces the until-state exactly."""
+    t = LakeTable.create(str(tmp_path / "net"), SCHEMA, ["repo", "path"], n_buckets=2)
+    t.append(spark, _batch(spark, 0, 10), epoch=1)                      # v1
+    op_schema = StructType(list(SCHEMA.fields)).add("op", StringType())
+
+    def delta(rows, epoch):
+        t.merge_mor(
+            spark,
+            spark.createDataFrame(
+                [Row(repo=f"r{i % 3}", path=f"p{i}", lsn=lsn, ts=T0, op=op)
+                 for i, lsn, op in rows],
+                op_schema,
+            ),
+            order_cols=["lsn"], op_col="op", delete_value="d", epoch=epoch,
+        )
+
+    delta([(0, 100, "d"), (1, 101, "u")], epoch=2)                      # v2
+    t.append(spark, _batch(spark, 50, 55), epoch=3)                     # v3
+    # v4: delete a v3 insert (nets to nothing), update a v3 insert
+    # (nets to insert w/ final lsn), re-update p1 (final lsn wins)
+    delta([(50, 900, "d"), (51, 999, "u"), (1, 201, "u")], epoch=4)     # v4
+
+    net = {r["path"]: r for r in t.read_changes_net(spark, 1).collect()}
+    assert "p50" not in net                       # created+deleted in range
+    assert net["p0"]["_change_type"] == "delete"
+    assert (net["p1"]["_change_type"], net["p1"]["lsn"],
+            net["p1"]["_change_version"]) == ("update_after", 201, 4)
+    assert (net["p51"]["_change_type"], net["p51"]["lsn"]) == ("insert", 999)
+    for i in (52, 53, 54):
+        assert (net[f"p{i}"]["_change_type"], net[f"p{i}"]["lsn"]) == ("insert", i)
+    assert set(net) == {"p0", "p1", "p51", "p52", "p53", "p54"}
+
+    # replay parity: since-state + net view == until-state
+    base = t.read(spark, version=1)
+    chg = t.read_changes_net(spark, 1)
+    dels = chg.select("repo", "path")
+    upserts = chg.filter(F.col("_change_type") != "delete").drop(
+        "_change_type", "_change_version"
+    )
+    replayed = base.join(dels, ["repo", "path"], "left_anti").unionByName(upserts)
+    assert {tuple(r) for r in replayed.collect()} == {
+        tuple(r) for r in t.read(spark).collect()
+    }
+
+    # bounded range: (1, 3] has no cross-version collapse — pure changelog
+    net13 = {r["path"]: r["_change_type"]
+             for r in t.read_changes_net(spark, 1, until_version=3).collect()}
+    assert net13["p0"] == "delete" and net13["p50"] == "insert"
 
 
 def test_vacuum_does_not_ratchet(spark, tmp_path):
