@@ -1166,6 +1166,60 @@ def cdc_changelog_net(spark, sf):
     )
 
 
+def cdc_replicate(spark, sf):
+    """Lake-to-lake incremental replication (lake/replicate.py): a
+    destination table kept in sync by consuming the source's net
+    changelog, exactly-once via the destination's own epoch gate.
+    Bootstrap after epoch 1, then three more source epochs — a MOR
+    delta, a COMPACT (content-preserving maintenance inside the
+    range, skipped not resynced), an append, and a second delta
+    overlapping the append's keys — land in ONE incremental apply.
+    The returned row pins the replication mode ('incremental', i.e.
+    the maintenance commit did NOT force a resync) and the full
+    destination state, which the oracle recomputes from the same
+    integer rules."""
+    from airbyte_spark.lake.table import LakeTable
+    from airbyte_spark.lake.replicate import replicate
+
+    e = _t(spark, sf, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    mx = e.agg(F.max("event_id")).collect()[0][0]
+    cut_a, cut_b = mx // 2, (mx * 4) // 5
+    root = tempfile.mkdtemp(prefix="lake_repl_")
+    src = LakeTable.create(os.path.join(root, "src"), e.schema, ["event_id"],
+                           n_buckets=8)
+    dst = LakeTable.create(os.path.join(root, "dst"), e.schema, ["event_id"],
+                           n_buckets=8)
+    src.append(spark, e.filter(F.col("event_id") < cut_a), epoch=1)       # v1
+    replicate(spark, src, dst)                                # bootstrap
+    mid = e.filter(
+        (F.col("event_id") >= cut_a) & (F.col("event_id") < cut_b)
+    ).withColumn(
+        "op", F.when(F.col("event_id") % 7 == 0, F.lit("d")).otherwise(F.lit("u"))
+    )
+    src.merge_mor(spark, mid, order_cols=["event_id"], op_col="op",
+                  delete_value="d", epoch=2)                              # v2
+    src.compact(spark)                                                    # v3
+    src.append(spark, e.filter(F.col("event_id") >= cut_b), epoch=3)      # v4
+    late = (
+        e.filter((F.col("event_id") >= cut_b) & (F.col("event_id") % 3 == 0))
+        .withColumn("value", F.col("value") + 1000)
+        .withColumn(
+            "op",
+            F.when(F.col("event_id") % 9 == 0, F.lit("d")).otherwise(F.lit("u")),
+        )
+    )
+    src.merge_mor(spark, late, order_cols=["event_id"], op_col="op",
+                  delete_value="d", epoch=4)                              # v5
+    r = replicate(spark, src, dst)
+    return dst.read(spark).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("event_id").cast("long").alias("sum_event_id"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    ).select(F.lit(r["mode"]).alias("mode"), "*")
+
+
 def cdc_incremental_appends(spark, sf):
     """Iceberg-style incremental append consumption: read ONLY the
     data files added after a snapshot (here: since v1 = the first
@@ -1284,6 +1338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_incremental_appends": cdc_incremental_appends,
         "cdc_changelog_scan": cdc_changelog_scan,
         "cdc_changelog_net": cdc_changelog_net,
+        "cdc_replicate": cdc_replicate,
     }
 
 
@@ -2221,6 +2276,26 @@ SELECT _change_type,
        CAST(sum(event_id) AS BIGINT) AS sum_event_id,
        round(sum(value), 2) AS sum_value
 FROM net GROUP BY _change_type
+""",
+        "cdc_replicate": """
+WITH mx AS (SELECT max(event_id) AS m FROM events),
+fin AS (
+  SELECT event_id, value FROM events, mx WHERE event_id < m // 2
+  UNION ALL
+  SELECT event_id, value FROM events, mx
+   WHERE event_id >= m // 2 AND event_id < (m * 4) // 5 AND event_id % 7 != 0
+  UNION ALL
+  SELECT event_id, value FROM events, mx
+   WHERE event_id >= (m * 4) // 5 AND event_id % 3 != 0
+  UNION ALL
+  SELECT event_id, value + 1000 AS value FROM events, mx
+   WHERE event_id >= (m * 4) // 5 AND event_id % 3 = 0 AND event_id % 9 != 0
+)
+SELECT 'incremental' AS mode,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+       round(sum(value), 2) AS sum_value
+FROM fin
 """,
         "cdc_incremental_appends": """
 WITH mx AS (SELECT max(event_id) AS m FROM events),

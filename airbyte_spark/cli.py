@@ -200,6 +200,13 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     sp = sub.add_parser(
+        "replicate",
+        help="sync a destination lake table from a source's net changelog",
+    )
+    sp.add_argument("--src", required=True)
+    sp.add_argument("--dst", required=True)
+
+    sp = sub.add_parser(
         "tail", help="stream the table's appends to parquet (exactly-once)"
     )
     sp.add_argument("--table", required=True)
@@ -422,6 +429,19 @@ def main(argv: list[str] | None = None) -> int:
             "net": bool(args.net),
             "changes": {r["_change_type"]: r["n"] for r in counts},
         }))
+    elif args.cmd == "replicate":
+        from airbyte_spark.lake import LakeTable
+        from airbyte_spark.lake.replicate import replicate
+        from airbyte_spark.lake.table import struct_from_fields
+
+        src = LakeTable(args.src)
+        if not LakeTable.exists(args.dst):
+            snap = src.snapshot()
+            LakeTable.create(
+                args.dst, struct_from_fields(snap.fields),
+                snap.key_cols, n_buckets=snap.n_buckets,
+            )
+        print(json.dumps(replicate(spark, src, LakeTable(args.dst))))
     elif args.cmd == "tail":
         from airbyte_spark.lake import datasource as lake_ds
 

@@ -1,0 +1,118 @@
+"""Lake-to-lake incremental replication driven by the changelog.
+
+The downstream half of the CDC story: a destination table kept in
+sync with a source table by consuming the source's NET changelog
+(``read_changes_net``) and MERGE-ing it in, exactly-once.  This is
+the reference's source→destination sync loop re-expressed over two
+lake tables (reference: the per-sync read/write pairing in
+airbyte-cdk's IntegrationRunner and the snapshot-then-stream
+bootstrap of debezium/DebeziumRecordIterator.java; the apply side is
+what an Iceberg CDC pipeline does when it MERGEs a changelog scan
+into a downstream table).
+
+Exactly-once without an external state store: the destination's own
+epoch gate IS the replication cursor.  Each apply commits with
+``epoch = <source version replicated up to>`` under a dedicated
+stream name, so the cursor and the data land in ONE atomic snapshot —
+a crash between "data applied" and "cursor advanced" cannot exist,
+and a retried apply is a structural no-op (the same rule that makes
+the CDC pipeline's kill/resume safe, engine/pipeline.py).
+
+Failure modes map to the reference's offset-invalidation guard
+(engine/pipeline.py:240-262): when the incremental range is no longer
+change-consumable — a COW merge/overwrite/rollback folded history, or
+vacuum expired the cursor's snapshot — replicate falls back to a full
+resync (overwrite from the source's current state), exactly as
+Debezium re-snapshots when its offset is no longer in the WAL.
+Content-preserving maintenance (compact/rebucket) is skipped via
+``skip_maintenance`` and does NOT force a resync.
+
+Scale: the incremental path moves only the net changes — one key-hash
+shuffle to collapse the changelog plus the merge's bucket-pruned
+shuffle; the source table is never rescanned.  A resync is a full
+copy by construction, which is the correct (and unavoidable) cost of
+an invalidated cursor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from airbyte_spark.engine.dedup import lww_dedup
+from airbyte_spark.lake.table import LakeTable
+
+#: Epoch-gate stream name holding the replication cursor in the
+#: destination's snapshot log.
+REPLICATE_STREAM = "replicate"
+
+
+def replicate(
+    spark: SparkSession,
+    src: LakeTable,
+    dst: LakeTable,
+    *,
+    stream: str = REPLICATE_STREAM,
+) -> dict:
+    """Advance ``dst`` to ``src``'s current snapshot.  Idempotent:
+    call it on any schedule; an up-to-date destination is a no-op and
+    a replayed call after a crash is epoch-gated out.
+
+    Returns ``{"mode": noop|bootstrap|incremental|resync,
+    "since": <prev cursor>, "until": <new cursor>, "applied": n}``
+    where ``applied`` counts net change rows merged (incremental) or
+    rows copied (bootstrap/resync).
+    """
+    src_snap = src.snapshot()
+    dst_snap = dst.snapshot()
+    src_names = [f["name"] for f in src_snap.fields]
+    dst_names = [f["name"] for f in dst_snap.fields]
+    if src_names != dst_names or src_snap.key_cols != dst_snap.key_cols:
+        raise ValueError(
+            "replicate: source/destination schema or key mismatch "
+            f"(src fields {src_names} keys {src_snap.key_cols}; "
+            f"dst fields {dst_names} keys {dst_snap.key_cols}) — "
+            "evolve the destination first"
+        )
+    since = dst.last_epoch(stream)
+    until = src_snap.version
+    if since >= until:
+        return {"mode": "noop", "since": since, "until": since, "applied": 0}
+
+    if since < 0:
+        full = src.read(spark)
+        n = full.count()
+        dst.overwrite(spark, full, epoch=until, stream=stream)
+        return {"mode": "bootstrap", "since": since, "until": until, "applied": n}
+
+    try:
+        net = src.read_changes_net(
+            spark, since, until_version=until, skip_maintenance=True
+        )
+    except ValueError:
+        # history folded (COW merge / overwrite / rollback in range)
+        # or the cursor's snapshot expired: cursor invalid -> resync
+        full = src.read(spark)
+        n = full.count()
+        dst.overwrite(spark, full, epoch=until, stream=stream)
+        return {"mode": "resync", "since": since, "until": until, "applied": n}
+
+    # merge needs exactly one row per key; net guarantees it except
+    # for duplicate-key rows inside a single source append, which a
+    # keyed destination must collapse anyway (LWW on change version)
+    net = lww_dedup(net, src_snap.key_cols, ["_change_version"])
+    batch = net.withColumn(
+        "_op",
+        F.when(F.col("_change_type") == "delete", F.lit("d")).otherwise(
+            F.lit("u")
+        ),
+    ).drop("_change_type", "_change_version")
+    n = batch.count()
+    if n == 0:
+        # heartbeat: advance the cursor with a metadata-only commit so
+        # an idle source doesn't leave the range growing unboundedly
+        dst.commit_epoch(until, stream=stream)
+        return {"mode": "incremental", "since": since, "until": until, "applied": 0}
+    dst.merge(spark, batch, op_col="_op", delete_value="d",
+              epoch=until, stream=stream)
+    return {"mode": "incremental", "since": since, "until": until, "applied": n}

@@ -597,6 +597,8 @@ class LakeTable:
         spark: SparkSession,
         since_version: int,
         until_version: int | None = None,
+        *,
+        skip_maintenance: bool = False,
     ) -> DataFrame:
         """Row-level changelog between two snapshots (Iceberg's
         changelog scan analog): every row added in (since, until]
@@ -618,7 +620,15 @@ class LakeTable:
         -files anti-join surviving-rewrite on the key (Iceberg's
         changelog scan emits exactly this).  Other snapshots that
         REMOVE files (COW merge, overwrite, compact) fold history and
-        are not change-consumable: ValueError."""
+        are not change-consumable: ValueError.
+
+        ``skip_maintenance=True`` (Delta's ``skipChangeCommits``
+        analog) skips CONTENT-PRESERVING rewrites — ``compact`` and
+        ``rebucket`` — instead of raising: they move rows between
+        files without changing any row, and any deltas they fold were
+        already emitted at their own versions, so skipping is exact.
+        Content-CHANGING rewrites (COW merge, overwrite, rollback)
+        still raise — those genuinely fold history."""
         until = self.snapshot(until_version)
         if until_version is not None:
             self._check_readable(until)
@@ -657,6 +667,9 @@ class LakeTable:
                         .withColumn("_change_version", F.lit(v).cast("int"))
                         .select(*names, "_change_type", "_change_version")
                     )
+                    prev = cur
+                    continue
+                if skip_maintenance and op in ("compact", "rebucket"):
                     prev = cur
                     continue
                 raise ValueError(
@@ -706,6 +719,8 @@ class LakeTable:
         spark: SparkSession,
         since_version: int,
         until_version: int | None = None,
+        *,
+        skip_maintenance: bool = False,
     ) -> DataFrame:
         """NET row-level changes between two snapshots (Iceberg's
         ``net_changes`` changelog view): the per-version changelog of
@@ -738,7 +753,10 @@ class LakeTable:
         from pyspark.sql import Window
 
         snap = self.snapshot(until_version)
-        ch = self.read_changes(spark, since_version, until_version)
+        ch = self.read_changes(
+            spark, since_version, until_version,
+            skip_maintenance=skip_maintenance,
+        )
         w = Window.partitionBy(*snap.key_cols)
         ch = ch.withColumn(
             "_vmin", F.min("_change_version").over(w)

@@ -74,6 +74,11 @@ BENCH_QUERIES = [
     "cdc_changelog_delete",
     # round 4: SCD2 point-in-time read (history build + interval filter)
     "scd2_events_asof",
+    # round 4: net changelog view (4-epoch build + per-key collapse)
+    "cdc_changelog_net",
+    # round 4: lake-to-lake replication (bootstrap + incremental apply
+    # across a delta/compact/append/delta source history)
+    "cdc_replicate",
 ]
 
 

@@ -160,6 +160,25 @@ def test_scan_files_history_appends_verbs(tmp_path):
     assert r["compacted_to_version"] is not None
 
 
+def test_replicate_verb(tmp_path):
+    """replicate: creates the destination from the source's schema on
+    first run (bootstrap), then is a structural no-op when caught up."""
+    src = os.path.join(tmp_path, "src")
+    dst = os.path.join(tmp_path, "dst")
+    json.loads(_cli(
+        "init", "--table", src, "--base-rows", "100",
+        "--buckets", "2", "--repos", "4", "--paths-per-repo", "30",
+    ))
+    r = json.loads(_cli("replicate", "--src", src, "--dst", dst))
+    assert r["mode"] == "bootstrap" and r["applied"] > 0
+    rows = r["applied"]
+    r = json.loads(_cli("replicate", "--src", src, "--dst", dst))
+    assert r["mode"] == "noop"
+    files = [json.loads(line) for line in
+             _cli("files", "--table", dst).strip().splitlines()]
+    assert sum(f["rows"] for f in files) == rows
+
+
 def _cli_fail(*args: str) -> str:
     """Run a verb expected to FAIL; returns stderr."""
     env = dict(os.environ, SPARK_GRAFT_CPUS="2", PYTHONPATH=REPO)

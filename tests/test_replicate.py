@@ -1,0 +1,130 @@
+"""Lake-to-lake incremental replication (lake/replicate.py): the
+destination's epoch gate is the replication cursor, net changelog is
+the transport, and cursor invalidation falls back to a full resync —
+the source→destination sync loop + Debezium's re-snapshot rule,
+re-expressed over two lake tables."""
+
+import datetime
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType, StringType, StructField, StructType, TimestampType,
+)
+
+from airbyte_spark.lake import LakeTable
+from airbyte_spark.lake.replicate import replicate
+
+SCHEMA = StructType(
+    [
+        StructField("repo", StringType()),
+        StructField("path", StringType()),
+        StructField("lsn", LongType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+T0 = datetime.datetime(2024, 1, 1)
+
+
+def _batch(spark, lo, hi):
+    return spark.createDataFrame(
+        [
+            Row(repo=f"r{i % 3}", path=f"p{i}", lsn=i,
+                ts=T0 + datetime.timedelta(seconds=i))
+            for i in range(lo, hi)
+        ],
+        SCHEMA,
+    )
+
+
+def _state(spark, t):
+    return {tuple(r) for r in t.read(spark).collect()}
+
+
+@pytest.fixture()
+def pair(spark, tmp_path):
+    src = LakeTable.create(str(tmp_path / "src"), SCHEMA, ["repo", "path"],
+                           n_buckets=4)
+    dst = LakeTable.create(str(tmp_path / "dst"), SCHEMA, ["repo", "path"],
+                           n_buckets=4)
+    src.append(spark, _batch(spark, 0, 30), epoch=1)
+    return src, dst
+
+
+def test_bootstrap_then_noop(spark, pair):
+    src, dst = pair
+    r = replicate(spark, src, dst)
+    assert r["mode"] == "bootstrap" and r["applied"] == 30
+    assert _state(spark, dst) == _state(spark, src)
+    r = replicate(spark, src, dst)
+    assert r["mode"] == "noop" and r["applied"] == 0
+
+
+def test_incremental_upserts_and_deletes(spark, pair):
+    src, dst = pair
+    replicate(spark, src, dst)
+    op_schema = StructType(list(SCHEMA.fields)).add("op", StringType())
+    src.merge_mor(
+        spark,
+        spark.createDataFrame(
+            [Row(repo="r0", path="p0", lsn=100, ts=T0, op="d"),
+             Row(repo="r1", path="p1", lsn=101, ts=T0, op="u")],
+            op_schema,
+        ),
+        order_cols=["lsn"], op_col="op", delete_value="d", epoch=2,
+    )
+    src.append(spark, _batch(spark, 50, 55), epoch=3)
+    r = replicate(spark, src, dst)
+    # net: 1 delete + 1 update + 5 inserts
+    assert r["mode"] == "incremental" and r["applied"] == 7
+    assert _state(spark, dst) == _state(spark, src)
+    # replay after "crash": same src version -> structural no-op
+    assert replicate(spark, src, dst)["mode"] == "noop"
+    assert _state(spark, dst) == _state(spark, src)
+
+
+def test_maintenance_does_not_force_resync(spark, pair):
+    src, dst = pair
+    replicate(spark, src, dst)
+    src.append(spark, _batch(spark, 30, 40), epoch=2)
+    src.compact(spark)  # content-preserving rewrite inside the range
+    src.append(spark, _batch(spark, 40, 45), epoch=3)
+    r = replicate(spark, src, dst)
+    assert r["mode"] == "incremental" and r["applied"] == 15
+    assert _state(spark, dst) == _state(spark, src)
+
+
+def test_history_fold_falls_back_to_resync(spark, pair):
+    src, dst = pair
+    replicate(spark, src, dst)
+    # COW merge rewrites files -> the range is not change-consumable
+    src.merge(
+        spark,
+        _batch(spark, 0, 5).withColumn("lsn", F.col("lsn") + 1000),
+        epoch=2,
+    )
+    r = replicate(spark, src, dst)
+    assert r["mode"] == "resync" and r["applied"] == 30
+    assert _state(spark, dst) == _state(spark, src)
+
+
+def test_idle_source_advances_cursor(spark, pair):
+    src, dst = pair
+    replicate(spark, src, dst)
+    src.tag("audit")  # metadata-only snapshot: no rows changed
+    r = replicate(spark, src, dst)
+    assert r["mode"] == "incremental" and r["applied"] == 0
+    assert replicate(spark, src, dst)["mode"] == "noop"  # cursor moved
+    assert _state(spark, dst) == _state(spark, src)
+
+
+def test_schema_mismatch_raises(spark, tmp_path, pair):
+    src, _ = pair
+    other = LakeTable.create(
+        str(tmp_path / "other"),
+        StructType([StructField("k", StringType()), StructField("v", LongType())]),
+        ["k"], n_buckets=2,
+    )
+    with pytest.raises(ValueError, match="schema or key mismatch"):
+        replicate(spark, src, other)
