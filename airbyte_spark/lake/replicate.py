@@ -27,6 +27,13 @@ Debezium re-snapshots when its offset is no longer in the WAL.
 Content-preserving maintenance (compact/rebucket) is skipped via
 ``skip_maintenance`` and does NOT force a resync.
 
+DDL propagates: when the source evolved since the last sync, the
+destination is evolved by the source's own recorded schema changes
+(diffed in the source's field-id space) before the data applies —
+the lake-table analog of Debezium's schema-history replay
+(reference: debezium's schema-history store; the engine's
+schema-events path, lake/table.py evolve + engine/pipeline.py).
+
 Scale: the incremental path moves only the net changes — one key-hash
 shuffle to collapse the changelog plus the merge's bucket-pruned
 shuffle; the source table is never rescanned.  A resync is a full
@@ -40,11 +47,57 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from airbyte_spark.engine.dedup import lww_dedup
-from airbyte_spark.lake.table import LakeTable
+from airbyte_spark.lake.table import LakeTable, _dt_from_json_value
 
 #: Epoch-gate stream name holding the replication cursor in the
 #: destination's snapshot log.
 REPLICATE_STREAM = "replicate"
+
+
+def _schema_changes(old: list[dict], new: list[dict]) -> list[tuple]:
+    """Diff two field lists from the SAME field-id space (a source
+    table's own schema history) into evolve() changes.  Renames apply
+    first so an add can safely reuse a freed name."""
+    by_id_old = {f["id"]: f for f in old}
+    by_id_new = {f["id"]: f for f in new}
+    changes: list[tuple] = []
+    for f in new:
+        g = by_id_old.get(f["id"])
+        if g is not None and g["name"] != f["name"]:
+            changes.append(("rename", g["name"], f["name"]))
+    for f in new:
+        g = by_id_old.get(f["id"])
+        if g is None:
+            changes.append(("add", f["name"], _dt_from_json_value(f["type"])))
+        elif g["type"] != f["type"]:
+            changes.append(("widen", f["name"], _dt_from_json_value(f["type"])))
+    for g in old:
+        if g["id"] not in by_id_new:
+            changes.append(("drop", g["name"]))
+    return changes
+
+
+def _sync_schema(src_snap, dst: LakeTable) -> bool:
+    """DDL propagation: if the destination's (name, type) shape equals
+    SOME version in the source's schema history, evolve the
+    destination by the source's own recorded changes from that version
+    to current — the CDC analog of Debezium schema-history replay
+    (the reference stores DDL events for exactly this,
+    engine pipeline's schema-events path).  Field-id diffs come
+    entirely from the SOURCE's id space, so independently-created
+    destinations (whose ids may not align) still evolve correctly.
+    Returns True if the shapes match after (possibly) evolving;
+    False if the destination matches no source schema version."""
+    dst_fields = dst.snapshot().fields
+    want = [(f["name"], f["type"]) for f in dst_fields]
+    cur = [(f["name"], f["type"]) for f in src_snap.fields]
+    if want == cur:
+        return True
+    for sv in sorted(src_snap.schemas, reverse=True):
+        if [(f["name"], f["type"]) for f in src_snap.schemas[sv]] == want:
+            dst.evolve(_schema_changes(src_snap.schemas[sv], src_snap.fields))
+            return True
+    return False
 
 
 def replicate(
@@ -65,9 +118,9 @@ def replicate(
     """
     src_snap = src.snapshot()
     dst_snap = dst.snapshot()
-    src_names = [f["name"] for f in src_snap.fields]
-    dst_names = [f["name"] for f in dst_snap.fields]
-    if src_names != dst_names or src_snap.key_cols != dst_snap.key_cols:
+    if src_snap.key_cols != dst_snap.key_cols or not _sync_schema(src_snap, dst):
+        src_names = [f["name"] for f in src_snap.fields]
+        dst_names = [f["name"] for f in dst_snap.fields]
         raise ValueError(
             "replicate: source/destination schema or key mismatch "
             f"(src fields {src_names} keys {src_snap.key_cols}; "

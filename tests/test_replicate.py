@@ -119,6 +119,44 @@ def test_idle_source_advances_cursor(spark, pair):
     assert _state(spark, dst) == _state(spark, src)
 
 
+def test_schema_evolution_propagates(spark, pair):
+    """DDL propagation: the source's add/rename (recorded in its own
+    schema history) replays onto the destination before the net
+    changes apply — the Debezium schema-history pattern over lake
+    tables.  Old rows project NULL for the added column on BOTH
+    sides, so full-state parity still holds."""
+    src, dst = pair
+    replicate(spark, src, dst)
+    src.evolve([("add", "note", StringType()), ("rename", "lsn", "seq")])
+    new_schema = StructType(
+        [
+            StructField("repo", StringType()),
+            StructField("path", StringType()),
+            StructField("seq", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("note", StringType()),
+        ]
+    )
+    src.append(
+        spark,
+        spark.createDataFrame(
+            [Row(repo="r0", path=f"n{i}", seq=500 + i, ts=T0, note=f"x{i}")
+             for i in range(5)],
+            new_schema,
+        ),
+        epoch=2,
+    )
+    r = replicate(spark, src, dst)
+    assert r["mode"] == "incremental" and r["applied"] == 5
+    assert [f.name for f in dst.read(spark).schema.fields] == [
+        "repo", "path", "seq", "ts", "note",
+    ]
+    assert _state(spark, dst) == _state(spark, src)
+    # crash-replay across the evolve: schema sync is a no-op, apply is
+    # epoch-gated out
+    assert replicate(spark, src, dst)["mode"] == "noop"
+
+
 def test_schema_mismatch_raises(spark, tmp_path, pair):
     src, _ = pair
     other = LakeTable.create(
