@@ -205,6 +205,8 @@ def main(argv: list[str] | None = None) -> int:
     )
     sp.add_argument("--src", required=True)
     sp.add_argument("--dst", required=True)
+    sp.add_argument("--where", help="SQL row filter: dst is a partial replica")
+    sp.add_argument("--columns", help="comma-separated projection (keys required)")
 
     sp = sub.add_parser(
         "tail", help="stream the table's appends to parquet (exactly-once)"
@@ -435,13 +437,20 @@ def main(argv: list[str] | None = None) -> int:
         from airbyte_spark.lake.table import struct_from_fields
 
         src = LakeTable(args.src)
+        cols = args.columns.split(",") if args.columns else None
         if not LakeTable.exists(args.dst):
             snap = src.snapshot()
+            fields = (
+                [f for f in snap.fields if f["name"] in cols]
+                if cols else snap.fields
+            )
             LakeTable.create(
-                args.dst, struct_from_fields(snap.fields),
+                args.dst, struct_from_fields(fields),
                 snap.key_cols, n_buckets=snap.n_buckets,
             )
-        print(json.dumps(replicate(spark, src, LakeTable(args.dst))))
+        print(json.dumps(replicate(
+            spark, src, LakeTable(args.dst), where=args.where, columns=cols,
+        )))
     elif args.cmd == "tail":
         from airbyte_spark.lake import datasource as lake_ds
 

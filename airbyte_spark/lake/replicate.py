@@ -106,10 +106,27 @@ def replicate(
     dst: LakeTable,
     *,
     stream: str = REPLICATE_STREAM,
+    where: str | None = None,
+    columns: list[str] | None = None,
 ) -> dict:
     """Advance ``dst`` to ``src``'s current snapshot.  Idempotent:
     call it on any schedule; an up-to-date destination is a no-op and
     a replayed call after a crash is epoch-gated out.
+
+    ``where`` / ``columns`` make ``dst`` a PARTIAL replica (the
+    Debezium SMT filter/projection analog — reference: debezium's
+    filter + ReplaceField transforms applied in the sync pipe):
+
+    * ``where`` — a SQL boolean expression over source columns.  Only
+      matching rows live in the replica; an update that moves a row
+      OUT of the predicate propagates as a downstream DELETE (the row
+      left the replica's scope), with SQL WHERE NULL-semantics (a
+      NULL predicate does not match).  The predicate may reference
+      columns outside the projection — it evaluates on full source
+      rows before projecting.
+    * ``columns`` — keep only these columns (key columns required).
+      Projected replicas do NOT auto-propagate source DDL: their
+      shape is pinned to the projection, so a mismatch raises.
 
     Returns ``{"mode": noop|bootstrap|incremental|resync,
     "since": <prev cursor>, "until": <new cursor>, "applied": n}``
@@ -118,7 +135,20 @@ def replicate(
     """
     src_snap = src.snapshot()
     dst_snap = dst.snapshot()
-    if src_snap.key_cols != dst_snap.key_cols or not _sync_schema(src_snap, dst):
+    if columns is not None:
+        missing = [k for k in src_snap.key_cols if k not in columns]
+        if missing:
+            raise ValueError(
+                f"replicate: projection must keep key columns {missing}"
+            )
+        proj = [
+            (f["name"], f["type"]) for f in src_snap.fields
+            if f["name"] in columns
+        ]
+        shape_ok = [(f["name"], f["type"]) for f in dst_snap.fields] == proj
+    else:
+        shape_ok = _sync_schema(src_snap, dst)
+    if src_snap.key_cols != dst_snap.key_cols or not shape_ok:
         src_names = [f["name"] for f in src_snap.fields]
         dst_names = [f["name"] for f in dst_snap.fields]
         raise ValueError(
@@ -127,13 +157,24 @@ def replicate(
             f"dst fields {dst_names} keys {dst_snap.key_cols}) — "
             "evolve the destination first"
         )
+    dst_names = [f["name"] for f in dst.snapshot().fields]
+    match = (
+        F.coalesce(F.expr(where), F.lit(False)) if where is not None else None
+    )
+
+    def _full():
+        df = src.read(spark)
+        if match is not None:
+            df = df.filter(match)
+        return df.select(*dst_names)
+
     since = dst.last_epoch(stream)
     until = src_snap.version
     if since >= until:
         return {"mode": "noop", "since": since, "until": since, "applied": 0}
 
     if since < 0:
-        full = src.read(spark)
+        full = _full()
         n = full.count()
         dst.overwrite(spark, full, epoch=until, stream=stream)
         return {"mode": "bootstrap", "since": since, "until": until, "applied": n}
@@ -145,7 +186,7 @@ def replicate(
     except ValueError:
         # history folded (COW merge / overwrite / rollback in range)
         # or the cursor's snapshot expired: cursor invalid -> resync
-        full = src.read(spark)
+        full = _full()
         n = full.count()
         dst.overwrite(spark, full, epoch=until, stream=stream)
         return {"mode": "resync", "since": since, "until": until, "applied": n}
@@ -154,12 +195,14 @@ def replicate(
     # for duplicate-key rows inside a single source append, which a
     # keyed destination must collapse anyway (LWW on change version)
     net = lww_dedup(net, src_snap.key_cols, ["_change_version"])
+    deleted = F.col("_change_type") == "delete"
+    if match is not None:
+        # an upsert that no longer matches leaves the replica's scope:
+        # propagate as delete (a no-op when the key was never in dst)
+        deleted = deleted | ~match
     batch = net.withColumn(
-        "_op",
-        F.when(F.col("_change_type") == "delete", F.lit("d")).otherwise(
-            F.lit("u")
-        ),
-    ).drop("_change_type", "_change_version")
+        "_op", F.when(deleted, F.lit("d")).otherwise(F.lit("u"))
+    ).select(*dst_names, "_op")
     n = batch.count()
     if n == 0:
         # heartbeat: advance the cursor with a metadata-only commit so

@@ -25,6 +25,7 @@ SCHEMA = StructType(
     ]
 )
 T0 = datetime.datetime(2024, 1, 1)
+T1 = datetime.datetime(2024, 6, 1)  # later than every base-row ts
 
 
 def _batch(spark, lo, hi):
@@ -155,6 +156,70 @@ def test_schema_evolution_propagates(spark, pair):
     # crash-replay across the evolve: schema sync is a no-op, apply is
     # epoch-gated out
     assert replicate(spark, src, dst)["mode"] == "noop"
+
+
+def test_filtered_replica_scope_exit_deletes(spark, tmp_path, pair):
+    """Row-filtered partial replica (Debezium SMT filter analog): only
+    matching rows live downstream, and an update that moves a row OUT
+    of the predicate propagates as a delete — plus NULL-predicate rows
+    never match (SQL WHERE semantics)."""
+    src, _ = pair
+    dst = LakeTable.create(str(tmp_path / "flt"), SCHEMA, ["repo", "path"],
+                           n_buckets=4)
+    r = replicate(spark, src, dst, where="lsn < 20")
+    assert r["mode"] == "bootstrap" and r["applied"] == 20
+    op_schema = StructType(list(SCHEMA.fields)).add("op", StringType())
+    src.merge_mor(
+        spark,
+        spark.createDataFrame(
+            [
+                # p5 leaves the replica's scope (lsn 5 -> 500)
+                Row(repo="r2", path="p5", lsn=500, ts=T1, op="u"),
+                # p25 enters it (lsn 25 -> 7)
+                Row(repo="r1", path="p25", lsn=7, ts=T1, op="u"),
+                # NULL predicate: never matches -> stays out
+                Row(repo="r2", path="p8", lsn=None, ts=T1, op="u"),
+                # in-scope delete
+                Row(repo="r0", path="p3", lsn=300, ts=T1, op="d"),
+            ],
+            op_schema,
+        ),
+        order_cols=["ts"], op_col="op", delete_value="d", epoch=2,
+    )
+    r = replicate(spark, src, dst, where="lsn < 20")
+    assert r["mode"] == "incremental"
+    got = _state(spark, dst)
+    want = {tuple(r) for r in
+            src.read(spark).filter(F.col("lsn") < 20).collect()}
+    assert got == want
+    paths = {r[1] for r in got}
+    assert "p5" not in paths and "p8" not in paths and "p3" not in paths
+    assert "p25" in paths
+
+
+def test_projected_replica(spark, tmp_path, pair):
+    """Column-projected replica: key columns required, non-key columns
+    dropped; resync (after a COW fold) also respects the projection."""
+    src, _ = pair
+    proj_schema = StructType(
+        [StructField("repo", StringType()), StructField("path", StringType()),
+         StructField("lsn", LongType())]
+    )
+    dst = LakeTable.create(str(tmp_path / "proj"), proj_schema,
+                           ["repo", "path"], n_buckets=4)
+    r = replicate(spark, src, dst, columns=["repo", "path", "lsn"])
+    assert r["mode"] == "bootstrap"
+    assert dst.read(spark).columns == ["repo", "path", "lsn"]
+    # COW merge folds history -> filtered resync keeps the projection
+    src.merge(spark, _batch(spark, 0, 5).withColumn(
+        "lsn", F.col("lsn") + 1000), epoch=2)
+    r = replicate(spark, src, dst, columns=["repo", "path", "lsn"])
+    assert r["mode"] == "resync"
+    want = {tuple(r) for r in
+            src.read(spark).select("repo", "path", "lsn").collect()}
+    assert _state(spark, dst) == want
+    with pytest.raises(ValueError, match="key columns"):
+        replicate(spark, src, dst, columns=["repo", "lsn"])
 
 
 def test_schema_mismatch_raises(spark, tmp_path, pair):
