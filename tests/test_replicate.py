@@ -222,6 +222,115 @@ def test_projected_replica(spark, tmp_path, pair):
         replicate(spark, src, dst, columns=["repo", "lsn"])
 
 
+from hypothesis import strategies as st  # noqa: E402
+
+ops_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["append", "delta", "compact", "tag"]),
+        st.lists(
+            st.tuples(
+                st.integers(0, 11),   # key id
+                st.booleans(),        # delete?
+            ),
+            min_size=1, max_size=4,
+            unique_by=lambda t: t[0],
+        ),
+    ),
+    min_size=1, max_size=3,
+)
+
+
+def _hyp_settings():
+    from hypothesis import HealthCheck, settings
+
+    return settings(
+        max_examples=6, deadline=None,
+        suppress_health_check=[
+            HealthCheck.function_scoped_fixture, HealthCheck.too_slow,
+        ],
+    )
+
+
+def test_net_changes_replay_parity_any_history(spark, tmp_path):
+    """Property: for ANY history of appends / MOR deltas / compacts /
+    tags, (state at since) + net changes == (state at head), the net
+    view emits at most one row per key, and replicate() converges the
+    destination to the source — the generative twin of the pinned
+    net-changes fixtures."""
+    from hypothesis import given
+
+    @_hyp_settings()
+    @given(ops=ops_strategy)
+    def run(ops):
+        import uuid as _uuid
+
+        root = str(tmp_path / _uuid.uuid4().hex[:12])
+        src = LakeTable.create(root + "_s", SCHEMA, ["repo", "path"],
+                               n_buckets=2)
+        dst = LakeTable.create(root + "_d", SCHEMA, ["repo", "path"],
+                               n_buckets=2)
+        src.append(spark, _batch(spark, 0, 6), epoch=1)
+        replicate(spark, src, dst)   # bootstrap at v1
+        since = src.snapshot().version
+        base = _state(spark, src)
+
+        op_schema = StructType(list(SCHEMA.fields)).add("op", StringType())
+        lsn = [100]
+        appended = set(range(6))
+        epoch = [1]
+        for kind, keys in ops:
+            if kind == "compact":
+                src.compact(spark)
+            elif kind == "tag":
+                src.tag(f"t{lsn[0]}")
+            elif kind == "append":
+                fresh = [k for k, _ in keys if k not in appended]
+                if not fresh:
+                    continue
+                appended.update(fresh)
+                epoch[0] += 1
+                src.append(
+                    spark,
+                    spark.createDataFrame(
+                        [Row(repo=f"r{k % 3}", path=f"p{k}", lsn=k, ts=T0)
+                         for k in fresh],
+                        SCHEMA,
+                    ),
+                    epoch=epoch[0],
+                )
+            else:  # delta over any keys (existing or brand-new)
+                rows = []
+                for k, is_del in keys:
+                    lsn[0] += 1
+                    appended.add(k)
+                    rows.append(Row(
+                        repo=f"r{k % 3}", path=f"p{k}", lsn=lsn[0],
+                        ts=T1, op="d" if is_del else "u",
+                    ))
+                epoch[0] += 1
+                src.merge_mor(spark, spark.createDataFrame(rows, op_schema),
+                              order_cols=["lsn"], op_col="op",
+                              delete_value="d", epoch=epoch[0])
+
+        net = src.read_changes_net(spark, since, skip_maintenance=True)
+        rows = net.collect()
+        keys = [(r["repo"], r["path"]) for r in rows]
+        assert len(keys) == len(set(keys))  # at most one row per key
+
+        dels = {(r["repo"], r["path"]) for r in rows
+                if r["_change_type"] == "delete"}
+        ups = {tuple(r)[:4] for r in rows if r["_change_type"] != "delete"}
+        replayed = {t for t in base if (t[0], t[1]) not in dels
+                    and not any((u[0], u[1]) == (t[0], t[1]) for u in ups)}
+        replayed |= ups
+        assert replayed == _state(spark, src)
+
+        replicate(spark, src, dst)
+        assert _state(spark, dst) == _state(spark, src)
+
+    run()
+
+
 def test_schema_mismatch_raises(spark, tmp_path, pair):
     src, _ = pair
     other = LakeTable.create(
