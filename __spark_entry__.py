@@ -1132,6 +1132,40 @@ def cdc_changelog_scan(spark, sf):
     )
 
 
+def cdc_stream_changes(spark, sf):
+    """STREAMING row-level changelog (option("changes") on the lake
+    source — Delta's streaming readChangeFeed analog): tail the
+    append/delta/append fixture's changes from v1 through a
+    checkpointed availableNow stream into parquet, then aggregate per
+    _change_type.  Same oracle as the batch changelog scan, so the
+    streaming and batch change feeds are pinned equal."""
+    from airbyte_spark.lake import datasource as DS
+
+    DS.register(spark)
+    t, _cut_a, _cut_b = _lake_mor_fixture(spark, sf)
+    out = tempfile.mkdtemp(prefix="lake_chstream_")
+    q = (
+        spark.readStream.format("lake")
+        .option("changes", "true")
+        .option("starting_version", "1")
+        .load(t.root)
+        .writeStream.format("parquet")
+        .option("path", os.path.join(out, "data"))
+        .option("checkpointLocation", os.path.join(out, "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(os.path.join(out, "data"))
+        .groupBy("_change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("event_id").cast("long").alias("sum_event_id"),
+        )
+    )
+
+
 def cdc_changelog_net(spark, sf):
     """NET changelog view (read_changes_net, the Iceberg net_changes
     analog): the fixture grows a 4th epoch whose delta overlaps the
@@ -1338,6 +1372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_incremental_appends": cdc_incremental_appends,
         "cdc_changelog_scan": cdc_changelog_scan,
         "cdc_changelog_net": cdc_changelog_net,
+        "cdc_stream_changes": cdc_stream_changes,
         "cdc_replicate": cdc_replicate,
     }
 
@@ -2241,6 +2276,22 @@ WHERE event_id < (m * 4) // 5
   AND NOT (event_id >= m // 2 AND event_id % 7 = 0)
 """,
         "cdc_changelog_scan": """
+WITH mx AS (SELECT max(event_id) AS m FROM events),
+mid AS (SELECT event_id FROM events, mx
+        WHERE event_id >= m // 2 AND event_id < (m * 4) // 5),
+hi  AS (SELECT event_id FROM events, mx WHERE event_id >= (m * 4) // 5),
+ch AS (
+  SELECT CASE WHEN event_id % 7 = 0 THEN 'delete' ELSE 'update_after' END
+           AS _change_type, event_id FROM mid
+  UNION ALL
+  SELECT 'insert' AS _change_type, event_id FROM hi
+)
+SELECT _change_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(event_id) AS BIGINT) AS sum_event_id
+FROM ch GROUP BY _change_type
+""",
+        "cdc_stream_changes": """
 WITH mx AS (SELECT max(event_id) AS m FROM events),
 mid AS (SELECT event_id FROM events, mx
         WHERE event_id >= m // 2 AND event_id < (m * 4) // 5),

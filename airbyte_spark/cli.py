@@ -215,6 +215,11 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--checkpoint", required=True)
     sp.add_argument("--out", required=True)
     sp.add_argument("--starting-version", type=int, default=0)
+    sp.add_argument(
+        "--changes", action="store_true",
+        help="stream row-level changes (insert/update_after/delete + "
+             "_change_version) instead of appended rows only",
+    )
 
     sub.add_parser("spec", help="emit the engine's job-config schema")
 
@@ -458,6 +463,7 @@ def main(argv: list[str] | None = None) -> int:
         q = (
             spark.readStream.format("lake")
             .option("starting_version", str(args.starting_version))
+            .option("changes", "true" if args.changes else "false")
             .load(args.table)
             .writeStream.format("parquet")
             .option("path", args.out)

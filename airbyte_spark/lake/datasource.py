@@ -160,13 +160,30 @@ def _read_file_projected(part: _FilePartition) -> Iterator:
     yield from out.to_batches()
 
 
+def _mor_winners(u, key_cols: list, order_cols: list):
+    """Executor-side per-key LWW: keep the max(order_cols) row per
+    key.  Grouping/ordering runs on the (key, order) column slice
+    only; payload columns never round-trip through pandas.  NULL
+    order values sort lowest (Spark's struct-ordering rule), via
+    pandas ``na_position="last"`` under a descending sort."""
+    if not u.num_rows:
+        return u
+    kdf = u.select(list(dict.fromkeys(key_cols + order_cols))).to_pandas()
+    win_idx = (
+        kdf.sort_values(
+            order_cols, ascending=False, na_position="last", kind="mergesort"
+        )
+        .drop_duplicates(subset=key_cols, keep="first")
+        .index.to_numpy()
+    )
+    return u.take(win_idx)
+
+
 def _read_bucket_mor(part: _BucketMorPartition) -> Iterator:
     """Executor-side MOR resolution for one bucket: base ∪ delta →
     per-key max(order_cols) winner → drop tombstones.  Mirrors
     ``LakeTable._read_resolved`` (lww_dedup max_by + ``~_deleted``
-    filter) exactly; parity is pinned in tests/test_datasource.py.
-    NULL order values sort lowest (Spark's struct-ordering rule), via
-    pandas ``na_position="last"`` under a descending sort."""
+    filter) exactly; parity is pinned in tests/test_datasource.py."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -177,22 +194,114 @@ def _read_bucket_mor(part: _BucketMorPartition) -> Iterator:
         _load_projected(p, ff, part.cur_fields, with_deleted="file")
         for p, ff in part.deltas
     ]
-    u = pa.concat_tables(tables)
+    u = _mor_winners(pa.concat_tables(tables), part.key_cols, part.order_cols)
     if u.num_rows:
-        # grouping/ordering runs on the (key, order) column slice only;
-        # payload columns never round-trip through pandas
-        kdf = u.select(list(dict.fromkeys(part.key_cols + part.order_cols))).to_pandas()
-        win_idx = (
-            kdf.sort_values(
-                part.order_cols, ascending=False, na_position="last", kind="mergesort"
-            )
-            .drop_duplicates(subset=part.key_cols, keep="first")
-            .index.to_numpy()
-        )
-        u = u.take(win_idx)
         u = u.filter(pc.invert(pc.fill_null(u.column("_deleted"), False)))
     out = u.drop_columns(["_deleted"])
     yield from out.to_batches()
+
+
+@dataclass
+class _ChangeFilePartition(InputPartition):
+    """One data file of a change-consumable commit in a CHANGES
+    stream.  ``change_type`` "insert" for base files; None for delta
+    files (per-row type from the physical ``_deleted`` tombstone
+    flag)."""
+
+    abs_path: str
+    file_fields: list
+    cur_fields: list
+    change_type: str | None
+    change_version: int
+
+
+@dataclass
+class _BucketDeletePartition(InputPartition):
+    """Before-images of a row-level DELETE commit for one bucket:
+    old content of the bucket's rewritten files (MOR-resolved when
+    deltas were folded) ANTI-JOIN the bucket's surviving rewrite on
+    the key — keys are bucket-co-located, so the join is in-executor,
+    no shuffle (the streaming twin of read_changes' delete branch)."""
+
+    removed_base: list    # [(abs_path, file_fields)]
+    removed_deltas: list  # [(abs_path, file_fields)]
+    survivors: list       # [(abs_path, file_fields)] rewrite outputs
+    cur_fields: list
+    key_cols: list
+    order_cols: list
+    change_version: int
+
+
+def _with_change_cols(table, change_type_arr, version: int):
+    import pyarrow as pa
+
+    if isinstance(change_type_arr, str):
+        change_type_arr = pa.array(
+            [change_type_arr] * table.num_rows, pa.string()
+        )
+    return table.append_column(
+        pa.field("_change_type", pa.string()), change_type_arr
+    ).append_column(
+        pa.field("_change_version", pa.int32()),
+        pa.array([version] * table.num_rows, pa.int32()),
+    )
+
+
+def _read_change_file(part: _ChangeFilePartition) -> Iterator:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if part.change_type is not None:
+        t = _load_projected(part.abs_path, part.file_fields, part.cur_fields)
+        yield from _with_change_cols(
+            t, part.change_type, part.change_version
+        ).to_batches()
+        return
+    t = _load_projected(
+        part.abs_path, part.file_fields, part.cur_fields, with_deleted="file"
+    )
+    deleted = pc.fill_null(t.column("_deleted"), False)
+    ct = pc.if_else(
+        deleted, pa.scalar("delete", pa.string()),
+        pa.scalar("update_after", pa.string()),
+    )
+    if isinstance(ct, pa.ChunkedArray):
+        ct = ct.combine_chunks()
+    t = t.drop_columns(["_deleted"])
+    yield from _with_change_cols(t, ct, part.change_version).to_batches()
+
+
+def _read_bucket_delete(part: _BucketDeletePartition) -> Iterator:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    tables = [
+        _load_projected(p, ff, part.cur_fields, with_deleted="false")
+        for p, ff in part.removed_base
+    ] + [
+        _load_projected(p, ff, part.cur_fields, with_deleted="file")
+        for p, ff in part.removed_deltas
+    ]
+    u = pa.concat_tables(tables)
+    if part.removed_deltas:
+        u = _mor_winners(u, part.key_cols, part.order_cols)
+        if u.num_rows:
+            u = u.filter(pc.invert(pc.fill_null(u.column("_deleted"), False)))
+    u = u.drop_columns(["_deleted"])
+    if part.survivors and u.num_rows:
+        # survivors: key columns only (field-id projection)
+        key_fields = [f for f in part.cur_fields if f["name"] in part.key_cols]
+        skeys = pa.concat_tables(
+            _load_projected(p, ff, key_fields) for p, ff in part.survivors
+        ).to_pandas()
+        survived = set(skeys.itertuples(index=False, name=None))
+        kdf = u.select(part.key_cols).to_pandas()
+        mask = [
+            row not in survived
+            for row in kdf.itertuples(index=False, name=None)
+        ]
+        u = u.filter(pa.array(mask, pa.bool_()))
+    yield from _with_change_cols(u, "delete", part.change_version).to_batches()
 
 
 def _parse_filters(
@@ -393,6 +502,111 @@ class _LakeStreamReader(DataSourceStreamReader):
         pass
 
 
+class _LakeChangesStreamReader(DataSourceStreamReader):
+    """Streaming ROW-LEVEL CHANGES (Delta's streaming readChangeFeed
+    analog; option("changes", "true")): each microbatch emits the
+    rows of read_changes for the version range — appended base files
+    as ``insert``, MOR delta winners/tombstones as ``update_after``/
+    ``delete``, row-level DELETE before-images as ``delete`` (bucket-
+    granular in-executor anti-join, no shuffle) — every row tagged
+    with ``_change_type`` + ``_change_version`` so a downstream MERGE
+    can LWW-resolve multi-version batches.  Content-preserving
+    maintenance (compact/vacuum/rebucket) is skipped; history-folding
+    commits (COW merge, overwrite, rollback) raise for re-bootstrap,
+    the same contract as the batch read."""
+
+    _MAINTENANCE_OPS = _LakeStreamReader._MAINTENANCE_OPS
+
+    def __init__(self, root: str, starting_version: int):
+        self._t = LakeTable(root)
+        self._start = starting_version
+        self._fields = self._t.snapshot().fields
+
+    def initialOffset(self) -> dict:
+        return {"version": self._start}
+
+    def latestOffset(self) -> dict:
+        return {"version": self._t.snapshot().version}
+
+    def partitions(self, start: dict, end: dict):
+        sv, ev = start["version"], end["version"]
+        until = self._t.snapshot(ev)
+        parts: list = []
+        emitting: list[int] = []
+        prev = self._t.snapshot(sv)
+        for v in range(sv + 1, ev + 1):
+            cur = self._t.snapshot(v) if v != ev else until
+            op = cur.summary.get("operation")
+            if op in self._MAINTENANCE_OPS:
+                prev = cur
+                continue
+            prev_paths = {f.path for f in prev.files}
+            removed = prev_paths - {f.path for f in cur.files}
+            added = [f for f in cur.files if f.path not in prev_paths]
+            if removed:
+                if op != "delete":
+                    raise ValueError(
+                        f"snapshot v{v} ({op!r}) removed/rewrote "
+                        f"{len(removed)} files; a changes stream needs "
+                        "append/delta/delete-only history (maintenance "
+                        "ops are skipped) — re-bootstrap the consumer"
+                    )
+                # before-images live in the PREVIOUS version's files
+                self._t._check_readable(prev)
+                by_bucket: dict[int, tuple[list, list]] = {}
+                for f in prev.files:
+                    if f.path in removed:
+                        by_bucket.setdefault(f.bucket, ([], []))[
+                            1 if f.delta else 0
+                        ].append((
+                            os.path.join(self._t.root, f.path),
+                            prev.schemas[f.schema_version],
+                        ))
+                surv: dict[int, list] = {}
+                for f in added:
+                    surv.setdefault(f.bucket, []).append((
+                        os.path.join(self._t.root, f.path),
+                        cur.schemas[f.schema_version],
+                    ))
+                order = list(prev.props.get("mor_order") or [])
+                parts.extend(
+                    _BucketDeletePartition(
+                        base, deltas, surv.get(b, []), self._fields,
+                        list(prev.key_cols), order, v,
+                    )
+                    for b, (base, deltas) in by_bucket.items()
+                )
+            else:
+                parts.extend(
+                    _ChangeFilePartition(
+                        os.path.join(self._t.root, f.path),
+                        cur.schemas[f.schema_version],
+                        self._fields,
+                        None if f.delta else "insert",
+                        v,
+                    )
+                    for f in added
+                )
+            if added or removed:
+                emitting.append(v)
+            prev = cur
+        if emitting:
+            # vacuum-expired replays raise the clean retention error
+            self._t._check_readable(self._t.snapshot(min(emitting)))
+        return parts
+
+    def read(self, partition):
+        if isinstance(partition, _BucketDeletePartition):
+            return _read_bucket_delete(partition)
+        return _read_change_file(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # exactly-once comes from the deterministic version diff
+
+    def stop(self) -> None:
+        pass
+
+
 @dataclass
 class _LakeCommitMessage(WriterCommitMessage):
     # (abs_path, bucket) of every file this task staged
@@ -560,13 +774,24 @@ class LakeDataSource(DataSource):
             raise ValueError("lake data source requires a path (load(root))")
         return root
 
+    def _changes(self) -> bool:
+        return str(self.options.get("changes", "")).lower() == "true"
+
     def schema(self) -> StructType:
         version = self.options.get("version")
         t = LakeTable(self._root())
         snap = t.snapshot(int(version) if version is not None else None)
-        return struct_from_fields(snap.fields)
+        s = struct_from_fields(snap.fields)
+        if self._changes():
+            s = s.add("_change_type", "string").add("_change_version", "integer")
+        return s
 
     def reader(self, schema: StructType) -> DataSourceReader:
+        if self._changes():
+            raise ValueError(
+                'option("changes") is streaming-only — for a batch '
+                "changelog use LakeTable.read_changes / the changes CLI verb"
+            )
         version = self.options.get("version")
         v = int(version) if version is not None else None
         if str(self.options.get("pushdown", "")).lower() == "true":
@@ -574,6 +799,10 @@ class LakeDataSource(DataSource):
         return _LakeBatchReader(self._root(), v)
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        if self._changes():
+            return _LakeChangesStreamReader(
+                self._root(), int(self.options.get("starting_version", 0))
+            )
         return _LakeStreamReader(
             self._root(), int(self.options.get("starting_version", 0))
         )

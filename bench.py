@@ -79,6 +79,9 @@ BENCH_QUERIES = [
     # round 4: lake-to-lake replication (bootstrap + incremental apply
     # across a delta/compact/append/delta source history)
     "cdc_replicate",
+    # round 4: streaming row-level changelog (availableNow tail of the
+    # 3-epoch fixture's changes into parquet + aggregate)
+    "cdc_stream_changes",
 ]
 
 

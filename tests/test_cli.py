@@ -154,6 +154,19 @@ def test_scan_files_history_appends_verbs(tmp_path):
                         "--checkpoint", tail_cp, "--out", tail_out))
     assert r["rows_total"] == total_rows  # exactly-once resume
 
+    # changes tail: same rows, tagged insert (append-only history)
+    ch_out = os.path.join(tmp_path, "ch_out")
+    ch_cp = os.path.join(tmp_path, "ch_cp")
+    r = json.loads(_cli("tail", "--table", table, "--changes",
+                        "--checkpoint", ch_cp, "--out", ch_out))
+    assert r["rows_total"] == total_rows
+    import pyarrow.parquet as pq
+    import glob as _glob
+
+    cols = set(pq.read_table(_glob.glob(os.path.join(ch_out, "*.parquet"))[0])
+               .column_names)
+    assert {"_change_type", "_change_version"} <= cols
+
     r = json.loads(_cli("compact", "--table", table,
                         "--cluster-by", "last_lsn",
                         "--target-rows-per-file", "50"))

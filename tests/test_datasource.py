@@ -425,3 +425,94 @@ def test_stream_replay_of_vacuum_expired_files_raises_cleanly(spark, table):
     r = _LakeStreamReader(table.root, 0)
     with pytest.raises(ValueError, match="expired by vacuum"):
         r.partitions({"version": 0}, {"version": 4})
+
+
+def _run_changes_stream(spark, root, cp):
+    rows = []
+
+    def sink(bdf, bid):
+        rows.extend(
+            (r["repo"], r["path"], r["lsn"], r["_change_type"],
+             r["_change_version"])
+            for r in bdf.collect()
+        )
+
+    q = (
+        spark.readStream.format("lake")
+        .option("changes", "true")
+        .load(root)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return rows
+
+
+def test_stream_changes_parity_with_batch(spark, tmp_path):
+    """option("changes"): the streaming changelog equals the batch
+    read_changes row-for-row over an append/delta/compact/append/
+    row-level-DELETE history — inserts, delta winners, tombstones,
+    and delete before-images (bucket-granular in-executor anti-join),
+    with maintenance skipped; and a checkpointed resume is
+    exactly-once."""
+    DS.register(spark)
+    t = LakeTable.create(str(tmp_path / "ch"), SCHEMA, ["repo", "path"],
+                         n_buckets=4)
+    t.append(spark, _mk(spark, 0, 40), epoch=1)                        # v1
+    op_schema = StructType(list(SCHEMA.fields)).add("op", StringType())
+    t.merge_mor(
+        spark,
+        spark.createDataFrame(
+            [Row(repo=f"r{i % 3}", path=f"p{i}", lsn=1000 + i,
+                 op="d" if i < 3 else "u")
+             for i in range(10) if i not in (3, 4)],
+            op_schema,
+        ),
+        order_cols=["lsn"], op_col="op", delete_value="d", epoch=2,    # v2
+    )
+    t.compact(spark)                                                   # v3
+    t.append(spark, _mk(spark, 40, 60), epoch=3)                       # v4
+    t.delete_where(spark, [("lsn", "<", 5)], epoch=4)                  # v5
+
+    got = _run_changes_stream(spark, t.root, str(tmp_path / "cp1"))
+    want = [
+        (r["repo"], r["path"], r["lsn"], r["_change_type"],
+         r["_change_version"])
+        for r in t.read_changes(spark, 0, skip_maintenance=True).collect()
+    ]
+    assert sorted(got) == sorted(want) and len(got) > 0
+    # the delete commit emitted before-images for lsn<5 survivors of
+    # the earlier delta (p0..p2 tombstoned at v2, p3/p4 remain)
+    dels_v5 = {r[1] for r in got if r[4] == 5}
+    assert dels_v5 == {"p3", "p4"}
+
+    # resume: nothing new -> zero rows (exactly-once)
+    assert _run_changes_stream(spark, t.root, str(tmp_path / "cp1")) == []
+    # one more delta: resume reads exactly its rows
+    t.merge_mor(
+        spark,
+        spark.createDataFrame(
+            [Row(repo="r1", path="p7", lsn=2000, op="u")], op_schema
+        ),
+        order_cols=["lsn"], op_col="op", delete_value="d", epoch=5,    # v6
+    )
+    inc = _run_changes_stream(spark, t.root, str(tmp_path / "cp1"))
+    assert inc == [("r1", "p7", 2000, "update_after", 6)]
+
+
+def test_stream_changes_rejects_fold_and_batch_use(spark, table):
+    """History-folding commits (COW merge) wedge a changes stream with
+    the re-bootstrap error; option("changes") on a BATCH read refuses
+    with a pointer at read_changes."""
+    DS.register(spark)
+    table.merge(spark, _mk(spark, 0, 3), epoch=9)  # COW rewrite
+    from airbyte_spark.lake.datasource import _LakeChangesStreamReader
+
+    r = _LakeChangesStreamReader(table.root, 0)
+    with pytest.raises(ValueError, match="re-bootstrap"):
+        r.partitions({"version": 0}, {"version": table.snapshot().version})
+    with pytest.raises(Exception, match="streaming-only"):
+        (spark.read.format("lake").option("changes", "true")
+         .load(table.root).collect())
