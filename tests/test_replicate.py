@@ -340,3 +340,39 @@ def test_schema_mismatch_raises(spark, tmp_path, pair):
     )
     with pytest.raises(ValueError, match="schema or key mismatch"):
         replicate(spark, src, other)
+
+
+def test_replicate_stream_end_to_end(spark, tmp_path, pair):
+    """Continuous replication: bootstrap + checkpointed changes-stream
+    MERGE converges the destination across delta/append/compact source
+    commits, a drained re-run applies nothing (exactly-once), and the
+    stream resumes past maintenance."""
+    from airbyte_spark.lake.replicate import replicate_stream
+
+    src, dst = pair
+    cp = str(tmp_path / "cp")
+    r = replicate_stream(spark, src, dst, checkpoint=cp)
+    assert r["bootstrap_applied"] == 30 and r["applied"] == 0
+    assert _state(spark, dst) == _state(spark, src)
+
+    op_schema = StructType(list(SCHEMA.fields)).add("op", StringType())
+    src.merge_mor(
+        spark,
+        spark.createDataFrame(
+            [Row(repo="r0", path="p0", lsn=100, ts=T1, op="d"),
+             Row(repo="r1", path="p1", lsn=101, ts=T1, op="u")],
+            op_schema,
+        ),
+        order_cols=["lsn"], op_col="op", delete_value="d", epoch=2,
+    )
+    src.append(spark, _batch(spark, 50, 55), epoch=3)
+    src.compact(spark)                      # skipped by the changes reader
+    src.append(spark, _batch(spark, 60, 62), epoch=4)
+
+    r = replicate_stream(spark, src, dst, checkpoint=cp)
+    assert r["bootstrap_applied"] is None and r["applied"] == 9
+    assert _state(spark, dst) == _state(spark, src)
+    # drained: a third run has nothing to deliver
+    r = replicate_stream(spark, src, dst, checkpoint=cp)
+    assert r["applied"] == 0
+    assert _state(spark, dst) == _state(spark, src)
