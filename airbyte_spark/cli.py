@@ -207,6 +207,11 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--dst", required=True)
     sp.add_argument("--where", help="SQL row filter: dst is a partial replica")
     sp.add_argument("--columns", help="comma-separated projection (keys required)")
+    sp.add_argument(
+        "--follow", metavar="CHECKPOINT",
+        help="continuous mode: checkpointed changes-stream tail + "
+             "foreachBatch MERGE (drains available changes, then stops)",
+    )
 
     sp = sub.add_parser(
         "tail", help="stream the table's appends to parquet (exactly-once)"
@@ -453,9 +458,19 @@ def main(argv: list[str] | None = None) -> int:
                 args.dst, struct_from_fields(fields),
                 snap.key_cols, n_buckets=snap.n_buckets,
             )
-        print(json.dumps(replicate(
-            spark, src, LakeTable(args.dst), where=args.where, columns=cols,
-        )))
+        if args.follow:
+            if args.where or cols:
+                raise SystemExit("--follow does not take --where/--columns "
+                                 "(partial replicas are batch-mode)")
+            from airbyte_spark.lake.replicate import replicate_stream
+
+            print(json.dumps(replicate_stream(
+                spark, src, LakeTable(args.dst), checkpoint=args.follow,
+            )))
+        else:
+            print(json.dumps(replicate(
+                spark, src, LakeTable(args.dst), where=args.where, columns=cols,
+            )))
     elif args.cmd == "tail":
         from airbyte_spark.lake import datasource as lake_ds
 

@@ -191,6 +191,12 @@ def test_replicate_verb(tmp_path):
              _cli("files", "--table", dst).strip().splitlines()]
     assert sum(f["rows"] for f in files) == rows
 
+    # continuous mode: already bootstrapped, nothing pending -> drains 0
+    cp = os.path.join(tmp_path, "repl_cp")
+    r = json.loads(_cli("replicate", "--src", src, "--dst", dst,
+                        "--follow", cp))
+    assert r["bootstrap_applied"] is None and r["applied"] == 0
+
 
 def _cli_fail(*args: str) -> str:
     """Run a verb expected to FAIL; returns stderr."""
