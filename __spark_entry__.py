@@ -841,6 +841,47 @@ def cdc_pruned_scan(spark, sf):
     )
 
 
+def cdc_zorder_scan(spark, sf):
+    """Z-ORDER layout maintenance (compact(zorder=True) — Delta's
+    OPTIMIZE ZORDER BY / Iceberg's z-order rewrite): events land as
+    one append (hash buckets scatter ids, so every file starts
+    near-table-wide on every column), then a Morton-interleaved
+    rewrite on (user_id, event_id).  A range predicate on user_id —
+    which a lexicographic (event_id-led) layout could never prune —
+    now drops files by manifest bounds alone; the checked row pins
+    that the plan pruned (files_kept < files_total, layout-robust
+    boolean rather than an exact count) AND the exact surviving
+    values, which the oracle recomputes in SQL."""
+    from airbyte_spark.lake.table import LakeTable
+
+    e = _t(spark, sf, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    total, max_uid = e.agg(
+        F.count(F.lit(1)), F.max("user_id")
+    ).collect()[0]
+    root = tempfile.mkdtemp(prefix="lake_zorder_")
+    t = LakeTable.create(os.path.join(root, "t"), e.schema, ["event_id"],
+                         n_buckets=4)
+    t.append(spark, e, epoch=1)
+    t.compact(spark, cluster_by=["user_id", "event_id"], zorder=True,
+              target_rows_per_file=max(-(-total // 48), 1))
+    cut = max_uid // 8
+    snap, kept = t.plan_scan([("user_id", "<=", cut)])
+    return (
+        t.scan(spark, [("user_id", "<=", cut)])
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("event_id").cast("long").alias("sum_event_id"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.lit(len(kept) < len(snap.files)).alias("pruned"),
+            "n_rows", "sum_event_id", "sum_value",
+        )
+    )
+
+
 def cdc_bloom_lookup(spark, sf):
     """Point-lookup file pruning via per-file BLOOM sidecars
     (lake/table.py _build_bloom; Iceberg keeps the same structure in
@@ -1361,6 +1402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_mini": cdc_replay_mini,
         "cdc_replay_mor_mini": cdc_replay_mor_mini,
         "cdc_pruned_scan": cdc_pruned_scan,
+        "cdc_zorder_scan": cdc_zorder_scan,
         "cdc_bloom_lookup": cdc_bloom_lookup,
         "cdc_delete_where": cdc_delete_where,
         "cdc_changelog_delete": cdc_changelog_delete,
@@ -2306,6 +2348,15 @@ SELECT _change_type,
        CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(event_id) AS BIGINT) AS sum_event_id
 FROM ch GROUP BY _change_type
+""",
+        "cdc_zorder_scan": """
+WITH mx AS (SELECT max(user_id) AS mu FROM events),
+hit AS (SELECT event_id, value FROM events, mx WHERE user_id <= mu // 8)
+SELECT TRUE AS pruned,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+       round(sum(value), 2) AS sum_value
+FROM hit
 """,
         "cdc_changelog_net": """
 WITH mx AS (SELECT max(event_id) AS m FROM events),

@@ -112,6 +112,11 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--cluster-by", default=None,
                     help="comma-separated sort-order rewrite columns")
     sp.add_argument("--target-rows-per-file", type=int, default=None)
+    sp.add_argument(
+        "--zorder", action="store_true",
+        help="bit-interleave the cluster-by columns (Morton order) so "
+             "range predicates prune on every one of them",
+    )
 
     sp = sub.add_parser(
         "rebucket", help="partition-spec evolution: rewrite to a new bucket count"
@@ -375,6 +380,7 @@ def main(argv: list[str] | None = None) -> int:
             spark,
             cluster_by=args.cluster_by.split(",") if args.cluster_by else None,
             target_rows_per_file=args.target_rows_per_file,
+            zorder=args.zorder,
         )
         print(json.dumps({"compacted_to_version": v}))
     elif args.cmd == "rebucket":

@@ -336,6 +336,60 @@ def fields_from_struct(schema: StructType, start_id: int = 1) -> list[dict[str, 
     ]
 
 
+def _zorder_expr(spark: SparkSession, df: DataFrame, cols: list[str]):
+    """Morton (Z-order) key over ``cols``: each column linearly scaled
+    to a 16-bit code between its global min/max (ONE distributed
+    min/max agg — the only extra pass; the rewrite scans everything
+    anyway), codes bit-interleaved into a single long with pure JVM
+    shift/mask expressions (whole-stage codegen; 16×k OR terms).
+    Numeric and date/timestamp columns only — interleaving needs a
+    total order with meaningful linear distance.  NULLs code to 0
+    (sort first, grouped together — tight bounds preserved)."""
+    numeric_like = {
+        "tinyint", "smallint", "int", "integer", "bigint", "long",
+        "float", "double", "decimal", "date", "timestamp", "timestamp_ntz",
+    }
+    casted = {}
+    for c in cols:
+        dt = dict(df.dtypes)[c]
+        base = dt.split("(")[0]
+        if base not in numeric_like:
+            raise ValueError(
+                f"zorder column {c!r} has type {dt}; zorder needs "
+                "numeric or date/timestamp columns"
+            )
+        casted[c] = (
+            F.col(c).cast("timestamp").cast("double")
+            if base in ("date", "timestamp", "timestamp_ntz")
+            else F.col(c).cast("double")
+        )
+    bounds = df.agg(
+        *[F.min(e).alias(f"mn_{i}") for i, e in enumerate(casted.values())],
+        *[F.max(e).alias(f"mx_{i}") for i, e in enumerate(casted.values())],
+    ).collect()[0]
+    k = len(cols)
+    z = F.lit(0).cast("bigint")
+    for j, (c, e) in enumerate(casted.items()):
+        mn = float(bounds[f"mn_{j}"] if bounds[f"mn_{j}"] is not None else 0.0)
+        mx = float(bounds[f"mx_{j}"] if bounds[f"mx_{j}"] is not None else 0.0)
+        span = (mx - mn) or 1.0
+        code = F.coalesce(
+            F.least(
+                F.floor((e - F.lit(mn)) / F.lit(span) * F.lit(65535.0)),
+                F.lit(65535),
+            ),
+            F.lit(0),
+        ).cast("bigint")
+        for bit in range(16):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(code, bit).bitwiseAND(F.lit(1)),
+                    bit * k + j,
+                )
+            )
+    return z
+
+
 def struct_from_fields(fields: list[dict[str, Any]]) -> StructType:
     return StructType(
         [StructField(f["name"], _dt_from_json_value(f["type"]), True) for f in fields]
@@ -1959,6 +2013,7 @@ class LakeTable:
         *,
         cluster_by: list[str] | None = None,
         target_rows_per_file: int | None = None,
+        zorder: bool = False,
     ) -> int | None:
         """Rewrite buckets that accumulated more than
         ``max_files_per_bucket`` files, hold old-schema files, or hold
@@ -1975,7 +2030,19 @@ class LakeTable:
         which makes manifest pruning (plan_scan / pushFilters) and
         parquet row-group stats effective for range predicates —
         the layout maintenance step for time/LSN retention scans.
-        Content-preserving and epoch-free like plain compaction."""
+        Content-preserving and epoch-free like plain compaction.
+
+        ``zorder=True`` (with ≥2 numeric/temporal ``cluster_by``
+        columns): interleave instead of lexicographic — each column is
+        coded to 16 bits by linear min/max scaling (one distributed
+        agg; min/max only, so skew costs locality but never
+        correctness) and the codes are BIT-INTERLEAVED into one long
+        (Morton order, all JVM shift/mask expressions inside codegen).
+        A lexicographic sort gives the FIRST column tight per-file
+        bounds and leaves later columns near-table-wide; Z-order gives
+        every interleaved column ~√-tight bounds, so manifest pruning
+        works for predicates on ANY of them (Delta's OPTIMIZE ZORDER
+        BY, Iceberg's z-order rewrite strategy)."""
         snap = self.snapshot()
         if cluster_by:
             missing = [c for c in cluster_by if c not in {f["name"] for f in snap.fields}]
@@ -2012,8 +2079,19 @@ class LakeTable:
             n_out = n_bkts
             if target_rows_per_file:
                 n_out = max(n_bkts, -(-total_rows // target_rows_per_file))
-            cols = [F.col(_BUCKET)] + [F.col(c) for c in cluster_by]
-            df = df.repartitionByRange(n_out, *cols).sortWithinPartitions(*cols)
+            if zorder:
+                if len(cluster_by) < 2:
+                    raise ValueError("zorder needs >= 2 cluster_by columns")
+                df = df.withColumn("_z", _zorder_expr(spark, df, cluster_by))
+                cols = [F.col(_BUCKET), F.col("_z")]
+                df = (
+                    df.repartitionByRange(n_out, *cols)
+                    .sortWithinPartitions(*cols)
+                    .drop("_z")
+                )
+            else:
+                cols = [F.col(_BUCKET)] + [F.col(c) for c in cluster_by]
+                df = df.repartitionByRange(n_out, *cols).sortWithinPartitions(*cols)
             entries = self._write_data(
                 df, next_version, snap.schema_version, n_out, pre_partitioned=True
             )
@@ -2032,6 +2110,7 @@ class LakeTable:
                 "operation": "compact",
                 "rewritten": len(to_rewrite),
                 **({"cluster_by": list(cluster_by)} if cluster_by else {}),
+                **({"zorder": True} if cluster_by and zorder else {}),
             },
         )
         self._commit(new)

@@ -82,6 +82,8 @@ BENCH_QUERIES = [
     # round 4: streaming row-level changelog (availableNow tail of the
     # 3-epoch fixture's changes into parquet + aggregate)
     "cdc_stream_changes",
+    # round 4: z-order rewrite + second-dimension pruned scan
+    "cdc_zorder_scan",
 ]
 
 

@@ -230,6 +230,65 @@ def test_clustered_compaction_tightens_bounds(spark, tmp_path):
     assert sorted(r["lsn"] for r in rows) == list(range(290, 300))
 
 
+def test_zorder_compaction_prunes_on_every_dimension(spark, tmp_path):
+    """Z-order rewrite: after interleaved clustering on (lsn, ts),
+    range predicates on EITHER column prune files — a lexicographic
+    sort only tightens the leading column, leaving the second
+    near-table-wide (Delta OPTIMIZE ZORDER BY semantics).  Content is
+    preserved and scan() stays exact."""
+    import pyspark.sql.types as T
+
+    schema = StructType(
+        [
+            StructField("repo", StringType()),
+            StructField("path", StringType()),
+            StructField("lsn", LongType()),
+            StructField("y", LongType()),
+        ]
+    )
+    rows = [
+        Row(repo=f"r{i % 3}", path=f"p{i}", lsn=i, y=(i * 37) % 4096)
+        for i in range(4096)
+    ]
+
+    def build(name):
+        t = LakeTable.create(str(tmp_path / name), schema, ["repo", "path"],
+                             n_buckets=2)
+        t.append(spark, spark.createDataFrame(rows, schema), epoch=1)
+        return t
+
+    lin, zo = build("lin"), build("zo")
+    before = {tuple(r) for r in zo.read(spark).collect()}
+    lin.compact(spark, cluster_by=["lsn", "y"], target_rows_per_file=128)
+    zo.compact(spark, cluster_by=["lsn", "y"], target_rows_per_file=128,
+               zorder=True)
+    assert zo.snapshot().summary.get("zorder") is True
+    assert {tuple(r) for r in zo.read(spark).collect()} == before
+
+    def frac(t, where):
+        snap, kept = t.plan_scan(where)
+        return len(kept) / len(snap.files)
+
+    # leading column: lexicographic is tightest (1/16-wide lsn runs);
+    # z-order trades that for balanced ~1/4-wide spans on BOTH dims
+    assert frac(lin, [("lsn", "<", 256)]) < 0.3
+    assert frac(zo, [("lsn", "<", 256)]) < 0.7
+    # SECOND column: lexicographic is blind, z-order prunes
+    f_lin = frac(lin, [("y", "<", 256)])
+    f_zo = frac(zo, [("y", "<", 256)])
+    assert f_lin > 0.9          # every file spans ~the full y range
+    assert f_zo < 0.6 < f_lin   # interleaving tightened y bounds too
+    # exactness on the z-ordered layout
+    got = sorted(r["lsn"] for r in zo.scan(spark, [("y", "<", 256)]).collect())
+    want = sorted(i for i in range(4096) if (i * 37) % 4096 < 256)
+    assert got == want
+
+    with pytest.raises(ValueError, match="numeric or date/timestamp"):
+        zo.compact(spark, cluster_by=["repo", "lsn"], zorder=True)
+    with pytest.raises(ValueError, match=">= 2"):
+        zo.compact(spark, cluster_by=["lsn"], zorder=True)
+
+
 _OPS_ST = None
 
 
