@@ -404,6 +404,20 @@ def doc_token_stats(spark, sf):
     )
 
 
+BM25_TERMS = ["the", "data", "model", "training"]
+
+
+def doc_bm25_rank(spark, sf):
+    """Okapi BM25 corpus ranking against a fixed query-term set
+    (analytics/text.py bm25_rank — Lucene idf variant): top-10 docs
+    with rounded scores and deterministic rank ties.  The oracle
+    recomputes the whole scorer (N/avgdl stats, tf, df, idf, length
+    normalization) in SQL from the same tokenizer."""
+    return A_text.bm25_rank(
+        _t(spark, sf, "documents"), BM25_TERMS, top_n=10
+    ).select("doc_id", "bm25", "rank")
+
+
 def doc_quality(spark, sf):
     return A_text.quality_score(_t(spark, sf, "documents")).select(
         "doc_id", "n_tokens", "mean_token_len", "punct_ratio",
@@ -1375,6 +1389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_span_dedup": doc_span_dedup,
         "doc_token_stats": doc_token_stats,
         "doc_quality": doc_quality,
+        "doc_bm25_rank": doc_bm25_rank,
         "doc_repetition": doc_repetition,
         "doc_pii_scrub": doc_pii_scrub,
         "doc_sample_mix": doc_sample_mix,
@@ -2034,6 +2049,35 @@ SELECT doc_id,
   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))
        AS BIGINT) AS n_tokens_regex
 FROM documents
+""",
+        "doc_bm25_rank": f"""
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END AS dl,
+    CASE WHEN length(trim(text)) = 0 THEN [] ELSE {_TOKS} END AS toks
+  FROM documents
+),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d),
+tf AS (
+  SELECT doc_id, dl, t AS term, count(*) AS tf
+  FROM d, unnest(toks) AS u(t)
+  WHERE t IN ('the', 'data', 'model', 'training')
+  GROUP BY doc_id, dl, t
+),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+sc AS (
+  SELECT tf.doc_id,
+    round(sum(
+      ln((n - df + 0.5) / (df + 0.5) + 1)
+      * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+    ), 4) AS bm25
+  FROM tf JOIN dfq USING (term), stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, bm25,
+       CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS rank
+FROM sc
+QUALIFY rank <= 10
 """,
         "doc_quality": f"""
 WITH q AS (

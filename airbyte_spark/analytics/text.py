@@ -356,6 +356,64 @@ def pack_sequences(
     )
 
 
+def bm25_rank(
+    df: DataFrame,
+    terms: list[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 ranking of the corpus against a small query-term
+    set (Lucene's idf variant: ``ln((N - df + 0.5)/(df + 0.5) + 1)``,
+    never negative) — the retrieval scorer a training-data pipeline
+    uses for quality-by-similarity-to-reference and corpus search.
+
+    Fully declarative, all JVM: corpus stats (N, avgdl) are ONE 1-row
+    aggregate; term frequencies come from explode→isin(terms)→hash
+    agg (map-side combined, rows bounded by docs×|terms|); document
+    frequencies are a |terms|-row broadcast join; the top-n orders by
+    the ROUNDED score with an id tiebreak so the ranking is
+    reproducible across engines, and compiles to
+    ``TakeOrderedAndProject`` (per-partition top-n + driver merge —
+    no single-partition sort of the full corpus; plan-pinned); rank
+    is then numbered over the already-reduced ≤top_n rows."""
+    from pyspark.sql import Window
+
+    terms = [t.lower() for t in terms]
+    base = (
+        df.select(id_col, tokens_expr(F.lower(F.col(text_col))).alias("_toks"))
+        .withColumn("_dl", F.size("_toks"))
+    )
+    n_docs, avgdl = base.agg(
+        F.count(F.lit(1)), F.avg("_dl")
+    ).collect()[0]
+    avgdl = float(avgdl or 0.0) or 1.0
+    tf = (
+        base.select(id_col, "_dl", F.explode("_toks").alias("_t"))
+        .filter(F.col("_t").isin(terms))
+        .groupBy(id_col, "_dl", "_t")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    dfreq = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+        + 1.0
+    )
+    denom = F.col("_tf") + k1 * (1.0 - b + b * F.col("_dl") / F.lit(avgdl))
+    scored = (
+        tf.join(F.broadcast(dfreq), "_t")
+        .withColumn("_s", idf * (F.col("_tf") * (k1 + 1.0)) / denom)
+        .groupBy(id_col)
+        .agg(F.round(F.sum("_s"), 4).alias("bm25"))
+    )
+    top = scored.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(top_n)
+    w = Window.orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w))
+
+
 def span_dedup(
     df: DataFrame,
     *,

@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "cdc_stream_changes",
     # round 4: z-order rewrite + second-dimension pruned scan
     "cdc_zorder_scan",
+    # round 4: BM25 corpus ranking (stats + tf/df + TakeOrdered top-10)
+    "doc_bm25_rank",
 ]
 
 

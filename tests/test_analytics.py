@@ -601,3 +601,36 @@ def test_srp_band_candidates_shape(spark):
     assert len(got) == len(pairs)  # distinct
     assert all(a < b for a, b in got)
     assert {(0, 20), (1, 21), (2, 22)} <= got  # planted dups collide
+
+
+def test_bm25_rank_scores_and_plan(spark):
+    """BM25: exact Lucene-idf score on a hand-computable corpus, rank
+    determinism via (rounded score, id) ties, and the top-n window
+    rides rank-limit pushdown (Partial WindowGroupLimit) instead of a
+    full single-partition sort."""
+    import math
+
+    from airbyte_spark.analytics.text import bm25_rank
+
+    docs = spark.createDataFrame(
+        [
+            (1, "data data data systems"),     # tf=3, dl=4
+            (2, "data quality"),               # tf=1, dl=2
+            (3, "nothing relevant here"),      # no hit
+            (4, "DATA"),                       # case-folded, tf=1, dl=1
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["bm25"], r["rank"])
+           for r in bm25_rank(docs, ["data"], top_n=3).collect()}
+    assert 3 not in got and set(got) == {1, 2, 4}
+    # hand-computed: N=4, df=3, avgdl=(4+2+3+1)/4=2.5
+    idf = math.log((4 - 3 + 0.5) / (3 + 0.5) + 1)
+
+    def s(tf, dl):
+        return round(idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / 2.5)), 4)
+
+    assert got[1][0] == s(3, 4) and got[2][0] == s(1, 2) and got[4][0] == s(1, 1)
+    assert [got[k][1] for k in sorted(got, key=lambda k: got[k][1])] == [1, 2, 3]
+    plan = bm25_rank(docs, ["data"])._jdf.queryExecution().toString()
+    assert "TakeOrderedAndProject" in plan  # never a full global sort
