@@ -1221,6 +1221,43 @@ def cdc_stream_changes(spark, sf):
     )
 
 
+def cdc_changelog_prepost(spark, sf):
+    """Pre/post-image changelog (read_changes(before_images=True) —
+    Iceberg's update_before/update_after pair semantics): bootstrap
+    ALL events, then one MOR delta over the mid slice (every 7th id a
+    tombstone, the rest upserts with value+1000).  Updated keys emit
+    BOTH images (old values as update_before, new as update_after)
+    and tombstoned keys emit their TRUE before-image — all
+    reproducible in SQL from the same integer rules."""
+    from airbyte_spark.lake.table import LakeTable
+
+    e = _t(spark, sf, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    mx = e.agg(F.max("event_id")).collect()[0][0]
+    cut_a, cut_b = mx // 2, (mx * 4) // 5
+    root = tempfile.mkdtemp(prefix="lake_prepost_")
+    t = LakeTable.create(os.path.join(root, "t"), e.schema, ["event_id"],
+                         n_buckets=8)
+    t.append(spark, e, epoch=1)                                         # v1
+    mid = (
+        e.filter((F.col("event_id") >= cut_a) & (F.col("event_id") < cut_b))
+        .withColumn("value", F.col("value") + 1000)
+        .withColumn(
+            "op",
+            F.when(F.col("event_id") % 7 == 0, F.lit("d")).otherwise(F.lit("u")),
+        )
+    )
+    t.merge_mor(spark, mid, order_cols=["event_id"], op_col="op",
+                delete_value="d", epoch=2)                              # v2
+    ch = t.read_changes(spark, 1, before_images=True)
+    return ch.groupBy("_change_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("event_id").cast("long").alias("sum_event_id"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 def cdc_changelog_net(spark, sf):
     """NET changelog view (read_changes_net, the Iceberg net_changes
     analog): the fixture grows a 4th epoch whose delta overlaps the
@@ -1428,6 +1465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lake_source_mor": cdc_lake_source_mor,
         "cdc_incremental_appends": cdc_incremental_appends,
         "cdc_changelog_scan": cdc_changelog_scan,
+        "cdc_changelog_prepost": cdc_changelog_prepost,
         "cdc_changelog_net": cdc_changelog_net,
         "cdc_stream_changes": cdc_stream_changes,
         "cdc_replicate": cdc_replicate,
@@ -2401,6 +2439,26 @@ SELECT TRUE AS pruned,
        CAST(sum(event_id) AS BIGINT) AS sum_event_id,
        round(sum(value), 2) AS sum_value
 FROM hit
+""",
+        "cdc_changelog_prepost": """
+WITH mx AS (SELECT max(event_id) AS m FROM events),
+mid AS (SELECT event_id, value FROM events, mx
+        WHERE event_id >= m // 2 AND event_id < (m * 4) // 5),
+ch AS (
+  SELECT 'delete' AS _change_type, event_id, value FROM mid
+  WHERE event_id % 7 = 0
+  UNION ALL
+  SELECT 'update_before' AS _change_type, event_id, value FROM mid
+  WHERE event_id % 7 != 0
+  UNION ALL
+  SELECT 'update_after' AS _change_type, event_id, value + 1000 AS value
+  FROM mid WHERE event_id % 7 != 0
+)
+SELECT _change_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+       round(sum(value), 2) AS sum_value
+FROM ch GROUP BY _change_type
 """,
         "cdc_changelog_net": """
 WITH mx AS (SELECT max(event_id) AS m FROM events),

@@ -653,6 +653,7 @@ class LakeTable:
         until_version: int | None = None,
         *,
         skip_maintenance: bool = False,
+        before_images: bool = False,
     ) -> DataFrame:
         """Row-level changelog between two snapshots (Iceberg's
         changelog scan analog): every row added in (since, until]
@@ -682,7 +683,27 @@ class LakeTable:
         files without changing any row, and any deltas they fold were
         already emitted at their own versions, so skipping is exact.
         Content-CHANGING rewrites (COW merge, overwrite, rollback)
-        still raise — those genuinely fold history."""
+        still raise — those genuinely fold history.
+
+        ``before_images=True`` upgrades delta commits to Iceberg's
+        full pre/post-image semantics: for each delta version the
+        PRE-state of the touched keys is read (resolved state of only
+        the TOUCHED BUCKETS at the previous snapshot, semi-joined on
+        the delta's keys — cost bounded by touched buckets, never
+        table size) and
+
+        * an updated existing key emits an ``update_before`` row
+          (old values) AND an ``update_after`` row (new values);
+        * a tombstoned existing key emits ``delete`` with the TRUE
+          before-image (old values, not the tombstone's payload);
+        * a delta-born NEW key emits a true ``insert`` (the
+          insert-vs-update ambiguity of the default mode is resolved);
+        * a tombstone for a key that never existed emits NOTHING
+          (deleting nothing is a no-op, not a change).
+
+        The default stays ``False``: a downstream MERGE needs only
+        after-images, and skipping the pre-state reads is one less
+        scan per delta version."""
         until = self.snapshot(until_version)
         if until_version is not None:
             self._check_readable(until)
@@ -744,17 +765,58 @@ class LakeTable:
                 d = self._read_files(
                     spark, until, delta_new, extra={"_deleted": "boolean"}
                 )
-                frames.append(
-                    d.withColumn(
-                        "_change_type",
-                        F.when(
-                            F.coalesce(F.col("_deleted"), F.lit(False)),
-                            F.lit("delete"),
-                        ).otherwise(F.lit("update_after")),
+                if before_images:
+                    self._check_readable(prev)
+                    touched = {f.bucket for f in delta_new}
+                    pre = self._read_resolved(
+                        spark, until,
+                        [f for f in prev.files if f.bucket in touched],
                     )
-                    .withColumn("_change_version", F.lit(v).cast("int"))
-                    .select(*names, "_change_type", "_change_version")
-                )
+                    dk = d.select(
+                        *cur.key_cols,
+                        F.coalesce(F.col("_deleted"), F.lit(False)).alias(
+                            "_tomb"
+                        ),
+                    )
+                    pre_j = pre.join(dk, list(cur.key_cols), "inner")
+                    frames.append(
+                        pre_j.withColumn(
+                            "_change_type",
+                            F.when(F.col("_tomb"), F.lit("delete")).otherwise(
+                                F.lit("update_before")
+                            ),
+                        )
+                        .withColumn("_change_version", F.lit(v).cast("int"))
+                        .select(*names, "_change_type", "_change_version")
+                    )
+                    existed = pre.select(*cur.key_cols)
+                    after = d.filter(
+                        ~F.coalesce(F.col("_deleted"), F.lit(False))
+                    )
+                    frames.append(
+                        after.join(existed, list(cur.key_cols), "left_semi")
+                        .withColumn("_change_type", F.lit("update_after"))
+                        .withColumn("_change_version", F.lit(v).cast("int"))
+                        .select(*names, "_change_type", "_change_version")
+                    )
+                    frames.append(
+                        after.join(existed, list(cur.key_cols), "left_anti")
+                        .withColumn("_change_type", F.lit("insert"))
+                        .withColumn("_change_version", F.lit(v).cast("int"))
+                        .select(*names, "_change_type", "_change_version")
+                    )
+                else:
+                    frames.append(
+                        d.withColumn(
+                            "_change_type",
+                            F.when(
+                                F.coalesce(F.col("_deleted"), F.lit(False)),
+                                F.lit("delete"),
+                            ).otherwise(F.lit("update_after")),
+                        )
+                        .withColumn("_change_version", F.lit(v).cast("int"))
+                        .select(*names, "_change_type", "_change_version")
+                    )
             prev = cur
         if not frames:
             schema = (

@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     "cdc_zorder_scan",
     # round 4: BM25 corpus ranking (stats + tf/df + TakeOrdered top-10)
     "doc_bm25_rank",
+    # round 4: pre/post-image changelog (bootstrap-all + delta + both images)
+    "cdc_changelog_prepost",
 ]
 
 

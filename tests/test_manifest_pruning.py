@@ -534,6 +534,44 @@ def test_read_changes_change_version_ordering(spark, tmp_path):
     assert final["p0"] == "delete"
 
 
+def test_read_changes_before_images(spark, tmp_path):
+    """before_images=True: Iceberg's full pre/post-image changelog —
+    update_before/update_after pairs, deletes carrying TRUE old
+    values, delta-born keys as true inserts, and no-op tombstones
+    (never-existed keys) emitting nothing."""
+    t = LakeTable.create(str(tmp_path / "bi"), SCHEMA, ["repo", "path"],
+                         n_buckets=2)
+    t.append(spark, _batch(spark, 0, 10), epoch=1)                      # v1
+    op_schema = StructType(list(SCHEMA.fields)).add("op", StringType())
+    t.merge_mor(
+        spark,
+        spark.createDataFrame(
+            [
+                Row(repo="r0", path="p0", lsn=900, ts=T0, op="d"),  # existed
+                Row(repo="r1", path="p1", lsn=901, ts=T0, op="u"),  # existed
+                Row(repo="r0", path="p99", lsn=902, ts=T0, op="u"),  # new key
+                Row(repo="r2", path="p50", lsn=903, ts=T0, op="d"),  # never was
+            ],
+            op_schema,
+        ),
+        order_cols=["lsn"], op_col="op", delete_value="d", epoch=2,    # v2
+    )
+    ch = [(r["path"], r["_change_type"], r["lsn"])
+          for r in t.read_changes(spark, 1, before_images=True).collect()]
+    by_path = {}
+    for p, ct, lsn in ch:
+        by_path.setdefault(p, set()).add((ct, lsn))
+    assert by_path["p0"] == {("delete", 0)}            # TRUE before-image
+    assert by_path["p1"] == {("update_before", 1), ("update_after", 901)}
+    assert by_path["p99"] == {("insert", 902)}         # delta-born insert
+    assert "p50" not in by_path                        # no-op tombstone
+    # default mode semantics unchanged (after-images only)
+    legacy = {(r["path"], r["_change_type"])
+              for r in t.read_changes(spark, 1).collect()}
+    assert legacy == {("p0", "delete"), ("p1", "update_after"),
+                      ("p99", "update_after"), ("p50", "delete")}
+
+
 def test_read_changes_net(spark, tmp_path):
     """Iceberg net_changes analog: the changelog collapsed to one row
     per key — final values win, insert-then-delete nets to nothing,
