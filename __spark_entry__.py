@@ -1258,6 +1258,55 @@ def cdc_changelog_prepost(spark, sf):
     )
 
 
+def cdc_matview_incremental(spark, sf):
+    """Incremental materialized-view maintenance (lake/matview.py):
+    a per-event_type count+sums view is built once (full) and then
+    advanced from the source's pre/post-image changelog with SIGNED
+    deltas — after-images +1/+value, before-images -1/-value — merging
+    only affected groups, never rescanning the source.  The checked
+    rows pin the incremental mode AND the final view state, which the
+    oracle recomputes from scratch (so incremental ≡ recompute is
+    value-verified)."""
+    from airbyte_spark.lake.matview import maintain_sums, view_schema
+    from airbyte_spark.lake.table import LakeTable
+
+    e = _t(spark, sf, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    mx = e.agg(F.max("event_id")).collect()[0][0]
+    cut_a, cut_b = mx // 2, (mx * 4) // 5
+    root = tempfile.mkdtemp(prefix="lake_mv_")
+    src = LakeTable.create(os.path.join(root, "src"), e.schema, ["event_id"],
+                           n_buckets=8)
+    view = LakeTable.create(
+        os.path.join(root, "view"),
+        view_schema([("event_type", "string")], ["event_id", "value"]),
+        ["event_type"], n_buckets=2,
+    )
+    src.append(spark, e, epoch=1)                                       # v1
+    maintain_sums(spark, src, view, group_cols=["event_type"],
+                  sum_cols=["event_id", "value"])                       # full
+    mid = (
+        e.filter((F.col("event_id") >= cut_a) & (F.col("event_id") < cut_b))
+        .withColumn("value", F.col("value") + 1000)
+        .withColumn(
+            "op",
+            F.when(F.col("event_id") % 7 == 0, F.lit("d")).otherwise(F.lit("u")),
+        )
+    )
+    src.merge_mor(spark, mid, order_cols=["event_id"], op_col="op",
+                  delete_value="d", epoch=2)                            # v2
+    r = maintain_sums(spark, src, view, group_cols=["event_type"],
+                      sum_cols=["event_id", "value"])
+    return view.read(spark).select(
+        F.lit(r["mode"]).alias("mode"),
+        "event_type",
+        "n_rows",
+        F.col("sum_event_id").cast("long").alias("sum_event_id"),
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
 def cdc_changelog_net(spark, sf):
     """NET changelog view (read_changes_net, the Iceberg net_changes
     analog): the fixture grows a 4th epoch whose delta overlaps the
@@ -1466,6 +1515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_incremental_appends": cdc_incremental_appends,
         "cdc_changelog_scan": cdc_changelog_scan,
         "cdc_changelog_prepost": cdc_changelog_prepost,
+        "cdc_matview_incremental": cdc_matview_incremental,
         "cdc_changelog_net": cdc_changelog_net,
         "cdc_stream_changes": cdc_stream_changes,
         "cdc_replicate": cdc_replicate,
@@ -2439,6 +2489,23 @@ SELECT TRUE AS pruned,
        CAST(sum(event_id) AS BIGINT) AS sum_event_id,
        round(sum(value), 2) AS sum_value
 FROM hit
+""",
+        "cdc_matview_incremental": """
+WITH mx AS (SELECT max(event_id) AS m FROM events),
+fin AS (
+  SELECT event_type, event_id,
+         CASE WHEN event_id >= m // 2 AND event_id < (m * 4) // 5
+                   AND event_id % 7 != 0
+              THEN value + 1000 ELSE value END AS value
+  FROM events, mx
+  WHERE NOT (event_id >= m // 2 AND event_id < (m * 4) // 5
+             AND event_id % 7 = 0)
+)
+SELECT 'incremental' AS mode, event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+       round(sum(value), 2) AS sum_value
+FROM fin GROUP BY event_type
 """,
         "cdc_changelog_prepost": """
 WITH mx AS (SELECT max(event_id) AS m FROM events),

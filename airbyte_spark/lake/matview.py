@@ -1,0 +1,151 @@
+"""Incremental materialized-view maintenance from the changelog.
+
+A downstream AGGREGATE table (grouped counts + sums) kept in sync
+with a source lake table WITHOUT recomputing the aggregate: each sync
+reads the source's pre/post-image changelog
+(``read_changes(before_images=True)``) and applies signed deltas —
+after-images count +1 / +value, before-images (update_before, delete)
+count -1 / -value — merging only the AFFECTED groups into the view
+(the retraction-stream / self-maintainable-view technique: Flink
+retract streams, DBSP incremental aggregates; the reference's dbt
+normalization recomputes these models from scratch every sync, which
+is exactly the O(table) cost this avoids).
+
+Self-maintainable aggregates only: count and sums (avg = sum/count at
+query time).  min/max are NOT self-maintainable under deletes (a
+retracted max needs the group's full history) — refused at the API.
+
+Exactly-once and cursoring reuse the replication pattern
+(lake/replicate.py): the view table's epoch gate IS the cursor, so
+the new totals and the cursor land in one atomic snapshot, and a
+replayed apply is a structural no-op.  A history-folding source
+commit (COW merge / overwrite / rollback) or a vacuum-expired cursor
+falls back to a full recompute (the correct cost of an invalidated
+cursor); content-preserving maintenance is skipped.
+
+Scale: per sync the work is O(changed rows) + a key-partitioned merge
+of O(affected groups) — never O(source table).  Group keys must be
+non-null (they are the view table's primary key).
+
+Numeric note: incrementally-maintained float sums accumulate the
+usual reassociation drift vs a from-scratch recompute; round at query
+time (the oracle queries round to 2 decimals).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+from airbyte_spark.lake.table import LakeTable
+
+MATVIEW_STREAM = "matview"
+
+_AFTER = ("insert", "update_after")
+
+
+def view_schema(group_fields: list[tuple[str, str]],
+                sum_cols: list[str]) -> StructType:
+    """Schema for a sums/count view table: the group columns (name,
+    spark-type-ddl) + ``n_rows`` + one ``sum_<c>`` per summed column."""
+    fields = [StructField(n, _parse(t)) for n, t in group_fields]
+    fields.append(StructField("n_rows", LongType()))
+    fields.extend(StructField(f"sum_{c}", DoubleType()) for c in sum_cols)
+    return StructType(fields)
+
+
+def _parse(ddl: str):
+    from pyspark.sql.types import _parse_datatype_string
+
+    return _parse_datatype_string(ddl)
+
+
+def maintain_sums(
+    spark: SparkSession,
+    src: LakeTable,
+    view: LakeTable,
+    *,
+    group_cols: list[str],
+    sum_cols: list[str],
+    stream: str = MATVIEW_STREAM,
+) -> dict:
+    """Advance ``view`` (a grouped count+sums table keyed by
+    ``group_cols``) to ``src``'s current snapshot.  Returns
+    ``{"mode": noop|full|incremental, "since", "until",
+    "groups_touched": n}``."""
+    if sorted(view.snapshot().key_cols) != sorted(group_cols):
+        raise ValueError(
+            f"view table must be keyed by the group columns {group_cols}, "
+            f"got {view.snapshot().key_cols}"
+        )
+    sums = [F.sum(F.col(c)).alias(f"sum_{c}") for c in sum_cols]
+    view_cols = [*group_cols, "n_rows", *[f"sum_{c}" for c in sum_cols]]
+
+    def _full(until: int) -> dict:
+        agg = (
+            src.read(spark)
+            .groupBy(*group_cols)
+            .agg(F.count(F.lit(1)).alias("n_rows"), *sums)
+            .select(*view_cols)
+        )
+        n = agg.count()
+        view.overwrite(spark, agg, epoch=until, stream=stream)
+        return {"mode": "full", "until": until, "groups_touched": n}
+
+    since = view.last_epoch(stream)
+    until = src.snapshot().version
+    if since >= until:
+        return {"mode": "noop", "since": since, "until": since,
+                "groups_touched": 0}
+    if since < 0:
+        return {"since": -1, **_full(until)}
+
+    try:
+        ch = src.read_changes(
+            spark, since, until_version=until,
+            skip_maintenance=True, before_images=True,
+        )
+    except ValueError:
+        return {"since": since, **_full(until)}
+
+    sign = F.when(F.col("_change_type").isin(*_AFTER), F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    delta = (
+        ch.withColumn("_sign", sign)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("_sign").alias("_dn"),
+            *[
+                F.sum(F.col(c) * F.col("_sign")).alias(f"_ds_{c}")
+                for c in sum_cols
+            ],
+        )
+    )
+    old = view.read(spark)
+    # right join: only AFFECTED groups are rewritten; untouched groups
+    # never enter the merge (the merge itself is bucket-pruned on top)
+    j = old.join(delta, group_cols, "right")
+    new_n = F.coalesce(F.col("n_rows"), F.lit(0)) + F.col("_dn")
+    batch = j.select(
+        *group_cols,
+        new_n.alias("n_rows"),
+        *[
+            (
+                F.coalesce(F.col(f"sum_{c}"), F.lit(0.0))
+                + F.coalesce(F.col(f"_ds_{c}"), F.lit(0.0))
+            ).alias(f"sum_{c}")
+            for c in sum_cols
+        ],
+        F.when(new_n <= 0, F.lit("d")).otherwise(F.lit("u")).alias("_op"),
+    )
+    n = batch.count()
+    if n == 0:
+        view.commit_epoch(until, stream=stream)
+        return {"mode": "incremental", "since": since, "until": until,
+                "groups_touched": 0}
+    view.merge(spark, batch, op_col="_op", delete_value="d",
+               epoch=until, stream=stream)
+    return {"mode": "incremental", "since": since, "until": until,
+            "groups_touched": n}

@@ -88,6 +88,8 @@ BENCH_QUERIES = [
     "doc_bm25_rank",
     # round 4: pre/post-image changelog (bootstrap-all + delta + both images)
     "cdc_changelog_prepost",
+    # round 4: incremental materialized-view maintenance (full + signed-delta)
+    "cdc_matview_incremental",
 ]
 
 

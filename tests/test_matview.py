@@ -1,0 +1,144 @@
+"""Incremental materialized-view maintenance (lake/matview.py):
+signed pre/post-image deltas keep a grouped count+sums table equal to
+a from-scratch recompute across upserts, deletes, group emptying, and
+history folds — at O(changed rows), never O(source)."""
+
+import datetime
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType, StringType, StructField, StructType, TimestampType,
+)
+
+from airbyte_spark.lake import LakeTable
+from airbyte_spark.lake.matview import maintain_sums, view_schema
+
+SCHEMA = StructType(
+    [
+        StructField("repo", StringType()),
+        StructField("path", StringType()),
+        StructField("lsn", LongType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+T0 = datetime.datetime(2024, 1, 1)
+
+
+def _batch(spark, lo, hi):
+    return spark.createDataFrame(
+        [Row(repo=f"r{i % 3}", path=f"p{i}", lsn=i, ts=T0)
+         for i in range(lo, hi)],
+        SCHEMA,
+    )
+
+
+def _recompute(spark, src):
+    return {
+        (r["repo"], r["n_rows"], r["sum_lsn"])
+        for r in src.read(spark)
+        .groupBy("repo")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.sum("lsn").cast("double").alias("sum_lsn"))
+        .collect()
+    }
+
+
+def _view_state(spark, view):
+    return {(r["repo"], r["n_rows"], r["sum_lsn"])
+            for r in view.read(spark).collect()}
+
+
+@pytest.fixture()
+def pair(spark, tmp_path):
+    src = LakeTable.create(str(tmp_path / "src"), SCHEMA, ["repo", "path"],
+                           n_buckets=4)
+    view = LakeTable.create(
+        str(tmp_path / "view"),
+        view_schema([("repo", "string")], ["lsn"]),
+        ["repo"], n_buckets=2,
+    )
+    src.append(spark, _batch(spark, 0, 30), epoch=1)
+    return src, view
+
+
+def test_full_then_incremental_matches_recompute(spark, pair):
+    src, view = pair
+    r = maintain_sums(spark, src, view, group_cols=["repo"], sum_cols=["lsn"])
+    assert r["mode"] == "full"
+    assert _view_state(spark, view) == _recompute(spark, src)
+    assert maintain_sums(spark, src, view, group_cols=["repo"],
+                         sum_cols=["lsn"])["mode"] == "noop"
+
+    op_schema = StructType(list(SCHEMA.fields)).add("op", StringType())
+    src.merge_mor(
+        spark,
+        spark.createDataFrame(
+            [Row(repo="r0", path="p0", lsn=1000, ts=T0, op="u"),  # +1000-0
+             Row(repo="r1", path="p1", lsn=1001, ts=T0, op="d"),  # -1 row
+             Row(repo="r2", path="p99", lsn=77, ts=T0, op="u")],  # new row
+            op_schema,
+        ),
+        order_cols=["lsn"], op_col="op", delete_value="d", epoch=2,
+    )
+    src.append(spark, _batch(spark, 60, 66), epoch=3)
+    src.compact(spark)  # content-preserving: must NOT force a full pass
+    r = maintain_sums(spark, src, view, group_cols=["repo"], sum_cols=["lsn"])
+    assert r["mode"] == "incremental" and r["groups_touched"] == 3
+    assert _view_state(spark, view) == _recompute(spark, src)
+    # crash-replay: epoch-gated structural no-op
+    assert maintain_sums(spark, src, view, group_cols=["repo"],
+                         sum_cols=["lsn"])["mode"] == "noop"
+    assert _view_state(spark, view) == _recompute(spark, src)
+
+
+def test_emptied_group_row_disappears(spark, tmp_path):
+    src = LakeTable.create(str(tmp_path / "s"), SCHEMA, ["repo", "path"],
+                           n_buckets=2)
+    view = LakeTable.create(
+        str(tmp_path / "v"), view_schema([("repo", "string")], ["lsn"]),
+        ["repo"], n_buckets=2,
+    )
+    src.append(
+        spark,
+        spark.createDataFrame(
+            [Row(repo="solo", path="only", lsn=5, ts=T0),
+             Row(repo="other", path="x", lsn=1, ts=T0)],
+            SCHEMA,
+        ),
+        epoch=1,
+    )
+    maintain_sums(spark, src, view, group_cols=["repo"], sum_cols=["lsn"])
+    op_schema = StructType(list(SCHEMA.fields)).add("op", StringType())
+    src.merge_mor(
+        spark,
+        spark.createDataFrame(
+            [Row(repo="solo", path="only", lsn=99, ts=T0, op="d")], op_schema
+        ),
+        order_cols=["lsn"], op_col="op", delete_value="d", epoch=2,
+    )
+    r = maintain_sums(spark, src, view, group_cols=["repo"], sum_cols=["lsn"])
+    assert r["mode"] == "incremental"
+    assert _view_state(spark, view) == {("other", 1, 1.0)}  # solo gone
+    assert _view_state(spark, view) == _recompute(spark, src)
+
+
+def test_history_fold_forces_full_recompute(spark, pair):
+    src, view = pair
+    maintain_sums(spark, src, view, group_cols=["repo"], sum_cols=["lsn"])
+    src.merge(spark, _batch(spark, 0, 5).withColumn(
+        "lsn", F.col("lsn") + 500), epoch=2)  # COW fold
+    r = maintain_sums(spark, src, view, group_cols=["repo"], sum_cols=["lsn"])
+    assert r["mode"] == "full"
+    assert _view_state(spark, view) == _recompute(spark, src)
+
+
+def test_view_key_mismatch_raises(spark, pair):
+    src, _ = pair
+    bad = LakeTable.create(
+        str(src.root) + "_bad", view_schema([("repo", "string")], ["lsn"]),
+        ["n_rows"], n_buckets=2,
+    )
+    with pytest.raises(ValueError, match="keyed by the group columns"):
+        maintain_sums(spark, src, bad, group_cols=["repo"], sum_cols=["lsn"])
