@@ -177,6 +177,11 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="time travel to a snapshot version or tag name",
     )
+    sp.add_argument(
+        "--as-of", default=None,
+        help="time travel AS OF an ISO timestamp or epoch seconds "
+             "(greatest version committed at-or-before)",
+    )
 
     sp = sub.add_parser(
         "delete", help="row-level DELETE by predicate (pruned COW rewrite)"
@@ -396,10 +401,20 @@ def main(argv: list[str] | None = None) -> int:
         from airbyte_spark.lake import LakeTable
 
         t = LakeTable(args.table)
+        version = args.version
+        if args.as_of is not None:
+            import datetime as _dt
+
+            try:
+                ts = float(args.as_of)
+            except ValueError:
+                ts = _dt.datetime.fromisoformat(args.as_of).timestamp()
+            version = t.resolve_as_of(ts)
         where = [_parse_predicate(w) for w in args.where]
-        snap, kept = t.plan_scan(where, args.version)
-        rows = t.scan(spark, where, args.version).limit(args.limit).collect()
+        snap, kept = t.plan_scan(where, version)
+        rows = t.scan(spark, where, version).limit(args.limit).collect()
         print(json.dumps({
+            "version": snap.version,
             "files_total": len(snap.files),
             "files_kept": len(kept),
             "rows": [r.asDict() for r in rows],

@@ -484,6 +484,29 @@ class LakeTable:
             return []
         return [self.snapshot(v) for v in range(last + 1)]
 
+    def resolve_as_of(self, ts) -> int:
+        """Time travel AS OF TIMESTAMP (Iceberg's
+        ``FOR SYSTEM_TIME AS OF``): the greatest version committed
+        at-or-before ``ts`` (epoch seconds or datetime).  Commit time
+        = the immutable log file's mtime — the SAME clock the
+        age-based vacuum retention uses, so "readable as of T" and
+        "expired because older than T" can never disagree.  Walks the
+        driver-side log only (one stat per version, newest first)."""
+        import datetime as _dt
+
+        if isinstance(ts, _dt.datetime):
+            ts = ts.timestamp()
+        last = latest_version(self.root)
+        if last is None:
+            raise ValueError(f"no table at {self.root}")
+        for v in range(last, -1, -1):
+            path = os.path.join(self.root, LOG_DIR, f"v{v:012d}.json")
+            if os.path.getmtime(path) <= ts:
+                return v
+        raise ValueError(
+            f"as-of {ts} predates the table's first commit"
+        )
+
     def schema(self, snap: Snapshot | None = None) -> StructType:
         snap = snap or self.snapshot()
         return struct_from_fields(snap.fields)
@@ -512,7 +535,17 @@ class LakeTable:
                 f"(min readable version is {mrv})"
             )
 
-    def read(self, spark: SparkSession, version: int | str | None = None) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | str | None = None,
+        *,
+        as_of=None,
+    ) -> DataFrame:
+        if as_of is not None:
+            if version is not None:
+                raise ValueError("pass version OR as_of, not both")
+            version = self.resolve_as_of(as_of)
         snap = self.snapshot(version)
         if version is not None:
             self._check_readable(snap)

@@ -264,6 +264,13 @@ def test_tag_and_scan_by_ref(tmp_path):
     tags = json.loads(_cli("tag", "--table", table))
     assert tags["bootstrap"] == 1  # the bootstrap commit's version
 
+    # AS OF "now" resolves to the latest (post-compact) version
+    import time as _time
+
+    r = json.loads(_cli("scan", "--table", table,
+                        "--as-of", str(_time.time()), "--limit", "1"))
+    assert r["version"] == 3 and len(r["rows"]) == 1  # create,boot,tag,compact
+
     r = json.loads(_cli("tag", "--table", table, "--name", "bootstrap", "--drop"))
     assert r["dropped"] == "bootstrap"
     assert json.loads(_cli("tag", "--table", table)) == {}

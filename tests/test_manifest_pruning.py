@@ -230,6 +230,33 @@ def test_clustered_compaction_tightens_bounds(spark, tmp_path):
     assert sorted(r["lsn"] for r in rows) == list(range(290, 300))
 
 
+def test_time_travel_as_of_timestamp(spark, tmp_path):
+    """AS OF TIMESTAMP resolves to the greatest version committed
+    at-or-before ts, using the log file's mtime — the same clock as
+    age-based vacuum, pinned by back-dating the log files."""
+    import os as _os
+    import time as _time
+
+    from airbyte_spark.lake.log import LOG_DIR
+
+    t = LakeTable.create(str(tmp_path / "tt"), SCHEMA, ["repo", "path"],
+                         n_buckets=2)
+    t.append(spark, _batch(spark, 0, 10), epoch=1)    # v1
+    t.append(spark, _batch(spark, 10, 30), epoch=2)   # v2
+    now = _time.time()
+    for v, age in ((0, 3000), (1, 2000), (2, 1000)):
+        p = _os.path.join(t.root, LOG_DIR, f"v{v:012d}.json")
+        _os.utime(p, (now - age, now - age))
+    assert t.resolve_as_of(now - 1500) == 1
+    assert t.resolve_as_of(now) == 2
+    assert t.read(spark, as_of=now - 1500).count() == 10
+    assert t.read(spark, as_of=datetime.datetime.now()).count() == 30
+    with pytest.raises(ValueError, match="predates"):
+        t.resolve_as_of(now - 9999)
+    with pytest.raises(ValueError, match="not both"):
+        t.read(spark, version=1, as_of=now)
+
+
 def test_zorder_compaction_prunes_on_every_dimension(spark, tmp_path):
     """Z-order rewrite: after interleaved clustering on (lsn, ts),
     range predicates on EITHER column prune files — a lexicographic
