@@ -418,6 +418,22 @@ def doc_bm25_rank(spark, sf):
     ).select("doc_id", "bm25", "rank")
 
 
+def events_sessionize(spark, sf):
+    """Gap-based sessionization (analytics/events.py — one user-hash
+    exchange, lag + running-sum windows): one row per (user, session)
+    with count/start/end/duration at a 10-minute gap.  The oracle
+    reproduces the whole window chain in SQL."""
+    from airbyte_spark.analytics import events as A_events
+
+    e = _t(spark, sf, "events").select("user_id", "ts", "event_id")
+    return A_events.session_stats(
+        e, gap_seconds=600, tiebreak_col="event_id"
+    ).select(
+        "user_id", "session_no", "n_events",
+        "session_start", "session_end", "duration_sec",
+    )
+
+
 def doc_quality(spark, sf):
     return A_text.quality_score(_t(spark, sf, "documents")).select(
         "doc_id", "n_tokens", "mean_token_len", "punct_ratio",
@@ -1476,6 +1492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_stats": doc_token_stats,
         "doc_quality": doc_quality,
         "doc_bm25_rank": doc_bm25_rank,
+        "events_sessionize": events_sessionize,
         "doc_repetition": doc_repetition,
         "doc_pii_scrub": doc_pii_scrub,
         "doc_sample_mix": doc_sample_mix,
@@ -2137,6 +2154,27 @@ SELECT doc_id,
   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))
        AS BIGINT) AS n_tokens_regex
 FROM documents
+""",
+        "events_sessionize": """
+WITH s AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600 * 1000000
+         THEN 1 ELSE 0 END AS st
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+n AS (
+  SELECT user_id, ts,
+    CAST(sum(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS INT) AS session_no
+  FROM s
+)
+SELECT user_id, session_no,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       CAST((max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000 AS BIGINT) AS duration_sec
+FROM n GROUP BY user_id, session_no
 """,
         "doc_bm25_rank": f"""
 WITH d AS (

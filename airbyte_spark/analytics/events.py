@@ -1,0 +1,88 @@
+"""Event-stream analytics over the events table.
+
+Gap-based sessionization — the standard event-analytics primitive
+(Spark's own ``session_window``, BigQuery/Snowflake SESSIONIZE
+recipes): consecutive events of the same user belong to one session
+until a silence longer than ``gap`` splits it.
+
+Plan shape: ONE hash shuffle on the user column; both window passes
+(the lag that detects session starts and the running sum that numbers
+them) share the same partitioning, so Catalyst reuses the single
+exchange.  At 100 TB the only scale hazard is a hot user — the
+windows are per-user sequential by necessity (session numbering is
+inherently ordered), so a pathological single-user firehose should be
+pre-split upstream; for organic skew the per-user event counts are
+bounded and the shuffle is the cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Tag every event with a per-user session number (1-based, in
+    time order).  An event starts a new session when it is the user's
+    first event or arrives more than ``gap_seconds`` after the
+    previous one.
+
+    ``tiebreak_col``: pass a unique column (e.g. the event id) when
+    timestamps can repeat.  The start-flag window and the running-sum
+    window are SEPARATE window evaluations, and an engine may order
+    equal timestamps differently in each — the start flag then lands
+    mid-group in the second window's order and a tie group splits
+    across two session numbers nondeterministically (observed in
+    DuckDB run-to-run; Spark's single Window operator happens to share
+    one sort but that is an implementation accident, not a contract).
+    A total order removes the ambiguity in every engine."""
+    from pyspark.sql import Window
+
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
+    prev = F.lag(F.col(ts_col)).over(w)
+    # microsecond-exact gap arithmetic: a floor-to-seconds comparison
+    # would disagree with any sub-second-aware engine at boundaries
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev_us = F.unix_micros(prev.cast("timestamp"))
+    starts = F.when(
+        prev.isNull() | (us - prev_us > gap_seconds * 1_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy(user_col).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn("session_no", F.sum(starts).over(run).cast("int"))
+
+
+def session_stats(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """One row per (user, session): event count, start/end, duration
+    seconds.  Same single exchange as :func:`sessionize` — the final
+    groupBy keys are a superset of the window partitioning, so no
+    second shuffle."""
+    s = sessionize(df, user_col=user_col, ts_col=ts_col,
+                   gap_seconds=gap_seconds, tiebreak_col=tiebreak_col)
+    return s.groupBy(user_col, "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.floor(
+            (F.max(F.unix_micros(F.col(ts_col).cast("timestamp")))
+             - F.min(F.unix_micros(F.col(ts_col).cast("timestamp"))))
+            / F.lit(1_000_000)
+        ).cast("long").alias("duration_sec"),
+    )

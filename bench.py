@@ -90,6 +90,8 @@ BENCH_QUERIES = [
     "cdc_changelog_prepost",
     # round 4: incremental materialized-view maintenance (full + signed-delta)
     "cdc_matview_incremental",
+    # round 4: gap-based sessionization (single user-hash exchange)
+    "events_sessionize",
 ]
 
 

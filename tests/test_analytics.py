@@ -634,3 +634,35 @@ def test_bm25_rank_scores_and_plan(spark):
     assert [got[k][1] for k in sorted(got, key=lambda k: got[k][1])] == [1, 2, 3]
     plan = bm25_rank(docs, ["data"])._jdf.queryExecution().toString()
     assert "TakeOrderedAndProject" in plan  # never a full global sort
+
+
+def test_sessionize_gap_semantics(spark):
+    """Gap-based sessionization: sub-second-exact boundaries (600.000001s
+    splits, 600.0s does not), per-user numbering, and a single exchange
+    for the whole stats plan."""
+    import datetime as dt
+
+    from airbyte_spark.analytics.events import session_stats, sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(sec, us=0):
+        return t0 + dt.timedelta(seconds=sec, microseconds=us)
+
+    df = spark.createDataFrame(
+        [
+            (1, at(0)), (1, at(600)),          # gap exactly 600 -> same
+            (1, at(1200, 1)),                  # 600.000001 -> new session
+            (2, at(0)),
+        ],
+        "user_id long, ts timestamp",
+    )
+    s = {(r["user_id"], r["ts"], r["session_no"])
+         for r in sessionize(df, gap_seconds=600).collect()}
+    assert s == {(1, at(0), 1), (1, at(600), 1), (1, at(1200, 1), 2),
+                 (2, at(0), 1)}
+    stats = {(r["user_id"], r["session_no"]): (r["n_events"], r["duration_sec"])
+             for r in session_stats(df, gap_seconds=600).collect()}
+    assert stats == {(1, 1): (2, 600), (1, 2): (1, 0), (2, 1): (1, 0)}
+    plan = session_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # windows + groupBy share one shuffle
