@@ -759,6 +759,22 @@ def emb_topk_ivf_kmeans(spark, sf):
     return A_sim.topk_ivf(e, q, k=5, nlist=16, nprobe=10, centroids=cents)
 
 
+def emb_topk_pq(spark, sf):
+    """Product-quantized ADC first pass + exact float rescore
+    (analytics/similarity.py topk_pq; FAISS IndexPQ+refine analog).
+    The corpus side of the scored join carries only 32 codes of 4
+    bits each + one double (16-byte-packable vs the 512-byte float64
+    vector); each broadcast query precomputes its sub-dot LUT once
+    and pairs cost 32 lookups instead of a 64-dim dot.  Deterministic
+    default codebook (subvector slices of the first 16 corpus
+    vectors) keeps the whole encode -> ADC -> shortlist -> rescore
+    chain SQL-verifiable; the trained-codebook path (recall@5 0.98)
+    is pinned by a property test in tests/test_analytics.py."""
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return A_sim.topk_pq(e, q, k=5, refine=6, n_sub=32, ksub=16)
+
+
 # ---------------------------------------------------------------------------
 # the CDC engine end-to-end (non-SQL: COW merge + epochs; rows-only check)
 # ---------------------------------------------------------------------------
@@ -1515,6 +1531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_topk_lsh": emb_topk_lsh,
         "emb_topk_ivf": emb_topk_ivf,
         "emb_topk_ivf_kmeans": emb_topk_ivf_kmeans,
+        "emb_topk_pq": emb_topk_pq,
         "multimodal_features": multimodal_features,
         "multimodal_frames": multimodal_frames,
         "cdc_replay_mini": cdc_replay_mini,
@@ -2656,6 +2673,75 @@ short AS (
     FROM quant c, quant qq
     WHERE qq.vec_id < 10 AND c.vec_id != qq.vec_id
   ) WHERE rn <= 20
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT s.query_id, s.neighbor_id,
+    round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cosine,
+    row_number() OVER (
+      PARTITION BY s.query_id
+      ORDER BY round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) DESC,
+               s.neighbor_id ASC
+    ) AS rank
+  FROM short s
+  JOIN embeddings c ON c.vec_id = s.neighbor_id
+  JOIN embeddings q ON q.vec_id = s.query_id
+) WHERE rank <= 5
+""",
+        # PQ: codebook = subvector slices of the first-16 corpus
+        # vectors; codes = argmin 6dp-rounded squared L2 (tie lower
+        # code); ADC cosine = sum of 6dp-rounded sub-dots over the
+        # reconstruction norm; shortlist rn <= k*refine = 30; exact
+        # float rescore — each stage mirrors topk_pq's rounding
+        "emb_topk_pq": """
+WITH ms AS (SELECT unnest(generate_series(0, 31)) AS m),
+cb AS (
+  SELECT ms.m, e.vec_id AS j,
+         list_slice(e.embedding::DOUBLE[], ms.m*2+1, ms.m*2+2) AS cent
+  FROM embeddings e, ms WHERE e.vec_id < 16
+),
+sv AS (
+  SELECT e.vec_id, ms.m,
+         list_slice(e.embedding::DOUBLE[], ms.m*2+1, ms.m*2+2) AS sub
+  FROM embeddings e, ms
+),
+codes AS (
+  SELECT vec_id, m, j FROM (
+    SELECT sv.vec_id, sv.m, cb.j,
+      row_number() OVER (PARTITION BY sv.vec_id, sv.m ORDER BY
+        round(list_sum(list_transform(list_zip(sv.sub, cb.cent),
+                       z -> (z[1]-z[2])*(z[1]-z[2]))), 6) ASC,
+        cb.j ASC) AS rn
+    FROM sv JOIN cb ON cb.m = sv.m
+  ) WHERE rn = 1
+),
+enc AS (
+  SELECT c.vec_id,
+         sum(round(list_inner_product(cb.cent, cb.cent), 6)) AS cn2
+  FROM codes c JOIN cb ON cb.m = c.m AND cb.j = c.j
+  GROUP BY c.vec_id
+),
+adc AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         sum(round(list_inner_product(
+           list_slice(q.embedding::DOUBLE[], c.m*2+1, c.m*2+2),
+           cb.cent), 6)) AS adot
+  FROM embeddings q
+  JOIN codes c ON c.vec_id != q.vec_id
+  JOIN cb ON cb.m = c.m AND cb.j = c.j
+  WHERE q.vec_id < 10
+  GROUP BY 1, 2
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.query_id, a.neighbor_id,
+      row_number() OVER (PARTITION BY a.query_id ORDER BY
+        round(a.adot / (sqrt(list_inner_product(
+          q.embedding::DOUBLE[], q.embedding::DOUBLE[])) * sqrt(e.cn2)), 4) DESC,
+        a.neighbor_id ASC) AS rn
+    FROM adc a
+    JOIN enc e ON e.vec_id = a.neighbor_id
+    JOIN embeddings q ON q.vec_id = a.query_id
+  ) WHERE rn <= 30
 )
 SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
   SELECT s.query_id, s.neighbor_id,

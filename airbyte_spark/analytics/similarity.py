@@ -552,3 +552,277 @@ def topk_sq(
         .withColumn("cosine", F.round(sim, 4))
     )
     return _topk_rank(rescored, k)
+
+
+def pq_codebooks(
+    sample: list[list[float]],
+    *,
+    n_sub: int = 8,
+    ksub: int = 16,
+    iters: int = 8,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jegou et al. 2011): the vector
+    is split into ``n_sub`` contiguous subspaces and each subspace
+    gets its own ``ksub``-centroid L2 k-means codebook, trained here
+    with the same deterministic recipe as :func:`kmeans_codebook`
+    (init = first ``ksub`` sample subvectors, argmin on 6dp-rounded
+    squared distance with ties to the lower code, means rounded to
+    6dp) so the trained books are reproducible cross-engine.
+
+    Like the IVF trainer, only the driver-side sample moves — the
+    books ship back into the plan as literals and the encode runs
+    distributed."""
+    import numpy as np
+
+    X = np.asarray(sample, dtype=np.float64)
+    dim = X.shape[1]
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    dsub = dim // n_sub
+    books: list[list[list[float]]] = []
+    for m in range(n_sub):
+        S = X[:, m * dsub:(m + 1) * dsub]
+        C = S[:ksub].copy()
+        for _ in range(iters):
+            d2 = np.round(
+                ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1), 6
+            )
+            cells = np.argmin(d2, axis=1)  # first min = lowest code
+            for j in range(ksub):
+                members = S[cells == j]
+                if len(members):
+                    C[j] = np.round(members.mean(axis=0), 6)
+        books.append([list(map(float, c)) for c in C])
+    return books
+
+
+def _pq_lit_vec(cent: list[float]):
+    return F.array(*[F.lit(float(x)) for x in cent])
+
+
+def encode_pq(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    vec_col: str = "embedding",
+    codes_col: str = "pq_codes",
+    norm2_col: str = "pq_norm2",
+    engine: str = "arrow",
+) -> DataFrame:
+    """PQ-encode: per subspace, the code of the nearest sub-centroid
+    (6dp-rounded squared L2, ties to the lower code).  Also
+    materializes the reconstruction norm-squared (subspaces are
+    orthogonal blocks, so ||x_hat||^2 = sum_m ||c_m||^2), the only
+    corpus-side float the ADC scorer needs.
+
+    Engines (the repo's twin convention — pytest pins their parity):
+    ``arrow`` (default) is one Arrow-batched numpy kernel — a single
+    (batch, n_sub, 1, dsub) - (n_sub, ksub, dsub) broadcasted argmin,
+    no shuffle, codebooks closed over as a tiny constant.  ``jvm`` is
+    the same argmin as literal array expressions; it is the
+    oracle-shaped twin but Spark interprets (never codegens) lambda
+    HOFs, so its n_sub*ksub zip_with/aggregate per row run ~40x
+    slower — keep it for parity tests and tiny books.  Rounding is
+    6dp HALF_UP in both (floor(d*1e6+0.5) on the non-negative
+    distances = java.math.RoundingMode.HALF_UP = DuckDB round()).
+
+    The 100 TB point of PQ is the encoded-corpus width: ``n_sub``
+    small ints + one double (~40 B at the defaults) instead of a
+    64-float vector (~520 B as array<double>) — what streams past the
+    broadcast queries shrinks ~13x, and encode is a one-off column
+    write, like building an index."""
+    n_sub = len(codebooks)
+    dsub = len(codebooks[0][0])
+    norm2 = [
+        [round(sum(x * x for x in cent), 6) for cent in book]
+        for book in codebooks
+    ]
+    if engine == "arrow":
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        C = np.asarray(codebooks, dtype=np.float64)  # (n_sub, ksub, dsub)
+        N2 = np.asarray(norm2, dtype=np.float64)     # (n_sub, ksub)
+
+        @pandas_udf("struct<c: array<int>, n: double>")
+        def _enc(v):  # pd.Series -> pd.DataFrame (struct return)
+            if not len(v):
+                return pd.DataFrame({"c": [], "n": []})
+            X = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in v]
+            ).reshape(len(v), n_sub, dsub)
+            d2 = ((X[:, :, None, :] - C[None]) ** 2).sum(-1)
+            d2 = np.floor(d2 * 1e6 + 0.5) / 1e6   # 6dp HALF_UP (d2 >= 0)
+            codes = d2.argmin(-1)                 # first min = lowest code
+            n2 = N2[np.arange(n_sub)[None, :], codes].sum(-1)
+            return pd.DataFrame(
+                {"c": list(codes.astype("int32")), "n": n2}
+            )
+
+        out = df.withColumn("_pq", _enc(F.col(vec_col)))
+        return (
+            out.withColumn(codes_col, F.col("_pq.c"))
+            .withColumn(norm2_col, F.col("_pq.n"))
+            .drop("_pq")
+        )
+    if engine != "jvm":
+        raise ValueError(f"unknown engine {engine!r}")
+    codes = []
+    for m, book in enumerate(codebooks):
+        sub = F.slice(F.col(vec_col), m * dsub + 1, dsub)
+        cands = F.array(*[
+            F.struct(
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            sub,
+                            _pq_lit_vec(cent),
+                            lambda x, y: (x.cast("double") - y)
+                            * (x.cast("double") - y),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    ),
+                    6,
+                ).alias("d"),
+                F.lit(j).alias("j"),
+            )
+            for j, cent in enumerate(book)
+        ])
+        # struct ordering: min distance first, then min code
+        codes.append(F.array_min(cands)["j"])
+    out = df.withColumn(codes_col, F.array(*codes))
+    n2 = None
+    for m in range(n_sub):
+        lut = F.array(*[F.lit(v) for v in norm2[m]])
+        term = F.element_at(
+            lut, F.element_at(F.col(codes_col), m + 1) + F.lit(1)
+        )
+        n2 = term if n2 is None else n2 + term
+    return out.withColumn(norm2_col, n2)
+
+
+def topk_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    refine: int = 4,
+    n_sub: int = 8,
+    ksub: int = 16,
+    codebooks: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k with a PRODUCT-QUANTIZED first pass scored by asymmetric
+    distance computation (ADC) and an exact float rescore of the
+    shortlist — the FAISS IndexPQ + refine pipeline, re-expressed as
+    DataFrame ops.
+
+    ADC shape: each (broadcast) query precomputes its lookup table
+    lut[m][j] = <q_m, C[m][j]> ONCE (n_sub*ksub sub-dots = one brute
+    dot's FLOPs, paid per query, not per pair); per (query, corpus)
+    pair the approximate cosine is then just ``n_sub`` array lookups
+    and adds over the corpus row's codes — no float vector is read on
+    the corpus side at all.  cosine_adc = sum_m lut[m][code_m] /
+    (||q|| * sqrt(sum_m ||C[m][code_m]||^2)), all 6dp/4dp-rounded so
+    the chain is SQL-reproducible.
+
+    Codebook: default = subvector slices of the first ``ksub`` corpus
+    vectors (deterministic, oracle-expressible — the same convention
+    as :func:`topk_ivf`); pass ``codebooks`` (from
+    :func:`pq_codebooks`) to swap trained books into the same plan.
+    Both ranking passes ride Catalyst's rank-limit pushdown
+    (SPARK-37099); the exact rescore touches only |Q|*k*refine rows."""
+    if codebooks is None:
+        rows = (
+            corpus.filter(F.col(id_col) < ksub)
+            .orderBy(id_col)
+            .select(vec_col)
+            .collect()
+        )
+        dim = len(rows[0][0])
+        if dim % n_sub:
+            raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+        dsub = dim // n_sub
+        codebooks = [
+            [
+                [float(v) for v in r[0][m * dsub:(m + 1) * dsub]]
+                for r in rows
+            ]
+            for m in range(n_sub)
+        ]
+    n_sub = len(codebooks)
+    dsub = len(codebooks[0][0])
+    enc = encode_pq(
+        corpus.select(id_col, vec_col), codebooks, vec_col=vec_col
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("pq_codes").alias("codes"),
+        F.col("pq_norm2").alias("cn2"),
+    )
+    # the per-query LUT: lut[m][j] = round(<q_m, C[m][j]>, 6).  One
+    # Arrow-batched numpy einsum over the (few, broadcast) query rows
+    # — as a literal expression forest this is n_sub*ksub sub-dot
+    # Columns whose py4j construction alone costs ~15s per fresh plan
+    # at the 32x16 defaults (measured; same lesson as encode_pq's jvm
+    # twin).  Rounding is 6dp HALF_UP away from zero, matching JVM
+    # F.round / DuckDB round() on the possibly-negative sub-dots.
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(codebooks, dtype=np.float64)  # (n_sub, ksub, dsub)
+
+    @pandas_udf("array<array<double>>")
+    def _lut(v):  # pd.Series of query vectors -> per-row LUT
+        if not len(v):
+            return pd.Series([], dtype=object)
+        X = np.stack(
+            [np.asarray(x, dtype=np.float64) for x in v]
+        ).reshape(len(v), n_sub, 1, dsub)
+        d = (X * C[None]).sum(-1)  # (B, n_sub, ksub)
+        d = np.copysign(np.floor(np.abs(d) * 1e6 + 0.5), d) / 1e6
+        return pd.Series(list(d))
+
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        )
+        .withColumn("lut", _lut(F.col("qvec")))
+        .withColumn("qn", _norm(F.col("qvec")))
+        .drop("qvec")
+    )
+    adc = None
+    for m in range(n_sub):
+        term = F.element_at(
+            F.element_at(F.col("lut"), m + 1),
+            F.element_at(F.col("codes"), m + 1) + F.lit(1),
+        )
+        adc = term if adc is None else adc + term
+    pairs = (
+        enc.crossJoin(q)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine", F.round(adc / (F.col("qn") * F.sqrt(F.col("cn2"))), 4)
+        )
+    )
+    shortlist = _topk_rank(pairs, k * refine).select("query_id", "neighbor_id")
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    qv = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        )
+    )
+    sim = _dot(F.col("qvec"), F.col("cvec")) / (
+        _norm(F.col("qvec")) * _norm(F.col("cvec"))
+    )
+    rescored = (
+        shortlist.join(cv, "neighbor_id")
+        .join(qv, "query_id")
+        .withColumn("cosine", F.round(sim, 4))
+    )
+    return _topk_rank(rescored, k)

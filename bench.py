@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "emb_topk_lsh",
     "emb_topk_ivf",
     "emb_topk_ivf_kmeans",
+    "emb_topk_pq",
     "scd2_events_incremental",
     "multimodal_features",
     "events_json_normalize",

@@ -666,3 +666,88 @@ def test_sessionize_gap_semantics(spark):
     assert stats == {(1, 1): (2, 600), (1, 2): (1, 0), (2, 1): (1, 0)}
     plan = session_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1  # windows + groupBy share one shuffle
+
+
+def test_topk_pq_recall_and_exact_rescore(spark):
+    """PQ/ADC + refine on the real test corpus: the 8-byte-code first
+    pass must recover >= 0.9 of the exact top-5, and the float rescore
+    makes every returned cosine equal the brute-force value."""
+    sf = "/root/testdata/sf0.01"
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = similarity.topk_bruteforce(e, q, k=5).collect()
+    approx = similarity.topk_pq(e, q, k=5, refine=6, n_sub=32, ksub=16).collect()
+    exact_by = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact}
+    approx_by = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in approx}
+    hits = set(exact_by) & set(approx_by)
+    assert len(hits) / len(exact_by) >= 0.9
+    assert all(approx_by[p] == exact_by[p] for p in hits)
+
+
+def test_pq_codebooks_trained_recall_and_determinism(spark):
+    """Trained per-subspace books (pq_codebooks) plug into the same
+    topk_pq plan and keep recall; training is bit-identical across
+    calls and 6dp-rounded (the cross-engine parity contract)."""
+    sf = "/root/testdata/sf0.01"
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 10)
+    sample = [
+        r["embedding"]
+        for r in e.filter(F.col("vec_id") < 256)
+        .orderBy("vec_id").select("embedding").collect()
+    ]
+    books = similarity.pq_codebooks(sample, n_sub=32, ksub=16, iters=6)
+    again = similarity.pq_codebooks(sample, n_sub=32, ksub=16, iters=6)
+    assert books == again
+    assert all(
+        round(x, 6) == x for book in books for cent in book for x in cent
+    )
+    assert len(books) == 32 and all(len(b) == 16 for b in books)
+    exact = similarity.topk_bruteforce(e, q, k=5).collect()
+    approx = similarity.topk_pq(e, q, k=5, refine=4, codebooks=books).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(exact_sets[k] & approx_sets.get(k, set())) for k in exact_sets)
+    assert hits / sum(len(v) for v in exact_sets.values()) >= 0.9
+
+
+def test_encode_pq_codes_and_reconstruction_norm(spark):
+    """encode_pq vs a numpy twin AND vs its own JVM-expression twin:
+    codes = argmin 6dp-rounded squared L2 with ties to the lower
+    code, and pq_norm2 = sum of the chosen centroids' (6dp-rounded)
+    squared norms.  The default Arrow kernel and the oracle-shaped
+    jvm engine must agree exactly (the repo's engine-twin pin)."""
+    rng = np.random.RandomState(7)
+    vecs = rng.rand(40, 16).astype(np.float32)
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in vecs[i]]) for i in range(40)]
+    )
+    books = similarity.pq_codebooks(
+        [[float(x) for x in v] for v in vecs], n_sub=4, ksub=8, iters=3
+    )
+    got = {
+        r["vec_id"]: (list(r["pq_codes"]), r["pq_norm2"])
+        for r in similarity.encode_pq(df, books).collect()
+    }
+    B = np.asarray(books)  # (n_sub, ksub, dsub)
+    X = vecs.astype(np.float64).reshape(40, 4, 4)
+    for i in range(40):
+        codes = []
+        n2 = 0.0
+        for m in range(4):
+            d2 = np.round(((X[i, m] - B[m]) ** 2).sum(-1), 6)
+            j = int(np.argmin(d2))  # first min = lowest code
+            codes.append(j)
+            n2 += round(float((B[m, j] ** 2).sum()), 6)
+        assert got[i][0] == codes, i
+        assert abs(got[i][1] - n2) < 1e-9, i
+    jvm = {
+        r["vec_id"]: (list(r["pq_codes"]), r["pq_norm2"])
+        for r in similarity.encode_pq(df, books, engine="jvm").collect()
+    }
+    for i in range(40):
+        assert jvm[i][0] == got[i][0], i
+        assert abs(jvm[i][1] - got[i][1]) < 1e-9, i
