@@ -829,6 +829,32 @@ def cdc_replay_mor_mini(spark, sf):
     return _state_digest(_cdc_replay_table(spark, sf, merge_strategy="mor"))
 
 
+def cdc_replay_chunked_mini(spark, sf):
+    """DBLog-style chunked initial snapshot (pipeline.bootstrap_chunked;
+    Netflix DBLog §3.2 / Debezium incremental snapshot — the reference's
+    monolithic Debezium bootstrap made resumable): the SAME base+tail,
+    but the base lands as 4 interleaved key-hash chunks BETWEEN the
+    tail's microbatches, each chunk epoch-gated on a dedicated
+    snapshot stream and window-ruled (an anti-join drops chunk rows
+    whose key the applied tail already changed, so a stale chunk image
+    can neither resurrect an applied delete nor clobber a newer row).
+    Reaching the SAME golden digest as the monolithic COW and MOR
+    replays pins all three bootstrap/merge strategies to one result."""
+    from airbyte_spark.engine.changelog import base_table, changelog
+    from airbyte_spark.engine.pipeline import CdcPipeline
+
+    root = tempfile.mkdtemp(prefix="cdc_entry_")
+    pipe = CdcPipeline(os.path.join(root, "t"), n_buckets=8)
+    pipe.bootstrap_chunked(
+        spark,
+        base_table(spark, 300, n_repos=10, paths_per_repo=30),
+        changelog(spark, 900, n_repos=10, paths_per_repo=30),
+        batch_lsns=300,
+        n_chunks=4,
+    )
+    return _state_digest(pipe.table().read(spark))
+
+
 def _lake_epoch_appends(spark, sf, bloom_cols=None):
     """Three disjoint-range epoch appends of the events table into a
     fresh lake table (create=v0, appends=v1..v3); returns
@@ -1536,6 +1562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": multimodal_frames,
         "cdc_replay_mini": cdc_replay_mini,
         "cdc_replay_mor_mini": cdc_replay_mor_mini,
+        "cdc_replay_chunked_mini": cdc_replay_chunked_mini,
         "cdc_pruned_scan": cdc_pruned_scan,
         "cdc_zorder_scan": cdc_zorder_scan,
         "cdc_bloom_lookup": cdc_bloom_lookup,
@@ -2401,6 +2428,10 @@ SELECT CAST(275 AS BIGINT) AS final_rows,
        '{_CDC_MINI_DIGEST}' AS state_sha256
 """,
         "cdc_replay_mor_mini": f"""
+SELECT CAST(275 AS BIGINT) AS final_rows,
+       '{_CDC_MINI_DIGEST}' AS state_sha256
+""",
+        "cdc_replay_chunked_mini": f"""
 SELECT CAST(275 AS BIGINT) AS final_rows,
        '{_CDC_MINI_DIGEST}' AS state_sha256
 """,

@@ -237,6 +237,223 @@ class CdcPipeline:
         return t
 
     # ------------------------------------------------------------------
+    # DBLog-style chunked initial snapshot (Netflix DBLog §3.2;
+    # Debezium's signal-driven incremental snapshot implements the
+    # same algorithm).  The monolithic bootstrap() is one giant
+    # overwrite: at 10^10 source rows a crash at 99% restarts from
+    # zero, and the tail cannot advance until it finishes.  Chunked
+    # bootstrap partitions the KEY SPACE into n_chunks disjoint hash
+    # chunks, interleaves one chunk apply with each tail microbatch,
+    # and commits every chunk under its own epoch on a dedicated
+    # '<stream>::snapshot' stream — so the table's own atomic epoch
+    # tags make the snapshot resumable exactly-once with the same
+    # machinery that makes tail replay idempotent.
+    #
+    # Correctness (DBLog's chunk/window rule): a chunk is a
+    # point-in-time read at snapshot_lsn, so any key the tail already
+    # changed (lsn in (snapshot_lsn, applied-hwm]) must NOT be
+    # re-inserted from the stale chunk image.  DBLog discards
+    # buffered chunk rows whose key saw a change inside the chunk's
+    # low/high-watermark window; here that is one declarative
+    # anti-join of the chunk against the applied window's keys, and
+    # events applied AFTER the chunk simply overwrite it through the
+    # normal batch-wins merge.  The applied hwm derives from the
+    # TABLE's committed tail epoch (atomic with the data), never from
+    # the state sidecar, which may lag one batch after a crash.
+    #
+    # Deviation from the reference, deliberately Spark-first: the
+    # reference chunks by ordered PK ranges (source-postgres ctid /
+    # Debezium pk-range SELECTs) because a JDBC source reads
+    # sequentially; a Spark scan is already parallel, so chunks here
+    # are pmod(xxhash64(keys), n_chunks) — no global sort, no
+    # lexicographic skew (one hot repo prefix cannot bloat a chunk
+    # beyond hash variance), and when n_chunks divides n_buckets each
+    # chunk lands in exactly n_buckets/n_chunks sink buckets
+    # (pmod(h, n_chunks) == pmod(pmod(h, n_buckets), n_chunks)), so
+    # every chunk merge is bucket-pruned to its own slice of the
+    # table regardless of table size.
+    # ------------------------------------------------------------------
+    def snapshot_stream(self) -> str:
+        return f"{self.stream}::snapshot"
+
+    def bootstrap_chunked(
+        self,
+        spark: SparkSession,
+        base: DataFrame,
+        events: DataFrame,
+        *,
+        batch_lsns: int,
+        n_chunks: int = 8,
+        snapshot_lsn: int = -1,
+        start_epoch: int = 0,
+        fail_after: int | None = None,
+    ) -> dict[str, Any]:
+        """Chunked snapshot load interleaved with tail application.
+
+        ``base`` is the source state at ``snapshot_lsn``; ``events``
+        is the bounded tail (sliced into epochs of ``batch_lsns``
+        exactly like :meth:`replay`).  Each loop step applies one tail
+        microbatch (normal stream epochs from ``start_epoch``) then
+        one snapshot chunk (epoch = chunk index on the snapshot
+        stream), until both are exhausted.  Re-running after a crash
+        (``fail_after`` injects one) replays both sequences; committed
+        epochs skip driver-side, so resume costs nothing re-done.
+
+        Requires ``history_root=None``: the SCD2 history's
+        open-interval seeding assumes a complete point-in-time base,
+        which a partially-applied chunk set cannot provide — snapshot
+        monolithically when history is on."""
+        if self.history_root is not None:
+            raise ValueError(
+                "chunked bootstrap does not maintain the SCD2 history "
+                "sink (open-interval seeding needs the complete base); "
+                "use bootstrap() when history_root is set"
+            )
+        if n_chunks < 1:
+            raise ValueError(f"n_chunks must be >= 1, got {n_chunks}")
+        if not LakeTable.exists(self.table_root):
+            t = LakeTable.create(self.table_root, FINAL_SCHEMA, KEYS, self.n_buckets)
+        else:
+            t = LakeTable(self.table_root)
+        snap_stream = self.snapshot_stream()
+        # resume must reuse the identical chunk->key partition: with a
+        # different n_chunks the committed chunk epochs would describe
+        # different key sets and the gate would skip the wrong rows
+        sdoc = self.state.load(snap_stream)
+        prev = sdoc.get("n_chunks")
+        if prev is not None and (
+            prev != n_chunks or sdoc.get("snapshot_lsn") != snapshot_lsn
+        ):
+            raise ValueError(
+                f"snapshot in progress with n_chunks={prev}, "
+                f"snapshot_lsn={sdoc.get('snapshot_lsn')}; resume must "
+                f"pass the same values (got n_chunks={n_chunks}, "
+                f"snapshot_lsn={snapshot_lsn})"
+            )
+        sdoc["n_chunks"] = n_chunks
+        sdoc["snapshot_lsn"] = snapshot_lsn
+        self.state._write(snap_stream, sdoc)
+        if snapshot_lsn >= 0:
+            self.state.record_offset(self.stream, snapshot_lsn)
+
+        bounds = events.agg(
+            F.min("lsn").alias("lo"), F.max("lsn").alias("hi")
+        ).collect()[0]
+        lo, hi = bounds["lo"], bounds["hi"]
+        self.check_offset_continuity(lo)  # we ARE the bootstrap
+        n_batches = 0 if lo is None else (hi - lo) // batch_lsns + 1
+
+        # each chunk apply re-reads the base filtered to its key hash —
+        # the analog of DBLog's per-chunk SELECT, which a real source
+        # serves from its PK index and a bucketed lake base serves via
+        # bucket pruning.  This base is an arbitrary DataFrame (here a
+        # generator pipeline ending in a dedup shuffle), so persist the
+        # canonicalized form for the loop's duration rather than
+        # recomputing the full lineage n_chunks times; ev_keys is the
+        # slim (keys, lsn) projection every chunk's window anti-join
+        # re-filters, persisted for the same reason.
+        cbase = normalize.canonicalize_keys(base).persist()
+        chunk_expr = F.pmod(
+            F.xxhash64(*[F.col(k) for k in KEYS]), F.lit(n_chunks)
+        )
+        ev = events
+        if "schema_change" in ev.columns:
+            # DDL events carry no data key; they never block a chunk row
+            ev = ev.filter(F.col("op") != "s")
+        ev_keys = normalize.canonicalize_keys(ev).select(*KEYS, "lsn").persist()
+
+        stats: list[BatchStats] = []
+        chunks_applied = 0
+        committed_steps = 0
+        try:
+            for step in range(max(n_batches, n_chunks)):
+                if step < n_batches:
+                    start = lo + step * batch_lsns
+                    batch = events.filter(
+                        (F.col("lsn") >= start) & (F.col("lsn") < start + batch_lsns)
+                    )
+                    st = self.apply_batch(spark, batch, start_epoch + step)
+                    stats.append(st)
+                    if st.committed:
+                        committed_steps += 1
+                        if fail_after is not None and committed_steps >= fail_after:
+                            raise RuntimeError(
+                                f"injected failure after {committed_steps} commits"
+                            )
+                if step < n_chunks:
+                    if self._apply_snapshot_chunk(
+                        spark, t, cbase, ev_keys, chunk_expr, step,
+                        snapshot_lsn=snapshot_lsn, lo=lo,
+                        batch_lsns=batch_lsns, start_epoch=start_epoch,
+                    ):
+                        chunks_applied += 1
+                        committed_steps += 1
+                        if fail_after is not None and committed_steps >= fail_after:
+                            raise RuntimeError(
+                                f"injected failure after {committed_steps} commits"
+                            )
+        finally:
+            cbase.unpersist()
+            ev_keys.unpersist()
+        return {
+            "n_chunks": n_chunks,
+            "chunks_applied": chunks_applied,
+            "chunks_done": t.last_epoch(snap_stream) + 1,
+            "batches": stats,
+        }
+
+    def _apply_snapshot_chunk(
+        self,
+        spark: SparkSession,
+        t: LakeTable,
+        cbase: DataFrame,
+        ev_keys: DataFrame,
+        chunk_expr,
+        idx: int,
+        *,
+        snapshot_lsn: int,
+        lo: int | None,
+        batch_lsns: int,
+        start_epoch: int,
+    ) -> bool:
+        """Apply snapshot chunk ``idx`` exactly-once (epoch-gated on
+        the snapshot stream).  The DBLog window rule is the anti-join:
+        keys the applied tail already touched keep their (newer) rows;
+        the stale chunk image must neither resurrect an applied delete
+        nor clobber an applied upsert through the batch-wins merge.
+        A chunk re-attempted after a crash recomputes against the
+        then-current (larger) window — still correct: the rule only
+        needs the window to cover everything the table already holds."""
+        snap_stream = self.snapshot_stream()
+        if t.last_epoch(snap_stream) >= idx:
+            return False  # committed before a crash — driver-side skip
+        applied = max(0, t.last_epoch(self.stream) - start_epoch + 1)
+        hwm = (
+            lo + applied * batch_lsns - 1
+            if (lo is not None and applied > 0)
+            else snapshot_lsn
+        )
+        chunk = cbase.filter(chunk_expr == idx)
+        window = (
+            ev_keys.filter(
+                (F.col("lsn") > snapshot_lsn) & (F.col("lsn") <= hwm)
+            )
+            .select(*KEYS)
+            .distinct()
+        )
+        chunk = chunk.join(window, KEYS, "left_anti")
+        prepared = (
+            normalize.enrich(chunk)
+            .withColumn("last_lsn", F.lit(snapshot_lsn).cast("long"))
+            .withColumn("updated_at", F.lit(None).cast("timestamp"))
+            .withColumn("op", F.lit("i"))
+        )
+        res = t.merge(
+            spark, prepared, op_col="op", epoch=idx, stream=snap_stream
+        )
+        return res.committed
+
+    # ------------------------------------------------------------------
     def check_offset_continuity(self, tail_min_lsn: int | None) -> bool:
         """The offset-invalidation guard (PostgresSource.java:366-375):
         the saved offset must reach at least one LSN before the tail's

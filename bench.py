@@ -209,6 +209,49 @@ def main() -> None:
         "mor", n_events // 8, n_events // 4
     )
 
+    # DBLog-style chunked bootstrap interleaved with the tail, at the
+    # MOR leg's scale: base lands as 8 key-hash chunks between the
+    # tail's 4 microbatches (window-ruled, epoch-gated, resumable) —
+    # the initial-load throughput story, reported like the other two
+    # strategies so regressions are visible
+    def _chunked_best(n_base: int, n_ev: int):
+        from airbyte_spark.engine.changelog import base_table, changelog
+        from airbyte_spark.engine.pipeline import CdcPipeline
+
+        best_t, best_res = None, None
+        for _ in range(2):
+            workdir = tempfile.mkdtemp(prefix="bench_chunked_", dir=tmpfs)
+            try:
+                pipe = CdcPipeline(
+                    os.path.join(workdir, "table"), n_buckets=64
+                )
+                base = base_table(spark, n_base, n_repos=500, paths_per_repo=400)
+                events = changelog(spark, n_ev, n_repos=500, paths_per_repo=400)
+                t0 = time.time()
+                pipe.bootstrap_chunked(
+                    spark, base, events,
+                    batch_lsns=max(n_ev // 2, 1), n_chunks=4,
+                )
+                dt = round(time.time() - t0, 3)
+                if best_t is None or dt < best_t:
+                    rows = sum(
+                        b["rows"] for b in pipe.lineage()["buckets"].values()
+                    )
+                    best_res = {
+                        "base_rows": n_base, "events": n_ev,
+                        "chunks": 4, "batches": 2,
+                        "rows_per_sec": round((n_base + n_ev) / dt, 1),
+                        "final_rows": rows,
+                    }
+                    best_t = dt
+            finally:
+                shutil.rmtree(workdir, ignore_errors=True)
+        return best_t, best_res
+
+    timings["cdc_replay_chunked"], chunked = _chunked_best(
+        n_events // 16, n_events // 8
+    )
+
     # --- per-query timings ---------------------------------------------
     qs = E.queries()
     # untimed warmup at the benchmark sf itself: the first execution
@@ -242,8 +285,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "extra": {
-                    "cdc": cdc, "cdc_mor": mor, "cpus": cpus,
-                    "wall_sec": wall, "reps": 2,
+                    "cdc": cdc, "cdc_mor": mor, "cdc_chunked": chunked,
+                    "cpus": cpus, "wall_sec": wall, "reps": 2,
                 },
             }
         )
