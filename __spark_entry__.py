@@ -1053,6 +1053,47 @@ def cdc_lake_sink_write(spark, sf):
     return t.read(spark)
 
 
+def cdc_concurrent_appends(spark, sf):
+    """Optimistic concurrency (lake/table.py _commit_rebase; Iceberg's
+    SnapshotProducer commit loop over an os.link CAS): four writers
+    append disjoint quarters of the events table CONCURRENTLY from
+    threads — every CAS loser reloads the latest snapshot, re-layers
+    its (commuting) file additions, and retries.  The read-back is
+    value-verified against plain SQL over the whole table, and
+    last_version pins that all four commits landed individually (no
+    lost update, no duplicate)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from airbyte_spark.lake.table import LakeTable
+
+    e = _t(spark, sf, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    mx = e.agg(F.max("event_id")).collect()[0][0]
+    root = tempfile.mkdtemp(prefix="lake_conc_")
+    t = LakeTable.create(
+        os.path.join(root, "t"), e.schema, ["event_id"], n_buckets=8
+    )
+    q = mx // 4
+
+    def _one(i):
+        lo_b, hi_b = i * q, (i + 1) * q if i < 3 else mx + 1
+        sl = e.filter((F.col("event_id") >= lo_b) & (F.col("event_id") < hi_b))
+        # each thread commits through its own handle (like a separate
+        # spark-submit job sharing the table directory)
+        return LakeTable(t.root).append(spark, sl)
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        versions = sorted(pool.map(_one, range(4)))
+    assert versions == [1, 2, 3, 4], versions
+    return t.read(spark).agg(
+        F.lit(t.snapshot().version).cast("long").alias("last_version"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("event_id").alias("sum_event_id"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 def cdc_rebucket_read(spark, sf):
     """Partition-spec evolution (lake/table.py rebucket; Iceberg's
     bucket-count change): grow the epoch-append fixture from 8 to 16
@@ -1569,6 +1610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_delete_where": cdc_delete_where,
         "cdc_changelog_delete": cdc_changelog_delete,
         "cdc_rebucket_read": cdc_rebucket_read,
+        "cdc_concurrent_appends": cdc_concurrent_appends,
         "cdc_lake_sink_write": cdc_lake_sink_write,
         "cdc_wap_publish": cdc_wap_publish,
         "cdc_lake_source_scan": cdc_lake_source_scan,
@@ -2488,6 +2530,15 @@ FROM events, mx WHERE event_id >= m // 10
 """,
         # whole-table values survive the rewrite; 16 = one file per
         # (all non-empty) new bucket, the pinned layout decision
+        # last_version = 4 pins the concurrency outcome itself: four
+        # racing appends produced exactly four commits (create = v0)
+        "cdc_concurrent_appends": """
+SELECT CAST(4 AS BIGINT) AS last_version,
+       count(*) AS n_rows,
+       CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+       round(sum(value), 2) AS sum_value
+FROM events
+""",
         "cdc_rebucket_read": """
 SELECT CAST(16 AS BIGINT) AS n_buckets,
        CAST(16 AS BIGINT) AS files_total,

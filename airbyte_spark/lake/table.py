@@ -405,6 +405,16 @@ class MergeResult:
     reason: str = ""
 
 
+class ConcurrentWriteError(RuntimeError):
+    """A concurrent commit invalidated this writer's prepared change
+    (e.g. data landed in a bucket this merge rewrote, or a rebucket
+    made its staged bucket ids stale).  Unlike the transparent
+    rebase-and-retry of compatible commits, the operation must be
+    RE-RUN against fresh table state — retrying the same prepared
+    files would silently drop the concurrent writer's rows (Iceberg's
+    ValidationException on conflicting concurrent operations)."""
+
+
 class LakeTable:
     """A bucketed copy-on-write table rooted at a directory."""
 
@@ -1134,6 +1144,98 @@ class LakeTable:
     def _commit(self, snap: Snapshot) -> None:
         commit_snapshot(self.root, snap)
 
+    def _commit_rebase(self, build, *, retries: int = 10) -> Snapshot | None:
+        """Optimistic-concurrency commit loop (Iceberg's
+        SnapshotProducer.commit(): re-apply the metadata change onto
+        whatever the table became, then attempt the atomic swap).
+
+        ``build(latest)`` must derive the ENTIRE next snapshot from its
+        argument — version ``latest.version + 1``, epochs/files/props
+        layered on ``latest``, never on state captured earlier — and
+        may return None to skip committing (an epoch gate found the
+        work already committed, possibly by a concurrent twin writer:
+        exactly-once holds under concurrency for free).  When the
+        concurrent history invalidates the prepared change (a commit
+        landed in a bucket this writer rewrote, a rebucket made its
+        bucket ids stale), build raises :class:`ConcurrentWriteError`
+        and the caller re-runs the whole operation against fresh state
+        — data files already staged become orphans that vacuum's
+        orphan sweep reclaims.
+
+        The CAS itself is ``os.link`` on the versioned log name
+        (lake/log.py), so losing a race costs one reload+rebuild; the
+        retry bound only guards against livelock under pathological
+        contention (Iceberg defaults to 4 tries + exponential backoff;
+        backoff is pointless on a local log where the loser learns the
+        winner instantly)."""
+        for attempt in range(retries):
+            latest = self.snapshot()
+            new = build(latest)
+            if new is None:
+                return None
+            try:
+                self._commit(new)
+                return new
+            except CommitConflict:
+                if attempt == retries - 1:
+                    raise
+
+    def _merge_commit_builder(
+        self,
+        base: Snapshot,
+        touched: set[int],
+        base_files: list[FileEntry],
+        entries: list[FileEntry],
+        epoch: int | None,
+        stream: str,
+        summary: dict[str, Any],
+    ):
+        """build() for the COW merge family: the new entries REPLACE
+        the touched buckets' files, so a rebase is valid only while
+        the touched buckets still hold exactly the files this merge
+        read (``base_files``) — a concurrent commit into an UNTOUCHED
+        bucket commutes (its files carry forward), one into a touched
+        bucket means rows this merge never saw would be dropped by the
+        replacement, so it must re-run (Iceberg's conflicting-files
+        validation, scoped here to bucket granularity)."""
+        read_paths = {f.path for f in base_files}
+
+        def build(latest: Snapshot) -> Snapshot | None:
+            if epoch is not None and latest.epochs.get(stream, -1) >= epoch:
+                return None  # a concurrent twin won the epoch: skip
+            if latest.n_buckets != base.n_buckets:
+                raise ConcurrentWriteError(
+                    f"table rebucketed concurrently ({base.n_buckets} -> "
+                    f"{latest.n_buckets}); re-run the merge"
+                )
+            now_touched = {
+                f.path for f in latest.files if f.bucket in touched
+            }
+            if now_touched != read_paths:
+                raise ConcurrentWriteError(
+                    f"concurrent commit changed bucket(s) this merge "
+                    f"rewrote (stream {stream!r}); re-run against fresh "
+                    f"state — replacing them now would drop rows this "
+                    f"merge never read"
+                )
+            epochs = dict(latest.epochs)
+            if epoch is not None:
+                epochs[stream] = epoch
+            carry = [f for f in latest.files if f.bucket not in touched]
+            return Snapshot(
+                version=latest.version + 1,
+                schema_version=latest.schema_version,
+                schemas=latest.schemas,
+                n_buckets=latest.n_buckets,
+                key_cols=latest.key_cols,
+                files=carry + entries,
+                epochs=epochs,
+                props=dict(latest.props),
+                summary=summary,
+            )
+
+        return build
+
     def overwrite(
         self, spark: SparkSession, df: DataFrame,
         *, epoch: int | None = None, stream: str = "default",
@@ -1176,31 +1278,55 @@ class LakeTable:
         the ``format("lake")`` writer whose data files are produced by
         executor tasks rather than a Spark write job.  Epoch-gated:
         a replayed commit returns None WITHOUT touching the log (the
-        caller owns cleanup of its duplicate files)."""
-        snap = self.snapshot()
-        if epoch is not None and snap.epochs.get(stream, -1) >= epoch:
-            return None
-        epochs = dict(snap.epochs)
-        if epoch is not None:
-            epochs[stream] = epoch
-        new = Snapshot(
-            version=snap.version + 1,
-            schema_version=snap.schema_version,
-            schemas=snap.schemas,
-            n_buckets=snap.n_buckets,
-            key_cols=snap.key_cols,
-            files=entries if replace else snap.files + entries,
-            epochs=epochs,
-            props=dict(snap.props),
-            summary={
-                "operation": operation
-                or ("overwrite" if replace else "append"),
-                "rows": sum(e.rows for e in entries),
-                "epoch": epoch,
-            },
-        )
-        self._commit(new)
-        return new.version
+        caller owns cleanup of its duplicate files).
+
+        Concurrency: appends rebase transparently over any concurrent
+        commit (pure file-set addition commutes; Iceberg's fastAppend
+        retry).  Overwrites raise :class:`ConcurrentWriteError` when
+        data committed concurrently — retrying would silently discard
+        the other writer's rows.  Both refuse across a concurrent
+        rebucket (staged entries carry stale bucket ids)."""
+        base = self.snapshot()
+
+        def build(snap: Snapshot) -> Snapshot | None:
+            if epoch is not None and snap.epochs.get(stream, -1) >= epoch:
+                return None
+            if snap.n_buckets != base.n_buckets:
+                raise ConcurrentWriteError(
+                    f"table rebucketed concurrently ({base.n_buckets} -> "
+                    f"{snap.n_buckets}); staged entries carry stale bucket "
+                    f"ids — rewrite the data against fresh state"
+                )
+            if replace and snap.version != base.version and (
+                [f.path for f in snap.files] != [f.path for f in base.files]
+            ):
+                raise ConcurrentWriteError(
+                    "data committed concurrently under an overwrite; "
+                    "retrying would silently discard it — re-run against "
+                    "fresh state"
+                )
+            epochs = dict(snap.epochs)
+            if epoch is not None:
+                epochs[stream] = epoch
+            return Snapshot(
+                version=snap.version + 1,
+                schema_version=snap.schema_version,
+                schemas=snap.schemas,
+                n_buckets=snap.n_buckets,
+                key_cols=snap.key_cols,
+                files=entries if replace else snap.files + entries,
+                epochs=epochs,
+                props=dict(snap.props),
+                summary={
+                    "operation": operation
+                    or ("overwrite" if replace else "append"),
+                    "rows": sum(e.rows for e in entries),
+                    "epoch": epoch,
+                },
+            )
+
+        new = self._commit_rebase(build)
+        return new.version if new is not None else None
 
     # ------------------------------------------------------------------
     # Write-audit-publish (Iceberg WAP) + named refs (tags)
@@ -1615,7 +1741,6 @@ class LakeTable:
                 else sorted(r[0] for r in batch.select(_BUCKET).distinct().collect())
             )
             base_files = [f for f in snap.files if f.bucket in set(touched)]
-            carry = [f for f in snap.files if f.bucket not in set(touched)]
 
             upserts = batch
             if op_col is not None:
@@ -1642,52 +1767,48 @@ class LakeTable:
             if owns_persist:
                 batch.unpersist()
 
-        epochs = dict(snap.epochs)
-        if epoch is not None:
-            epochs[stream] = epoch
         rows_written = sum(e.rows for e in entries)
-        new = Snapshot(
-            version=next_version,
-            schema_version=snap.schema_version,
-            schemas=snap.schemas,
-            n_buckets=snap.n_buckets,
-            key_cols=snap.key_cols,
-            files=carry + entries,
-            epochs=epochs,
-            props=dict(snap.props),
-            summary={
-                "operation": "merge",
-                "stream": stream,
-                "epoch": epoch,
-                "touched_buckets": len(touched),
-                "rows_written": rows_written,
-            },
+        new = self._commit_rebase(
+            self._merge_commit_builder(
+                snap, set(touched), base_files, entries, epoch, stream,
+                {
+                    "operation": "merge",
+                    "stream": stream,
+                    "epoch": epoch,
+                    "touched_buckets": len(touched),
+                    "rows_written": rows_written,
+                },
+            )
         )
-        self._commit(new)
-        return MergeResult(True, next_version, len(touched), rows_written)
+        if new is None:
+            return MergeResult(False, None, 0, 0, reason="epoch-already-committed")
+        return MergeResult(True, new.version, len(touched), rows_written)
 
     def commit_epoch(self, epoch: int, stream: str = "default") -> int | None:
         """Metadata-only epoch advance (empty microbatch = heartbeat
         progress without data, DebeziumRecordIterator.java:112-128).
-        No Spark job runs."""
-        snap = self.snapshot()
-        if snap.epochs.get(stream, -1) >= epoch:
-            return None
-        epochs = dict(snap.epochs)
-        epochs[stream] = epoch
-        new = Snapshot(
-            version=snap.version + 1,
-            schema_version=snap.schema_version,
-            schemas=snap.schemas,
-            n_buckets=snap.n_buckets,
-            key_cols=snap.key_cols,
-            files=snap.files,
-            epochs=epochs,
-            props=dict(snap.props),
-            summary={"operation": "epoch-heartbeat", "epoch": epoch},
-        )
-        self._commit(new)
-        return new.version
+        No Spark job runs.  Rebases over any concurrent commit (a pure
+        epoch-tag bump commutes with everything)."""
+
+        def build(latest: Snapshot) -> Snapshot | None:
+            if latest.epochs.get(stream, -1) >= epoch:
+                return None
+            epochs = dict(latest.epochs)
+            epochs[stream] = epoch
+            return Snapshot(
+                version=latest.version + 1,
+                schema_version=latest.schema_version,
+                schemas=latest.schemas,
+                n_buckets=latest.n_buckets,
+                key_cols=latest.key_cols,
+                files=latest.files,
+                epochs=epochs,
+                props=dict(latest.props),
+                summary={"operation": "epoch-heartbeat", "epoch": epoch},
+            )
+
+        new = self._commit_rebase(build)
+        return new.version if new is not None else None
 
     # ------------------------------------------------------------------
     # fused LWW MERGE (single-job variant of merge())
@@ -1765,7 +1886,6 @@ class LakeTable:
                 else (r[0] for r in batch.select(_BUCKET).distinct().collect())
             )
             base_files = [f for f in snap.files if f.bucket in touched]
-            carry = [f for f in snap.files if f.bucket not in touched]
 
             # only the touched buckets' base rows enter the race, as
             # upserts that lose to any newer batch event on order_cols;
@@ -1856,30 +1976,23 @@ class LakeTable:
             if owns_persist:
                 batch.unpersist()
 
-        epochs = dict(snap.epochs)
-        if epoch is not None:
-            epochs[stream] = epoch
         rows_written = sum(e.rows for e in entries)
-        new = Snapshot(
-            version=next_version,
-            schema_version=snap.schema_version,
-            schemas=snap.schemas,
-            n_buckets=snap.n_buckets,
-            key_cols=snap.key_cols,
-            files=carry + entries,
-            epochs=epochs,
-            props=dict(snap.props),
-            summary={
-                "operation": "merge-lww",
-                "stream": stream,
-                "epoch": epoch,
-                "touched_buckets": len(touched),
-                "rows_written": rows_written,
-                "merge_plan": "single-exchange" if single_exchange else "classic",
-            },
+        new = self._commit_rebase(
+            self._merge_commit_builder(
+                snap, set(touched), base_files, entries, epoch, stream,
+                {
+                    "operation": "merge-lww",
+                    "stream": stream,
+                    "epoch": epoch,
+                    "touched_buckets": len(touched),
+                    "rows_written": rows_written,
+                    "merge_plan": "single-exchange" if single_exchange else "classic",
+                },
+            )
         )
-        self._commit(new)
-        return MergeResult(True, next_version, len(touched), rows_written)
+        if new is None:
+            return MergeResult(False, None, 0, 0, reason="epoch-already-committed")
+        return MergeResult(True, new.version, len(touched), rows_written)
 
     # ------------------------------------------------------------------
     # merge-on-read MERGE (delta files + scan-time resolution)
@@ -1944,30 +2057,53 @@ class LakeTable:
                 n_partitions or snap.n_buckets,
             )
         ]
-        epochs = dict(snap.epochs)
-        if epoch is not None:
-            epochs[stream] = epoch
         rows_written = sum(e.rows for e in entries)
-        new = Snapshot(
-            version=next_version,
-            schema_version=snap.schema_version,
-            schemas=snap.schemas,
-            n_buckets=snap.n_buckets,
-            key_cols=snap.key_cols,
-            files=snap.files + entries,
-            epochs=epochs,
-            summary={
-                "operation": "merge-mor",
-                "stream": stream,
-                "epoch": epoch,
-                "touched_buckets": len({e.bucket for e in entries}),
-                "rows_written": rows_written,
-            },
-            props={**snap.props, "mor_order": list(order_cols)},
-        )
-        self._commit(new)
+
+        # delta files are a pure ADDITION layered by LWW order, so a
+        # MOR merge rebases over any concurrent commit except a
+        # rebucket (stale bucket ids) or a conflicting mor_order
+        # recorded concurrently — the delete-file append commutes the
+        # way Iceberg v2 delete-file commits do
+        def build(latest: Snapshot) -> Snapshot | None:
+            if epoch is not None and latest.epochs.get(stream, -1) >= epoch:
+                return None
+            if latest.n_buckets != snap.n_buckets:
+                raise ConcurrentWriteError(
+                    f"table rebucketed concurrently ({snap.n_buckets} -> "
+                    f"{latest.n_buckets}); re-run the merge"
+                )
+            now_rec = latest.props.get("mor_order")
+            if now_rec is not None and list(now_rec) != list(order_cols):
+                raise ConcurrentWriteError(
+                    f"concurrent writer recorded mor_order={now_rec}; "
+                    f"this merge ordered by {order_cols}"
+                )
+            epochs = dict(latest.epochs)
+            if epoch is not None:
+                epochs[stream] = epoch
+            return Snapshot(
+                version=latest.version + 1,
+                schema_version=latest.schema_version,
+                schemas=latest.schemas,
+                n_buckets=latest.n_buckets,
+                key_cols=latest.key_cols,
+                files=latest.files + entries,
+                epochs=epochs,
+                summary={
+                    "operation": "merge-mor",
+                    "stream": stream,
+                    "epoch": epoch,
+                    "touched_buckets": len({e.bucket for e in entries}),
+                    "rows_written": rows_written,
+                },
+                props={**latest.props, "mor_order": list(order_cols)},
+            )
+
+        new = self._commit_rebase(build)
+        if new is None:
+            return MergeResult(False, None, 0, 0, reason="epoch-already-committed")
         return MergeResult(
-            True, next_version, len({e.bucket for e in entries}), rows_written
+            True, new.version, len({e.bucket for e in entries}), rows_written
         )
 
     def stats_from_footers(self, entries: list[FileEntry], column: str) -> dict:

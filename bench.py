@@ -67,6 +67,9 @@ BENCH_QUERIES = [
     # round 4: format("lake") WRITE path (python XXH64 bucketing) +
     # JVM merge over the python-written base (parity end to end)
     "cdc_lake_sink_write",
+    # round 4: four threads race their appends through the optimistic
+    # commit loop (CAS + rebase); includes the table build
+    "cdc_concurrent_appends",
     # round 4: C4-style cross-document span dedup + its composed
     # clean->span->re-gate pipeline
     "doc_span_dedup",

@@ -1,0 +1,239 @@
+"""Optimistic concurrency on the lake commit path.
+
+The log layer's CAS (os.link, lake/log.py) always detected racing
+writers; these tests pin what the table layer DOES about it —
+Iceberg's commit semantics:
+
+* appends / MOR delta merges / epoch heartbeats REBASE transparently
+  over any concurrent commit (pure additions and tag bumps commute),
+* a COW merge rebases over commits in buckets it did not rewrite and
+  raises ConcurrentWriteError for commits in buckets it did (replacing
+  them would drop rows it never read),
+* overwrites raise on concurrent data commits (retrying would
+  silently discard the other writer's rows),
+* everything refuses across a concurrent rebucket (stale bucket ids),
+* the epoch gate holds under concurrency: a twin writer committing
+  the same (stream, epoch) first turns the loser into a no-op, never
+  a duplicate apply.
+
+Conflicts are injected deterministically: the first _commit of the
+table under test first lets a competitor commit, so the CAS loses
+exactly once and the rebase path runs.  One thread-pool test covers
+the genuinely concurrent case.
+"""
+
+from concurrent.futures import ThreadPoolExecutor
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from airbyte_spark.lake.table import ConcurrentWriteError, LakeTable
+
+SCHEMA = StructType(
+    [StructField("k", LongType()), StructField("v", StringType())]
+)
+SCHEMA_L = StructType(
+    [
+        StructField("k", LongType()),
+        StructField("v", StringType()),
+        StructField("lsn", LongType()),
+    ]
+)
+
+
+def _mk(tmp_path, name="t", n_buckets=4) -> LakeTable:
+    return LakeTable.create(str(tmp_path / name), SCHEMA, ["k"], n_buckets)
+
+
+def _mk_l(tmp_path, name="t", n_buckets=4) -> LakeTable:
+    return LakeTable.create(str(tmp_path / name), SCHEMA_L, ["k"], n_buckets)
+
+
+def _dfl(spark, rows):
+    return spark.createDataFrame(
+        [Row(k=int(k), v=str(v), lsn=int(l)) for k, v, l in rows],
+        schema=SCHEMA_L,
+    )
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [Row(k=int(k), v=str(v)) for k, v in rows], schema=SCHEMA
+    )
+
+
+def _rows(t, spark):
+    return {(r["k"], r["v"]) for r in t.read(spark).collect()}
+
+
+def _inject_before_first_commit(t: LakeTable, action):
+    """Make t's next CAS lose: run ``action`` (a competitor's commit)
+    right before t's own first _commit attempt."""
+    orig = t._commit
+    fired = {"done": False}
+
+    def wrapper(snap):
+        if not fired["done"]:
+            fired["done"] = True
+            action()
+        orig(snap)
+
+    t._commit = wrapper
+
+
+def _buckets_by_key(spark, n_buckets=4, upto=64):
+    out = {}
+    rows = (
+        spark.range(upto)
+        .select(
+            F.col("id").alias("k"),
+            F.pmod(F.xxhash64(F.col("id")), F.lit(n_buckets)).alias("b"),
+        )
+        .collect()
+    )
+    for r in rows:
+        out.setdefault(r["b"], []).append(r["k"])
+    return out
+
+
+def test_append_rebases_over_concurrent_append(spark, tmp_path):
+    t1 = _mk(tmp_path)
+    t2 = LakeTable(t1.root)
+    _inject_before_first_commit(
+        t1, lambda: t2.append(spark, _df(spark, [(10, "other")]))
+    )
+    v = t1.append(spark, _df(spark, [(20, "mine")]))
+    assert v == t2.snapshot().version == 2  # create=0, competitor=1, rebased=2
+    assert _rows(t1, spark) == {(10, "other"), (20, "mine")}
+
+
+def test_overwrite_conflict_with_data_raises(spark, tmp_path):
+    t1 = _mk(tmp_path)
+    t2 = LakeTable(t1.root)
+    _inject_before_first_commit(
+        t1, lambda: t2.append(spark, _df(spark, [(10, "other")]))
+    )
+    with pytest.raises(ConcurrentWriteError, match="overwrite"):
+        t1.overwrite(spark, _df(spark, [(20, "mine")]))
+    # the competitor's rows are intact — nothing was clobbered
+    assert _rows(t2, spark) == {(10, "other")}
+
+
+def test_overwrite_rebases_over_metadata_only_commit(spark, tmp_path):
+    t1 = _mk(tmp_path)
+    t2 = LakeTable(t1.root)
+    _inject_before_first_commit(t1, lambda: t2.commit_epoch(7, "hb"))
+    v = t1.overwrite(spark, _df(spark, [(20, "mine")]))
+    assert v == 2
+    assert _rows(t1, spark) == {(20, "mine")}
+    assert t1.last_epoch("hb") == 7  # the heartbeat's tag survived the rebase
+
+
+def test_heartbeat_rebases(spark, tmp_path):
+    t1 = _mk(tmp_path)
+    t2 = LakeTable(t1.root)
+    _inject_before_first_commit(
+        t1, lambda: t2.append(spark, _df(spark, [(10, "other")]))
+    )
+    assert t1.commit_epoch(3, "s") == 2
+    assert t1.last_epoch("s") == 3
+    assert _rows(t1, spark) == {(10, "other")}
+
+
+def test_merge_rebases_over_append_in_untouched_bucket(spark, tmp_path):
+    by_bucket = _buckets_by_key(spark)
+    k0, k1 = by_bucket[0][0], by_bucket[1][0]
+    t1 = _mk(tmp_path)
+    t2 = LakeTable(t1.root)
+    t1.append(spark, _df(spark, [(k0, "base")]))
+    _inject_before_first_commit(
+        t1, lambda: t2.append(spark, _df(spark, [(k1, "other-bucket")]))
+    )
+    res = t1.merge(spark, _df(spark, [(k0, "merged")]))
+    assert res.committed
+    assert _rows(t1, spark) == {(k0, "merged"), (k1, "other-bucket")}
+
+
+def test_merge_conflict_in_touched_bucket_raises(spark, tmp_path):
+    by_bucket = _buckets_by_key(spark)
+    k0a, k0b = by_bucket[0][0], by_bucket[0][1]
+    t1 = _mk(tmp_path)
+    t2 = LakeTable(t1.root)
+    t1.append(spark, _df(spark, [(k0a, "base")]))
+    _inject_before_first_commit(
+        t1, lambda: t2.append(spark, _df(spark, [(k0b, "same-bucket")]))
+    )
+    with pytest.raises(ConcurrentWriteError, match="re-run"):
+        t1.merge(spark, _df(spark, [(k0a, "merged")]))
+    # re-running against fresh state succeeds and keeps the other row
+    res = LakeTable(t1.root).merge(spark, _df(spark, [(k0a, "merged")]))
+    assert res.committed
+    assert _rows(t2, spark) == {(k0a, "merged"), (k0b, "same-bucket")}
+
+
+def test_merge_lww_same_epoch_twin_is_exactly_once(spark, tmp_path):
+    t1 = _mk_l(tmp_path)
+    t2 = LakeTable(t1.root)
+    batch = _dfl(spark, [(5, "payload", 1)])
+    # the twin wins the (stream, epoch) race mid-commit of t1
+    _inject_before_first_commit(
+        t1,
+        lambda: t2.merge_lww(
+            spark, batch, order_cols="lsn", op_col=None, epoch=1, stream="s"
+        ),
+    )
+    res = t1.merge_lww(
+        spark, batch, order_cols="lsn", op_col=None, epoch=1, stream="s"
+    )
+    assert not res.committed
+    assert res.reason == "epoch-already-committed"
+    assert t1.read(spark).filter(F.col("k") == 5).count() == 1
+
+
+def test_mor_merge_rebases_over_concurrent_append(spark, tmp_path):
+    t1 = _mk_l(tmp_path)
+    t2 = LakeTable(t1.root)
+    t1.append(spark, _dfl(spark, [(1, "old", 0)]))
+    _inject_before_first_commit(
+        t1,
+        lambda: t2.append(spark, _dfl(spark, [(2, "other", 0)])),
+    )
+    res = t1.merge_mor(
+        spark,
+        _dfl(spark, [(1, "new", 2)]),
+        order_cols="lsn",
+        op_col=None,
+    )
+    assert res.committed
+    got = {
+        (r["k"], r["v"]) for r in t1.read(spark).select("k", "v").collect()
+    }
+    assert got == {(1, "new"), (2, "other")}
+
+
+def test_append_refuses_across_concurrent_rebucket(spark, tmp_path):
+    t1 = _mk(tmp_path)
+    t2 = LakeTable(t1.root)
+    t1.append(spark, _df(spark, [(1, "a")]))
+    _inject_before_first_commit(t1, lambda: t2.rebucket(spark, 8))
+    with pytest.raises(ConcurrentWriteError, match="rebucket"):
+        t1.append(spark, _df(spark, [(2, "b")]))
+
+
+def test_threaded_appends_all_land(spark, tmp_path):
+    t = _mk(tmp_path)
+    n = 6
+
+    def one(i):
+        # each thread gets its own handle (the instance is not locked)
+        return LakeTable(t.root).append(spark, _df(spark, [(100 + i, f"w{i}")]))
+
+    with ThreadPoolExecutor(max_workers=n) as pool:
+        versions = list(pool.map(one, range(n)))
+    assert sorted(versions) == list(range(1, n + 1))  # contiguous, no gaps
+    assert _rows(t, spark) == {(100 + i, f"w{i}") for i in range(n)}
+    # history records every append distinctly
+    ops = [s.summary.get("operation") for s in t.history()]
+    assert ops.count("append") == n
