@@ -460,21 +460,21 @@ class LakeTable:
         survives renames).  Applies to files written AFTER this commit;
         ``compact()`` backfills older files since it rewrites through
         the same write path."""
-        snap = self.snapshot()
-        fids = _bloom_fids_for(snap.fields, cols)
-        new = Snapshot(
-            version=snap.version + 1,
-            schema_version=snap.schema_version,
-            schemas=snap.schemas,
-            n_buckets=snap.n_buckets,
-            key_cols=snap.key_cols,
-            files=snap.files,
-            epochs=dict(snap.epochs),
-            props={**snap.props, "bloom_fids": fids},
-            summary={"operation": "set-bloom", "cols": list(cols)},
-        )
-        self._commit(new)
-        return new.version
+        def build(latest: Snapshot) -> Snapshot:
+            fids = _bloom_fids_for(latest.fields, cols)
+            return Snapshot(
+                version=latest.version + 1,
+                schema_version=latest.schema_version,
+                schemas=latest.schemas,
+                n_buckets=latest.n_buckets,
+                key_cols=latest.key_cols,
+                files=latest.files,
+                epochs=dict(latest.epochs),
+                props={**latest.props, "bloom_fids": fids},
+                summary={"operation": "set-bloom", "cols": list(cols)},
+            )
+
+        return self._commit_rebase(build).version
 
     @staticmethod
     def exists(root: str) -> bool:
@@ -1358,25 +1358,35 @@ class LakeTable:
         next_version = snap.version + 1
         df = _align(df, snap.fields).withColumn(_BUCKET, self._bucket_expr(snap))
         entries = self._write_data(df, next_version, snap.schema_version, snap.n_buckets)
-        staged = {k: list(v) for k, v in snap.props.get("staged", {}).items()}
-        staged.setdefault(wap_id, []).extend(e.to_json() for e in entries)
-        new = Snapshot(
-            version=next_version,
-            schema_version=snap.schema_version,
-            schemas=snap.schemas,
-            n_buckets=snap.n_buckets,
-            key_cols=snap.key_cols,
-            files=snap.files,  # unchanged: staged data is invisible
-            epochs=dict(snap.epochs),
-            props={**snap.props, "staged": staged},
-            summary={
-                "operation": "stage",
-                "wap_id": wap_id,
-                "rows": sum(e.rows for e in entries),
-            },
-        )
-        self._commit(new)
-        return next_version
+
+        def build(latest: Snapshot) -> Snapshot:
+            if latest.n_buckets != snap.n_buckets:
+                raise ConcurrentWriteError(
+                    f"table rebucketed concurrently ({snap.n_buckets} -> "
+                    f"{latest.n_buckets}); staged entries carry stale "
+                    f"bucket ids — re-stage against fresh state"
+                )
+            staged = {
+                k: list(v) for k, v in latest.props.get("staged", {}).items()
+            }
+            staged.setdefault(wap_id, []).extend(e.to_json() for e in entries)
+            return Snapshot(
+                version=latest.version + 1,
+                schema_version=latest.schema_version,
+                schemas=latest.schemas,
+                n_buckets=latest.n_buckets,
+                key_cols=latest.key_cols,
+                files=latest.files,  # unchanged: staged data is invisible
+                epochs=dict(latest.epochs),
+                props={**latest.props, "staged": staged},
+                summary={
+                    "operation": "stage",
+                    "wap_id": wap_id,
+                    "rows": sum(e.rows for e in entries),
+                },
+            )
+
+        return self._commit_rebase(build).version
 
     def staged_entries(self, wap_id: str, snap: Snapshot | None = None) -> list[FileEntry]:
         snap = snap or self.snapshot()
@@ -1401,55 +1411,68 @@ class LakeTable:
     ) -> int | None:
         """Atomically move ``wap_id``'s staged files into the table
         (metadata-only — no data I/O).  Epoch-gated like every other
-        commit, so a replayed publish is a no-op."""
-        snap = self.snapshot()
-        if epoch is not None and snap.epochs.get(stream, -1) >= epoch:
-            return None
-        entries = self.staged_entries(wap_id, snap)
-        staged = {k: list(v) for k, v in snap.props.get("staged", {}).items()}
-        del staged[wap_id]
-        epochs = dict(snap.epochs)
-        if epoch is not None:
-            epochs[stream] = epoch
-        new = Snapshot(
-            version=snap.version + 1,
-            schema_version=snap.schema_version,
-            schemas=snap.schemas,
-            n_buckets=snap.n_buckets,
-            key_cols=snap.key_cols,
-            files=snap.files + entries,
-            epochs=epochs,
-            props={**snap.props, "staged": staged},
-            summary={
-                "operation": "publish",
-                "wap_id": wap_id,
-                "rows": sum(e.rows for e in entries),
-                "epoch": epoch,
-            },
-        )
-        self._commit(new)
-        return new.version
+        commit, so a replayed publish is a no-op.  Rebases over
+        concurrent commits (an additive append commutes); a concurrent
+        publish/abort of the SAME wap_id surfaces as the missing-stage
+        ValueError from the rebased staged_entries lookup."""
+
+        def build(latest: Snapshot) -> Snapshot | None:
+            if epoch is not None and latest.epochs.get(stream, -1) >= epoch:
+                return None
+            entries = self.staged_entries(wap_id, latest)
+            staged = {
+                k: list(v) for k, v in latest.props.get("staged", {}).items()
+            }
+            del staged[wap_id]
+            epochs = dict(latest.epochs)
+            if epoch is not None:
+                epochs[stream] = epoch
+            return Snapshot(
+                version=latest.version + 1,
+                schema_version=latest.schema_version,
+                schemas=latest.schemas,
+                n_buckets=latest.n_buckets,
+                key_cols=latest.key_cols,
+                files=latest.files + entries,
+                epochs=epochs,
+                props={**latest.props, "staged": staged},
+                summary={
+                    "operation": "publish",
+                    "wap_id": wap_id,
+                    "rows": sum(e.rows for e in entries),
+                    "epoch": epoch,
+                },
+            )
+
+        new = self._commit_rebase(build)
+        return new.version if new is not None else None
 
     def abort_staged(self, wap_id: str) -> int:
         """Drop a staged write and delete its files.  Metadata commit
         FIRST (vacuum's marker-before-delete rule): a crash mid-delete
         leaves only unreferenced files for vacuum's orphan sweep."""
-        snap = self.snapshot()
-        entries = self.staged_entries(wap_id, snap)
-        staged = {k: list(v) for k, v in snap.props.get("staged", {}).items()}
-        del staged[wap_id]
-        new = Snapshot(
-            version=snap.version + 1,
-            schema_version=snap.schema_version,
-            schemas=snap.schemas,
-            n_buckets=snap.n_buckets,
-            key_cols=snap.key_cols,
-            files=snap.files,
-            epochs=dict(snap.epochs),
-            props={**snap.props, "staged": staged},
-            summary={"operation": "abort", "wap_id": wap_id},
-        )
-        self._commit(new)
+        dropped: list[FileEntry] = []
+
+        def build(latest: Snapshot) -> Snapshot:
+            dropped[:] = self.staged_entries(wap_id, latest)
+            staged = {
+                k: list(v) for k, v in latest.props.get("staged", {}).items()
+            }
+            del staged[wap_id]
+            return Snapshot(
+                version=latest.version + 1,
+                schema_version=latest.schema_version,
+                schemas=latest.schemas,
+                n_buckets=latest.n_buckets,
+                key_cols=latest.key_cols,
+                files=latest.files,
+                epochs=dict(latest.epochs),
+                props={**latest.props, "staged": staged},
+                summary={"operation": "abort", "wap_id": wap_id},
+            )
+
+        new = self._commit_rebase(build)
+        entries = dropped
         for e in entries:
             for p in (
                 os.path.join(self.root, e.path),
@@ -1496,23 +1519,34 @@ class LakeTable:
         entries = self._write_data(
             df, next_version, snap.schema_version, n_buckets
         )
-        new = Snapshot(
-            version=next_version,
-            schema_version=snap.schema_version,
-            schemas=snap.schemas,
-            n_buckets=n_buckets,
-            key_cols=snap.key_cols,
-            files=entries,
-            epochs=dict(snap.epochs),
-            props=dict(snap.props),
-            summary={
-                "operation": "rebucket",
-                "from_buckets": snap.n_buckets,
-                "to_buckets": n_buckets,
-            },
-        )
-        self._commit(new)
-        return next_version
+        base_paths = [f.path for f in snap.files]
+
+        # a whole-table rewrite can only rebase over metadata-only
+        # commits: any concurrent data commit holds rows this rewrite
+        # never read, and publishing the rewrite would drop them
+        def build(latest: Snapshot) -> Snapshot:
+            if [f.path for f in latest.files] != base_paths:
+                raise ConcurrentWriteError(
+                    "data committed concurrently under a rebucket; "
+                    "re-run against fresh state"
+                )
+            return Snapshot(
+                version=latest.version + 1,
+                schema_version=latest.schema_version,
+                schemas=latest.schemas,
+                n_buckets=n_buckets,
+                key_cols=latest.key_cols,
+                files=entries,
+                epochs=dict(latest.epochs),
+                props=dict(latest.props),
+                summary={
+                    "operation": "rebucket",
+                    "from_buckets": snap.n_buckets,
+                    "to_buckets": n_buckets,
+                },
+            )
+
+        return self._commit_rebase(build).version
 
     def delete_where(
         self,
@@ -1573,29 +1607,56 @@ class LakeTable:
             df, next_version, snap.schema_version, len(touched)
         )
         rewritten_paths = {f.path for f in rewrite}
-        epochs = dict(snap.epochs)
-        if epoch is not None:
-            epochs[stream] = epoch
         deleted = sum(f.rows for f in rewrite) - sum(e.rows for e in entries)
-        new = Snapshot(
-            version=next_version,
-            schema_version=snap.schema_version,
-            schemas=snap.schemas,
-            n_buckets=snap.n_buckets,
-            key_cols=snap.key_cols,
-            files=[f for f in snap.files if f.path not in rewritten_paths] + entries,
-            epochs=epochs,
-            props=dict(snap.props),
-            summary={
-                "operation": "delete",
-                "rewritten": len(rewrite),
-                "deleted_rows": deleted,
-                "epoch": epoch,
-            },
-        )
-        self._commit(new)
+
+        # snapshot-isolation rebase: files appended concurrently carry
+        # forward untouched (rows landing after this delete's read
+        # legitimately survive it — a NEW delta on a folded bucket
+        # still wins scan-time LWW over the rewritten base).  What
+        # cannot rebase is a concurrent commit that REPLACED one of
+        # the rewrite inputs: publishing our entries then would
+        # resurrect data that writer already superseded.
+        def build(latest: Snapshot) -> Snapshot | None:
+            if epoch is not None and latest.epochs.get(stream, -1) >= epoch:
+                return None
+            if latest.n_buckets != snap.n_buckets:
+                raise ConcurrentWriteError(
+                    f"table rebucketed concurrently ({snap.n_buckets} -> "
+                    f"{latest.n_buckets}); re-run the delete"
+                )
+            latest_paths = {f.path for f in latest.files}
+            if not rewritten_paths <= latest_paths:
+                raise ConcurrentWriteError(
+                    "concurrent commit replaced file(s) this delete "
+                    "rewrote; re-run against fresh state"
+                )
+            epochs = dict(latest.epochs)
+            if epoch is not None:
+                epochs[stream] = epoch
+            return Snapshot(
+                version=latest.version + 1,
+                schema_version=latest.schema_version,
+                schemas=latest.schemas,
+                n_buckets=latest.n_buckets,
+                key_cols=latest.key_cols,
+                files=[
+                    f for f in latest.files if f.path not in rewritten_paths
+                ] + entries,
+                epochs=epochs,
+                props=dict(latest.props),
+                summary={
+                    "operation": "delete",
+                    "rewritten": len(rewrite),
+                    "deleted_rows": deleted,
+                    "epoch": epoch,
+                },
+            )
+
+        new = self._commit_rebase(build)
+        if new is None:
+            return None
         return {
-            "version": next_version,
+            "version": new.version,
             "rewritten_files": len(rewrite),
             "deleted_rows": deleted,
         }
@@ -1620,25 +1681,35 @@ class LakeTable:
         snap = self.snapshot()
         target = self.snapshot(version)
         self._check_readable(target)
-        if snap.props.get("staged") and target.n_buckets != snap.n_buckets:
-            raise ValueError(
-                "cannot roll back across a rebucket with staged WAP "
-                f"writes pending ({sorted(snap.props['staged'])}); "
-                "publish or abort first"
+        base_paths = [f.path for f in snap.files]
+
+        def build(latest: Snapshot) -> Snapshot:
+            if latest.props.get("staged") and target.n_buckets != latest.n_buckets:
+                raise ValueError(
+                    "cannot roll back across a rebucket with staged WAP "
+                    f"writes pending ({sorted(latest.props['staged'])}); "
+                    "publish or abort first"
+                )
+            # rebases over metadata-only commits; a concurrent DATA
+            # commit would be silently reverted by the restore
+            if [f.path for f in latest.files] != base_paths:
+                raise ConcurrentWriteError(
+                    "data committed concurrently under a rollback; "
+                    "re-examine fresh state and re-issue"
+                )
+            return Snapshot(
+                version=latest.version + 1,
+                schema_version=target.schema_version,
+                schemas=latest.schemas,  # full lineage retained (superset)
+                n_buckets=target.n_buckets,
+                key_cols=target.key_cols,
+                files=list(target.files),
+                epochs=dict(target.epochs),
+                props=dict(latest.props),
+                summary={"operation": "rollback", "to_version": target.version},
             )
-        new = Snapshot(
-            version=snap.version + 1,
-            schema_version=target.schema_version,
-            schemas=snap.schemas,  # full lineage retained (superset)
-            n_buckets=target.n_buckets,
-            key_cols=target.key_cols,
-            files=list(target.files),
-            epochs=dict(target.epochs),
-            props=dict(snap.props),
-            summary={"operation": "rollback", "to_version": target.version},
-        )
-        self._commit(new)
-        return new.version
+
+        return self._commit_rebase(build).version
 
     def tag(self, name: str, version: int | None = None) -> int:
         """Named immutable ref to a snapshot version (Iceberg tag).

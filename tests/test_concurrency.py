@@ -222,6 +222,113 @@ def test_append_refuses_across_concurrent_rebucket(spark, tmp_path):
         t1.append(spark, _df(spark, [(2, "b")]))
 
 
+def test_stage_append_rebases_over_concurrent_append(spark, tmp_path):
+    t1 = _mk(tmp_path)
+    t2 = LakeTable(t1.root)
+    _inject_before_first_commit(
+        t1, lambda: t2.append(spark, _df(spark, [(10, "live")]))
+    )
+    t1.stage_append(spark, _df(spark, [(20, "staged")]), "wap-1")
+    # staged rows stay invisible; the competitor's append survived
+    assert _rows(t1, spark) == {(10, "live")}
+    t1.publish("wap-1")
+    assert _rows(t1, spark) == {(10, "live"), (20, "staged")}
+
+
+def test_publish_rebases_over_concurrent_append(spark, tmp_path):
+    t1 = _mk(tmp_path)
+    t2 = LakeTable(t1.root)
+    t1.stage_append(spark, _df(spark, [(20, "staged")]), "wap-1")
+    _inject_before_first_commit(
+        t1, lambda: t2.append(spark, _df(spark, [(10, "live")]))
+    )
+    v = t1.publish("wap-1")
+    assert v is not None
+    assert _rows(t1, spark) == {(10, "live"), (20, "staged")}
+
+
+def test_set_bloom_rebases_over_concurrent_append(spark, tmp_path):
+    t1 = _mk(tmp_path)
+    t2 = LakeTable(t1.root)
+    _inject_before_first_commit(
+        t1, lambda: t2.append(spark, _df(spark, [(10, "other")]))
+    )
+    t1.set_bloom_cols(["v"])
+    assert _rows(t1, spark) == {(10, "other")}
+    assert t1.snapshot().props.get("bloom_fids")
+
+
+def test_delete_where_rebases_over_concurrent_append(spark, tmp_path):
+    t1 = _mk(tmp_path)
+    t2 = LakeTable(t1.root)
+    t1.append(spark, _df(spark, [(1, "doomed"), (2, "kept")]))
+    # the concurrent append only ADDS files; the delete's rewrite
+    # inputs are untouched, so it rebases and the new row survives
+    _inject_before_first_commit(
+        t1, lambda: t2.append(spark, _df(spark, [(3, "late")]))
+    )
+    res = t1.delete_where(spark, [("v", "=", "doomed")])
+    assert res is not None and res["deleted_rows"] == 1
+    assert _rows(t1, spark) == {(2, "kept"), (3, "late")}
+
+
+def test_delete_where_conflict_when_rewrite_input_replaced(spark, tmp_path):
+    by_bucket = _buckets_by_key(spark)
+    k0a, k0b = by_bucket[0][0], by_bucket[0][1]
+    t1 = _mk(tmp_path)
+    t2 = LakeTable(t1.root)
+    t1.append(spark, _df(spark, [(k0a, "doomed")]))
+    t1.append(spark, _df(spark, [(k0b, "kept")]))
+    # a concurrent compact REPLACES the delete's rewrite inputs —
+    # publishing the stale rewrite would resurrect pre-compact files
+    _inject_before_first_commit(t1, lambda: t2.compact(spark))
+    with pytest.raises(ConcurrentWriteError, match="replaced"):
+        t1.delete_where(spark, [("v", "=", "doomed")])
+    # fresh handle succeeds post-conflict
+    res = LakeTable(t1.root).delete_where(spark, [("v", "=", "doomed")])
+    assert res is not None
+    assert _rows(t2, spark) == {(k0b, "kept")}
+
+
+def test_rollback_conflict_on_concurrent_data_commit(spark, tmp_path):
+    t1 = _mk(tmp_path)
+    t2 = LakeTable(t1.root)
+    t1.append(spark, _df(spark, [(1, "a")]))
+    _inject_before_first_commit(
+        t1, lambda: t2.append(spark, _df(spark, [(2, "b")]))
+    )
+    with pytest.raises(ConcurrentWriteError, match="rollback"):
+        t1.rollback(1)
+    assert _rows(t2, spark) == {(1, "a"), (2, "b")}  # nothing reverted
+
+
+def test_rollback_rebases_over_metadata_only_commit(spark, tmp_path):
+    t1 = _mk(tmp_path)
+    t2 = LakeTable(t1.root)
+    t1.append(spark, _df(spark, [(1, "a")]))
+    t1.append(spark, _df(spark, [(2, "b")]))
+    _inject_before_first_commit(t1, lambda: t2.commit_epoch(9, "hb"))
+    t1.rollback(1)
+    assert _rows(t1, spark) == {(1, "a")}
+    # epochs come from the TARGET (so the undone syncs replay) — the
+    # concurrent heartbeat's tag is reverted with them, by design
+    assert t1.last_epoch("hb") == -1
+    assert t1.snapshot().version == 4  # create,a,b,heartbeat → rollback=4
+
+
+def test_rebucket_conflict_on_concurrent_data_commit(spark, tmp_path):
+    t1 = _mk(tmp_path)
+    t2 = LakeTable(t1.root)
+    t1.append(spark, _df(spark, [(1, "a")]))
+    _inject_before_first_commit(
+        t1, lambda: t2.append(spark, _df(spark, [(2, "b")]))
+    )
+    with pytest.raises(ConcurrentWriteError, match="rebucket|concurrently"):
+        t1.rebucket(spark, 8)
+    # the concurrent row was never dropped
+    assert _rows(t2, spark) == {(1, "a"), (2, "b")}
+
+
 def test_threaded_appends_all_land(spark, tmp_path):
     t = _mk(tmp_path)
     n = 6
