@@ -1719,39 +1719,46 @@ class LakeTable:
         version = snap.version if version is None else version
         target = self.snapshot(version)  # must exist
         self._check_readable(target)
-        new = Snapshot(
-            version=snap.version + 1,
-            schema_version=snap.schema_version,
-            schemas=snap.schemas,
-            n_buckets=snap.n_buckets,
-            key_cols=snap.key_cols,
-            files=snap.files,
-            epochs=dict(snap.epochs),
-            props={**snap.props, "tags": {**snap.props.get("tags", {}), name: version}},
-            summary={"operation": "tag", "name": name, "version": version},
-        )
-        self._commit(new)
-        return new.version
+
+        # pure metadata: rebases over anything (the pinned version is
+        # fixed at call time — a tag means "the version I looked at")
+        def build(latest: Snapshot) -> Snapshot:
+            return Snapshot(
+                version=latest.version + 1,
+                schema_version=latest.schema_version,
+                schemas=latest.schemas,
+                n_buckets=latest.n_buckets,
+                key_cols=latest.key_cols,
+                files=latest.files,
+                epochs=dict(latest.epochs),
+                props={
+                    **latest.props,
+                    "tags": {**latest.props.get("tags", {}), name: version},
+                },
+                summary={"operation": "tag", "name": name, "version": version},
+            )
+
+        return self._commit_rebase(build).version
 
     def drop_tag(self, name: str) -> int:
-        snap = self.snapshot()
-        tags = dict(snap.props.get("tags", {}))
-        if name not in tags:
-            raise ValueError(f"no tag {name!r} (tags: {sorted(tags)})")
-        del tags[name]
-        new = Snapshot(
-            version=snap.version + 1,
-            schema_version=snap.schema_version,
-            schemas=snap.schemas,
-            n_buckets=snap.n_buckets,
-            key_cols=snap.key_cols,
-            files=snap.files,
-            epochs=dict(snap.epochs),
-            props={**snap.props, "tags": tags},
-            summary={"operation": "drop-tag", "name": name},
-        )
-        self._commit(new)
-        return new.version
+        def build(latest: Snapshot) -> Snapshot:
+            tags = dict(latest.props.get("tags", {}))
+            if name not in tags:
+                raise ValueError(f"no tag {name!r} (tags: {sorted(tags)})")
+            del tags[name]
+            return Snapshot(
+                version=latest.version + 1,
+                schema_version=latest.schema_version,
+                schemas=latest.schemas,
+                n_buckets=latest.n_buckets,
+                key_cols=latest.key_cols,
+                files=latest.files,
+                epochs=dict(latest.epochs),
+                props={**latest.props, "tags": tags},
+                summary={"operation": "drop-tag", "name": name},
+            )
+
+        return self._commit_rebase(build).version
 
     def resolve_ref(self, name: str) -> int:
         tags = self.snapshot().props.get("tags", {})
@@ -2240,70 +2247,77 @@ class LakeTable:
           ("drop", name)
         Data files are untouched (COW metadata-only op); reads project
         old files to the new schema via field ids."""
-        snap = self.snapshot()
-        fields = [dict(f) for f in snap.fields]
-        next_id = max((f["id"] for f in fields), default=0) + 1
-        by_name = {f["name"]: f for f in fields}
+        changes = list(changes)
         # every branch tolerates re-application (idempotent), so a
         # crash between evolve and the data commit is safe to replay;
         # replays see CUMULATIVE state (an add replayed after a widen
-        # sees the widened type), hence the widen-aware skips
+        # sees the widened type), hence the widen-aware skips.  The
+        # same idempotence makes the optimistic rebase safe: each
+        # attempt re-derives from the latest committed schema, so a
+        # concurrent evolve's changes are absorbed, not clobbered.
         from airbyte_spark.lake.typerules import can_widen
 
-        for change in changes:
-            kind = change[0]
-            if kind == "add":
-                _, name, dt = change
-                if name in by_name:
+        result: dict[str, int] = {}
+
+        def build(latest: Snapshot) -> Snapshot | None:
+            fields = [dict(f) for f in latest.fields]
+            next_id = max((f["id"] for f in fields), default=0) + 1
+            by_name = {f["name"]: f for f in fields}
+            for change in changes:
+                kind = change[0]
+                if kind == "add":
+                    _, name, dt = change
+                    if name in by_name:
+                        cur = _dt_from_json_value(by_name[name]["type"])
+                        if cur == dt or can_widen(dt, cur):
+                            continue  # replayed add (possibly later widened)
+                        raise ValueError(f"column {name} already exists as {cur}")
+                    f = {"id": next_id, "name": name, "type": _dt_to_json_value(dt)}
+                    next_id += 1
+                    fields.append(f)
+                    by_name[name] = f
+                elif kind == "rename":
+                    _, old, new = change
+                    if old not in by_name and new in by_name:
+                        continue  # replayed rename
+                    f = by_name.pop(old)
+                    f["name"] = new
+                    by_name[new] = f
+                elif kind == "widen":
+                    _, name, dt = change
                     cur = _dt_from_json_value(by_name[name]["type"])
-                    if cur == dt or can_widen(dt, cur):
-                        continue  # replayed add (possibly later widened)
-                    raise ValueError(f"column {name} already exists as {cur}")
-                f = {"id": next_id, "name": name, "type": _dt_to_json_value(dt)}
-                next_id += 1
-                fields.append(f)
-                by_name[name] = f
-            elif kind == "rename":
-                _, old, new = change
-                if old not in by_name and new in by_name:
-                    continue  # replayed rename
-                f = by_name.pop(old)
-                f["name"] = new
-                by_name[new] = f
-            elif kind == "widen":
-                _, name, dt = change
-                cur = _dt_from_json_value(by_name[name]["type"])
-                if not can_widen(cur, dt):
-                    continue  # replayed widen (already at/beyond target)
-                by_name[name]["type"] = _dt_to_json_value(dt)
-            elif kind == "drop":
-                _, name = change
-                if name not in by_name:
-                    continue  # replayed drop
-                f = by_name.pop(name)
-                fields.remove(f)
-            else:
-                raise ValueError(f"unknown schema change {kind}")
-        if all(f == g for f, g in zip(fields, snap.fields)) and len(fields) == len(
-            snap.fields
-        ):
-            return snap.schema_version  # fully replayed: no new version
-        new_sv = snap.schema_version + 1
-        schemas = dict(snap.schemas)
-        schemas[new_sv] = fields
-        new = Snapshot(
-            version=snap.version + 1,
-            schema_version=new_sv,
-            schemas=schemas,
-            n_buckets=snap.n_buckets,
-            key_cols=snap.key_cols,
-            files=snap.files,
-            epochs=dict(snap.epochs),
-            props=dict(snap.props),
-            summary={"operation": "evolve", "schema_version": new_sv},
-        )
-        self._commit(new)
-        return new_sv
+                    if not can_widen(cur, dt):
+                        continue  # replayed widen (already at/beyond target)
+                    by_name[name]["type"] = _dt_to_json_value(dt)
+                elif kind == "drop":
+                    _, name = change
+                    if name not in by_name:
+                        continue  # replayed drop
+                    f = by_name.pop(name)
+                    fields.remove(f)
+                else:
+                    raise ValueError(f"unknown schema change {kind}")
+            if fields == latest.fields:
+                result["sv"] = latest.schema_version
+                return None  # fully replayed: no new version
+            new_sv = latest.schema_version + 1
+            schemas = dict(latest.schemas)
+            schemas[new_sv] = fields
+            result["sv"] = new_sv
+            return Snapshot(
+                version=latest.version + 1,
+                schema_version=new_sv,
+                schemas=schemas,
+                n_buckets=latest.n_buckets,
+                key_cols=latest.key_cols,
+                files=latest.files,
+                epochs=dict(latest.epochs),
+                props=dict(latest.props),
+                summary={"operation": "evolve", "schema_version": new_sv},
+            )
+
+        self._commit_rebase(build)
+        return result["sv"]
 
     # ------------------------------------------------------------------
     # maintenance
@@ -2367,7 +2381,6 @@ class LakeTable:
             ]
         if not to_rewrite:
             return None
-        keep = [f for f in snap.files if f not in to_rewrite]
         df = self._read_resolved(spark, snap, to_rewrite).withColumn(
             _BUCKET, self._bucket_expr(snap)
         )
@@ -2399,24 +2412,44 @@ class LakeTable:
             )
         else:
             entries = self._write_data(df, next_version, snap.schema_version, n_bkts)
-        new = Snapshot(
-            version=next_version,
-            schema_version=snap.schema_version,
-            schemas=snap.schemas,
-            n_buckets=snap.n_buckets,
-            key_cols=snap.key_cols,
-            files=keep + entries,
-            epochs=dict(snap.epochs),
-            props=dict(snap.props),
-            summary={
-                "operation": "compact",
-                "rewritten": len(to_rewrite),
-                **({"cluster_by": list(cluster_by)} if cluster_by else {}),
-                **({"zorder": True} if cluster_by and zorder else {}),
-            },
-        )
-        self._commit(new)
-        return next_version
+        rewritten_paths = {f.path for f in to_rewrite}
+
+        # rebase rule (Iceberg rewrite-files validation): commits that
+        # only ADDED files commute — they carry forward, and a new MOR
+        # delta still wins scan-time LWW over the compacted base.  A
+        # commit that REPLACED one of this rewrite's inputs does not:
+        # publishing would resurrect superseded data.
+        def build(latest: Snapshot) -> Snapshot:
+            if latest.n_buckets != snap.n_buckets:
+                raise ConcurrentWriteError(
+                    f"table rebucketed concurrently ({snap.n_buckets} -> "
+                    f"{latest.n_buckets}); re-run the compaction"
+                )
+            if not rewritten_paths <= {f.path for f in latest.files}:
+                raise ConcurrentWriteError(
+                    "concurrent commit replaced file(s) this compaction "
+                    "rewrote; re-run against fresh state"
+                )
+            return Snapshot(
+                version=latest.version + 1,
+                schema_version=latest.schema_version,
+                schemas=latest.schemas,
+                n_buckets=latest.n_buckets,
+                key_cols=latest.key_cols,
+                files=[
+                    f for f in latest.files if f.path not in rewritten_paths
+                ] + entries,
+                epochs=dict(latest.epochs),
+                props=dict(latest.props),
+                summary={
+                    "operation": "compact",
+                    "rewritten": len(to_rewrite),
+                    **({"cluster_by": list(cluster_by)} if cluster_by else {}),
+                    **({"zorder": True} if cluster_by and zorder else {}),
+                },
+            )
+
+        return self._commit_rebase(build).version
 
     def vacuum(
         self,

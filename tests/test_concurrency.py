@@ -329,6 +329,84 @@ def test_rebucket_conflict_on_concurrent_data_commit(spark, tmp_path):
     assert _rows(t2, spark) == {(1, "a"), (2, "b")}
 
 
+def test_tag_rebases_over_concurrent_append(spark, tmp_path):
+    t1 = _mk(tmp_path)
+    t2 = LakeTable(t1.root)
+    t1.append(spark, _df(spark, [(1, "a")]))
+    _inject_before_first_commit(
+        t1, lambda: t2.append(spark, _df(spark, [(2, "b")]))
+    )
+    t1.tag("audit")  # pins the version t1 was looking at (1)
+    assert t1.resolve_ref("audit") == 1
+    assert _rows(t1, spark) == {(1, "a"), (2, "b")}
+    # the tagged snapshot excludes the concurrent append, by meaning
+    assert {
+        (r["k"], r["v"])
+        for r in t1.read(spark, version="audit").collect()
+    } == {(1, "a")}
+
+
+def test_evolve_rebases_over_concurrent_append(spark, tmp_path):
+    from pyspark.sql.types import DoubleType
+
+    t1 = _mk(tmp_path)
+    t2 = LakeTable(t1.root)
+    _inject_before_first_commit(
+        t1, lambda: t2.append(spark, _df(spark, [(1, "a")]))
+    )
+    sv0 = t1.snapshot().schema_version
+    sv = t1.evolve([("add", "score", DoubleType())])
+    assert sv == sv0 + 1
+    got = t1.read(spark)
+    assert "score" in got.columns
+    assert {(r["k"], r["v"]) for r in got.select("k", "v").collect()} == {(1, "a")}
+
+
+def test_evolve_absorbs_concurrent_evolve(spark, tmp_path):
+    from pyspark.sql.types import DoubleType, LongType
+
+    t1 = _mk(tmp_path)
+    t2 = LakeTable(t1.root)
+    # a concurrent evolve lands first; t1's rebase re-derives on top
+    # of it — both columns exist, with distinct field ids
+    _inject_before_first_commit(
+        t1, lambda: t2.evolve([("add", "other", LongType())])
+    )
+    t1.evolve([("add", "score", DoubleType())])
+    names = [f["name"] for f in t1.snapshot().fields]
+    assert "other" in names and "score" in names
+    ids = [f["id"] for f in t1.snapshot().fields]
+    assert len(ids) == len(set(ids))
+
+
+def test_compact_rebases_over_concurrent_append(spark, tmp_path):
+    by_bucket = _buckets_by_key(spark)
+    k0a, k0b, k1 = by_bucket[0][0], by_bucket[0][1], by_bucket[1][0]
+    t1 = _mk(tmp_path)
+    t2 = LakeTable(t1.root)
+    t1.append(spark, _df(spark, [(k0a, "x")]))
+    t1.append(spark, _df(spark, [(k0b, "y")]))
+    _inject_before_first_commit(
+        t1, lambda: t2.append(spark, _df(spark, [(k1, "late")]))
+    )
+    assert t1.compact(spark) is not None
+    assert _rows(t1, spark) == {(k0a, "x"), (k0b, "y"), (k1, "late")}
+
+
+def test_compact_conflict_when_inputs_replaced(spark, tmp_path):
+    by_bucket = _buckets_by_key(spark)
+    k0a, k0b = by_bucket[0][0], by_bucket[0][1]
+    t1 = _mk(tmp_path)
+    t2 = LakeTable(t1.root)
+    t1.append(spark, _df(spark, [(k0a, "x")]))
+    t1.append(spark, _df(spark, [(k0b, "y")]))
+    # twin compaction wins the race: our rewrite inputs are gone
+    _inject_before_first_commit(t1, lambda: t2.compact(spark))
+    with pytest.raises(ConcurrentWriteError, match="replaced"):
+        t1.compact(spark)
+    assert _rows(t2, spark) == {(k0a, "x"), (k0b, "y")}
+
+
 def test_threaded_appends_all_land(spark, tmp_path):
     t = _mk(tmp_path)
     n = 6
