@@ -422,3 +422,77 @@ def test_threaded_appends_all_land(spark, tmp_path):
     # history records every append distinctly
     ops = [s.summary.get("operation") for s in t.history()]
     assert ops.count("append") == n
+
+
+def test_threaded_mixed_ops_serialize_correctly(spark, tmp_path):
+    """The full-contention case: appends, LWW merges, an epoch
+    heartbeat, a tag, and a compaction racing on one table.  Every
+    additive/metadata op must land (rebasing as needed); compact may
+    lose (its inputs replaced) but must never corrupt.  The final
+    state must equal the per-key LWW winners over everything that
+    committed — the serializability oracle."""
+    t = _mk_l(tmp_path)
+    t.append(spark, _dfl(spark, [(1, "seed", 0)]))
+    errors: list[str] = []
+
+    def _append(i):
+        LakeTable(t.root).append(spark, _dfl(spark, [(10 + i, f"a{i}", 1)]))
+
+    def _merge(i):
+        # all merges hit key 1 with increasing LSNs — COW merges into
+        # the same bucket conflict BY DESIGN; a real writer re-runs
+        # against fresh state, so the job does too
+        for _ in range(10):
+            try:
+                LakeTable(t.root).merge_lww(
+                    spark,
+                    _dfl(spark, [(1, f"m{i}", 10 + i)]),
+                    order_cols="lsn",
+                    op_col=None,
+                )
+                return
+            except ConcurrentWriteError:
+                continue
+        raise AssertionError(f"merge {i} starved after 10 re-runs")
+
+    def _heartbeat():
+        LakeTable(t.root).commit_epoch(5, "hb")
+
+    def _tag():
+        LakeTable(t.root).tag("mid")
+
+    def _compact():
+        try:
+            LakeTable(t.root).compact(spark)
+        except ConcurrentWriteError:
+            pass  # losing is legal; corrupting is not
+
+    jobs = (
+        [lambda i=i: _append(i) for i in range(3)]
+        + [lambda i=i: _merge(i) for i in range(3)]
+        + [_heartbeat, _tag, _compact]
+    )
+
+    def run(job):
+        try:
+            job()
+        except Exception as exc:  # noqa: BLE001 — collect, assert below
+            errors.append(repr(exc))
+
+    with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+        list(pool.map(run, jobs))
+    assert not errors, errors
+
+    got = {
+        (r["k"], r["v"])
+        for r in t.read(spark).select("k", "v").collect()
+    }
+    # key 1: the highest-LSN merge won; appends all landed
+    assert (1, "m2") in got
+    assert {(10 + i, f"a{i}") for i in range(3)} <= got
+    assert len(got) == 4
+    assert t.last_epoch("hb") == 5
+    assert isinstance(t.resolve_ref("mid"), int)
+    # the version chain is contiguous — no lost or duplicated commits
+    hist = t.history()
+    assert [s.version for s in hist] == list(range(len(hist)))
