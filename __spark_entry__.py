@@ -367,6 +367,46 @@ def events_json_normalize(spark, sf):
     )
 
 
+def events_typed_meta(spark, sf):
+    """Destinations-V2 error-tolerant typing (engine/raw.py
+    cast_columns_v2): a deliberately dirty source — `dirty` declared
+    integer but holding a word on every 7th row, `flag` declared
+    boolean but holding 'yes' on every 5th — runs the V2 chain; each
+    failed cast NULLs the value AND appends a
+    NULLED/DESTINATION_TYPECAST_ERROR entry to the per-row
+    _airbyte_meta change record, so bad data degrades observably
+    instead of vanishing (the fork nulls silently,
+    type_conversions.sql; the change record is the public protocol's
+    V2 rule).  All JVM expressions; the oracle rebuilds the same JSON
+    with TRY_CAST + CASE fragments."""
+    from airbyte_spark.engine import raw as R
+
+    e = _t(spark, sf, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 7 == 0, F.col("event_type"))
+        .otherwise(F.col("user_id").cast("string"))
+        .alias("dirty"),
+        F.when(F.col("event_id") % 5 == 0, F.lit("true"))
+        .when(F.col("event_id") % 5 == 1, F.lit("yes"))
+        .otherwise(F.lit("false"))
+        .alias("flag"),
+    )
+    out = R.normalize_raw_v2(
+        R.to_raw(e),
+        {"event_id": "integer", "dirty": "integer", "flag": "boolean"},
+        stream="events",
+        primary_key=["event_id"],
+    )
+    # flag compared as string: a NULL boolean reaches pandas as None
+    # from Spark but NaN from DuckDB, tripping the hash comparator
+    return out.select(
+        "event_id",
+        "dirty",
+        F.col("flag").cast("string").alias("flag"),
+        F.col("_airbyte_meta").alias("meta"),
+    )
+
+
 def events_props_child(spark, sf):
     """Nested-object child table: props -> (parent hashid, k)
     (stream_processor.py:347-384 explode semantics)."""
@@ -1566,6 +1606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_minmax_ts": events_minmax_ts,
         "events_stream_hwm": events_stream_hwm,
         "events_json_normalize": events_json_normalize,
+        "events_typed_meta": events_typed_meta,
         "events_props_child": events_props_child,
         "events_file_metadata": events_file_metadata,
         "events_incremental_scan": events_incremental_scan,
@@ -2188,6 +2229,29 @@ SELECT event_id, ts, user_id, event_type, value, props,
     coalesce(props, ''))) AS hashid,
   md5(coalesce(CAST(event_id AS VARCHAR), '')) AS unique_key
 FROM events
+""",
+        "events_typed_meta": """
+WITH src AS (
+  SELECT event_id,
+    CASE WHEN event_id % 7 = 0 THEN event_type
+         ELSE CAST(user_id AS VARCHAR) END AS dirty_raw,
+    CASE WHEN event_id % 5 = 0 THEN 'true'
+         WHEN event_id % 5 = 1 THEN 'yes'
+         ELSE 'false' END AS flag_raw
+  FROM events
+)
+SELECT event_id,
+  TRY_CAST(dirty_raw AS BIGINT) AS dirty,
+  CASE WHEN flag_raw IN ('true', 'false') THEN flag_raw END AS flag,
+  '{"changes":[' || coalesce(concat_ws(',',
+    CASE WHEN dirty_raw IS NOT NULL
+          AND TRY_CAST(dirty_raw AS BIGINT) IS NULL
+         THEN '{"field":"dirty","change":"NULLED","reason":"DESTINATION_TYPECAST_ERROR"}' END,
+    CASE WHEN flag_raw IS NOT NULL
+          AND flag_raw NOT IN ('true', 'false')
+         THEN '{"field":"flag","change":"NULLED","reason":"DESTINATION_TYPECAST_ERROR"}' END
+  ), '') || ']}' AS meta
+FROM src
 """,
         "events_props_child": """
 SELECT

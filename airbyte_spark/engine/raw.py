@@ -186,6 +186,102 @@ def normalize_raw(
     return df
 
 
+_META_REASON = "DESTINATION_TYPECAST_ERROR"
+
+
+def cast_columns_v2(df: DataFrame, properties: dict[str, str]) -> DataFrame:
+    """Error-tolerant typing (Destinations-V2 semantics): like
+    :func:`cast_columns`, but every value that was PRESENT in the
+    source and became null under its declared cast is recorded as a
+    per-row change entry instead of vanishing silently —
+    ``_airbyte_meta = {"changes": [{"field", "change": "NULLED",
+    "reason": "DESTINATION_TYPECAST_ERROR"}, ...]}``.
+
+    Reference lineage: the fork's normalization nulls un-castable
+    values silently, per dialect (base-normalization
+    type_conversions.sql cast_to_boolean/empty_string_to_null;
+    airbyte-protocol.md:182 drift tolerance); the per-row change
+    record is the public Airbyte protocol's V2 evolution of that rule
+    (AirbyteRecordMessageMeta / typing-and-deduping), re-expressed
+    here as pure JVM expressions: per column one conditional struct,
+    ``filter(array(...), isNotNull)``, ``to_json`` — zero Python (the
+    filter lambda is an interpreted higher-order function, but over an
+    array bounded by the column count, not data).
+
+    ``_airbyte_meta`` is a deterministic JSON STRING (fields in
+    declaration order, no whitespace), not a nested struct, matching
+    how the reference stores meta in warehouse tables and keeping the
+    column trivially comparable across engines."""
+    out = []
+    changes = []
+    for name, atype in properties.items():
+        raw_c = F.col(name)
+        if atype in _PASSTHROUGH_TYPES:
+            out.append(raw_c.alias(name))
+            continue
+        if atype == "boolean":
+            typed = (
+                F.when(raw_c == "true", F.lit(True))
+                .when(raw_c == "false", F.lit(False))
+                .otherwise(F.lit(None))
+            )
+        else:
+            # try_cast, not cast: under ANSI mode (Spark 4 default) a
+            # plain cast THROWS on malformed input and kills the sync;
+            # tolerating-and-recording is this function's entire point
+            typed = F.nullif(raw_c, F.lit("")).try_cast(AIRBYTE_TO_SPARK[atype])
+        out.append(typed.alias(name))
+        changes.append(
+            F.when(
+                raw_c.isNotNull() & typed.isNull(),
+                F.struct(
+                    F.lit(name).alias("field"),
+                    F.lit("NULLED").alias("change"),
+                    F.lit(_META_REASON).alias("reason"),
+                ),
+            )
+        )
+    meta = F.to_json(
+        F.struct(
+            F.filter(
+                F.array(*changes) if changes else F.array().cast(
+                    "array<struct<field:string,change:string,reason:string>>"
+                ),
+                lambda x: x.isNotNull(),
+            ).alias("changes")
+        )
+    )
+    return df.select(
+        *out,
+        "_airbyte_ab_id",
+        "_airbyte_emitted_at",
+        meta.alias("_airbyte_meta"),
+    )
+
+
+def normalize_raw_v2(
+    raw: DataFrame,
+    properties: dict[str, str],
+    *,
+    stream: str,
+    primary_key: list[str] | None = None,
+) -> DataFrame:
+    """V2 final-table shape: typed columns + ``_airbyte_raw_id`` /
+    ``_airbyte_extracted_at`` / ``_airbyte_meta`` (the V2 renames of
+    ab_id / emitted_at, plus the change record from
+    :func:`cast_columns_v2`); hash id and unique key as in V1."""
+    df = cast_columns_v2(extract_columns(raw, properties), properties)
+    df = with_hash_id(df, properties, stream)
+    if primary_key:
+        df = with_unique_key(df, primary_key, properties)
+    return df.withColumnsRenamed(
+        {
+            "_airbyte_ab_id": "_airbyte_raw_id",
+            "_airbyte_emitted_at": "_airbyte_extracted_at",
+        }
+    )
+
+
 def child_table_name(stream: str, json_path: list[str]) -> str:
     """``<stream>_<3-char-hash>_<prop>`` naming for nested child
     tables (basic-normalization.md:237-284: the hash infix

@@ -43,6 +43,9 @@ BENCH_QUERIES = [
     "events_json_normalize",
     "events_incremental_scan",
     "events_props_child",
+    # round 4: Destinations-V2 error-tolerant typing (per-row
+    # _airbyte_meta change record, try_cast chain, all JVM)
+    "events_typed_meta",
     # round 3: the two lake read paths over manifest-pruned scans —
     # native JVM (plan_scan + residual) and the registered Python
     # data source (Catalyst pushFilters); both include the 3-epoch

@@ -77,6 +77,59 @@ def test_empty_string_to_null_and_strict_boolean(spark):
     assert out["b"]["n"] == 1.5
 
 
+def test_v2_meta_records_typecast_errors(spark):
+    """Destinations-V2 error-tolerant typing: a value PRESENT in the
+    source that nulls under its declared cast is recorded in
+    _airbyte_meta.changes (NULLED/DESTINATION_TYPECAST_ERROR) instead
+    of vanishing silently; clean rows carry an empty changes list."""
+    props = {"id": "string", "n": "integer", "b": "boolean"}
+    raw = spark.createDataFrame(
+        [
+            ("1", None, '{"id": "1", "n": "42", "b": "true"}'),
+            ("2", None, '{"id": "2", "n": "click", "b": "yes"}'),
+            ("3", None, '{"id": "3", "b": "false"}'),  # n absent, not dirty
+            ("4", None, '{"id": "4", "n": "", "b": ""}'),  # present-but-empty
+        ],
+        "_airbyte_ab_id string, _airbyte_emitted_at timestamp, _airbyte_data string",
+    )
+    out = {
+        r["id"]: r
+        for r in R.normalize_raw_v2(raw, props, stream="t").collect()
+    }
+    assert out["1"]["n"] == 42 and out["1"]["b"] is True
+    assert out["1"]["_airbyte_meta"] == '{"changes":[]}'
+    assert out["2"]["n"] is None and out["2"]["b"] is None
+    assert (
+        out["2"]["_airbyte_meta"]
+        == '{"changes":['
+        '{"field":"n","change":"NULLED","reason":"DESTINATION_TYPECAST_ERROR"},'
+        '{"field":"b","change":"NULLED","reason":"DESTINATION_TYPECAST_ERROR"}]}'
+    )
+    # an ABSENT field is protocol drift, not a typecast error
+    assert out["3"]["n"] is None
+    assert out["3"]["_airbyte_meta"] == '{"changes":[]}'
+    # present-but-empty nulls under a non-string cast -> recorded
+    assert '"field":"n"' in out["4"]["_airbyte_meta"]
+    assert '"field":"b"' in out["4"]["_airbyte_meta"]
+    # V2 column renames
+    assert "_airbyte_raw_id" in out["1"].asDict()
+    assert "_airbyte_extracted_at" in out["1"].asDict()
+
+
+def test_v2_matches_v1_on_clean_data(spark, events):
+    """On data that never fails a cast, V2 typing is V1 typing plus
+    an all-empty meta column and the V2 column names."""
+    raw = R.to_raw(events.limit(200))
+    v1 = R.normalize_raw(raw, EVENT_PROPS, stream="events")
+    v2 = R.normalize_raw_v2(raw, EVENT_PROPS, stream="events")
+    assert v2.filter(F.col("_airbyte_meta") != '{"changes":[]}').count() == 0
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props",
+            "_airbyte_events_hashid"]
+    a = {tuple(r) for r in v1.select(cols).collect()}
+    b = {tuple(r) for r in v2.select(cols).collect()}
+    assert a == b
+
+
 def test_hashid_unique_key_deterministic(spark, events):
     out1 = R.normalize_raw(R.to_raw(events.limit(50)), EVENT_PROPS,
                            stream="events", primary_key=["event_id"])
