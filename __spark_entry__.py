@@ -869,6 +869,33 @@ def cdc_replay_mor_mini(spark, sf):
     return _state_digest(_cdc_replay_table(spark, sf, merge_strategy="mor"))
 
 
+def cdc_txn_replay_mini(spark, sf):
+    """Transactionally consistent replay (engine/txn.py — Debezium
+    transaction-metadata semantics): the SAME 900-event changelog,
+    stamped with a deterministic txn grouping and applied in 250-LSN
+    microbatches whose cuts SPLIT transactions; incomplete
+    transactions hold back in the per-epoch pending spill and apply
+    when their remaining events arrive, so every committed epoch
+    exposes all-or-none of each source transaction.  Reaching the
+    SAME golden digest as the plain COW/MOR/chunked replays pins that
+    alignment only DELAYS rows, never changes the destination."""
+    from airbyte_spark.engine.changelog import base_table, changelog
+    from airbyte_spark.engine.pipeline import CdcPipeline
+    from airbyte_spark.engine.txn import apply_batch_txn, with_txn_metadata
+
+    root = tempfile.mkdtemp(prefix="cdc_entry_")
+    pipe = CdcPipeline(os.path.join(root, "t"), n_buckets=8)
+    pipe.bootstrap(spark, base_table(spark, 300, n_repos=10, paths_per_repo=30))
+    ev = with_txn_metadata(changelog(spark, 900, n_repos=10, paths_per_repo=30))
+    epoch, start = 0, 0
+    while start < 900:
+        batch = ev.filter((F.col("lsn") >= start) & (F.col("lsn") < start + 250))
+        apply_batch_txn(pipe, spark, batch, epoch)
+        start += 250
+        epoch += 1
+    return _state_digest(pipe.table().read(spark))
+
+
 def cdc_replay_chunked_mini(spark, sf):
     """DBLog-style chunked initial snapshot (pipeline.bootstrap_chunked;
     Netflix DBLog §3.2 / Debezium incremental snapshot — the reference's
@@ -1645,6 +1672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_mini": cdc_replay_mini,
         "cdc_replay_mor_mini": cdc_replay_mor_mini,
         "cdc_replay_chunked_mini": cdc_replay_chunked_mini,
+        "cdc_txn_replay_mini": cdc_txn_replay_mini,
         "cdc_pruned_scan": cdc_pruned_scan,
         "cdc_zorder_scan": cdc_zorder_scan,
         "cdc_bloom_lookup": cdc_bloom_lookup,
@@ -2538,6 +2566,10 @@ SELECT CAST(275 AS BIGINT) AS final_rows,
        '{_CDC_MINI_DIGEST}' AS state_sha256
 """,
         "cdc_replay_chunked_mini": f"""
+SELECT CAST(275 AS BIGINT) AS final_rows,
+       '{_CDC_MINI_DIGEST}' AS state_sha256
+""",
+        "cdc_txn_replay_mini": f"""
 SELECT CAST(275 AS BIGINT) AS final_rows,
        '{_CDC_MINI_DIGEST}' AS state_sha256
 """,

@@ -101,6 +101,7 @@ def run_stream(
     max_files_per_trigger: int | None = None,
     on_batch: Callable[[BatchStats], None] | None = None,
     base: DataFrame | None = None,
+    txn_aligned: bool = False,
 ) -> list[BatchStats]:
     """One bounded sync run (Trigger.AvailableNow).  Returns per-batch
     stats.  Safe to re-run after a kill: the streaming checkpoint
@@ -148,15 +149,32 @@ def run_stream(
     stats: list[BatchStats] = []
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        st = pipeline.apply_batch(
-            batch_df.sparkSession, batch_df, int(batch_id) + epoch_base
-        )
+        if txn_aligned:
+            # hold back incomplete source transactions (engine/txn.py):
+            # microbatch cuts fall wherever the trigger slices the file
+            # list, so epoch commits must re-align to txn boundaries
+            from airbyte_spark.engine.txn import apply_batch_txn
+
+            st = apply_batch_txn(
+                pipeline, batch_df.sparkSession, batch_df,
+                int(batch_id) + epoch_base,
+            )
+        else:
+            st = pipeline.apply_batch(
+                batch_df.sparkSession, batch_df, int(batch_id) + epoch_base
+            )
         stats.append(st)
         if on_batch is not None:
             on_batch(st)
 
+    ddl, cols = CHANGELOG_DDL, list(CHANGELOG_COLS)
+    if txn_aligned:
+        from airbyte_spark.engine.txn import TXN_COLS
+
+        ddl = CHANGELOG_DDL + ", txn_id long, txn_events long"
+        cols = cols + list(TXN_COLS)
     reader = (
-        spark.readStream.schema(CHANGELOG_DDL)
+        spark.readStream.schema(ddl)
         .option("pathGlobFilter", "*.parquet")
         .option("recursiveFileLookup", "true")
     )
@@ -165,7 +183,7 @@ def run_stream(
     sdf = reader.parquet(changelog_dir)
 
     q = (
-        sdf.select(*CHANGELOG_COLS)
+        sdf.select(*cols)
         .writeStream.foreachBatch(_apply)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

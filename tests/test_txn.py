@@ -1,0 +1,232 @@
+"""Transactionally consistent microbatches (engine/txn.py — Debezium
+transaction-metadata semantics): an epoch's commit contains ALL of a
+source transaction's events or NONE, no matter where the microbatch
+LSN cut falls, under kill/resume, and across sync runs."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from airbyte_spark.engine.changelog import base_table, changelog
+from airbyte_spark.engine.pipeline import CdcPipeline
+from airbyte_spark.engine.txn import (
+    apply_batch_txn,
+    read_pending,
+    with_txn_metadata,
+)
+
+N_EVENTS = 400
+BATCH = 150  # deliberately NOT a multiple of the 8-LSN txn block
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return with_txn_metadata(
+        changelog(spark, N_EVENTS, n_repos=10, paths_per_repo=30)
+    ).persist()
+
+
+def test_metadata_is_consistent_grouping(spark, events):
+    """Every txn's observed event count equals its stamped
+    txn_events, its LSNs are contiguous from txn_id, and the grouping
+    is deterministic across recomputation."""
+    g = (
+        events.groupBy("txn_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("txn_events").alias("want"),
+            F.min("txn_events").alias("want2"),
+            F.min("lsn").alias("lo"),
+            F.max("lsn").alias("hi"),
+        )
+        .collect()
+    )
+    assert len(g) > N_EVENTS / 8  # more than one txn per block on average
+    for r in g:
+        assert r["want"] == r["want2"]  # constant within the txn
+        assert r["n"] == r["want"]  # complete corpus: every txn whole
+        assert r["lo"] == r["txn_id"]
+        assert r["hi"] - r["lo"] + 1 == r["n"]  # contiguous
+    again = with_txn_metadata(
+        changelog(spark, N_EVENTS, n_repos=10, paths_per_repo=30)
+    )
+    assert again.exceptAll(events).count() == 0
+
+
+def _mk_pipe(tmp_path, name="t"):
+    return CdcPipeline(str(tmp_path / name), n_buckets=8)
+
+
+def _fed_minus_pending(spark, events, hi_lsn, pipe, epoch):
+    fed = events.filter(F.col("lsn") < hi_lsn)
+    pend = read_pending(
+        spark, os.path.join(pipe.table_root, "_txn_pending"), epoch, events.schema
+    )
+    return fed.join(pend.select("lsn"), "lsn", "left_anti")
+
+
+def test_all_or_none_at_every_epoch(spark, tmp_path, events):
+    """After every epoch: applied rows (fed minus pending) form WHOLE
+    transactions, and the pending spill is exactly the transactions
+    straddling the cut."""
+    pipe = _mk_pipe(tmp_path)
+    pipe.bootstrap(spark, base_table(spark, 100, n_repos=10, paths_per_repo=30))
+    epoch, start = 0, 0
+    while start < N_EVENTS:
+        end = start + BATCH
+        batch = events.filter((F.col("lsn") >= start) & (F.col("lsn") < end))
+        st = apply_batch_txn(pipe, spark, batch, epoch)
+        assert st.committed
+        applied = _fed_minus_pending(spark, events, min(end, N_EVENTS), pipe, epoch)
+        broken = (
+            applied.groupBy("txn_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.max("txn_events").alias("want"))
+            .filter(F.col("n") != F.col("want"))
+            .count()
+        )
+        assert broken == 0, f"epoch {epoch}: partially applied transactions"
+        # the spill holds only transactions whose events straddle `end`
+        pend = read_pending(
+            spark, os.path.join(pipe.table_root, "_txn_pending"),
+            epoch, events.schema,
+        )
+        if end < N_EVENTS:
+            spans_cut = pend.groupBy("txn_id").agg(F.max("txn_events").alias("w"))
+            # every pending txn must extend past the cut
+            stray = (
+                spans_cut.filter(F.col("txn_id") + F.col("w") <= end).count()
+            )
+            assert stray == 0
+        start = end
+        epoch += 1
+    # corpus exhausted: the final cut is the corpus end, which the
+    # 8-block grouping never straddles when N_EVENTS % 8 == 0
+    final_pend = read_pending(
+        spark, os.path.join(pipe.table_root, "_txn_pending"),
+        epoch - 1, events.schema,
+    )
+    assert final_pend.count() == 0
+
+
+def test_final_state_equals_plain_replay(spark, tmp_path, events):
+    """With the full corpus fed, txn alignment only DELAYS rows across
+    epochs — the final table equals a plain (unaligned) replay."""
+    aligned = _mk_pipe(tmp_path, "a")
+    aligned.bootstrap(spark, base_table(spark, 100, n_repos=10, paths_per_repo=30))
+    epoch, start = 0, 0
+    while start < N_EVENTS:
+        batch = events.filter(
+            (F.col("lsn") >= start) & (F.col("lsn") < start + BATCH)
+        )
+        apply_batch_txn(aligned, spark, batch, epoch)
+        start += BATCH
+        epoch += 1
+    plain = _mk_pipe(tmp_path, "p")
+    plain.bootstrap(spark, base_table(spark, 100, n_repos=10, paths_per_repo=30))
+    plain.replay(
+        spark,
+        events.drop("txn_id", "txn_events"),
+        batch_lsns=BATCH,
+    )
+    a = aligned.table().read(spark)
+    p = plain.table().read(spark)
+    assert a.exceptAll(p).count() == 0 and p.exceptAll(a).count() == 0
+
+
+def test_trailing_open_txn_stays_pending_then_completes(spark, tmp_path, events):
+    """A transaction cut open at the end of a sync run is withheld
+    (never half-applied) and completes in the NEXT run from the
+    spill."""
+    # find a cut that splits a transaction
+    cut = None
+    for c in range(N_EVENTS - 1, 0, -1):
+        r = events.filter(F.col("lsn") == c).collect()[0]
+        if r["txn_id"] < c:  # event c belongs to a txn starting earlier
+            cut = c
+            break
+    assert cut is not None
+    pipe = _mk_pipe(tmp_path)
+    pipe.bootstrap(spark, base_table(spark, 100, n_repos=10, paths_per_repo=30))
+    first = events.filter(F.col("lsn") < cut)
+    st0 = apply_batch_txn(pipe, spark, first, 0)
+    assert st0.committed
+    pend = read_pending(
+        spark, os.path.join(pipe.table_root, "_txn_pending"), 0, events.schema
+    )
+    assert pend.count() > 0
+    # no applied row carries an LSN from the open transaction
+    open_txn = pend.select("txn_id").distinct()
+    tbl = pipe.table().read(spark)
+    leaked = (
+        tbl.join(
+            events.join(open_txn, "txn_id", "left_semi").select(
+                F.col("lsn").alias("last_lsn")
+            ),
+            "last_lsn",
+            "left_semi",
+        ).count()
+    )
+    assert leaked == 0
+    # next run feeds the remainder: the txn completes
+    rest = events.filter(F.col("lsn") >= cut)
+    st1 = apply_batch_txn(pipe, spark, rest, 1)
+    assert st1.committed
+    assert (
+        read_pending(
+            spark, os.path.join(pipe.table_root, "_txn_pending"), 1, events.schema
+        ).count()
+        == 0
+    )
+    # final state = plain full replay
+    plain = _mk_pipe(tmp_path, "p2")
+    plain.bootstrap(spark, base_table(spark, 100, n_repos=10, paths_per_repo=30))
+    plain.replay(spark, events.drop("txn_id", "txn_events"), batch_lsns=N_EVENTS)
+    a, p = pipe.table().read(spark), plain.table().read(spark)
+    assert a.exceptAll(p).count() == 0 and p.exceptAll(a).count() == 0
+
+
+def test_replay_of_committed_epoch_is_noop(spark, tmp_path, events):
+    """Kill/resume: re-running an epoch rewrites the identical spill
+    and the epoch gate turns the merge into a no-op."""
+    pipe = _mk_pipe(tmp_path)
+    pipe.bootstrap(spark, base_table(spark, 100, n_repos=10, paths_per_repo=30))
+    batch = events.filter(F.col("lsn") < BATCH)
+    st = apply_batch_txn(pipe, spark, batch, 0)
+    assert st.committed
+    before = {r["lsn"] for r in read_pending(
+        spark, os.path.join(pipe.table_root, "_txn_pending"), 0, events.schema
+    ).select("lsn").collect()}
+    v = pipe.table().snapshot().version
+    st2 = apply_batch_txn(pipe, spark, batch, 0)  # at-least-once replay
+    assert not st2.committed
+    after = {r["lsn"] for r in read_pending(
+        spark, os.path.join(pipe.table_root, "_txn_pending"), 0, events.schema
+    ).select("lsn").collect()}
+    assert before == after
+    assert pipe.table().snapshot().version == v  # no new data commit
+
+
+def test_run_stream_txn_aligned(spark, tmp_path, events):
+    """End to end through Structured Streaming: chunk files that split
+    transactions, txn_aligned=True — final state equals a plain
+    replay and no epoch ever exposed a half transaction (checked via
+    the spill invariant after the run)."""
+    from airbyte_spark.streaming.runner import run_stream, write_changelog_chunks
+
+    tail = str(tmp_path / "tail")
+    write_changelog_chunks(events, tail, chunk_lsns=BATCH, lo=0, hi=N_EVENTS - 1)
+    pipe = _mk_pipe(tmp_path)
+    pipe.bootstrap(spark, base_table(spark, 100, n_repos=10, paths_per_repo=30))
+    stats = run_stream(
+        spark, pipe, tail, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, txn_aligned=True,
+    )
+    assert all(s.committed for s in stats)
+    plain = _mk_pipe(tmp_path, "p3")
+    plain.bootstrap(spark, base_table(spark, 100, n_repos=10, paths_per_repo=30))
+    plain.replay(spark, events.drop("txn_id", "txn_events"), batch_lsns=BATCH)
+    a, p = pipe.table().read(spark), plain.table().read(spark)
+    assert a.exceptAll(p).count() == 0 and p.exceptAll(a).count() == 0
