@@ -167,6 +167,41 @@ def cdc_lww_events(spark, sf):
     )
 
 
+def cdc_toast_lww_events(spark, sf):
+    """Unchanged-TOAST-value recovery inside the LWW aggregation
+    (engine/toast.py — Debezium emits `__debezium_unavailable_value`
+    for TOASTed columns an UPDATE left unchanged; the sink must
+    resolve it to the column's real current value).  A deterministic
+    op/mask over the events stream (event_id%11 -> delete with no
+    after-image, event_id%3 -> placeholder on updates) replays through
+    lww_dedup_toast: ONE map-side-combined max_by per key yields the
+    winner AND each toast column's latest real value, placeholders
+    patch only from fills newer than the last delete."""
+    from airbyte_spark.engine.toast import TOAST_PLACEHOLDER, lww_dedup_toast
+
+    e = _t(spark, sf, "events").select("user_id", "event_id", "event_type", "value")
+    is_del = F.col("event_id") % 11 == 0
+    ev = e.select(
+        "user_id",
+        "event_id",
+        F.when(is_del, F.lit("d")).otherwise(F.lit("u")).alias("op"),
+        F.when(is_del, F.lit(None).cast("string"))
+        .when(F.col("event_id") % 3 == 0, F.lit(TOAST_PLACEHOLDER))
+        .otherwise(F.col("event_type"))
+        .alias("event_type"),
+        F.when(is_del, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    out = lww_dedup_toast(ev, ["user_id"], ["event_id"], toast_cols=["event_type"])
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.round(F.col("value"), 4).alias("last_value"),
+    )
+
+
 def cdc_hwm_events(spark, sf):
     """Per-key high-water-mark bookkeeping (engine/state.py analog)."""
     e = _t(spark, sf, "events")
@@ -894,6 +929,35 @@ def cdc_txn_replay_mini(spark, sf):
         start += 250
         epoch += 1
     return _state_digest(pipe.table().read(spark))
+
+
+def cdc_toast_replay_mini(spark, sf):
+    """Full CDC replay with TOASTed updates (engine/toast.py): the
+    SAME 900-event changelog, every update's content masked with the
+    Debezium placeholder at p=0.5, replayed through the fused merge
+    with toast_cols=['content'] — placeholders recover their real
+    value from earlier batch events or the base row inside the one
+    merge aggregation, and enrichment hashes the RECOVERED content.
+    The digest is its own golden constant (masking changes which
+    values are recoverable, so it differs from the untoasted replay);
+    tests/test_toast.py value-verifies the same pipeline row-for-row
+    against a sequential pure-Python replay oracle, and
+    test_entry_digest.py re-pins this constant."""
+    from airbyte_spark.engine.changelog import base_table, changelog
+    from airbyte_spark.engine.pipeline import CdcPipeline
+    from airbyte_spark.engine.toast import toast_changelog
+
+    root = tempfile.mkdtemp(prefix="cdc_entry_")
+    pipe = CdcPipeline(
+        os.path.join(root, "t"), n_buckets=8, toast_cols=["content"]
+    )
+    t = pipe.bootstrap(spark, base_table(spark, 300, n_repos=10, paths_per_repo=30))
+    ev = toast_changelog(
+        changelog(spark, 900, n_repos=10, paths_per_repo=30),
+        toast_cols=["content"], p_toast=0.5,
+    )
+    pipe.replay(spark, ev, batch_lsns=300)
+    return _state_digest(t.read(spark))
 
 
 def cdc_replay_chunked_mini(spark, sf):
@@ -1673,6 +1737,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_mor_mini": cdc_replay_mor_mini,
         "cdc_replay_chunked_mini": cdc_replay_chunked_mini,
         "cdc_txn_replay_mini": cdc_txn_replay_mini,
+        "cdc_toast_replay_mini": cdc_toast_replay_mini,
+        "cdc_toast_lww_events": cdc_toast_lww_events,
         "cdc_pruned_scan": cdc_pruned_scan,
         "cdc_zorder_scan": cdc_zorder_scan,
         "cdc_bloom_lookup": cdc_bloom_lookup,
@@ -2092,6 +2158,15 @@ FROM range(200) WHERE range % 3 = 2
 # generator + unique LWW winner => a constant; recomputed by
 # tests/test_entry_digest.py so drift fails loudly in pytest too).
 _CDC_MINI_DIGEST = "d349ee28397d57f85b458aa58d0321946509cb6922d08aca37bd5b449479816e"
+# toasted replay: p=0.5 of updates mask content with the Debezium
+# placeholder; recoverable values patch back (so most rows match the
+# plain replay) but winners whose fill is fenced by a delete keep the
+# placeholder — a distinct, still-deterministic final state.  Pinned
+# by test_entry_digest.py and value-verified row-for-row against the
+# sequential replay oracle in tests/test_toast.py.
+_CDC_TOAST_MINI_DIGEST = (
+    "6e4281fd6b3b0af57d2d8956f6ce63bf1f100bcab291b70acd640b8a6c31d229"
+)
 
 
 def _lang_case() -> str:
@@ -2572,6 +2647,50 @@ SELECT CAST(275 AS BIGINT) AS final_rows,
         "cdc_txn_replay_mini": f"""
 SELECT CAST(275 AS BIGINT) AS final_rows,
        '{_CDC_MINI_DIGEST}' AS state_sha256
+""",
+        "cdc_toast_replay_mini": f"""
+SELECT CAST(275 AS BIGINT) AS final_rows,
+       '{_CDC_TOAST_MINI_DIGEST}' AS state_sha256
+""",
+        # toast fill reproduced declaratively: the latest real value
+        # per key (NULL values count as real — IS DISTINCT FROM), the
+        # newest delete as the fence, winner placeholders patch only
+        # from fills past the fence
+        "cdc_toast_lww_events": """
+WITH ev AS (
+  SELECT user_id, event_id,
+         CASE WHEN event_id % 11 = 0 THEN 'd' ELSE 'u' END AS op,
+         CASE WHEN event_id % 11 = 0 THEN NULL
+              WHEN event_id % 3 = 0 THEN '__debezium_unavailable_value'
+              ELSE event_type END AS event_type,
+         CASE WHEN event_id % 11 = 0 THEN NULL ELSE value END AS value
+  FROM events
+),
+w AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM ev
+),
+f AS (
+  SELECT user_id,
+         max(CASE WHEN op = 'd' THEN event_id END) AS del_ord,
+         max(CASE WHEN op <> 'd'
+                   AND event_type IS DISTINCT FROM '__debezium_unavailable_value'
+                  THEN event_id END) AS fill_ord
+  FROM ev GROUP BY user_id
+),
+fv AS (
+  SELECT e.user_id, e.event_type AS fill_v, f.fill_ord, f.del_ord
+  FROM ev e JOIN f ON e.user_id = f.user_id AND e.event_id = f.fill_ord
+)
+SELECT w.user_id,
+       w.event_id AS last_event_id,
+       CASE WHEN w.event_type = '__debezium_unavailable_value'
+                 AND fv.fill_ord IS NOT NULL
+                 AND (fv.del_ord IS NULL OR fv.fill_ord > fv.del_ord)
+            THEN fv.fill_v ELSE w.event_type END AS last_event_type,
+       ROUND(w.value, 4) AS last_value
+FROM w LEFT JOIN fv ON w.user_id = fv.user_id
+WHERE w.rn = 1 AND w.op <> 'd'
 """,
         # file counts are layout constants: 3 epoch appends x 8
         # always-hit hash buckets = 24 files; disjoint event_id ranges

@@ -127,6 +127,7 @@ class CdcPipeline:
         on_invalid_offset: str = "error",
         history_root: str | None = None,
         compact_every: int | None = None,
+        toast_cols: list[str] | None = None,
     ):
         """mode: destination sync mode (airbyte-protocol.md:395-420)
         - 'dedup'     = incremental + dedup history (MERGE; default)
@@ -149,6 +150,15 @@ class CdcPipeline:
           read/rewrite; scans pay an LWW resolve until compact().
           Best for low-selectivity batches where COW would rewrite
           many buckets to change few rows.
+
+        toast_cols: columns that may carry Debezium's unchanged-TOAST
+        placeholder (engine/toast.py).  Requires the fused strategy:
+        the fill rides the merge's single per-key aggregation, which
+        is the only plan holding both fill sources (earlier batch
+        events AND the base row) in one group.  'pruned'/'mor'
+        pre-deduplicate the batch — intra-batch fill sources are gone
+        before the merge — and MOR's O(batch) delta write cannot read
+        the base at all, so both refuse.
         """
         self.table_root = table_root
         self.stream = stream
@@ -161,6 +171,13 @@ class CdcPipeline:
             raise ValueError(f"unknown merge strategy {merge_strategy}")
         if on_invalid_offset not in ("error", "rebootstrap", "ignore"):
             raise ValueError(f"unknown on_invalid_offset {on_invalid_offset}")
+        if toast_cols and not (mode == "dedup" and merge_strategy == "fused"):
+            raise ValueError(
+                "toast_cols requires mode='dedup', merge_strategy='fused' "
+                "(placeholder recovery fuses into the merge aggregation; "
+                "see engine/toast.py)"
+            )
+        self.toast_cols = list(toast_cols) if toast_cols else None
         self.mode = mode
         self.merge_strategy = merge_strategy
         self.on_invalid_offset = on_invalid_offset
@@ -666,6 +683,7 @@ class CdcPipeline:
             epoch=epoch, stream=self.stream,
             finalize_fn=normalize.enrich_winners,
             precomputed_buckets=touched,
+            toast_cols=self.toast_cols,
         )
         max_lsn = None
         if merge_res.committed:

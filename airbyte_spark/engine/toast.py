@@ -1,0 +1,171 @@
+"""Unchanged-TOAST-value handling (Debezium placeholder semantics).
+
+Reference (Newton-School/airbyte): Postgres keeps over-threshold
+column values (large text/bytea — e.g. file ``content``) in TOAST
+storage, and logical decoding does NOT re-emit them on UPDATEs that
+left them unchanged.  Debezium forwards such columns as a sentinel
+placeholder string, ``__debezium_unavailable_value``, and documents
+that the SINK must resolve it — a consumer that writes the
+placeholder through corrupts the destination, one that nulls it
+loses data (the source-postgres connector the reference wraps
+inherits exactly this contract; debezium/ event plumbing in
+DebeziumEventUtils.java carries the after-image verbatim).
+
+Spark mapping — resolve the placeholder inside the ONE merge
+aggregation, zero extra shuffles:
+
+The fused merge (``LakeTable.merge_lww``) already unions the touched
+buckets' base rows with the raw batch and reduces per key with one
+``max_by``.  Every fill source a placeholder could need is therefore
+ALREADY in that per-key group: earlier batch events (intra-batch
+fill) and the table's current row (cross-batch fill).  Two extra
+aggregate expressions per group recover the value:
+
+* ``_toast_fill_<col>`` — ``max_by`` of (value, order) over rows that
+  are REAL fill sources: not a delete, not the placeholder.  A NULL
+  value on an upsert IS real (the column was set to NULL); Spark's
+  ``max_by`` skips rows whose ordering expression is NULL, so the
+  ``when(real, order)`` guard excludes non-sources without a filter.
+* ``_toast_del_ord`` — the newest delete's order.  A fill may only
+  cross FORWARD from its source to the winner if no delete sits
+  between them: after delete + re-insert, pre-delete values belong to
+  a dead row generation (Debezium re-emits full after-images on
+  insert, so a legitimate fill source always exists past the delete).
+
+The winner's placeholder columns then patch to ``fill.v`` when
+``fill.o > del_ord`` (struct comparison on the order tuple), else the
+placeholder is KEPT — data is never invented; an unfillable
+placeholder (insert-with-placeholder, a source contract violation)
+stays visible instead of turning into a silent NULL.
+
+Patching runs BEFORE winner enrichment, so ``content_sha256`` is
+computed over the recovered content and the per-row invariant
+(content sha equality vs the reference replay) holds through toasted
+updates.
+
+Scale: the fill is per-key state already co-grouped by the merge's
+single exchange — cost is two thin aggregate buffers per toast
+column, no extra pass over 10^10 events.  Merge-on-read is refused
+with ``toast_cols``: an O(batch) delta write cannot patch placeholders
+without reading the base, and leaving them to scan-time would push the
+fill rule into every reader (batch, changelog, pyarrow kernel).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOAST_PLACEHOLDER = "__debezium_unavailable_value"
+
+
+def _ord(order_cols: list[str]):
+    return F.struct(*[F.col(c) for c in order_cols])
+
+
+def fill_agg_exprs(
+    order_cols: list[str],
+    toast_cols: list[str],
+    *,
+    op_col: str = "op",
+    delete_value: str = "d",
+    placeholder: str = TOAST_PLACEHOLDER,
+) -> list:
+    """Aggregate expressions recovering the latest real value per toast
+    column, for composition into an existing per-key groupBy."""
+    o = _ord(order_cols)
+    is_delete = F.coalesce(F.col(op_col) == F.lit(delete_value), F.lit(False))
+    exprs = [F.max(F.when(is_delete, o)).alias("_toast_del_ord")]
+    for c in toast_cols:
+        real = ~is_delete & ~F.coalesce(F.col(c) == F.lit(placeholder), F.lit(False))
+        exprs.append(
+            F.max_by(
+                F.struct(F.col(c).alias("v"), o.alias("o")), F.when(real, o)
+            ).alias(f"_toast_fill_{c}")
+        )
+    return exprs
+
+
+def patch_winners(
+    df: DataFrame,
+    toast_cols: list[str],
+    *,
+    placeholder: str = TOAST_PLACEHOLDER,
+) -> DataFrame:
+    """Replace winner placeholders with their recovered values and drop
+    the helper columns produced by :func:`fill_agg_exprs`."""
+    for c in toast_cols:
+        fill = F.col(f"_toast_fill_{c}")
+        valid = fill.isNotNull() & (
+            F.col("_toast_del_ord").isNull()
+            | (fill["o"] > F.col("_toast_del_ord"))
+        )
+        df = df.withColumn(
+            c,
+            F.when(
+                (F.col(c) == F.lit(placeholder)) & valid, fill["v"]
+            ).otherwise(F.col(c)),
+        )
+    return df.drop("_toast_del_ord", *[f"_toast_fill_{c}" for c in toast_cols])
+
+
+def lww_dedup_toast(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    *,
+    toast_cols: list[str],
+    op_col: str = "op",
+    delete_value: str = "d",
+    placeholder: str = TOAST_PLACEHOLDER,
+    drop_deletes: bool = True,
+) -> DataFrame:
+    """LWW dedup with placeholder recovery in the SAME aggregation:
+    one map-side-combined ``max_by`` per key yields the winner row AND
+    each toast column's latest real value; the winner's placeholders
+    patch from fills newer than the last delete.  Standalone variant
+    of the fill that :meth:`LakeTable.merge_lww` fuses into the merge
+    (fills there additionally see the table's current row)."""
+    payload = [c for c in df.columns if c not in keys]
+    aggs = [
+        F.max_by(F.struct(*payload), _ord(order_cols)).alias("_w"),
+        *fill_agg_exprs(
+            order_cols, toast_cols,
+            op_col=op_col, delete_value=delete_value, placeholder=placeholder,
+        ),
+    ]
+    helper = ["_toast_del_ord", *[f"_toast_fill_{c}" for c in toast_cols]]
+    out = df.groupBy(*keys).agg(*aggs).select(*keys, "_w.*", *helper)
+    out = patch_winners(out, toast_cols, placeholder=placeholder)
+    if drop_deletes:
+        out = out.filter(
+            F.col(op_col).isNull() | (F.col(op_col) != F.lit(delete_value))
+        )
+    return out
+
+
+def toast_changelog(
+    events: DataFrame,
+    *,
+    toast_cols: list[str],
+    p_toast: float = 0.3,
+    seed: int = 97,
+    op_col: str = "op",
+    lsn_col: str = "lsn",
+    placeholder: str = TOAST_PLACEHOLDER,
+) -> DataFrame:
+    """Deterministically mask UPDATE events' toast columns with the
+    placeholder (pure function of (lsn, seed), JVM-side) — the fixture
+    generator for replay tests: a changelog as a Postgres source with
+    TOASTed columns would emit it.  Only ``op='u'`` rows mask (inserts
+    and deletes always carry full images, matching the source
+    contract)."""
+    masked = (F.col(op_col) == F.lit("u")) & (
+        F.pmod(F.xxhash64(F.col(lsn_col), F.lit(seed)), F.lit(1_000_000))
+        < int(p_toast * 1_000_000)
+    )
+    for c in toast_cols:
+        events = events.withColumn(
+            c, F.when(masked, F.lit(placeholder)).otherwise(F.col(c))
+        )
+    return events

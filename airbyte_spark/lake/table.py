@@ -1903,6 +1903,8 @@ class LakeTable:
         stream: str = "default",
         finalize_fn=None,
         precomputed_buckets: list[int] | None = None,
+        toast_cols: list[str] | None = None,
+        toast_placeholder: str | None = None,
     ) -> MergeResult:
         """Bucket-pruned MERGE as one fused aggregation: union(touched
         buckets of the current state, raw batch) -> per-key ``max_by``
@@ -1932,6 +1934,13 @@ class LakeTable:
         (the caller must then guarantee the batch recomputes
         deterministically — a parquet tail or a seeded generator — or
         have persisted it).
+
+        ``toast_cols``: columns that may carry Debezium's
+        unchanged-TOAST placeholder (engine/toast.py); their latest
+        real value is recovered in the SAME aggregation (the union
+        already holds every fill source: earlier batch events AND the
+        base row) and patched into the winner BEFORE ``finalize_fn``,
+        so enrichment hashes the recovered content.
 
         The epoch gate is identical to :meth:`merge` — the tag and the
         data land in one atomic snapshot commit.
@@ -2026,17 +2035,33 @@ class LakeTable:
                 group_cols = [_BUCKET, *snap.key_cols]
             else:
                 group_cols = list(snap.key_cols)
+            aggs = [
+                F.max_by(
+                    F.struct(*payload), F.struct(*[F.col(c) for c in order_cols])
+                ).alias("_w")
+            ]
+            toast_helper: list[str] = []
+            if toast_cols:
+                from airbyte_spark.engine import toast as _toast
+
+                ph = toast_placeholder or _toast.TOAST_PLACEHOLDER
+                aggs += _toast.fill_agg_exprs(
+                    order_cols, toast_cols,
+                    op_col=op_col, delete_value=delete_value, placeholder=ph,
+                )
+                toast_helper = [
+                    "_toast_del_ord",
+                    *[f"_toast_fill_{c}" for c in toast_cols],
+                ]
             winners = (
                 unioned.groupBy(*group_cols)
-                .agg(
-                    F.max_by(
-                        F.struct(*payload), F.struct(*[F.col(c) for c in order_cols])
-                    ).alias("_w")
-                )
-                .select(*group_cols, "_w.*")
-                .filter(
-                    (F.col(op_col).isNull()) | (F.col(op_col) != F.lit(delete_value))
-                )
+                .agg(*aggs)
+                .select(*group_cols, "_w.*", *toast_helper)
+            )
+            if toast_cols:
+                winners = _toast.patch_winners(winners, toast_cols, placeholder=ph)
+            winners = winners.filter(
+                (F.col(op_col).isNull()) | (F.col(op_col) != F.lit(delete_value))
             )
             if finalize_fn is not None:
                 winners = finalize_fn(winners)

@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "cdc_matview_incremental",
     # round 4: gap-based sessionization (single user-hash exchange)
     "events_sessionize",
+    # round 4: unchanged-TOAST-value recovery fused into the LWW agg
+    "cdc_toast_lww_events",
 ]
 
 

@@ -29,10 +29,17 @@ def _sha(content: str | None) -> str:
     return hashlib.sha256((content or "").encode()).hexdigest()
 
 
-def replay_oracle(base_rows, event_rows) -> dict:
+def replay_oracle(base_rows, event_rows, *, toast_placeholder=None) -> dict:
     """base_rows: dicts (repo,path,commit,lang,content); event_rows:
     dicts (lsn,op,repo,path,commit,lang,content,ts) in any order.
-    Returns {(repo, canon_path): expected final row dict}."""
+    Returns {(repo, canon_path): expected final row dict}.
+
+    ``toast_placeholder``: Debezium unchanged-TOAST semantics — an
+    upsert whose content equals the placeholder keeps the row's
+    CURRENT content (the sequential statement of engine/toast.py's
+    fill rule: latest real value, never crossing a delete; a
+    placeholder on a nonexistent row stays visible, data is never
+    invented)."""
     state: dict = {}
     for r in base_rows:
         p = _canon(r["path"])
@@ -51,6 +58,14 @@ def replay_oracle(base_rows, event_rows) -> dict:
         if e["op"] == "d":
             state.pop(key, None)
         else:
+            content = e["content"]
+            if (
+                toast_placeholder is not None
+                and content == toast_placeholder
+                and key in state
+            ):
+                content = state[key]["content"]
+            e = dict(e, content=content)
             state[key] = {
                 "repo": e["repo"],
                 "path": p,

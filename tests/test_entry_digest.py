@@ -18,3 +18,11 @@ def test_cdc_replay_mini_digest_matches_golden(spark):
     row = E.cdc_replay_mini(spark, "/root/testdata/sf0.001").collect()[0]
     assert row["final_rows"] == 275
     assert row["state_sha256"] == E._CDC_MINI_DIGEST
+
+
+def test_cdc_toast_replay_mini_digest_matches_golden(spark):
+    import __spark_entry__ as E
+
+    row = E.cdc_toast_replay_mini(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row["final_rows"] == 275
+    assert row["state_sha256"] == E._CDC_TOAST_MINI_DIGEST

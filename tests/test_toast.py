@@ -1,0 +1,203 @@
+"""Unchanged-TOAST-value recovery (engine/toast.py).
+
+Reference semantics: Debezium emits ``__debezium_unavailable_value``
+for TOASTed columns an UPDATE left unchanged (Postgres logical
+decoding does not re-emit unchanged out-of-line values); the sink
+must resolve the placeholder to the column's real current value —
+writing it through corrupts the destination, nulling it loses data.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airbyte_spark.engine.changelog import base_table, changelog
+from airbyte_spark.engine.pipeline import CdcPipeline
+from airbyte_spark.engine.toast import (
+    TOAST_PLACEHOLDER as PH,
+    lww_dedup_toast,
+    toast_changelog,
+)
+from tests.oracle import assert_states_equal, replay_oracle, table_state
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k int, lsn int, op string, v string")
+
+
+class TestLwwDedupToast:
+    def test_placeholder_fills_from_earlier_event(self, spark):
+        out = lww_dedup_toast(
+            _df(spark, [(1, 1, "i", "real"), (1, 2, "u", PH)]),
+            ["k"], ["lsn"], toast_cols=["v"],
+        ).collect()
+        assert len(out) == 1 and out[0]["v"] == "real" and out[0]["lsn"] == 2
+
+    def test_latest_real_wins_as_fill(self, spark):
+        out = lww_dedup_toast(
+            _df(
+                spark,
+                [(1, 1, "i", "old"), (1, 2, "u", "new"), (1, 3, "u", PH)],
+            ),
+            ["k"], ["lsn"], toast_cols=["v"],
+        ).collect()
+        assert out[0]["v"] == "new"
+
+    def test_explicit_null_is_a_real_fill_value(self, spark):
+        # an upsert that SET the column to NULL is a legitimate value;
+        # the later placeholder must recover NULL, not reach past it
+        out = lww_dedup_toast(
+            _df(spark, [(1, 1, "i", "x"), (1, 2, "u", None), (1, 3, "u", PH)]),
+            ["k"], ["lsn"], toast_cols=["v"],
+        ).collect()
+        assert out[0]["v"] is None
+
+    def test_fill_never_crosses_a_delete(self, spark):
+        # delete ends the row generation: a pre-delete value must not
+        # resurrect into a post-delete placeholder (that shape is a
+        # source contract violation; the placeholder stays visible,
+        # data is never invented)
+        out = lww_dedup_toast(
+            _df(
+                spark,
+                [(1, 1, "i", "gen1"), (1, 2, "d", None), (1, 3, "i", PH)],
+            ),
+            ["k"], ["lsn"], toast_cols=["v"],
+        ).collect()
+        assert out[0]["v"] == PH
+
+    def test_fill_after_delete_applies(self, spark):
+        out = lww_dedup_toast(
+            _df(
+                spark,
+                [
+                    (1, 1, "i", "gen1"),
+                    (1, 2, "d", None),
+                    (1, 3, "i", "gen2"),
+                    (1, 4, "u", PH),
+                ],
+            ),
+            ["k"], ["lsn"], toast_cols=["v"],
+        ).collect()
+        assert out[0]["v"] == "gen2"
+
+    def test_delete_winner_drops_row(self, spark):
+        out = lww_dedup_toast(
+            _df(spark, [(1, 1, "i", "x"), (1, 2, "d", None)]),
+            ["k"], ["lsn"], toast_cols=["v"],
+        ).collect()
+        assert out == []
+
+    def test_unfillable_placeholder_kept(self, spark):
+        out = lww_dedup_toast(
+            _df(spark, [(1, 1, "u", PH)]), ["k"], ["lsn"], toast_cols=["v"]
+        ).collect()
+        assert out[0]["v"] == PH
+
+    def test_real_winner_untouched(self, spark):
+        out = lww_dedup_toast(
+            _df(spark, [(1, 1, "i", PH), (1, 2, "u", "real")]),
+            ["k"], ["lsn"], toast_cols=["v"],
+        ).collect()
+        assert out[0]["v"] == "real"
+
+    def test_two_toast_cols_fill_independently(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, 1, "i", "a1", "b1"),
+                (1, 2, "u", PH, "b2"),
+                (1, 3, "u", "a3", PH),
+            ],
+            "k int, lsn int, op string, a string, b string",
+        )
+        out = lww_dedup_toast(
+            df, ["k"], ["lsn"], toast_cols=["a", "b"]
+        ).collect()
+        assert out[0]["a"] == "a3" and out[0]["b"] == "b2"
+
+
+@pytest.fixture(scope="module")
+def toast_data(spark):
+    base = base_table(spark, 400, n_repos=12, paths_per_repo=30)
+    events = changelog(spark, 1500, n_repos=12, paths_per_repo=30)
+    toasted = toast_changelog(events, toast_cols=["content"], p_toast=0.5)
+    base_rows = [r.asDict() for r in base.collect()]
+    event_rows = [r.asDict() for r in toasted.collect()]
+    expected = replay_oracle(base_rows, event_rows, toast_placeholder=PH)
+    # the fixture must actually exercise the fill: masked updates exist
+    assert any(r["content"] == PH for r in event_rows)
+    return base, toasted, expected
+
+
+class TestToastReplay:
+    def test_toasted_replay_matches_sequential_oracle(
+        self, spark, tmp_path, toast_data
+    ):
+        base, toasted, expected = toast_data
+        pipe = CdcPipeline(
+            str(tmp_path / "t"), n_buckets=8, toast_cols=["content"]
+        )
+        t = pipe.bootstrap(spark, base)
+        stats = pipe.replay(spark, toasted, batch_lsns=500)
+        assert all(s.committed for s in stats)
+        # row-for-row including content_sha256 — the per-row invariant:
+        # enrichment hashed the RECOVERED content, not the placeholder
+        assert_states_equal(expected, table_state(t, spark))
+
+    def test_without_toast_cols_placeholder_corrupts(
+        self, spark, tmp_path, toast_data
+    ):
+        # negative control: the plain pipeline writes placeholders
+        # through, so the fixture genuinely requires the fill
+        base, toasted, expected = toast_data
+        pipe = CdcPipeline(str(tmp_path / "t"), n_buckets=8)
+        t = pipe.bootstrap(spark, base)
+        pipe.replay(spark, toasted, batch_lsns=1500)
+        n_ph = t.read(spark).filter(F.col("content") == PH).count()
+        assert n_ph > 0
+
+    def test_kill_resume_exactly_once(self, spark, tmp_path, toast_data):
+        base, toasted, expected = toast_data
+        pipe = CdcPipeline(
+            str(tmp_path / "t"), n_buckets=8, toast_cols=["content"]
+        )
+        t = pipe.bootstrap(spark, base)
+        with pytest.raises(RuntimeError, match="injected failure"):
+            pipe.replay(spark, toasted, batch_lsns=300, fail_after=2)
+        # resume re-applies from epoch 0; committed epochs skip
+        pipe2 = CdcPipeline(
+            str(tmp_path / "t"), n_buckets=8, toast_cols=["content"]
+        )
+        stats = pipe2.replay(spark, toasted, batch_lsns=300)
+        assert sum(1 for s in stats if s.committed) == len(stats) - 2
+        assert_states_equal(expected, table_state(t, spark))
+
+    @pytest.mark.parametrize("plan", ["single", "classic"])
+    def test_both_merge_plans(
+        self, spark, tmp_path, toast_data, plan, monkeypatch
+    ):
+        monkeypatch.setenv("SPARK_GRAFT_MERGE_PLAN", plan)
+        base, toasted, expected = toast_data
+        pipe = CdcPipeline(
+            str(tmp_path / "t"), n_buckets=8, toast_cols=["content"]
+        )
+        t = pipe.bootstrap(spark, base)
+        pipe.replay(spark, toasted, batch_lsns=1500)
+        assert_states_equal(expected, table_state(t, spark))
+
+
+class TestGuards:
+    def test_mor_refuses_toast(self, tmp_path):
+        with pytest.raises(ValueError, match="toast_cols"):
+            CdcPipeline(
+                str(tmp_path / "t"), merge_strategy="mor", toast_cols=["content"]
+            )
+
+    def test_pruned_refuses_toast(self, tmp_path):
+        with pytest.raises(ValueError, match="toast_cols"):
+            CdcPipeline(
+                str(tmp_path / "t"),
+                merge_strategy="pruned",
+                toast_cols=["content"],
+            )
