@@ -960,6 +960,42 @@ def cdc_toast_replay_mini(spark, sf):
     return _state_digest(t.read(spark))
 
 
+def cdc_demux_replay_mini(spark, sf):
+    """Multiplexed-WAL demux (engine/demux.py — the Debezium
+    one-binlog-many-tables shape): the SAME 900-event changelog,
+    stamped with a collection column (a pure function of repo), is
+    applied to TWO destination tables in one pass per microbatch,
+    each exactly-once under its own epoch gate.  The union of the two
+    tables' final states reaches the SAME golden digest as the
+    monolithic replay — routing never changes per-key outcomes."""
+    from airbyte_spark.engine.changelog import base_table, changelog
+    from airbyte_spark.engine.demux import replay_demux
+    from airbyte_spark.engine.pipeline import CdcPipeline
+
+    def stamp(df):
+        return df.withColumn(
+            "collection",
+            F.when(F.pmod(F.xxhash64("repo"), F.lit(2)) == 0, F.lit("alpha"))
+            .otherwise(F.lit("beta")),
+        )
+
+    root = tempfile.mkdtemp(prefix="cdc_entry_")
+    base = stamp(base_table(spark, 300, n_repos=10, paths_per_repo=30))
+    pipes = {}
+    for coll in ("alpha", "beta"):
+        p = CdcPipeline(os.path.join(root, coll), n_buckets=8)
+        p.bootstrap(
+            spark, base.filter(F.col("collection") == coll).drop("collection")
+        )
+        pipes[coll] = p
+    ev = stamp(changelog(spark, 900, n_repos=10, paths_per_repo=30))
+    replay_demux(spark, pipes, ev, batch_lsns=300)
+    union = pipes["alpha"].table().read(spark).unionByName(
+        pipes["beta"].table().read(spark)
+    )
+    return _state_digest(union)
+
+
 def cdc_replay_chunked_mini(spark, sf):
     """DBLog-style chunked initial snapshot (pipeline.bootstrap_chunked;
     Netflix DBLog §3.2 / Debezium incremental snapshot — the reference's
@@ -1738,6 +1774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_chunked_mini": cdc_replay_chunked_mini,
         "cdc_txn_replay_mini": cdc_txn_replay_mini,
         "cdc_toast_replay_mini": cdc_toast_replay_mini,
+        "cdc_demux_replay_mini": cdc_demux_replay_mini,
         "cdc_toast_lww_events": cdc_toast_lww_events,
         "cdc_pruned_scan": cdc_pruned_scan,
         "cdc_zorder_scan": cdc_zorder_scan,
@@ -2651,6 +2688,10 @@ SELECT CAST(275 AS BIGINT) AS final_rows,
         "cdc_toast_replay_mini": f"""
 SELECT CAST(275 AS BIGINT) AS final_rows,
        '{_CDC_TOAST_MINI_DIGEST}' AS state_sha256
+""",
+        "cdc_demux_replay_mini": f"""
+SELECT CAST(275 AS BIGINT) AS final_rows,
+       '{_CDC_MINI_DIGEST}' AS state_sha256
 """,
         # toast fill reproduced declaratively: the latest real value
         # per key (NULL values count as real — IS DISTINCT FROM), the

@@ -29,6 +29,9 @@ class StreamSpec:
     name: str
     table: str                      # lake table root
     tail: str | None = None         # changelog dir (streaming source)
+    collection: str | None = None   # demux value when the tail is a
+    # multiplexed WAL shared by several streams (engine/demux.py);
+    # defaults to the stream name when streams share a tail
     checkpoint: str | None = None
     mode: str = "dedup"
     merge_strategy: str = "fused"
@@ -98,21 +101,45 @@ class PipelineSpec:
 
     def run(self, spark) -> dict[str, Any]:
         """Run one bounded sync per stream that has a tail configured
-        (the per-connection 'sync now' of the reference platform)."""
-        from airbyte_spark.streaming.runner import run_stream
+        (the per-connection 'sync now' of the reference platform).
+        Streams SHARING a tail form one multiplexed-WAL group: a
+        single streaming read demuxes per collection (engine/demux.py,
+        the Debezium one-binlog-many-tables shape) instead of N
+        passes over the same log."""
+        from airbyte_spark.streaming.runner import run_stream, run_stream_demux
 
         pipes = self.build_pipelines()
-        results = {}
+        by_tail: dict[str, list[StreamSpec]] = {}
         for s in self.streams:
-            if not s.tail:
+            if s.tail:
+                by_tail.setdefault(s.tail, []).append(s)
+        results: dict[str, Any] = {}
+        for tail, specs in by_tail.items():
+            if len(specs) == 1 and specs[0].collection is None:
+                s = specs[0]
+                stats = run_stream(
+                    spark, pipes[s.name], tail,
+                    s.checkpoint or f"{s.table}/_checkpoint",
+                    max_files_per_trigger=s.max_files_per_trigger,
+                )
+                results[s.name] = {
+                    "batches": len(stats),
+                    "committed": sum(1 for st in stats if st.committed),
+                }
                 continue
-            stats = run_stream(
-                spark, pipes[s.name], s.tail,
-                s.checkpoint or f"{s.table}/_checkpoint",
-                max_files_per_trigger=s.max_files_per_trigger,
-            )
-            results[s.name] = {
-                "batches": len(stats),
-                "committed": sum(1 for st in stats if st.committed),
+            group = {
+                (s.collection or s.name): pipes[s.name] for s in specs
             }
+            demux_stats = run_stream_demux(
+                spark, group, tail,
+                specs[0].checkpoint or f"{tail}/_checkpoint_demux",
+                max_files_per_trigger=specs[0].max_files_per_trigger,
+            )
+            for s in specs:
+                coll = s.collection or s.name
+                per = [st[coll] for st in demux_stats if coll in st]
+                results[s.name] = {
+                    "batches": len(per),
+                    "committed": sum(1 for st in per if st.committed),
+                }
         return results

@@ -1,0 +1,129 @@
+"""Multiplexed-WAL demux: one changelog tail, N destination tables.
+
+Reference (Newton-School/airbyte): a CDC source tails ONE log for the
+whole database — Debezium reads the single WAL/binlog and demuxes
+events per table, and the platform's configured catalog maps each
+stream to its own destination table (AirbyteDebeziumHandler wraps one
+engine for all streams; the include-list filters which collections
+are captured at all).  The per-stream read loop (`config.py`) covers
+sources that already expose one tail per stream; this module covers
+the binlog shape, where splitting the tail upstream is impossible —
+position/ordering is global to the log.
+
+Spark mapping — one pass, per-table epoch gates:
+
+* every change event carries a ``collection`` column (Debezium's
+  table identifier);
+* :func:`apply_batch_demux` persists the microbatch ONCE and applies
+  each stream's filtered slice through its own :class:`CdcPipeline`
+  — each destination table's epoch gate makes its apply exactly-once
+  INDEPENDENTLY, so a crash landing between table A's commit and
+  table B's commit replays the batch into a driver-side skip for A
+  and a normal apply for B (the same at-least-once → exactly-once
+  argument as single-stream, per table);
+* a stream with no rows in the batch still advances its epoch
+  (metadata-only heartbeat commit) — all streams share the log's
+  batch numbering, so none may fall behind the others' gate;
+* events whose collection matches no pipeline are NOT captured —
+  Debezium's include-list semantics (opt into ``strict=True`` to
+  refuse instead, at the cost of one count job per batch).
+
+Scale: the batch is read once; each stream's apply is the normal
+bucket-pruned merge against its own table, so total per-batch cost is
+sum over streams of merge(slice) — the same work N separate tails
+would do, minus N-1 redundant passes over the log.  When the tail
+directory is written partitioned by collection, the per-stream filter
+prunes at the file listing and the persist can be skipped entirely.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:  # pragma: no cover
+    from airbyte_spark.engine.pipeline import BatchStats, CdcPipeline
+
+COLLECTION_COL = "collection"
+
+
+def apply_batch_demux(
+    pipes: "dict[str, CdcPipeline]",
+    spark: SparkSession,
+    batch: DataFrame,
+    epoch: int,
+    *,
+    collection_col: str = COLLECTION_COL,
+    strict: bool = False,
+    _fail_after: int | None = None,
+) -> "dict[str, BatchStats]":
+    """Apply one multiplexed microbatch to every stream's table,
+    exactly-once per table.  ``_fail_after`` injects a crash after N
+    stream commits (kill/resume tests — the crash point BETWEEN two
+    tables' commits is the one this design must survive)."""
+    if strict:
+        unrouted = batch.filter(
+            ~F.col(collection_col).isin(*pipes.keys())
+        ).count()
+        if unrouted:
+            raise ValueError(
+                f"{unrouted} events carry a collection outside the "
+                f"configured streams {sorted(pipes)} (strict=True)"
+            )
+    batch = batch.persist()
+    try:
+        stats: dict[str, BatchStats] = {}
+        applied = 0
+        # deterministic order: replay after a crash walks the same
+        # sequence, so the epoch gates skip exactly the committed prefix
+        for name in sorted(pipes):
+            st = pipes[name].apply_batch(
+                spark,
+                batch.filter(F.col(collection_col) == name).drop(collection_col),
+                epoch,
+            )
+            stats[name] = st
+            if st.committed:
+                applied += 1
+                if _fail_after is not None and applied >= _fail_after:
+                    raise RuntimeError(
+                        f"injected failure after {applied} stream commits"
+                    )
+        return stats
+    finally:
+        batch.unpersist()
+
+
+def replay_demux(
+    spark: SparkSession,
+    pipes: "dict[str, CdcPipeline]",
+    events: DataFrame,
+    *,
+    batch_lsns: int,
+    collection_col: str = COLLECTION_COL,
+    start_epoch: int = 0,
+    _fail_after: int | None = None,
+) -> "list[dict[str, BatchStats]]":
+    """Batch-mode bounded demux replay: slice the multiplexed
+    changelog into epochs of ``batch_lsns`` LSNs and apply each to
+    every stream's table (the demux twin of ``CdcPipeline.replay``)."""
+    lo, hi = events.agg(F.min("lsn"), F.max("lsn")).collect()[0]
+    out = []
+    if lo is None:
+        return out
+    epoch, start = start_epoch, lo
+    while start <= hi:
+        b = events.filter(
+            (F.col("lsn") >= start) & (F.col("lsn") < start + batch_lsns)
+        )
+        out.append(
+            apply_batch_demux(
+                pipes, spark, b, epoch,
+                collection_col=collection_col, _fail_after=_fail_after,
+            )
+        )
+        start += batch_lsns
+        epoch += 1
+    return out

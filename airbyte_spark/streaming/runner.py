@@ -191,3 +191,65 @@ def run_stream(
     )
     q.awaitTermination()
     return stats
+
+
+def run_stream_demux(
+    spark: SparkSession,
+    pipes: "dict[str, CdcPipeline]",
+    changelog_dir: str,
+    checkpoint_dir: str,
+    *,
+    collection_col: str = "collection",
+    max_files_per_trigger: int | None = None,
+    on_batch: Callable[[dict], None] | None = None,
+) -> list[dict]:
+    """One bounded sync of a MULTIPLEXED tail (engine/demux.py): the
+    changelog carries a ``collection`` column and each microbatch is
+    applied to every stream's table in one pass — the Debezium shape,
+    where one WAL/binlog holds all tables' events and cannot be split
+    upstream.  Exactly-once per table: Spark's checkpoint replays
+    batches with a stable batchId and each table's own epoch gate
+    skips its committed prefix, so a crash BETWEEN two tables' commits
+    resumes cleanly.  The offset-continuity guard runs per stream
+    (any stream's saved offset inside a retention gap raises — a
+    shared tail cannot be selectively rebootstrapped; re-snapshot via
+    each pipeline's batch path)."""
+    gap_min = tail_min_lsn(changelog_dir)
+    for pipe in pipes.values():
+        if pipe.check_offset_continuity(gap_min):
+            from airbyte_spark.engine.pipeline import OffsetInvalidated
+
+            raise OffsetInvalidated(
+                f"stream {pipe.stream}: retention gap in {changelog_dir}; "
+                f"re-snapshot via the batch replay path"
+            )
+    from airbyte_spark.engine.demux import apply_batch_demux
+
+    stats: list[dict] = []
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        st = apply_batch_demux(
+            pipes, batch_df.sparkSession, batch_df, int(batch_id),
+            collection_col=collection_col,
+        )
+        stats.append(st)
+        if on_batch is not None:
+            on_batch(st)
+
+    reader = (
+        spark.readStream.schema(CHANGELOG_DDL + f", {collection_col} string")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    q = (
+        reader.parquet(changelog_dir)
+        .select(*CHANGELOG_COLS, collection_col)
+        .writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stats

@@ -1,0 +1,181 @@
+"""Multiplexed-WAL demux (engine/demux.py): one changelog tail carrying
+several collections, applied to N destination tables exactly-once per
+table — the Debezium one-binlog-many-tables shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airbyte_spark.engine.changelog import base_table, changelog
+from airbyte_spark.engine.demux import apply_batch_demux, replay_demux
+from airbyte_spark.engine.pipeline import CdcPipeline
+from tests.oracle import assert_states_equal, replay_oracle, table_state
+
+
+def _stamp(df):
+    # collection is a pure function of the key's repo, so every event
+    # of one table routes consistently
+    return df.withColumn(
+        "collection",
+        F.when(F.pmod(F.xxhash64("repo"), F.lit(2)) == 0, F.lit("alpha"))
+        .otherwise(F.lit("beta")),
+    )
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    base = _stamp(base_table(spark, 400, n_repos=12, paths_per_repo=30))
+    events = _stamp(changelog(spark, 1200, n_repos=12, paths_per_repo=30))
+    expected = {}
+    for coll in ("alpha", "beta"):
+        b = [r.asDict() for r in base.filter(F.col("collection") == coll).collect()]
+        e = [
+            r.asDict()
+            for r in events.filter(F.col("collection") == coll).collect()
+        ]
+        expected[coll] = replay_oracle(b, e)
+    return base, events, expected
+
+
+def _pipes(tmp_path, base, spark, **kw):
+    pipes = {}
+    for coll in ("alpha", "beta"):
+        p = CdcPipeline(str(tmp_path / coll), n_buckets=8, **kw)
+        p.bootstrap(
+            spark,
+            base.filter(F.col("collection") == coll).drop("collection"),
+        )
+        pipes[coll] = p
+    return pipes
+
+
+def test_demux_replay_matches_per_table_oracles(spark, tmp_path, data):
+    base, events, expected = data
+    pipes = _pipes(tmp_path, base, spark)
+    out = replay_demux(spark, pipes, events, batch_lsns=400)
+    assert len(out) == 3
+    assert all(st.committed for batch in out for st in batch.values())
+    for coll in ("alpha", "beta"):
+        assert_states_equal(
+            expected[coll], table_state(pipes[coll].table(), spark)
+        )
+
+
+def test_crash_between_table_commits_resumes_exactly_once(
+    spark, tmp_path, data
+):
+    base, events, expected = data
+    pipes = _pipes(tmp_path, base, spark)
+    b0 = _slice(events, 0, 400)
+    # crash lands AFTER alpha's table commit, BEFORE beta's
+    with pytest.raises(RuntimeError, match="injected failure"):
+        apply_batch_demux(pipes, spark, b0, 0, _fail_after=1)
+    v_alpha = pipes["alpha"].table().snapshot().version
+    # resume: the replay skips alpha driver-side and applies beta
+    st = apply_batch_demux(pipes, spark, b0, 0)
+    assert not st["alpha"].committed
+    assert st["beta"].committed
+    assert pipes["alpha"].table().snapshot().version == v_alpha
+    replay_demux(spark, pipes, events, batch_lsns=400)
+    for coll in ("alpha", "beta"):
+        assert_states_equal(
+            expected[coll], table_state(pipes[coll].table(), spark)
+        )
+
+
+def _slice(events, lo, hi):
+    return events.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi))
+
+
+def test_stream_with_no_rows_still_heartbeats(spark, tmp_path, data):
+    base, events, _ = data
+    pipes = _pipes(tmp_path, base, spark)
+    alpha_only = _slice(events, 0, 400).filter(F.col("collection") == "alpha")
+    st = apply_batch_demux(pipes, spark, alpha_only, 0)
+    assert st["beta"].committed and st["beta"].upserts_after_dedup == 0
+    assert pipes["beta"].table().last_epoch("default") == 0
+
+
+def test_strict_refuses_unrouted_collections(spark, tmp_path, data):
+    base, events, _ = data
+    pipes = _pipes(tmp_path, base, spark)
+    bad = _slice(events, 0, 50).withColumn("collection", F.lit("gamma"))
+    with pytest.raises(ValueError, match="gamma|outside"):
+        apply_batch_demux(pipes, spark, bad, 0, strict=True)
+
+
+def test_streaming_demux_kill_resume(spark, tmp_path, data):
+    from airbyte_spark.streaming.runner import (
+        run_stream_demux,
+        write_changelog_chunks,
+    )
+
+    base, events, expected = data
+    pipes = _pipes(tmp_path, base, spark)
+    tail = str(tmp_path / "tail")
+    write_changelog_chunks(events, tail, chunk_lsns=300, lo=0, hi=1199)
+    ckpt = str(tmp_path / "ckpt")
+
+    boom = {"n": 0}
+
+    def _bomb(st):
+        boom["n"] += 1
+        if boom["n"] == 2:
+            raise RuntimeError("mid-stream kill")
+
+    with pytest.raises(Exception):
+        run_stream_demux(
+            spark, pipes, tail, ckpt,
+            max_files_per_trigger=1, on_batch=_bomb,
+        )
+    # resume from the streaming checkpoint: replayed batchIds skip via
+    # each table's epoch gate, remaining batches apply
+    run_stream_demux(spark, pipes, tail, ckpt, max_files_per_trigger=1)
+    for coll in ("alpha", "beta"):
+        assert_states_equal(
+            expected[coll], table_state(pipes[coll].table(), spark)
+        )
+    # a third run is a full no-op: no new table versions
+    vs = {c: pipes[c].table().snapshot().version for c in pipes}
+    run_stream_demux(spark, pipes, tail, ckpt, max_files_per_trigger=1)
+    assert vs == {c: pipes[c].table().snapshot().version for c in pipes}
+
+
+def test_pipeline_spec_groups_shared_tail(spark, tmp_path, data):
+    from airbyte_spark.config import PipelineSpec
+    from airbyte_spark.streaming.runner import write_changelog_chunks
+
+    base, events, expected = data
+    tail = str(tmp_path / "tail")
+    write_changelog_chunks(events, tail, chunk_lsns=600, lo=0, hi=1199)
+    spec = PipelineSpec.from_dict(
+        {
+            "streams": {
+                "alpha": {
+                    "table": str(tmp_path / "alpha"),
+                    "tail": tail,
+                    "collection": "alpha",
+                    "n_buckets": 8,
+                },
+                "beta": {
+                    "table": str(tmp_path / "beta"),
+                    "tail": tail,
+                    "collection": "beta",
+                    "n_buckets": 8,
+                },
+            }
+        }
+    )
+    pipes = spec.build_pipelines()
+    for coll, p in pipes.items():
+        p.bootstrap(
+            spark, base.filter(F.col("collection") == coll).drop("collection")
+        )
+    results = spec.run(spark)
+    assert results["alpha"]["committed"] >= 1
+    assert results["beta"]["committed"] >= 1
+    for coll in ("alpha", "beta"):
+        assert_states_equal(
+            expected[coll], table_state(pipes[coll].table(), spark)
+        )
