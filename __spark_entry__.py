@@ -996,6 +996,42 @@ def cdc_demux_replay_mini(spark, sf):
     return _state_digest(union)
 
 
+def cdc_demux_consistent_read(spark, sf):
+    """Cross-table snapshot isolation (engine/demux.py
+    read_consistent): after the full 3-epoch demux replay, BOTH
+    destination tables are read back AT the epoch-1 cut — each
+    resolved to its greatest version tagged <= 1 (epoch tags commit
+    atomically with data, so the resolution is exact even with epoch
+    2 already applied).  The union digest equals the state of a
+    monolithic replay stopped at LSN 600: one epoch value names the
+    same source-log cut in every table, which per-topic consumers
+    (the reference's Kafka shape) cannot offer."""
+    from airbyte_spark.engine.changelog import base_table, changelog
+    from airbyte_spark.engine.demux import read_consistent, replay_demux
+    from airbyte_spark.engine.pipeline import CdcPipeline
+
+    def stamp(df):
+        return df.withColumn(
+            "collection",
+            F.when(F.pmod(F.xxhash64("repo"), F.lit(2)) == 0, F.lit("alpha"))
+            .otherwise(F.lit("beta")),
+        )
+
+    root = tempfile.mkdtemp(prefix="cdc_entry_")
+    base = stamp(base_table(spark, 300, n_repos=10, paths_per_repo=30))
+    pipes = {}
+    for coll in ("alpha", "beta"):
+        p = CdcPipeline(os.path.join(root, coll), n_buckets=8)
+        p.bootstrap(
+            spark, base.filter(F.col("collection") == coll).drop("collection")
+        )
+        pipes[coll] = p
+    ev = stamp(changelog(spark, 900, n_repos=10, paths_per_repo=30))
+    replay_demux(spark, pipes, ev, batch_lsns=300)
+    views = read_consistent(spark, pipes, 1)
+    return _state_digest(views["alpha"].unionByName(views["beta"]))
+
+
 def cdc_replay_chunked_mini(spark, sf):
     """DBLog-style chunked initial snapshot (pipeline.bootstrap_chunked;
     Netflix DBLog §3.2 / Debezium incremental snapshot — the reference's
@@ -1775,6 +1811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_txn_replay_mini": cdc_txn_replay_mini,
         "cdc_toast_replay_mini": cdc_toast_replay_mini,
         "cdc_demux_replay_mini": cdc_demux_replay_mini,
+        "cdc_demux_consistent_read": cdc_demux_consistent_read,
         "cdc_toast_lww_events": cdc_toast_lww_events,
         "cdc_pruned_scan": cdc_pruned_scan,
         "cdc_zorder_scan": cdc_zorder_scan,
@@ -2203,6 +2240,12 @@ _CDC_MINI_DIGEST = "d349ee28397d57f85b458aa58d0321946509cb6922d08aca37bd5b449479
 # sequential replay oracle in tests/test_toast.py.
 _CDC_TOAST_MINI_DIGEST = (
     "6e4281fd6b3b0af57d2d8956f6ce63bf1f100bcab291b70acd640b8a6c31d229"
+)
+# epoch-1 consistent cut of the demuxed pair == monolithic replay of
+# the first 600 events (cross-checked at build time; re-pinned in
+# test_entry_digest.py against a fresh monolithic cut replay)
+_CDC_CUT_DIGEST = (
+    "c93d2715693722efbfb0cf484ab865890d4397a093a5db6a17da3711e592d14d"
 )
 
 
@@ -2692,6 +2735,10 @@ SELECT CAST(275 AS BIGINT) AS final_rows,
         "cdc_demux_replay_mini": f"""
 SELECT CAST(275 AS BIGINT) AS final_rows,
        '{_CDC_MINI_DIGEST}' AS state_sha256
+""",
+        "cdc_demux_consistent_read": f"""
+SELECT CAST(259 AS BIGINT) AS final_rows,
+       '{_CDC_CUT_DIGEST}' AS state_sha256
 """,
         # toast fill reproduced declaratively: the latest real value
         # per key (NULL values count as real — IS DISTINCT FROM), the

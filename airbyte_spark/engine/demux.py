@@ -96,6 +96,31 @@ def apply_batch_demux(
         batch.unpersist()
 
 
+def read_consistent(
+    spark: SparkSession,
+    pipes: "dict[str, CdcPipeline]",
+    epoch: int,
+) -> "dict[str, DataFrame]":
+    """Cross-table snapshot isolation over a demuxed WAL: every
+    destination table read AT the same source-log cut.  All tables
+    share the log's epoch numbering (one epoch = one LSN range), and
+    each table's epoch tag commits atomically with its data, so
+    resolving each table to its greatest version tagged <= ``epoch``
+    yields a state no single-table reader mix can give: a join across
+    the tables sees every source transaction up to the cut and
+    nothing after, even while newer epochs keep committing.  The
+    per-topic consumers the reference inherits (one Kafka topic per
+    table) cannot offer this — cross-table consistency is exactly
+    what the shared log + atomic epoch tags buy.  Cost: a driver-side
+    log walk per table, then ordinary time-travel reads."""
+    out: dict[str, DataFrame] = {}
+    for name in sorted(pipes):
+        p = pipes[name]
+        t = p.table()
+        out[name] = t.read(spark, version=t.resolve_epoch(p.stream, epoch))
+    return out
+
+
 def replay_demux(
     spark: SparkSession,
     pipes: "dict[str, CdcPipeline]",

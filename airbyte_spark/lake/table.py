@@ -517,6 +517,31 @@ class LakeTable:
             f"as-of {ts} predates the table's first commit"
         )
 
+    def resolve_epoch(self, stream: str, epoch: int) -> int:
+        """Epoch time travel: the greatest version whose committed
+        epoch tag for ``stream`` is <= ``epoch`` — i.e. the table
+        state with every source-log event up to that epoch's cut
+        applied and nothing newer.  Because epoch tags and data land
+        in ONE atomic snapshot, this resolution is exact at any
+        version, and because maintenance commits (compact/vacuum) are
+        content-preserving and carry tags forward, landing on one
+        yields identical content.  This is what makes a CONSISTENT
+        cross-table read of a demuxed WAL possible (engine/demux.py
+        ``read_consistent``): all destination tables share the log's
+        epoch numbering, so one epoch value names the same source cut
+        in every table.  Driver-side newest-first log walk."""
+        last = latest_version(self.root)
+        if last is None:
+            raise ValueError(f"no table at {self.root}")
+        for v in range(last, -1, -1):
+            snap = self.snapshot(v)
+            if snap.epochs.get(stream, -1) <= epoch:
+                return v
+        raise ValueError(
+            f"epoch {epoch} of stream {stream} predates the table's "
+            f"first commit"
+        )
+
     def schema(self, snap: Snapshot | None = None) -> StructType:
         snap = snap or self.snapshot()
         return struct_from_fields(snap.fields)

@@ -142,6 +142,63 @@ def test_streaming_demux_kill_resume(spark, tmp_path, data):
     assert vs == {c: pipes[c].table().snapshot().version for c in pipes}
 
 
+def test_read_consistent_cuts_at_epoch(spark, tmp_path, data):
+    from airbyte_spark.engine.demux import read_consistent
+
+    base, events, _ = data
+    pipes = _pipes(tmp_path, base, spark)
+    replay_demux(spark, pipes, events, batch_lsns=400)  # epochs 0..2
+    for epoch, cut in ((0, 400), (1, 800)):
+        views = read_consistent(spark, pipes, epoch)
+        for coll in ("alpha", "beta"):
+            b = [
+                r.asDict()
+                for r in base.filter(F.col("collection") == coll).collect()
+            ]
+            e = [
+                r.asDict()
+                for r in events.filter(
+                    (F.col("collection") == coll) & (F.col("lsn") < cut)
+                ).collect()
+            ]
+            got = {
+                (r["repo"], r["path"]): {
+                    k: r[k]
+                    for k in ("repo", "path", "commit", "lang", "content",
+                              "content_sha256", "last_lsn")
+                }
+                for r in views[coll].collect()
+            }
+            assert_states_equal(replay_oracle(b, e), got)
+
+
+def test_read_consistent_survives_compaction(spark, tmp_path, data):
+    from airbyte_spark.engine.demux import read_consistent
+
+    base, events, _ = data
+    pipes = _pipes(tmp_path, base, spark)
+    apply_batch_demux(pipes, spark, _slice(events, 0, 400), 0)
+    apply_batch_demux(pipes, spark, _slice(events, 400, 800), 1)
+    before = {
+        c: sorted(
+            (r["repo"], r["path"], r["last_lsn"])
+            for r in v.collect()
+        )
+        for c, v in read_consistent(spark, pipes, 1).items()
+    }
+    # content-preserving maintenance between epochs must not move the cut
+    pipes["alpha"].table().compact(spark)
+    apply_batch_demux(pipes, spark, _slice(events, 800, 1200), 2)
+    after = {
+        c: sorted(
+            (r["repo"], r["path"], r["last_lsn"])
+            for r in v.collect()
+        )
+        for c, v in read_consistent(spark, pipes, 1).items()
+    }
+    assert before == after
+
+
 def test_pipeline_spec_groups_shared_tail(spark, tmp_path, data):
     from airbyte_spark.config import PipelineSpec
     from airbyte_spark.streaming.runner import write_changelog_chunks

@@ -26,3 +26,29 @@ def test_cdc_toast_replay_mini_digest_matches_golden(spark):
     row = E.cdc_toast_replay_mini(spark, "/root/testdata/sf0.001").collect()[0]
     assert row["final_rows"] == 275
     assert row["state_sha256"] == E._CDC_TOAST_MINI_DIGEST
+
+
+def test_consistent_cut_digest_equals_monolithic_cut_replay(spark, tmp_path):
+    # the epoch-1 cross-table consistent read must equal a monolithic
+    # replay STOPPED at the cut — recomputed fresh here so the pinned
+    # constant can never drift from the semantics it claims
+    import __spark_entry__ as E
+    from pyspark.sql import functions as F
+
+    from airbyte_spark.engine.changelog import base_table, changelog
+    from airbyte_spark.engine.pipeline import CdcPipeline
+
+    row = E.cdc_demux_consistent_read(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row["state_sha256"] == E._CDC_CUT_DIGEST
+    pipe = CdcPipeline(str(tmp_path / "mono"), n_buckets=8)
+    pipe.bootstrap(spark, base_table(spark, 300, n_repos=10, paths_per_repo=30))
+    pipe.replay(
+        spark,
+        changelog(spark, 900, n_repos=10, paths_per_repo=30).filter(
+            F.col("lsn") < 600
+        ),
+        batch_lsns=300,
+    )
+    mono = E._state_digest(pipe.table().read(spark)).collect()[0]
+    assert mono["state_sha256"] == E._CDC_CUT_DIGEST
+    assert mono["final_rows"] == row["final_rows"]
