@@ -1032,6 +1032,54 @@ def cdc_demux_consistent_read(spark, sf):
     return _state_digest(views["alpha"].unionByName(views["beta"]))
 
 
+def cdc_resnapshot_repair_mini(spark, sf):
+    """Ad-hoc blocking re-snapshot (CdcPipeline.resnapshot — the
+    Debezium `execute-snapshot` type=blocking signal): the SAME
+    900-event changelog replayed through a LOSSY tail (every 5th event
+    silently dropped — missing upserts AND ghost rows from dropped
+    deletes), then repaired from a fresh point-in-time source image at
+    the end position; ghost rows delete via the scope anti-join.  The
+    content-level digest (repo, path, commit, lang, content_sha256 —
+    repaired rows carry the snapshot position as their last_lsn, as a
+    real source re-read would) must equal the lossless replay's
+    content digest: the repair restores row-for-row content equality
+    that the tail alone can never recover."""
+    from airbyte_spark.engine.changelog import base_table, changelog
+    from airbyte_spark.engine.dedup import lww_dedup
+    from airbyte_spark.engine.pipeline import CdcPipeline
+
+    root = tempfile.mkdtemp(prefix="cdc_entry_")
+    pipe = CdcPipeline(os.path.join(root, "t"), n_buckets=8)
+    base = base_table(spark, 300, n_repos=10, paths_per_repo=30)
+    pipe.bootstrap(spark, base)
+    ev = changelog(spark, 900, n_repos=10, paths_per_repo=30)
+    pipe.replay(
+        spark, ev.filter(F.pmod(F.xxhash64("lsn"), F.lit(5)) != 0),
+        batch_lsns=300,
+    )
+    b = base.select(
+        "repo", "path", "commit", "lang", "content",
+        F.lit(-1).cast("long").alias("lsn"), F.lit("i").alias("op"),
+    )
+    e = ev.select("repo", "path", "commit", "lang", "content", "lsn", "op")
+    fresh = (
+        lww_dedup(b.unionByName(e), ["repo", "path"], ["lsn"])
+        .filter(F.col("op") != "d")
+        .select("repo", "path", "commit", "lang", "content")
+    )
+    pipe.resnapshot(spark, fresh, snapshot_lsn=899)
+    final = pipe.table().read(spark)
+    line = F.concat_ws(
+        "|", "repo", "path", "commit", "lang", F.col("content_sha256")
+    )
+    return final.agg(
+        F.count(F.lit(1)).alias("final_rows"),
+        F.sha2(
+            F.array_join(F.sort_array(F.collect_list(line)), "\n"), 256
+        ).alias("content_sha256_digest"),
+    )
+
+
 def cdc_replay_chunked_mini(spark, sf):
     """DBLog-style chunked initial snapshot (pipeline.bootstrap_chunked;
     Netflix DBLog §3.2 / Debezium incremental snapshot — the reference's
@@ -1812,6 +1860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_toast_replay_mini": cdc_toast_replay_mini,
         "cdc_demux_replay_mini": cdc_demux_replay_mini,
         "cdc_demux_consistent_read": cdc_demux_consistent_read,
+        "cdc_resnapshot_repair_mini": cdc_resnapshot_repair_mini,
         "cdc_toast_lww_events": cdc_toast_lww_events,
         "cdc_pruned_scan": cdc_pruned_scan,
         "cdc_zorder_scan": cdc_zorder_scan,
@@ -2246,6 +2295,13 @@ _CDC_TOAST_MINI_DIGEST = (
 # test_entry_digest.py against a fresh monolithic cut replay)
 _CDC_CUT_DIGEST = (
     "c93d2715693722efbfb0cf484ab865890d4397a093a5db6a17da3711e592d14d"
+)
+# content-level digest (no lsn metadata) of the lossless mini replay —
+# what the resnapshot repair must restore from a lossy tail; equals
+# the content digest of _cdc_replay_table, re-pinned in
+# test_entry_digest.py against the lossless replay itself
+_CDC_CONTENT_DIGEST = (
+    "5f1f937dbe98d6125b7b27dce875a062feb053b22f2323b582fdff2687d0c169"
 )
 
 
@@ -2739,6 +2795,10 @@ SELECT CAST(275 AS BIGINT) AS final_rows,
         "cdc_demux_consistent_read": f"""
 SELECT CAST(259 AS BIGINT) AS final_rows,
        '{_CDC_CUT_DIGEST}' AS state_sha256
+""",
+        "cdc_resnapshot_repair_mini": f"""
+SELECT CAST(275 AS BIGINT) AS final_rows,
+       '{_CDC_CONTENT_DIGEST}' AS content_sha256_digest
 """,
         # toast fill reproduced declaratively: the latest real value
         # per key (NULL values count as real — IS DISTINCT FROM), the

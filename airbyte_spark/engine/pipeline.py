@@ -471,6 +471,96 @@ class CdcPipeline:
         return res.committed
 
     # ------------------------------------------------------------------
+    def resnapshot(
+        self,
+        spark: SparkSession,
+        fresh: DataFrame,
+        *,
+        snapshot_lsn: int,
+        scope=None,
+        signal_id: int = 0,
+    ) -> MergeResult:
+        """Ad-hoc BLOCKING re-snapshot — the Debezium signal
+        ``execute-snapshot`` with ``type: blocking`` (the signal-table
+        mechanism the reference's Debezium embedding inherits): when a
+        destination table has DIVERGED from the source (operator
+        error, a retention gap papered over with ``ignore``, a source
+        restore), the operator pauses the tail, reads a fresh
+        point-in-time image of the scope at the CURRENT source
+        position, and this repairs the table to it — upserting every
+        fresh row and deleting scope rows the source no longer has
+        (ghost rows are the half the tail can never fix on its own).
+
+        Contract: ``snapshot_lsn`` must be >= the applied high-water
+        mark (enforced from manifest footer stats — atomic with the
+        data, never the lagging state sidecar).  BLOCKING semantics
+        make the window rule unnecessary: the fresh image is newer
+        than everything applied, so batch-wins merge is exactly LWW;
+        the resumed tail (lsn > snapshot_lsn) overwrites normally.
+        For a tail that must keep running during the initial load use
+        :meth:`bootstrap_chunked` (DBLog), which has the window rule.
+
+        Exactly-once: epoch-gated on a dedicated
+        ``<stream>::resnapshot`` stream keyed by ``signal_id`` —
+        re-running a crashed repair is a driver-side no-op skip.  On
+        commit the state offset advances to ``snapshot_lsn`` so the
+        continuity guard accepts the tail resuming past the gap the
+        repair just covered.
+
+        Scale: cost is O(scope) — the fresh read, one anti-join for
+        the ghost keys (both sides scope-bounded), and a bucket-pruned
+        merge touching only the scope's key buckets, never O(table).
+        """
+        t = self.table()
+        stream = f"{self.stream}::resnapshot"
+        if t.last_epoch(stream) >= signal_id:
+            return MergeResult(
+                False, None, 0, 0, reason="signal-already-applied"
+            )
+        snap = t.snapshot()
+        hwm = None
+        if snap.files:
+            hwm = t.stats_from_footers(snap.files, "last_lsn")["max"]
+        if hwm is not None and hwm > snapshot_lsn:
+            raise ValueError(
+                f"blocking resnapshot at lsn {snapshot_lsn} is behind the "
+                f"applied high-water mark {hwm}: pause the tail and "
+                f"snapshot at-or-past it (Debezium blocking-snapshot rule)"
+            )
+        upserts = (
+            normalize.normalize_batch(fresh)
+            .withColumn("last_lsn", F.lit(snapshot_lsn).cast("long"))
+            .withColumn("updated_at", F.lit(None).cast("timestamp"))
+            .withColumn("op", F.lit("i"))
+        )
+        cur = t.read(spark)
+        if scope is not None:
+            cur = cur.filter(scope)
+        ghost_keys = cur.select(*KEYS).join(
+            upserts.select(*KEYS), KEYS, "left_anti"
+        )
+        null_payload = [
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in FINAL_SCHEMA.fields
+            if f.name not in KEYS and f.name != "last_lsn"
+        ]
+        ghosts = ghost_keys.select(
+            *KEYS,
+            *null_payload,
+            F.lit(snapshot_lsn).cast("long").alias("last_lsn"),
+        ).withColumn("op", F.lit("d"))
+        batch = upserts.select(*[f.name for f in FINAL_SCHEMA.fields], "op")
+        batch = batch.unionByName(
+            ghosts.select(*[f.name for f in FINAL_SCHEMA.fields], "op")
+        )
+        res = t.merge(
+            spark, batch, op_col="op", epoch=signal_id, stream=stream
+        )
+        if res.committed:
+            self.state.record_offset(self.stream, snapshot_lsn)
+        return res
+
+    # ------------------------------------------------------------------
     def check_offset_continuity(self, tail_min_lsn: int | None) -> bool:
         """The offset-invalidation guard (PostgresSource.java:366-375):
         the saved offset must reach at least one LSN before the tail's

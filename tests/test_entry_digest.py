@@ -28,6 +28,29 @@ def test_cdc_toast_replay_mini_digest_matches_golden(spark):
     assert row["state_sha256"] == E._CDC_TOAST_MINI_DIGEST
 
 
+def test_repair_digest_equals_lossless_replay_content(spark):
+    # the lossy-tail repair must land the SAME content digest as the
+    # lossless replay — both recomputed fresh here
+    import __spark_entry__ as E
+    from pyspark.sql import functions as F
+
+    row = E.cdc_resnapshot_repair_mini(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row["content_sha256_digest"] == E._CDC_CONTENT_DIGEST
+    line = F.concat_ws(
+        "|", "repo", "path", "commit", "lang", F.col("content_sha256")
+    )
+    lossless = (
+        E._cdc_replay_table(spark, "/root/testdata/sf0.001")
+        .agg(
+            F.sha2(
+                F.array_join(F.sort_array(F.collect_list(line)), "\n"), 256
+            ).alias("d")
+        )
+        .collect()[0]["d"]
+    )
+    assert lossless == E._CDC_CONTENT_DIGEST
+
+
 def test_consistent_cut_digest_equals_monolithic_cut_replay(spark, tmp_path):
     # the epoch-1 cross-table consistent read must equal a monolithic
     # replay STOPPED at the cut — recomputed fresh here so the pinned

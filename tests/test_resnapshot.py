@@ -1,0 +1,145 @@
+"""Ad-hoc blocking re-snapshot (CdcPipeline.resnapshot — the Debezium
+``execute-snapshot`` / ``type: blocking`` signal): divergence repair
+from a fresh point-in-time source image, including ghost-row deletion,
+exactly-once under a dedicated signal stream."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airbyte_spark.engine.changelog import base_table, changelog
+from airbyte_spark.engine.dedup import lww_dedup
+from airbyte_spark.engine.pipeline import CdcPipeline
+from tests.oracle import replay_oracle
+
+CONTENT_COLS = ("repo", "path", "commit", "lang", "content", "content_sha256")
+
+
+def _true_image(base, events, upto):
+    """The source's point-in-time state at ``upto``: winners of
+    (base as lsn=-1 inserts) UNION tail events <= upto."""
+    b = base.select(
+        "repo", "path", "commit", "lang", "content",
+        F.lit(-1).cast("long").alias("lsn"), F.lit("i").alias("op"),
+    )
+    e = events.filter(F.col("lsn") <= upto).select(
+        "repo", "path", "commit", "lang", "content", "lsn", "op"
+    )
+    w = lww_dedup(b.unionByName(e), ["repo", "path"], ["lsn"])
+    return w.filter(F.col("op") != "d").select(
+        "repo", "path", "commit", "lang", "content"
+    )
+
+
+def _content_state(t, spark):
+    return {
+        (r["repo"], r["path"]): {k: r[k] for k in CONTENT_COLS}
+        for r in t.read(spark).collect()
+    }
+
+
+def _expected_content(base, events, upto):
+    exp = replay_oracle(
+        [r.asDict() for r in base.collect()],
+        [r.asDict() for r in events.filter(F.col("lsn") <= upto).collect()],
+    )
+    return {k: {c: v[c] for c in CONTENT_COLS} for k, v in exp.items()}
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    base = base_table(spark, 400, n_repos=12, paths_per_repo=30)
+    events = changelog(spark, 1200, n_repos=12, paths_per_repo=30)
+    # a lossy tail: every 5th event silently dropped — upsert loss AND
+    # ghost rows (dropped deletes), the divergence a tail can't self-fix
+    corrupt = events.filter(F.pmod(F.xxhash64("lsn"), F.lit(5)) != 0)
+    return base, events, corrupt
+
+
+def _diverged_pipe(spark, tmp_path, data, upto=1199):
+    base, events, corrupt = data
+    pipe = CdcPipeline(str(tmp_path / "t"), n_buckets=8)
+    pipe.bootstrap(spark, base)
+    pipe.replay(spark, corrupt.filter(F.col("lsn") <= upto), batch_lsns=400)
+    return pipe
+
+
+def test_fixture_actually_diverges(spark, tmp_path, data):
+    base, events, _ = data
+    pipe = _diverged_pipe(spark, tmp_path, data)
+    got = _content_state(pipe.table(), spark)
+    assert got != _expected_content(base, events, 1199)
+
+
+def test_full_repair_restores_source_state(spark, tmp_path, data):
+    base, events, _ = data
+    pipe = _diverged_pipe(spark, tmp_path, data)
+    res = pipe.resnapshot(
+        spark, _true_image(base, events, 1199), snapshot_lsn=1199
+    )
+    assert res.committed
+    assert _content_state(pipe.table(), spark) == _expected_content(
+        base, events, 1199
+    )
+
+
+def test_scoped_repair_leaves_rest_untouched(spark, tmp_path, data):
+    base, events, _ = data
+    pipe = _diverged_pipe(spark, tmp_path, data)
+    scope = F.col("repo") == "repo-0000"
+    fresh = _true_image(base, events, 1199).filter(scope)
+    res = pipe.resnapshot(
+        spark, fresh, snapshot_lsn=1199, scope=scope
+    )
+    assert res.committed
+    got = _content_state(pipe.table(), spark)
+    exp = _expected_content(base, events, 1199)
+    in_scope = lambda k: k[0] == "repo-0000"  # noqa: E731
+    assert {k: v for k, v in got.items() if in_scope(k)} == {
+        k: v for k, v in exp.items() if in_scope(k)
+    }
+    # out-of-scope divergence remains (the corrupt tail dropped events
+    # in other repos too)
+    assert {k: v for k, v in got.items() if not in_scope(k)} != {
+        k: v for k, v in exp.items() if not in_scope(k)
+    }
+
+
+def test_signal_replay_is_noop(spark, tmp_path, data):
+    base, events, _ = data
+    pipe = _diverged_pipe(spark, tmp_path, data)
+    img = _true_image(base, events, 1199)
+    assert pipe.resnapshot(spark, img, snapshot_lsn=1199).committed
+    v = pipe.table().snapshot().version
+    again = pipe.resnapshot(spark, img, snapshot_lsn=1199)
+    assert not again.committed
+    assert pipe.table().snapshot().version == v
+    # a NEW signal id applies again
+    assert pipe.resnapshot(spark, img, snapshot_lsn=1199, signal_id=1).committed
+
+
+def test_blocking_guard_refuses_stale_snapshot(spark, tmp_path, data):
+    pipe = _diverged_pipe(spark, tmp_path, data)
+    base, events, _ = data
+    with pytest.raises(ValueError, match="high-water mark"):
+        pipe.resnapshot(
+            spark, _true_image(base, events, 100), snapshot_lsn=100
+        )
+
+
+def test_tail_resumes_after_repair(spark, tmp_path, data):
+    base, events, corrupt = data
+    pipe = _diverged_pipe(spark, tmp_path, data, upto=799)
+    res = pipe.resnapshot(
+        spark, _true_image(base, events, 799), snapshot_lsn=799
+    )
+    assert res.committed
+    # the tail continues LOSSLESSLY past the repair point
+    pipe.replay(
+        spark, events.filter(F.col("lsn") > 799), batch_lsns=200,
+        start_epoch=2,
+    )
+    assert _content_state(pipe.table(), spark) == _expected_content(
+        base, events, 1199
+    )
