@@ -43,6 +43,10 @@ class StreamSpec:
     on_invalid_offset: str = "error"
     history_root: str | None = None  # SCD2 history lake table (optional)
     compact_every: int | None = None  # auto-compact after every Nth epoch
+    toast_cols: list[str] = field(default_factory=list)  # Debezium
+    # unchanged-TOAST placeholder columns (engine/toast.py)
+    txn_aligned: bool = False  # hold back incomplete source
+    # transactions per microbatch (engine/txn.py)
 
     def validate(self) -> "StreamSpec":
         if self.mode not in VALID_MODES:
@@ -96,6 +100,7 @@ class PipelineSpec:
                 on_invalid_offset=s.on_invalid_offset,
                 history_root=s.history_root,
                 compact_every=s.compact_every,
+                toast_cols=s.toast_cols or None,
             )
         return out
 
@@ -121,6 +126,7 @@ class PipelineSpec:
                     spark, pipes[s.name], tail,
                     s.checkpoint or f"{s.table}/_checkpoint",
                     max_files_per_trigger=s.max_files_per_trigger,
+                    txn_aligned=s.txn_aligned,
                 )
                 results[s.name] = {
                     "batches": len(stats),

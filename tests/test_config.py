@@ -91,3 +91,19 @@ def test_spec_end_to_end_sync(spark, tmp_path):
     final = pipes["code"].table().read(spark)
     assert final.count() > 0
     assert "content_sha256" in final.columns
+
+
+def test_spec_passes_toast_and_txn_knobs(tmp_path):
+    doc = {
+        "streams": {
+            "code": {
+                "table": str(tmp_path / "t"),
+                "toast_cols": ["content"],
+                "txn_aligned": True,
+            }
+        }
+    }
+    spec = PipelineSpec.from_dict(doc)
+    assert spec.streams[0].txn_aligned is True
+    pipes = spec.build_pipelines()
+    assert pipes["code"].toast_cols == ["content"]
