@@ -201,3 +201,18 @@ class TestGuards:
                 merge_strategy="pruned",
                 toast_cols=["content"],
             )
+
+
+class TestPlanShape:
+    def test_fill_shares_one_exchange_with_map_side_combine(self, spark):
+        # the fill must ride the LWW aggregation's single shuffle: one
+        # Exchange, with partial_max_by (map-side combine) upstream of
+        # it — a hot key ships one pre-reduced row per task, and the
+        # toast buffers add columns, not passes
+        out = lww_dedup_toast(
+            _df(spark, [(1, 1, "i", "a")]), ["k"], ["lsn"], toast_cols=["v"]
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1
+        pre_shuffle = plan.split("Exchange", 1)[1]
+        assert "partial_max_by" in pre_shuffle
