@@ -202,6 +202,59 @@ def cdc_toast_lww_events(spark, sf):
     )
 
 
+def cdc_sparse_lww_events(spark, sf):
+    """Partial-image update reconstruction (engine/toast.py
+    lww_dedup_partial — Mongo oplog $set / binlog_row_image=MINIMAL:
+    updates carry only changed columns).  Deterministic op/mask over
+    the events stream: %11 -> delete, %7 -> insert (full image), else
+    update setting event_type iff %2=0 and value iff %3=0; each data
+    column reconstructs from its newest setting event, delete-fenced,
+    in ONE map-side-combined aggregation per key."""
+    from airbyte_spark.engine.toast import lww_dedup_partial
+
+    e = _t(spark, sf, "events").select("user_id", "event_id", "event_type", "value")
+    eid = F.col("event_id")
+    is_del = eid % 11 == 0
+    is_ins = ~is_del & (eid % 7 == 0)
+    sets_et = is_ins | (~is_del & (eid % 2 == 0))
+    sets_val = is_ins | (~is_del & (eid % 3 == 0))
+    ev = e.select(
+        "user_id",
+        "event_id",
+        F.when(is_del, F.lit("d"))
+        .when(is_ins, F.lit("i"))
+        .otherwise(F.lit("u"))
+        .alias("op"),
+        F.when(sets_et, F.col("event_type"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("event_type"),
+        F.when(sets_val, F.col("value"))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("value"),
+        F.when(
+            is_del | is_ins, F.lit(None).cast("array<string>")
+        )
+        .otherwise(
+            F.array_compact(
+                F.array(
+                    F.when(sets_et, F.lit("event_type")),
+                    F.when(sets_val, F.lit("value")),
+                )
+            )
+        )
+        .alias("changed_cols"),
+    )
+    out = lww_dedup_partial(
+        ev, ["user_id"], ["event_id"], sparse_cols=["event_type", "value"]
+    )
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.round(F.col("value"), 4).alias("last_value"),
+    )
+
+
 def cdc_hwm_events(spark, sf):
     """Per-key high-water-mark bookkeeping (engine/state.py analog)."""
     e = _t(spark, sf, "events")
@@ -1080,6 +1133,35 @@ def cdc_resnapshot_repair_mini(spark, sf):
     )
 
 
+def cdc_sparse_replay_mini(spark, sf):
+    """Full CDC replay over a PARTIAL-IMAGE changelog (engine/toast.py
+    — Mongo oplog $set / binlog_row_image=MINIMAL): every update in
+    the SAME 900-event changelog keeps each data column with p=0.5 and
+    nulls the rest, listing survivors in `changed_cols`; the fused
+    merge reconstructs each column from its newest setting event
+    (earlier batch events or the base row) inside the one merge
+    aggregation.  The digest is its own golden constant;
+    tests/test_sparse.py value-verifies the same pipeline row-for-row
+    against the sequential replay oracle, and test_entry_digest.py
+    re-pins this constant."""
+    from airbyte_spark.engine.changelog import base_table, changelog
+    from airbyte_spark.engine.pipeline import CdcPipeline
+    from airbyte_spark.engine.toast import sparse_changelog
+
+    root = tempfile.mkdtemp(prefix="cdc_entry_")
+    pipe = CdcPipeline(
+        os.path.join(root, "t"), n_buckets=8,
+        sparse_cols=["commit", "lang", "content"],
+    )
+    t = pipe.bootstrap(spark, base_table(spark, 300, n_repos=10, paths_per_repo=30))
+    ev = sparse_changelog(
+        changelog(spark, 900, n_repos=10, paths_per_repo=30),
+        data_cols=["commit", "lang", "content"], p_keep=0.5,
+    )
+    pipe.replay(spark, ev, batch_lsns=300)
+    return _state_digest(t.read(spark))
+
+
 def cdc_replay_chunked_mini(spark, sf):
     """DBLog-style chunked initial snapshot (pipeline.bootstrap_chunked;
     Netflix DBLog §3.2 / Debezium incremental snapshot — the reference's
@@ -1858,6 +1940,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_chunked_mini": cdc_replay_chunked_mini,
         "cdc_txn_replay_mini": cdc_txn_replay_mini,
         "cdc_toast_replay_mini": cdc_toast_replay_mini,
+        "cdc_sparse_replay_mini": cdc_sparse_replay_mini,
+        "cdc_sparse_lww_events": cdc_sparse_lww_events,
         "cdc_demux_replay_mini": cdc_demux_replay_mini,
         "cdc_demux_consistent_read": cdc_demux_consistent_read,
         "cdc_resnapshot_repair_mini": cdc_resnapshot_repair_mini,
@@ -2295,6 +2379,13 @@ _CDC_TOAST_MINI_DIGEST = (
 # test_entry_digest.py against a fresh monolithic cut replay)
 _CDC_CUT_DIGEST = (
     "c93d2715693722efbfb0cf484ab865890d4397a093a5db6a17da3711e592d14d"
+)
+# partial-image replay: updates keep each data column with p=0.5 and
+# null the rest; reconstruction recovers per-column newest-set values.
+# Pinned by test_entry_digest.py; value-verified row-for-row against
+# the sequential replay oracle in tests/test_sparse.py.
+_CDC_SPARSE_MINI_DIGEST = (
+    "b7dc419942fb9b7e5ed68eb2ba51209e8916bb557bb0305abe57d23fb4d647ea"
 )
 # content-level digest (no lsn metadata) of the lossless mini replay —
 # what the resnapshot repair must restore from a lossy tail; equals
@@ -2787,6 +2878,49 @@ SELECT CAST(275 AS BIGINT) AS final_rows,
         "cdc_toast_replay_mini": f"""
 SELECT CAST(275 AS BIGINT) AS final_rows,
        '{_CDC_TOAST_MINI_DIGEST}' AS state_sha256
+""",
+        "cdc_sparse_replay_mini": f"""
+SELECT CAST(275 AS BIGINT) AS final_rows,
+       '{_CDC_SPARSE_MINI_DIGEST}' AS state_sha256
+""",
+        # partial-image reconstruction reproduced declaratively: each
+        # column's newest SETTING event (insert = full image; update
+        # sets per the deterministic mask), delete-fenced
+        "cdc_sparse_lww_events": """
+WITH ev AS (
+  SELECT user_id, event_id,
+         CASE WHEN event_id % 11 = 0 THEN 'd'
+              WHEN event_id % 7 = 0 THEN 'i' ELSE 'u' END AS op,
+         event_type, value
+  FROM events
+),
+m AS (
+  SELECT *,
+         op = 'i' OR (op = 'u' AND event_id % 2 = 0) AS sets_et,
+         op = 'i' OR (op = 'u' AND event_id % 3 = 0) AS sets_val
+  FROM ev
+),
+w AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM m
+),
+f AS (
+  SELECT user_id,
+         max(CASE WHEN op = 'd' THEN event_id END) AS del_ord,
+         max(CASE WHEN sets_et THEN event_id END) AS et_ord,
+         max(CASE WHEN sets_val THEN event_id END) AS val_ord
+  FROM m GROUP BY user_id
+)
+SELECT w.user_id,
+       w.event_id AS last_event_id,
+       (SELECT e2.event_type FROM m e2
+         WHERE e2.user_id = w.user_id AND e2.event_id = f.et_ord
+           AND (f.del_ord IS NULL OR f.et_ord > f.del_ord)) AS last_event_type,
+       ROUND((SELECT e2.value FROM m e2
+         WHERE e2.user_id = w.user_id AND e2.event_id = f.val_ord
+           AND (f.del_ord IS NULL OR f.val_ord > f.del_ord)), 4) AS last_value
+FROM w JOIN f ON w.user_id = f.user_id
+WHERE w.rn = 1 AND w.op <> 'd'
 """,
         "cdc_demux_replay_mini": f"""
 SELECT CAST(275 AS BIGINT) AS final_rows,

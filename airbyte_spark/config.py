@@ -45,6 +45,8 @@ class StreamSpec:
     compact_every: int | None = None  # auto-compact after every Nth epoch
     toast_cols: list[str] = field(default_factory=list)  # Debezium
     # unchanged-TOAST placeholder columns (engine/toast.py)
+    sparse_cols: list[str] = field(default_factory=list)  # partial-image
+    # (oplog $set / minimal row image) data columns (engine/toast.py)
     txn_aligned: bool = False  # hold back incomplete source
     # transactions per microbatch (engine/txn.py)
 
@@ -101,6 +103,7 @@ class PipelineSpec:
                 history_root=s.history_root,
                 compact_every=s.compact_every,
                 toast_cols=s.toast_cols or None,
+                sparse_cols=s.sparse_cols or None,
             )
         return out
 

@@ -128,6 +128,7 @@ class CdcPipeline:
         history_root: str | None = None,
         compact_every: int | None = None,
         toast_cols: list[str] | None = None,
+        sparse_cols: list[str] | None = None,
     ):
         """mode: destination sync mode (airbyte-protocol.md:395-420)
         - 'dedup'     = incremental + dedup history (MERGE; default)
@@ -177,7 +178,19 @@ class CdcPipeline:
                 "(placeholder recovery fuses into the merge aggregation; "
                 "see engine/toast.py)"
             )
+        if sparse_cols and not (mode == "dedup" and merge_strategy == "fused"):
+            raise ValueError(
+                "sparse_cols requires mode='dedup', merge_strategy='fused' "
+                "(partial-image reconstruction fuses into the merge "
+                "aggregation; see engine/toast.py)"
+            )
+        if toast_cols and sparse_cols:
+            raise ValueError(
+                "toast_cols and sparse_cols are mutually exclusive: one "
+                "incomplete-after-image contract per source"
+            )
         self.toast_cols = list(toast_cols) if toast_cols else None
+        self.sparse_cols = list(sparse_cols) if sparse_cols else None
         self.mode = mode
         self.merge_strategy = merge_strategy
         self.on_invalid_offset = on_invalid_offset
@@ -754,7 +767,7 @@ class CdcPipeline:
                 MergeResult(v is not None, v, 0, 0),
             )
         reconcile(
-            t, b.drop("op", _BUCKET),
+            t, b.drop("op", _BUCKET, "changed_cols"),
             rename_hints=self.rename_hints, extra_cols=ENGINE_COLS,
         )
         wide = n_sample >= 4096 and len(sample) >= 0.8 * snap.n_buckets
@@ -774,6 +787,7 @@ class CdcPipeline:
             finalize_fn=normalize.enrich_winners,
             precomputed_buckets=touched,
             toast_cols=self.toast_cols,
+            sparse_cols=self.sparse_cols,
         )
         max_lsn = None
         if merge_res.committed:

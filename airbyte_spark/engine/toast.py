@@ -144,6 +144,130 @@ def lww_dedup_toast(
     return out
 
 
+def partial_fill_agg_exprs(
+    order_cols: list[str],
+    sparse_cols: list[str],
+    *,
+    op_col: str = "op",
+    delete_value: str = "d",
+    insert_value: str = "i",
+    changed_col: str = "changed_cols",
+) -> list:
+    """Aggregate expressions reconstructing PARTIAL-IMAGE updates
+    (Debezium MongoDB oplog updates carry only the ``$set`` fields;
+    MySQL ``binlog_row_image=MINIMAL`` emits PK + changed columns):
+    for each data column, the value from the newest event that
+    actually SET it — an event sets ``c`` when it is an insert (full
+    image by contract), a full-image row (``changed_col`` NULL — base
+    rows and full-image sources), or an update listing ``c`` in its
+    changed-columns array.  Same delete fence and single-aggregation
+    economics as the TOAST fill; the two differ only in how "this
+    event carries a real value for c" is decided (sentinel comparison
+    vs the changed-set), so they share the patch step's helper
+    columns."""
+    o = _ord(order_cols)
+    is_delete = F.coalesce(F.col(op_col) == F.lit(delete_value), F.lit(False))
+    exprs = [F.max(F.when(is_delete, o)).alias("_toast_del_ord")]
+    for c in sparse_cols:
+        sets_c = ~is_delete & (
+            F.col(changed_col).isNull()
+            | (F.col(op_col) == F.lit(insert_value))
+            | F.array_contains(F.col(changed_col), F.lit(c))
+        )
+        exprs.append(
+            F.max_by(
+                F.struct(F.col(c).alias("v"), o.alias("o")), F.when(sets_c, o)
+            ).alias(f"_toast_fill_{c}")
+        )
+    return exprs
+
+
+def patch_partial_winners(df: DataFrame, sparse_cols: list[str]) -> DataFrame:
+    """Replace each winner data column with its reconstructed value
+    (the newest setting event past the delete fence); a column no
+    surviving event ever set stays as the winner carried it (NULL for
+    a sparse update — data is never invented)."""
+    for c in sparse_cols:
+        fill = F.col(f"_toast_fill_{c}")
+        valid = fill.isNotNull() & (
+            F.col("_toast_del_ord").isNull()
+            | (fill["o"] > F.col("_toast_del_ord"))
+        )
+        df = df.withColumn(c, F.when(valid, fill["v"]).otherwise(F.col(c)))
+    return df.drop("_toast_del_ord", *[f"_toast_fill_{c}" for c in sparse_cols])
+
+
+def lww_dedup_partial(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    *,
+    sparse_cols: list[str],
+    op_col: str = "op",
+    delete_value: str = "d",
+    insert_value: str = "i",
+    changed_col: str = "changed_cols",
+    drop_deletes: bool = True,
+) -> DataFrame:
+    """LWW dedup over a PARTIAL-IMAGE changelog: one map-side-combined
+    aggregation per key yields the winner row AND each data column's
+    newest set value, reconstructing the full after-image the sparse
+    events never carried.  Standalone twin of what
+    :meth:`LakeTable.merge_lww(sparse_cols=...)` fuses into the merge
+    (fills there additionally see the base row as a full image)."""
+    payload = [c for c in df.columns if c not in keys]
+    aggs = [
+        F.max_by(F.struct(*payload), _ord(order_cols)).alias("_w"),
+        *partial_fill_agg_exprs(
+            order_cols, sparse_cols,
+            op_col=op_col, delete_value=delete_value,
+            insert_value=insert_value, changed_col=changed_col,
+        ),
+    ]
+    helper = ["_toast_del_ord", *[f"_toast_fill_{c}" for c in sparse_cols]]
+    out = df.groupBy(*keys).agg(*aggs).select(*keys, "_w.*", *helper)
+    out = patch_partial_winners(out, sparse_cols)
+    if drop_deletes:
+        out = out.filter(
+            F.col(op_col).isNull() | (F.col(op_col) != F.lit(delete_value))
+        )
+    return out.drop(changed_col)
+
+
+def sparse_changelog(
+    events: DataFrame,
+    *,
+    data_cols: list[str],
+    p_keep: float = 0.5,
+    seed: int = 131,
+    op_col: str = "op",
+    lsn_col: str = "lsn",
+    changed_col: str = "changed_cols",
+) -> DataFrame:
+    """Deterministically sparsify UPDATE events: each data column is
+    kept with p_keep (pure function of (lsn, seed, column), JVM-side),
+    dropped columns null out, and ``changed_col`` lists what the event
+    kept — the fixture a minimal-row-image / oplog-patch source would
+    emit.  Inserts and deletes keep full images (``changed_col``
+    NULL), matching the source contracts."""
+    is_u = F.col(op_col) == F.lit("u")
+    keeps = {}
+    for i, c in enumerate(data_cols):
+        keeps[c] = (
+            F.pmod(F.xxhash64(F.col(lsn_col), F.lit(seed + i)), F.lit(1_000_000))
+            < int(p_keep * 1_000_000)
+        )
+        events = events.withColumn(
+            c, F.when(~is_u | keeps[c], F.col(c)).otherwise(F.lit(None))
+        )
+    changed = F.array_compact(
+        F.array(*[F.when(keeps[c], F.lit(c)) for c in data_cols])
+    )
+    return events.withColumn(
+        changed_col, F.when(is_u, changed).otherwise(F.lit(None))
+    )
+
+
 def toast_changelog(
     events: DataFrame,
     *,

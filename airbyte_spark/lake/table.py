@@ -1930,6 +1930,8 @@ class LakeTable:
         precomputed_buckets: list[int] | None = None,
         toast_cols: list[str] | None = None,
         toast_placeholder: str | None = None,
+        sparse_cols: list[str] | None = None,
+        sparse_changed_col: str = "changed_cols",
     ) -> MergeResult:
         """Bucket-pruned MERGE as one fused aggregation: union(touched
         buckets of the current state, raw batch) -> per-key ``max_by``
@@ -1966,6 +1968,15 @@ class LakeTable:
         already holds every fill source: earlier batch events AND the
         base row) and patched into the winner BEFORE ``finalize_fn``,
         so enrichment hashes the recovered content.
+
+        ``sparse_cols``: the batch carries PARTIAL-IMAGE updates
+        (Mongo oplog $set / binlog_row_image=MINIMAL — engine/toast.py
+        partial_fill_agg_exprs): each update holds only the columns
+        its ``sparse_changed_col`` array lists; every data column
+        reconstructs from its newest setting event (base rows count as
+        full images), same single aggregation.  Mutually exclusive
+        with ``toast_cols`` (one incomplete-after-image contract per
+        source).
 
         The epoch gate is identical to :meth:`merge` — the tag and the
         data land in one atomic snapshot commit.
@@ -2016,16 +2027,38 @@ class LakeTable:
                     b_cols.append(F.col(f["name"]).cast(dt).alias(f["name"]))
                 else:
                     b_cols.append(F.lit(None).cast(dt).alias(f["name"]))
+            if toast_cols and sparse_cols:
+                raise ValueError(
+                    "toast_cols and sparse_cols are mutually exclusive: "
+                    "one incomplete-after-image contract per source"
+                )
+            extra_cols: list = []
+            if sparse_cols:
+                # the changed-set rides the union (it is event metadata,
+                # never a table column); base rows are full images
+                extra_cols = [sparse_changed_col]
+                base = base.withColumn(
+                    sparse_changed_col, F.lit(None).cast("array<string>")
+                )
             b = batch.select(
                 *b_cols,
+                *(
+                    [F.col(sparse_changed_col).cast("array<string>")]
+                    if sparse_cols
+                    else []
+                ),
                 (F.col(op_col) if op_in_batch else F.lit(None))
                 .cast("string")
                 .alias(op_col),
                 F.lit(1).alias("_src"),
             )
-            unioned = base.select(*names, op_col, "_src").unionByName(b)
+            unioned = base.select(*names, *extra_cols, op_col, "_src").unionByName(b)
 
-            payload = [c for c in (*names, op_col, "_src") if c not in snap.key_cols]
+            payload = [
+                c
+                for c in (*names, *extra_cols, op_col, "_src")
+                if c not in snap.key_cols
+            ]
             # ONE exchange, not two: _bucket is a pure function of the
             # key columns, so hash-partitioning the union by _bucket
             # up front (a) satisfies the aggregation's required
@@ -2066,17 +2099,26 @@ class LakeTable:
                 ).alias("_w")
             ]
             toast_helper: list[str] = []
-            if toast_cols:
+            if toast_cols or sparse_cols:
                 from airbyte_spark.engine import toast as _toast
 
-                ph = toast_placeholder or _toast.TOAST_PLACEHOLDER
-                aggs += _toast.fill_agg_exprs(
-                    order_cols, toast_cols,
-                    op_col=op_col, delete_value=delete_value, placeholder=ph,
-                )
+                fill_cols = toast_cols or sparse_cols
+                if toast_cols:
+                    ph = toast_placeholder or _toast.TOAST_PLACEHOLDER
+                    aggs += _toast.fill_agg_exprs(
+                        order_cols, toast_cols,
+                        op_col=op_col, delete_value=delete_value,
+                        placeholder=ph,
+                    )
+                else:
+                    aggs += _toast.partial_fill_agg_exprs(
+                        order_cols, sparse_cols,
+                        op_col=op_col, delete_value=delete_value,
+                        changed_col=sparse_changed_col,
+                    )
                 toast_helper = [
                     "_toast_del_ord",
-                    *[f"_toast_fill_{c}" for c in toast_cols],
+                    *[f"_toast_fill_{c}" for c in fill_cols],
                 ]
             winners = (
                 unioned.groupBy(*group_cols)
@@ -2085,6 +2127,10 @@ class LakeTable:
             )
             if toast_cols:
                 winners = _toast.patch_winners(winners, toast_cols, placeholder=ph)
+            elif sparse_cols:
+                winners = _toast.patch_partial_winners(winners, sparse_cols).drop(
+                    sparse_changed_col
+                )
             winners = winners.filter(
                 (F.col(op_col).isNull()) | (F.col(op_col) != F.lit(delete_value))
             )

@@ -101,6 +101,8 @@ BENCH_QUERIES = [
     "events_sessionize",
     # round 4: unchanged-TOAST-value recovery fused into the LWW agg
     "cdc_toast_lww_events",
+    # round 4: partial-image (oplog $set) per-column reconstruction
+    "cdc_sparse_lww_events",
 ]
 
 

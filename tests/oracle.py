@@ -29,7 +29,9 @@ def _sha(content: str | None) -> str:
     return hashlib.sha256((content or "").encode()).hexdigest()
 
 
-def replay_oracle(base_rows, event_rows, *, toast_placeholder=None) -> dict:
+def replay_oracle(
+    base_rows, event_rows, *, toast_placeholder=None, changed_col=None
+) -> dict:
     """base_rows: dicts (repo,path,commit,lang,content); event_rows:
     dicts (lsn,op,repo,path,commit,lang,content,ts) in any order.
     Returns {(repo, canon_path): expected final row dict}.
@@ -39,7 +41,13 @@ def replay_oracle(base_rows, event_rows, *, toast_placeholder=None) -> dict:
     CURRENT content (the sequential statement of engine/toast.py's
     fill rule: latest real value, never crossing a delete; a
     placeholder on a nonexistent row stays visible, data is never
-    invented)."""
+    invented).
+
+    ``changed_col``: PARTIAL-IMAGE semantics (oplog $set /
+    binlog_row_image=MINIMAL) — an upsert whose ``changed_col`` is a
+    list updates ONLY those data columns on the current row (absent
+    columns keep their value; on a nonexistent row they are None);
+    a None changed-set means a full image."""
     state: dict = {}
     for r in base_rows:
         p = _canon(r["path"])
@@ -66,6 +74,16 @@ def replay_oracle(base_rows, event_rows, *, toast_placeholder=None) -> dict:
             ):
                 content = state[key]["content"]
             e = dict(e, content=content)
+            if changed_col is not None and e.get(changed_col) is not None:
+                changed = set(e[changed_col])
+                cur = state.get(key, {})
+                e = dict(
+                    e,
+                    **{
+                        c: (e[c] if c in changed else cur.get(c))
+                        for c in ("commit", "lang", "content")
+                    },
+                )
             state[key] = {
                 "repo": e["repo"],
                 "path": p,

@@ -75,3 +75,11 @@ def test_consistent_cut_digest_equals_monolithic_cut_replay(spark, tmp_path):
     mono = E._state_digest(pipe.table().read(spark)).collect()[0]
     assert mono["state_sha256"] == E._CDC_CUT_DIGEST
     assert mono["final_rows"] == row["final_rows"]
+
+
+def test_cdc_sparse_replay_mini_digest_matches_golden(spark):
+    import __spark_entry__ as E
+
+    row = E.cdc_sparse_replay_mini(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row["final_rows"] == 275
+    assert row["state_sha256"] == E._CDC_SPARSE_MINI_DIGEST
