@@ -6,6 +6,7 @@ re-imagined as lakehouse-ingest verbs).
   python -m airbyte_spark.cli gen-tail --out /tail --events 1000000 --chunks 10
   python -m airbyte_spark.cli run --table /t --tail /tail --checkpoint /cp
   python -m airbyte_spark.cli replay --table /t --events 1000000 --batch-lsns 100000
+  python -m airbyte_spark.cli resnapshot --table /t --from /img --snapshot-lsn 900
   python -m airbyte_spark.cli lineage --table /t
   python -m airbyte_spark.cli compact --table /t [--cluster-by lsn]
   python -m airbyte_spark.cli vacuum --table /t --keep-last 2 [--grace-seconds 0]
@@ -103,6 +104,22 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--merge-strategy", default="fused",
                     choices=["fused", "pruned", "mor"])
     sp.add_argument("--history-root", default=None)
+
+    sp = sub.add_parser(
+        "resnapshot",
+        help="blocking ad-hoc re-snapshot: repair the table from a "
+        "fresh point-in-time source image (parquet dir)",
+    )
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--from", dest="from_dir", required=True,
+                    help="parquet dir holding the fresh source image")
+    sp.add_argument("--snapshot-lsn", type=int, required=True,
+                    help="source position the image was read at "
+                    "(must be >= the applied high-water mark)")
+    sp.add_argument("--scope", default=None,
+                    help="SQL predicate bounding the repaired scope "
+                    "(default: whole table)")
+    sp.add_argument("--signal-id", type=int, default=0)
 
     sp = sub.add_parser("lineage", help="per-bucket lineage + state")
     sp.add_argument("--table", required=True)
@@ -365,6 +382,22 @@ def main(argv: list[str] | None = None) -> int:
             "batches": len(stats),
             "committed": sum(1 for s in stats if s.committed),
             "events": sum(s.events for s in stats if s.events > 0),
+        }))
+    elif args.cmd == "resnapshot":
+        from pyspark.sql import functions as F
+
+        pipe = CdcPipeline(args.table)
+        fresh = spark.read.parquet(args.from_dir)
+        res = pipe.resnapshot(
+            spark, fresh,
+            snapshot_lsn=args.snapshot_lsn,
+            scope=F.expr(args.scope) if args.scope else None,
+            signal_id=args.signal_id,
+        )
+        print(json.dumps({
+            "committed": res.committed,
+            "version": res.version,
+            "signal_id": args.signal_id,
         }))
     elif args.cmd == "replay":
         pipe = CdcPipeline(args.table, merge_strategy=args.merge_strategy,

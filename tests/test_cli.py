@@ -290,3 +290,52 @@ def test_discover_and_check():
     assert {"events", "documents", "lineitem"} <= streams
     ok = json.loads(_cli("check", "--data-dir", "/root/testdata/sf0.001"))
     assert ok["status"] == "SUCCEEDED"
+
+
+def test_resnapshot_verb_repairs_divergence(tmp_path):
+    import duckdb
+
+    t = str(tmp_path / "t")
+    _cli("init", "--table", t, "--base-rows", "60", "--buckets", "4",
+         "--repos", "6", "--paths-per-repo", "10")
+    # fresh source image = the current state with one row's content
+    # changed and one row dropped (a ghost the repair must delete)
+    img = str(tmp_path / "img")
+    os.makedirs(img)
+    con = duckdb.connect()
+    con.sql(
+        f"""
+        CREATE TABLE cur AS
+        SELECT repo, path, commit, lang, content
+        FROM parquet_scan('{t}/**/*.parquet');
+        COPY (
+          SELECT repo, path, commit, lang,
+                 CASE WHEN rn = 1 THEN 'REPAIRED CONTENT' ELSE content END
+                   AS content
+          FROM (SELECT *, row_number() OVER (ORDER BY repo, path) rn FROM cur)
+          WHERE rn <> 2
+        ) TO '{img}/image.parquet' (FORMAT PARQUET);
+        """
+    )
+    fixed_key, ghost_key = con.sql(
+        "SELECT repo, path FROM cur ORDER BY repo, path LIMIT 2"
+    ).fetchall()
+    out = json.loads(_cli(
+        "resnapshot", "--table", t, "--from", img, "--snapshot-lsn", "1000",
+    ))
+    assert out["committed"] is True
+    scan = json.loads(_cli(
+        "scan", "--table", t,
+        "--where", f"repo='{fixed_key[0]}'", "--where", f"path='{fixed_key[1]}'",
+    ))
+    assert [r["content"] for r in scan["rows"]] == ["REPAIRED CONTENT"]
+    ghost = json.loads(_cli(
+        "scan", "--table", t,
+        "--where", f"repo='{ghost_key[0]}'", "--where", f"path='{ghost_key[1]}'",
+    ))
+    assert ghost["rows"] == []
+    # the signal is exactly-once: the same signal id no-ops
+    again = json.loads(_cli(
+        "resnapshot", "--table", t, "--from", img, "--snapshot-lsn", "1000",
+    ))
+    assert again["committed"] is False
