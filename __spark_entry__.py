@@ -887,6 +887,29 @@ def emb_topk_ivf_kmeans(spark, sf):
     return A_sim.topk_ivf(e, q, k=5, nlist=16, nprobe=10, centroids=cents)
 
 
+def emb_semdedup(spark, sf):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 —
+    analytics/similarity.py semdedup): k-means-cluster the embedding
+    space with the SAME trained codebook as emb_topk_ivf_kmeans, then
+    drop every vector with a smaller-id neighbor at cosine >= 0.4
+    WITHIN ITS CLUSTER.  Cells are the blocking structure (one cell
+    equi-join, never corpus x corpus); pairs split across cells are
+    missed by design — the paper's web-scale trade, and exactly what
+    the oracle reproduces (training CTEs + within-cell NOT EXISTS).
+    Survivors return with their cell so the clustering itself is
+    value-checked."""
+    e = _t(spark, sf, "embeddings")
+    sample = [
+        r["embedding"]
+        for r in e.filter(F.col("vec_id") < 512)
+        .orderBy("vec_id").select("embedding").collect()
+    ]
+    cents = A_sim.kmeans_codebook(sample, nlist=16, iters=8)
+    return A_sim.semdedup(e, threshold=0.4, centroids=cents).select(
+        "vec_id", "cell"
+    )
+
+
 def emb_topk_pq(spark, sf):
     """Product-quantized ADC first pass + exact float rescore
     (analytics/similarity.py topk_pq; FAISS IndexPQ+refine analog).
@@ -1932,6 +1955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_topk_lsh": emb_topk_lsh,
         "emb_topk_ivf": emb_topk_ivf,
         "emb_topk_ivf_kmeans": emb_topk_ivf_kmeans,
+        "emb_semdedup": emb_semdedup,
         "emb_topk_pq": emb_topk_pq,
         "multimodal_features": multimodal_features,
         "multimodal_frames": multimodal_frames,
@@ -2260,16 +2284,14 @@ SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
 """
 
 
-def _topk_ivf_kmeans_sql(
-    k: int, nlist: int, nprobe: int, sample_n: int, iters: int
-) -> str:
-    """Trained-codebook IVF reproduced in SQL: the k-means training
-    itself runs as ``iters`` unrolled CTE rounds over the same
-    deterministic sample (vec_id < sample_n) the Spark side collects,
-    with assignment sims and centroid means both rounded to 6dp — the
-    rounding makes the trained centroids byte-identical between
-    numpy (kmeans_codebook) and DuckDB, so the final assignment /
-    probe / rank stage compares exactly."""
+def _kmeans_train_ctes(nlist: int, sample_n: int, iters: int) -> tuple:
+    """The k-means training reproduced as ``iters`` unrolled SQL CTE
+    rounds over the same deterministic sample (vec_id < sample_n) the
+    Spark side collects, with assignment sims and centroid means both
+    rounded to 6dp — the rounding makes the trained centroids
+    byte-identical between numpy (kmeans_codebook) and DuckDB.
+    Returns (sql_prefix, trained_cte_name); shared by the IVF top-k
+    and SemDeDup oracles."""
     dim = 64
     sql = (
         f"WITH samp AS (SELECT vec_id, embedding::DOUBLE[] AS v "
@@ -2300,6 +2322,43 @@ m{it} AS (
   FROM {prev} p LEFT JOIN m{it} m ON p.cent_id = m.cell
 )"""
         prev = nxt
+    return sql, prev
+
+
+def _semdedup_kmeans_sql(
+    threshold: float, nlist: int, sample_n: int, iters: int
+) -> str:
+    """SemDeDup reproduced in SQL: the shared k-means training CTEs,
+    full-corpus cell assignment, then the greedy min-id rule as a
+    within-cell anti-join."""
+    sql, prev = _kmeans_train_ctes(nlist, sample_n, iters)
+    sql += f""",
+asg AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id AS cell,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cent_vec), 6) DESC,
+                 c.cent_id ASC) AS rn
+    FROM embeddings e, {prev} c
+  ) WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id AS d
+  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(
+          a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= {threshold}
+)
+SELECT a.vec_id, CAST(a.cell AS INT) AS cell
+FROM asg a LEFT JOIN dropped d ON a.vec_id = d.d
+WHERE d.d IS NULL
+"""
+    return sql
+
+
+def _topk_ivf_kmeans_sql(
+    k: int, nlist: int, nprobe: int, sample_n: int, iters: int
+) -> str:
+    sql, prev = _kmeans_train_ctes(nlist, sample_n, iters)
     sql += f""",
 asg AS (
   SELECT vec_id, embedding, cell FROM (
@@ -2854,6 +2913,7 @@ FROM m
         "emb_topk_lsh": _topk_lsh_sql(5, 4),
         "emb_topk_ivf": _topk_ivf_sql(5, 16, 4),
         "emb_topk_ivf_kmeans": _topk_ivf_kmeans_sql(5, 16, 10, 512, 8),
+        "emb_semdedup": _semdedup_kmeans_sql(0.4, 16, 512, 8),
         "multimodal_features": _MULTIMODAL_SQL,
         "multimodal_frames": _FRAMES_SQL,
         "events_file_metadata": """

@@ -350,6 +350,98 @@ def kmeans_codebook(
     return [list(map(float, c)) for c in C]
 
 
+def _assign_cells(
+    corpus: DataFrame,
+    cents: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Coarse-quantizer cell assignment: argmax centroid cosine (min
+    cent_id tie), 6dp-rounded for cross-engine determinism.  The cents
+    side is broadcast-sized (the codebook); the corpus never shuffles."""
+    sim_to_cent = _dot(F.col(vec_col), F.col("cent_vec")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("cent_vec"))
+    )
+    return (
+        corpus.crossJoin(cents)
+        .withColumn("_sim", F.round(sim_to_cent, 6))
+        .groupBy(id_col, vec_col)
+        .agg(
+            F.max_by(
+                F.col("cent_id"), F.struct(F.col("_sim"), -F.col("cent_id"))
+            ).alias("cell")
+        )
+    )
+
+
+def semdedup(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    nlist: int = 16,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — semantic
+    deduplication for web-scale training data; no reference analog,
+    LLM-pipeline mandate): k-means-cluster the embedding space, then
+    drop every row with a smaller-id neighbor above the cosine
+    threshold WITHIN ITS CLUSTER.  Returns survivors with their
+    ``cell`` assignment.
+
+    The clustering IS the blocking structure: candidate pairs are one
+    cell equi-join — sum over cells of |cell|² pairs, never corpus² —
+    and the cells are balanced by the quantizer, not by luck, which
+    is what lets the paper run this over billions of embeddings.  At
+    100 TB the cell assignment is a stored column maintained at
+    ingest (exactly the IVF index :func:`topk_ivf` reuses), the
+    codebook ships as plan literals (:func:`kmeans_codebook` trains
+    on a driver-side sample), and the per-cell self-join shuffles
+    each row once on its cell id.  Approximation contract (the
+    paper's): a near-dup pair split across two cells is missed — the
+    trade that makes semantic dedup tractable beyond all-pairs; the
+    exhaustive twin is :func:`neardup_dedup`, so SemDeDup's drop set
+    is a subset of the exhaustive drop set (property-pinned in
+    tests).  Survivor rule: greedy min-id, matching
+    ``neardup_dedup``/``dedup_exact``; 6dp/4dp rounding keeps every
+    stage SQL-reproducible."""
+    if centroids is not None:
+        spark = corpus.sparkSession
+        cents = F.broadcast(
+            spark.createDataFrame(
+                [(i, list(c)) for i, c in enumerate(centroids)],
+                "cent_id int, cent_vec array<double>",
+            )
+        )
+    else:
+        cents = F.broadcast(
+            corpus.filter(F.col(id_col) < nlist).select(
+                F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+            )
+        )
+    assign = _assign_cells(corpus, cents, id_col=id_col, vec_col=vec_col)
+    a = assign.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("avec"), "cell"
+    )
+    b = assign.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("bvec"), "cell"
+    )
+    sim = _dot(F.col("avec"), F.col("bvec")) / (
+        _norm(F.col("avec")) * _norm(F.col("bvec"))
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("cosine", F.round(sim, 4))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("b_id").alias(id_col))
+        .distinct()
+    )
+    return assign.join(dropped, id_col, "left_anti").select(id_col, vec_col, "cell")
+
+
 def topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -393,17 +485,7 @@ def topk_ivf(
     sim_to_cent = _dot(F.col(vec_col), F.col("cent_vec")) / (
         _norm(F.col(vec_col)) * _norm(F.col("cent_vec"))
     )
-    # corpus cell assignment: argmax centroid similarity (min cent_id tie)
-    assign = (
-        corpus.crossJoin(cents)
-        .withColumn("_sim", F.round(sim_to_cent, 6))
-        .groupBy(id_col, vec_col)
-        .agg(
-            F.max_by(
-                F.col("cent_id"), F.struct(F.col("_sim"), -F.col("cent_id"))
-            ).alias("cell")
-        )
-    )
+    assign = _assign_cells(corpus, cents, id_col=id_col, vec_col=vec_col)
     from pyspark.sql import Window
 
     wq = Window.partitionBy(id_col).orderBy(

@@ -103,6 +103,9 @@ BENCH_QUERIES = [
     "cdc_toast_lww_events",
     # round 4: partial-image (oplog $set) per-column reconstruction
     "cdc_sparse_lww_events",
+    # round 4: SemDeDup — trained-kmeans cells as blocking, within-cell
+    # cosine dedup (includes codebook training on the 512-vector sample)
+    "emb_semdedup",
 ]
 
 

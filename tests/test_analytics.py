@@ -751,3 +751,57 @@ def test_encode_pq_codes_and_reconstruction_norm(spark):
     for i in range(40):
         assert jvm[i][0] == got[i][0], i
         assert abs(jvm[i][1] - got[i][1]) < 1e-9, i
+
+
+class TestSemDedup:
+    SF = "/root/testdata/sf0.001"
+
+    def test_drop_set_is_subset_of_exhaustive(self, spark):
+        # SemDeDup's approximation contract: clustering only REMOVES
+        # candidate pairs (cross-cell pairs are missed), so its drop
+        # set must be a subset of the exhaustive neardup_dedup drops
+        e = spark.read.parquet(f"{self.SF}/embeddings.parquet")
+        all_ids = {r[0] for r in e.select("vec_id").collect()}
+        sem = {
+            r[0]
+            for r in similarity.semdedup(e, threshold=0.4, nlist=8)
+            .select("vec_id").collect()
+        }
+        exhaustive = {
+            r[0]
+            for r in similarity.neardup_dedup(e, threshold=0.4)
+            .select("vec_id").collect()
+        }
+        assert (all_ids - sem) <= (all_ids - exhaustive)
+        assert exhaustive <= sem  # exhaustive survivors all survive here
+
+    def test_within_cell_duplicates_all_drop(self, spark):
+        # one planted cluster of near-identical vectors + one far
+        # vector: everything lands in known cells, the min id survives
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.999, 0.01, 0.0, 0.0]),
+            (2, [0.998, 0.02, 0.0, 0.0]),
+            (3, [0.0, 0.0, 1.0, 0.0]),
+        ]
+        e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = similarity.semdedup(
+            e, threshold=0.95,
+            centroids=[[1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]],
+        ).collect()
+        got = {r["vec_id"]: r["cell"] for r in out}
+        assert got == {0: 0, 3: 1}
+
+    def test_cross_cell_pairs_are_missed_by_design(self, spark):
+        # the same near-dup pair, but centroids that SPLIT it: both
+        # survive — the documented approximation, not a bug
+        rows = [
+            (0, [1.0, 0.05, 0.0, 0.0]),
+            (1, [1.0, -0.05, 0.0, 0.0]),
+        ]
+        e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = similarity.semdedup(
+            e, threshold=0.95,
+            centroids=[[1.0, 1.0, 0.0, 0.0], [1.0, -1.0, 0.0, 0.0]],
+        ).collect()
+        assert sorted(r["vec_id"] for r in out) == [0, 1]
