@@ -1108,6 +1108,53 @@ def cdc_demux_consistent_read(spark, sf):
     return _state_digest(views["alpha"].unionByName(views["beta"]))
 
 
+def cdc_demux_txn_replay_mini(spark, sf):
+    """Cross-table transactional demux (engine/demux.py
+    apply_batch_demux_txn): the SAME 900-event changelog, txn-stamped
+    AND collection-stamped, applied to two tables in 250-LSN
+    microbatches whose cuts split transactions — a transaction
+    spanning both collections holds back in the GROUP-level spill
+    until every event arrives, then its slices land in all tables in
+    one epoch.  The union of both tables' final states reaches the
+    SAME golden digest as the monolithic replay: routing and
+    alignment delay rows, never change the destination."""
+    from airbyte_spark.engine.changelog import base_table, changelog
+    from airbyte_spark.engine.demux import apply_batch_demux_txn
+    from airbyte_spark.engine.pipeline import CdcPipeline
+    from airbyte_spark.engine.txn import with_txn_metadata
+
+    def stamp(df):
+        return df.withColumn(
+            "collection",
+            F.when(F.pmod(F.xxhash64("repo"), F.lit(2)) == 0, F.lit("alpha"))
+            .otherwise(F.lit("beta")),
+        )
+
+    root = tempfile.mkdtemp(prefix="cdc_entry_")
+    base = stamp(base_table(spark, 300, n_repos=10, paths_per_repo=30))
+    pipes = {}
+    for coll in ("alpha", "beta"):
+        p = CdcPipeline(os.path.join(root, coll), n_buckets=8)
+        p.bootstrap(
+            spark, base.filter(F.col("collection") == coll).drop("collection")
+        )
+        pipes[coll] = p
+    ev = stamp(with_txn_metadata(changelog(spark, 900, n_repos=10, paths_per_repo=30)))
+    epoch, start = 0, 0
+    while start < 900:
+        apply_batch_demux_txn(
+            pipes, spark,
+            ev.filter((F.col("lsn") >= start) & (F.col("lsn") < start + 250)),
+            epoch, pending_root=os.path.join(root, "pend"),
+        )
+        start += 250
+        epoch += 1
+    union = pipes["alpha"].table().read(spark).unionByName(
+        pipes["beta"].table().read(spark)
+    )
+    return _state_digest(union)
+
+
 def cdc_resnapshot_repair_mini(spark, sf):
     """Ad-hoc blocking re-snapshot (CdcPipeline.resnapshot — the
     Debezium `execute-snapshot` type=blocking signal): the SAME
@@ -1968,6 +2015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_sparse_lww_events": cdc_sparse_lww_events,
         "cdc_demux_replay_mini": cdc_demux_replay_mini,
         "cdc_demux_consistent_read": cdc_demux_consistent_read,
+        "cdc_demux_txn_replay_mini": cdc_demux_txn_replay_mini,
         "cdc_resnapshot_repair_mini": cdc_resnapshot_repair_mini,
         "cdc_toast_lww_events": cdc_toast_lww_events,
         "cdc_pruned_scan": cdc_pruned_scan,
@@ -2989,6 +3037,10 @@ SELECT CAST(275 AS BIGINT) AS final_rows,
         "cdc_demux_consistent_read": f"""
 SELECT CAST(259 AS BIGINT) AS final_rows,
        '{_CDC_CUT_DIGEST}' AS state_sha256
+""",
+        "cdc_demux_txn_replay_mini": f"""
+SELECT CAST(275 AS BIGINT) AS final_rows,
+       '{_CDC_MINI_DIGEST}' AS state_sha256
 """,
         "cdc_resnapshot_repair_mini": f"""
 SELECT CAST(275 AS BIGINT) AS final_rows,

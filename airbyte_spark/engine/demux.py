@@ -96,6 +96,40 @@ def apply_batch_demux(
         batch.unpersist()
 
 
+def apply_batch_demux_txn(
+    pipes: "dict[str, CdcPipeline]",
+    spark: SparkSession,
+    batch: DataFrame,
+    epoch: int,
+    *,
+    pending_root: str,
+    collection_col: str = COLLECTION_COL,
+    _fail_after: int | None = None,
+) -> "dict[str, BatchStats]":
+    """Demux with CROSS-TABLE transaction alignment: a source
+    transaction spanning collections (Debezium's transaction metadata
+    spans data collections — one BEGIN/END for the whole DB txn)
+    holds back until EVERY event has arrived, then its slices apply
+    to all destination tables in the same epoch.  Combined with
+    :func:`read_consistent` this closes the loop: a consistent
+    cross-table read at epoch E exposes all-or-none of every source
+    transaction — multi-table atomicity no per-topic consumer can
+    reconstruct.  The spill is GROUP-level (one pending store for the
+    whole demux group, under the caller-chosen ``pending_root``):
+    per-table spills would re-split transactions at exactly the
+    boundary this exists to protect.  Crash safety composes from the
+    parts: the spill is an idempotent overwrite written before any
+    merge, and each table's epoch gate no-ops its committed prefix on
+    replay."""
+    from airbyte_spark.engine.txn import align_txn
+
+    with align_txn(spark, batch, epoch, pending_root) as complete:
+        return apply_batch_demux(
+            pipes, spark, complete, epoch,
+            collection_col=collection_col, _fail_after=_fail_after,
+        )
+
+
 def read_consistent(
     spark: SparkSession,
     pipes: "dict[str, CdcPipeline]",

@@ -111,22 +111,46 @@ def apply_batch_txn(
     gate, sync modes, merge strategies, and SCD sinks all apply
     unchanged.  See the module docstring for the crash-safety
     argument (spill-before-merge, both idempotent)."""
-    missing = [c for c in TXN_COLS if c not in batch.columns]
-    if missing:
-        raise ValueError(
-            f"transaction-aligned apply needs columns {TXN_COLS} "
-            f"(missing {missing}); stamp them with with_txn_metadata() "
-            f"or supply the source's transaction metadata"
-        )
     pending_root = pending_root or os.path.join(
         pipeline.table_root, "_txn_pending"
     )
-    full = batch.unionByName(
-        read_pending(spark, pending_root, epoch - 1, batch.schema),
-        allowMissingColumns=True,
-    )
-    full.persist()
-    try:
+    with align_txn(spark, batch, epoch, pending_root) as complete:
+        return pipeline.apply_batch(spark, complete, epoch)
+
+
+class align_txn:
+    """Context manager doing the transaction-boundary split: union the
+    microbatch with the previous epoch's spill, persist, spill the
+    rows of still-open transactions (idempotent overwrite, BEFORE any
+    merge — see the module docstring's crash argument), and yield the
+    complete-transaction rows with the txn columns dropped.  Shared by
+    the single-table apply and the multi-table demux apply (where a
+    transaction spanning collections must hold back ACROSS tables —
+    Debezium's transaction metadata spans data collections)."""
+
+    def __init__(
+        self, spark: SparkSession, batch: DataFrame, epoch: int,
+        pending_root: str,
+    ):
+        missing = [c for c in TXN_COLS if c not in batch.columns]
+        if missing:
+            raise ValueError(
+                f"transaction-aligned apply needs columns {TXN_COLS} "
+                f"(missing {missing}); stamp them with with_txn_metadata() "
+                f"or supply the source's transaction metadata"
+            )
+        self._spark, self._batch, self._epoch = spark, batch, epoch
+        self._pending_root = pending_root
+
+    def __enter__(self) -> DataFrame:
+        batch, epoch = self._batch, self._epoch
+        self._full = full = batch.unionByName(
+            read_pending(
+                self._spark, self._pending_root, epoch - 1, batch.schema
+            ),
+            allowMissingColumns=True,
+        )
+        full.persist()
         counts = full.groupBy("txn_id").agg(
             F.count(F.lit(1)).alias("_seen"),
             F.max("txn_events").alias("_want"),
@@ -140,11 +164,11 @@ def apply_batch_txn(
         (
             incomplete.coalesce(1)
             .write.mode("overwrite")
-            .parquet(_pending_dir(pending_root, epoch))
+            .parquet(_pending_dir(self._pending_root, epoch))
         )
-        complete = full.join(F.broadcast(open_ids), "txn_id", "left_anti").drop(
+        return full.join(F.broadcast(open_ids), "txn_id", "left_anti").drop(
             *TXN_COLS
         )
-        return pipeline.apply_batch(spark, complete, epoch)
-    finally:
-        full.unpersist()
+
+    def __exit__(self, *exc) -> None:
+        self._full.unpersist()

@@ -236,3 +236,79 @@ def test_pipeline_spec_groups_shared_tail(spark, tmp_path, data):
         assert_states_equal(
             expected[coll], table_state(pipes[coll].table(), spark)
         )
+
+
+class TestDemuxTxn:
+    """Cross-table transaction alignment (apply_batch_demux_txn): a
+    source transaction spanning collections commits all-or-none across
+    ALL destination tables."""
+
+    def _empty_pipes(self, spark, tmp_path):
+        pipes = {}
+        for coll in ("alpha", "beta"):
+            p = CdcPipeline(str(tmp_path / coll), n_buckets=4)
+            p.bootstrap(spark)
+            pipes[coll] = p
+        return pipes
+
+    def _ev(self, spark, rows):
+        from airbyte_spark.streaming.runner import CHANGELOG_DDL
+
+        ddl = (
+            CHANGELOG_DDL
+            + ", txn_id long, txn_events long, collection string"
+        )
+        return spark.createDataFrame(rows, ddl)
+
+    def test_cross_collection_txn_holds_back_both_tables(
+        self, spark, tmp_path
+    ):
+        from airbyte_spark.engine.demux import apply_batch_demux_txn
+
+        import datetime as dt
+
+        ts = dt.datetime(2024, 1, 1)
+        pipes = self._empty_pipes(spark, tmp_path)
+        pend = str(tmp_path / "pend")
+        # txn 10 spans BOTH collections; only its first event is in
+        # batch 0 — neither table may expose any of it yet
+        b0 = self._ev(spark, [
+            (10, "i", "r1", "a.py", "c1", "python", "x", ts, 10, 2, "alpha"),
+        ])
+        apply_batch_demux_txn(pipes, spark, b0, 0, pending_root=pend)
+        assert pipes["alpha"].table().read(spark).count() == 0
+        assert pipes["beta"].table().read(spark).count() == 0
+        # both epochs advanced (heartbeats) — the hold-back is spill,
+        # not a stalled stream
+        assert pipes["alpha"].table().last_epoch("default") == 0
+        # the second event arrives: the WHOLE txn applies to BOTH
+        b1 = self._ev(spark, [
+            (11, "i", "r2", "b.py", "c2", "python", "y", ts, 10, 2, "beta"),
+        ])
+        apply_batch_demux_txn(pipes, spark, b1, 1, pending_root=pend)
+        assert pipes["alpha"].table().read(spark).count() == 1
+        assert pipes["beta"].table().read(spark).count() == 1
+
+    def test_demux_txn_replay_matches_per_table_oracles(
+        self, spark, tmp_path, data
+    ):
+        from airbyte_spark.engine.demux import apply_batch_demux_txn
+        from airbyte_spark.engine.txn import with_txn_metadata
+
+        base, events, expected = data
+        pipes = _pipes(tmp_path, base, spark)
+        ev = with_txn_metadata(events)
+        pend = str(tmp_path / "pend")
+        # 250-LSN cuts SPLIT the 8-aligned transaction blocks
+        epoch, start = 0, 0
+        while start < 1200:
+            apply_batch_demux_txn(
+                pipes, spark, _slice(ev, start, start + 250), epoch,
+                pending_root=pend,
+            )
+            start += 250
+            epoch += 1
+        for coll in ("alpha", "beta"):
+            assert_states_equal(
+                expected[coll], table_state(pipes[coll].table(), spark)
+            )
