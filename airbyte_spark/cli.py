@@ -106,6 +106,13 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--history-root", default=None)
 
     sp = sub.add_parser(
+        "sync",
+        help="run every stream of a pipeline spec (JSON manifest) — "
+        "streams sharing a tail demux in one pass",
+    )
+    sp.add_argument("--spec", required=True, help="path to the JSON spec")
+
+    sp = sub.add_parser(
         "resnapshot",
         help="blocking ad-hoc re-snapshot: repair the table from a "
         "fresh point-in-time source image (parquet dir)",
@@ -383,6 +390,10 @@ def main(argv: list[str] | None = None) -> int:
             "committed": sum(1 for s in stats if s.committed),
             "events": sum(s.events for s in stats if s.events > 0),
         }))
+    elif args.cmd == "sync":
+        from airbyte_spark.config import PipelineSpec
+
+        print(json.dumps(PipelineSpec.load(args.spec).run(spark)))
     elif args.cmd == "resnapshot":
         from pyspark.sql import functions as F
 

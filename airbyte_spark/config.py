@@ -114,9 +114,16 @@ class PipelineSpec:
         single streaming read demuxes per collection (engine/demux.py,
         the Debezium one-binlog-many-tables shape) instead of N
         passes over the same log."""
+        from airbyte_spark.lake import LakeTable
         from airbyte_spark.streaming.runner import run_stream, run_stream_demux
 
         pipes = self.build_pipelines()
+        for s in self.streams:
+            # first sync creates the destination table (empty bootstrap;
+            # the platform's create-on-first-sync behavior) — a real
+            # initial snapshot goes through bootstrap()/bootstrap_chunked
+            if not LakeTable.exists(s.table):
+                pipes[s.name].bootstrap(spark)
         by_tail: dict[str, list[StreamSpec]] = {}
         for s in self.streams:
             if s.tail:

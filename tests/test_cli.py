@@ -339,3 +339,53 @@ def test_resnapshot_verb_repairs_divergence(tmp_path):
         "resnapshot", "--table", t, "--from", img, "--snapshot-lsn", "1000",
     ))
     assert again["committed"] is False
+
+
+def test_sync_verb_runs_demuxed_spec(tmp_path):
+    # the platform's "sync now": one spec, two streams sharing a
+    # multiplexed tail, demuxed in a single streaming pass
+    import duckdb
+
+    gen = str(tmp_path / "gen")
+    _cli("gen-tail", "--out", gen, "--events", "300", "--chunks", "2",
+         "--repos", "6", "--paths-per-repo", "10")
+    # stamp a collection column onto the generated tail
+    tail = str(tmp_path / "tail")
+    os.makedirs(tail)
+    duckdb.sql(
+        f"""
+        COPY (
+          SELECT *, CASE WHEN hash(repo) % 2 = 0
+                         THEN 'alpha' ELSE 'beta' END AS collection
+          FROM parquet_scan('{gen}/**/*.parquet')
+        ) TO '{tail}/chunk.parquet' (FORMAT PARQUET)
+        """
+    )
+    spec = {
+        "streams": {
+            coll: {
+                "table": str(tmp_path / coll),
+                "tail": tail,
+                "collection": coll,
+                "n_buckets": 4,
+                "checkpoint": str(tmp_path / "ckpt"),
+            }
+            for coll in ("alpha", "beta")
+        }
+    }
+    spec_path = str(tmp_path / "spec.json")
+    with open(spec_path, "w") as fh:
+        json.dump(spec, fh)
+    out = json.loads(_cli("sync", "--spec", spec_path))
+    assert out["alpha"]["committed"] >= 1
+    assert out["beta"]["committed"] >= 1
+    rows = sum(
+        json.loads(_cli("lineage", "--table", str(tmp_path / coll)))[
+            "buckets"
+        ][b]["rows"]
+        for coll in ("alpha", "beta")
+        for b in json.loads(
+            _cli("lineage", "--table", str(tmp_path / coll))
+        )["buckets"]
+    )
+    assert rows > 0
