@@ -535,6 +535,17 @@ def doc_token_stats(spark, sf):
 BM25_TERMS = ["the", "data", "model", "training"]
 
 
+def doc_lm_score(spark, sf):
+    """CCNet-style LM quality scoring (analytics/text.py lm_score;
+    Wenzek et al. 2020, arXiv:1911.00359): a bigram add-k LM trained
+    distributively on the corpus itself scores every document as mean
+    bits per token — the perplexity-filter stage of a web-scale
+    cleaning pipeline, with the LM as a DataFrame instead of a model
+    file.  Exact integer counts + log2 keep per-bigram bits
+    deterministic; the oracle retrains the same LM in SQL."""
+    return A_text.lm_score(_t(spark, sf, "documents"))
+
+
 def doc_bm25_rank(spark, sf):
     """Okapi BM25 corpus ranking against a fixed query-term set
     (analytics/text.py bm25_rank — Lucene idf variant): top-10 docs
@@ -1979,6 +1990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_stats": doc_token_stats,
         "doc_quality": doc_quality,
         "doc_bm25_rank": doc_bm25_rank,
+        "doc_lm_score": doc_lm_score,
         "events_sessionize": events_sessionize,
         "doc_repetition": doc_repetition,
         "doc_pii_scrub": doc_pii_scrub,
@@ -2762,6 +2774,39 @@ SELECT user_id, session_no,
        max(ts) AS session_end,
        CAST((max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000 AS BIGINT) AS duration_sec
 FROM n GROUP BY user_id, session_no
+""",
+        "doc_lm_score": f"""
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN [] ELSE {_TOKS} END AS toks
+  FROM documents
+),
+tk AS (
+  SELECT d.doc_id, g.i AS i, d.toks[g.i] AS w
+  FROM d, LATERAL (SELECT unnest(generate_series(1, len(d.toks))) AS i) g
+),
+bg AS (
+  SELECT a.doc_id, a.w AS prev, b.w AS w
+  FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+),
+c2 AS (SELECT prev, w, count(*) AS c2 FROM bg GROUP BY prev, w),
+c1 AS (SELECT prev, count(*) AS c1 FROM bg GROUP BY prev),
+v AS (SELECT count(DISTINCT w) AS v FROM tk),
+sc AS (
+  SELECT g.doc_id,
+    -log2((coalesce(c2.c2, 0) + 0.5) / (coalesce(c1.c1, 0) + 0.5 * v.v)) AS bits
+  FROM bg g
+  LEFT JOIN c2 ON g.prev = c2.prev AND g.w = c2.w
+  LEFT JOIN c1 ON g.prev = c1.prev
+  CROSS JOIN v
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n, 0) AS BIGINT) AS n_bigrams,
+       s.bits_per_token
+FROM d LEFT JOIN (
+  SELECT doc_id, count(*) AS n, round(avg(bits), 4) AS bits_per_token
+  FROM sc GROUP BY doc_id
+) s ON d.doc_id = s.doc_id
 """,
         "doc_bm25_rank": f"""
 WITH d AS (

@@ -356,6 +356,104 @@ def pack_sequences(
     )
 
 
+def lm_score(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_df: DataFrame | None = None,
+    add_k: float = 0.5,
+) -> DataFrame:
+    """CCNet-style n-gram LM quality scoring (Wenzek et al. 2020,
+    arXiv:1911.00359 — web text filtered by language-model perplexity;
+    CCNet uses a KenLM 5-gram trained on Wikipedia): a bigram LM with
+    add-k smoothing, trained DISTRIBUTIVELY on ``train_df`` (a
+    reference corpus; defaults to ``df`` itself for self-scoring),
+    scores every document as mean bits per token,
+    ``-log2 P(w|prev)`` averaged over the doc's bigrams.  Low bits =
+    fluent/common text, high bits = junk — threshold downstream like
+    CCNet's head/middle/tail split.
+
+    Training is TWO map-side-combined hash aggregations (bigram and
+    context counts) plus one distinct-count scalar (the add-k vocab);
+    there is no model file — the LM *is* a DataFrame, and scoring is
+    two left joins on it plus one aggregate.  Bigrams come from an
+    index transform over the token array (no self-join, no extra
+    shuffle).  At 100 TB the reference corpus bounds the LM table
+    (CCNet trains on Wikipedia, broadcast-class), so the score joins
+    hash-partition the corpus once each at worst and AQE broadcasts
+    the LM when it fits.  P(w|prev) = (c(prev,w)+k)/(c(prev)+k·V):
+    exact integer counts + log2 make per-bigram bits deterministic
+    cross-engine; the per-doc mean rounds to 4dp.  Docs with <2
+    tokens score NULL with n_bigrams=0 (nothing to model)."""
+    from .dedup import _detach, _widen
+
+    # tokenization is the CPU-heavy map; widen narrow (single-file)
+    # inputs to cluster parallelism — no-op at lake scale
+    df = _widen(df)
+    train_df = df if train_df is None else _widen(train_df)
+
+    def _bigrams(frame: DataFrame) -> DataFrame:
+        toks = tokens_expr(F.lower(F.col(text_col)))
+        return (
+            frame.select(F.col(id_col), toks.alias("_toks"))
+            .withColumn(
+                "_bg",
+                F.expr(
+                    "transform(slice(_toks, 2, greatest(size(_toks) - 1, 0)),"
+                    " (w, i) -> struct(_toks[i] AS prev, w AS w))"
+                ),
+            )
+            .select(id_col, F.explode("_bg").alias("_b"))
+            .select(id_col, F.col("_b.prev").alias("prev"), F.col("_b.w").alias("w"))
+        )
+
+    train_bg = _bigrams(train_df)
+    # the LM table is persisted: it is consumed three times (the c1
+    # derivation below plus both score joins), and without the cache
+    # each consumer would re-tokenize the whole training corpus
+    c2 = (
+        train_bg.groupBy("prev", "w")
+        .agg(F.count(F.lit(1)).alias("_c2"))
+        .persist()
+    )
+    # c1(prev) = Σ_w c2(prev, w): derived from the (small) bigram-count
+    # table instead of a second full-corpus tokenize + shuffle — one
+    # fewer pass over the text at any scale
+    c1 = c2.groupBy("prev").agg(F.sum("_c2").alias("_c1"))
+    vocab = (
+        train_df.select(
+            F.explode(tokens_expr(F.lower(F.col(text_col)))).alias("_t")
+        )
+        .agg(F.countDistinct("_t"))
+        .collect()[0][0]
+    ) or 1
+    bits = -F.log2(
+        (F.coalesce(F.col("_c2"), F.lit(0)) + F.lit(add_k))
+        / (F.coalesce(F.col("_c1"), F.lit(0)) + F.lit(add_k * vocab))
+    )
+    scored = (
+        _bigrams(df)
+        .join(c2, ["prev", "w"], "left")
+        .join(c1, ["prev"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(bits), 4).alias("bits_per_token"),
+        )
+    )
+    out = (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            "bits_per_token",
+        )
+    )
+    return _detach(out, c2)
+
+
 def bm25_rank(
     df: DataFrame,
     terms: list[str],

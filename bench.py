@@ -106,6 +106,9 @@ BENCH_QUERIES = [
     # round 4: SemDeDup — trained-kmeans cells as blocking, within-cell
     # cosine dedup (includes codebook training on the 512-vector sample)
     "emb_semdedup",
+    # round 4: CCNet-style bigram-LM perplexity scoring (distributed
+    # train: two hash aggs + vocab scalar; score: two joins + avg)
+    "doc_lm_score",
 ]
 
 

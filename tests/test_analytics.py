@@ -805,3 +805,37 @@ class TestSemDedup:
             centroids=[[1.0, 1.0, 0.0, 0.0], [1.0, -1.0, 0.0, 0.0]],
         ).collect()
         assert sorted(r["vec_id"] for r in out) == [0, 1]
+
+
+def test_lm_score_exact_bits_and_scale_shape(spark):
+    """lm_score: hand-computed add-k bigram bits on a tiny corpus,
+    NULL score for <2-token docs, a separate reference corpus trains
+    the LM (train_df), and the plan stays JVM (no python UDFs)."""
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b"),     # bigrams: (a,b) (b,a) (a,b)
+            (2, "a b"),         # bigram:  (a,b)
+            (3, "c"),           # <2 tokens -> NULL score
+            (4, ""),            # empty -> NULL score
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_bigrams"], r["bits_per_token"])
+           for r in text.lm_score(docs).collect()}
+    # training counts over the whole corpus: c2(a,b)=3, c2(b,a)=1,
+    # c1(a)=3, c1(b)=1; V = 3 distinct tokens (a, b, c); k=0.5
+    b_ab = -math.log2((3 + 0.5) / (3 + 0.5 * 3))
+    b_ba = -math.log2((1 + 0.5) / (1 + 0.5 * 3))
+    assert got[3] == (0, None) and got[4] == (0, None)
+    assert got[1] == (3, round((2 * b_ab + b_ba) / 3, 4))
+    assert got[2] == (1, round(b_ab, 4))
+    # a held-out reference corpus trains the LM: unseen bigrams get
+    # pure add-k mass (c2=0, c1=0) -> -log2(k / (k*V)) = log2(V)
+    ref = spark.createDataFrame([(10, "x y")], "doc_id long, text string")
+    held = {r["doc_id"]: r["bits_per_token"]
+            for r in text.lm_score(docs, train_df=ref).collect()}
+    assert held[2] == round(math.log2(2), 4)  # V=2 over ref corpus
+    plan = text.lm_score(docs)._jdf.queryExecution().toString()
+    assert "pythonUDF" not in plan  # all-JVM scoring path
