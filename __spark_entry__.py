@@ -546,6 +546,18 @@ def doc_lm_score(spark, sf):
     return A_text.lm_score(_t(spark, sf, "documents"))
 
 
+def doc_dsir_sample(spark, sf):
+    """DSIR data selection (analytics/text.py dsir_sample; Xie et al.
+    2023, arXiv:2302.03169): hashed unigram+bigram importance weights
+    against a target distribution (the src0 slice of the corpus) and
+    Gumbel-top-k sampling of the 50 most target-like documents —
+    the data-mixing/selection stage of a training-data pipeline.
+    Both feature tables, the smoothing scalars, the 6dp/4dp rounding,
+    and the Gumbel keys are recomputed by the oracle in SQL."""
+    d = _t(spark, sf, "documents")
+    return A_text.dsir_sample(d, d.filter(F.col("source") == "src0"), 50)
+
+
 def doc_bm25_rank(spark, sf):
     """Okapi BM25 corpus ranking against a fixed query-term set
     (analytics/text.py bm25_rank — Lucene idf variant): top-10 docs
@@ -1991,6 +2003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": doc_quality,
         "doc_bm25_rank": doc_bm25_rank,
         "doc_lm_score": doc_lm_score,
+        "doc_dsir_sample": doc_dsir_sample,
         "events_sessionize": events_sessionize,
         "doc_repetition": doc_repetition,
         "doc_pii_scrub": doc_pii_scrub,
@@ -2807,6 +2820,55 @@ FROM d LEFT JOIN (
   SELECT doc_id, count(*) AS n, round(avg(bits), 4) AS bits_per_token
   FROM sc GROUP BY doc_id
 ) s ON d.doc_id = s.doc_id
+""",
+        "doc_dsir_sample": f"""
+WITH d AS (
+  SELECT doc_id, source,
+    CASE WHEN length(trim(text)) = 0 THEN [] ELSE {_TOKS} END AS toks
+  FROM documents
+),
+tk AS (
+  SELECT d.doc_id, d.source, g.i AS i, d.toks[g.i] AS w
+  FROM d, LATERAL (SELECT unnest(generate_series(1, len(d.toks))) AS i) g
+),
+gr AS (
+  SELECT doc_id, source, w AS g FROM tk
+  UNION ALL
+  SELECT a.doc_id, a.source, a.w || ' ' || b.w AS g
+  FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+),
+hb AS (
+  SELECT doc_id, source,
+    ('0x' || substr(md5('dsir' || g), 1, 8))::BIGINT % 4096 AS b
+  FROM gr
+),
+cr AS (SELECT b, count(*) AS cr FROM hb GROUP BY b),
+ct AS (SELECT b, count(*) AS ct FROM hb WHERE source = 'src0' GROUP BY b),
+tot AS (SELECT (SELECT count(*) FROM hb) AS nr,
+               (SELECT count(*) FROM hb WHERE source = 'src0') AS nt),
+ratio AS (
+  SELECT cr.b,
+    round(ln((coalesce(ct.ct, 0) + 0.5) / (tot.nt + 0.5 * 4096))
+        - ln((cr.cr + 0.5) / (tot.nr + 0.5 * 4096)), 6) AS lr
+  FROM cr LEFT JOIN ct ON cr.b = ct.b CROSS JOIN tot
+),
+sc AS (
+  SELECT hb.doc_id, count(*) AS n_grams, round(sum(ratio.lr), 4) AS log_w
+  FROM hb JOIN ratio ON hb.b = ratio.b
+  GROUP BY hb.doc_id
+),
+keyed AS (
+  SELECT doc_id, n_grams, log_w,
+    round(log_w + round(-ln(-ln(
+      (( ('0x' || substr(md5('gumbel' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         % 2147483648) + 0.5) / 2147483648.0)), 6), 4) AS sel_key
+  FROM sc
+)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, log_w, sel_key,
+       CAST(row_number() OVER (ORDER BY sel_key DESC, doc_id) AS INT) AS rank
+FROM keyed
+ORDER BY sel_key DESC, doc_id
+LIMIT 50
 """,
         "doc_bm25_rank": f"""
 WITH d AS (

@@ -454,6 +454,119 @@ def lm_score(
     return _detach(out, c2)
 
 
+def _grams_hashed(
+    frame: DataFrame, *, id_col: str, text_col: str, n_buckets: int,
+) -> DataFrame:
+    """(id, bucket) rows: every unigram AND bigram of the lowercased
+    whitespace tokens, hashed into [0, n_buckets) via the md5 bucket
+    (cross-engine reproducible).  Bigrams via an index transform over
+    the token array — no self-join, no extra shuffle."""
+    toks = tokens_expr(F.lower(F.col(text_col)))
+    base = frame.select(F.col(id_col), toks.alias("_toks"))
+    grams = F.concat(
+        F.col("_toks"),
+        F.expr(
+            "transform(slice(_toks, 2, greatest(size(_toks) - 1, 0)),"
+            " (w, i) -> concat(_toks[i], ' ', w))"
+        ),
+    )
+    return base.select(
+        id_col, F.explode(grams).alias("_g")
+    ).select(
+        id_col,
+        hash_bucket(F.col("_g"), salt="dsir", buckets=n_buckets).alias("_b"),
+    )
+
+
+def dsir_sample(
+    df: DataFrame,
+    target_df: DataFrame,
+    n: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    add_k: float = 0.5,
+) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169 —
+    Data Selection via Importance Resampling): pick the ``n`` raw-
+    corpus documents whose hashed-n-gram distribution looks most like
+    a small high-quality ``target_df``, sampling with Gumbel-top-k so
+    selection is ∝ the importance weight rather than a hard cutoff.
+
+    Features are unigrams+bigrams hashed into ``n_buckets`` buckets
+    (the paper's hashed n-gram generative model).  Both feature
+    distributions train as ONE map-side-combined hash aggregation
+    each, producing ≤``n_buckets``-row tables — broadcast-class at
+    any corpus size, so the per-doc scoring join never shuffles the
+    ratio side.  log importance weight = Σ_grams
+    ln(p_target(b)/p_raw(b)) with add-k smoothing; the Gumbel key
+    adds -ln(-ln(u)) with u from the md5 bucket of the doc id —
+    deterministic, partitioning-independent, SQL-reproducible.  The
+    top-n rides TakeOrderedAndProject (per-partition top-k + merge),
+    never a global sort.  Per-bucket log ratios round to 6dp and
+    per-doc sums to 4dp so both engines agree bit-for-bit; ties
+    break on id.  Docs with zero grams are unscorable and excluded.
+
+    Returns (id, n_grams, log_w, sel_key, rank) for the selected n."""
+    from pyspark.sql import Window
+
+    from .dedup import _detach, _widen
+
+    df, target_df = _widen(df), _widen(target_df)
+    raw_g = _grams_hashed(df, id_col=id_col, text_col=text_col,
+                          n_buckets=n_buckets)
+    tgt_g = _grams_hashed(target_df, id_col=id_col, text_col=text_col,
+                          n_buckets=n_buckets)
+    # the raw count table is consumed twice (its total and the ratio
+    # join); persisting it caps corpus tokenization at two passes —
+    # one to train cr, one to score
+    cr = raw_g.groupBy("_b").agg(F.count(F.lit(1)).alias("_cr")).persist()
+    ct = tgt_g.groupBy("_b").agg(F.count(F.lit(1)).alias("_ct")).persist()
+    # gram totals derived from the ≤n_buckets-row count tables (never
+    # a second corpus pass); they parameterize the smoothed densities
+    # as plan literals, like lm_score's vocab scalar
+    n_raw = cr.agg(F.sum("_cr")).collect()[0][0] or 0
+    n_tgt = ct.agg(F.sum("_ct")).collect()[0][0] or 0
+    # every gram of df hashes into a bucket present in cr (df trained
+    # it), so a left join from cr covers the scoring domain exactly
+    ratio = cr.join(ct, "_b", "left").select(
+        "_b",
+        F.round(
+            F.log((F.coalesce(F.col("_ct"), F.lit(0)) + F.lit(add_k))
+                  / F.lit(float(n_tgt) + add_k * n_buckets))
+            - F.log((F.col("_cr") + F.lit(add_k))
+                    / F.lit(float(n_raw) + add_k * n_buckets)),
+            6,
+        ).alias("_lr"),
+    )
+    scored = (
+        raw_g.join(ratio, "_b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(F.sum("_lr"), 4).alias("log_w"),
+        )
+    )
+    u = (
+        hash_bucket(F.col(id_col), salt="gumbel", buckets=1 << 31)
+        .cast("double") + F.lit(0.5)
+    ) / F.lit(float(1 << 31))
+    gumbel = F.round(-F.log(-F.log(u)), 6)
+    out = (
+        scored.withColumn("sel_key", F.round(F.col("log_w") + gumbel, 4))
+        .orderBy(F.desc("sel_key"), F.col(id_col))
+        .limit(n)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("sel_key"), F.col(id_col))
+            ),
+        )
+    )
+    return _detach(out, cr, ct)
+
+
 def bm25_rank(
     df: DataFrame,
     terms: list[str],

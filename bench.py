@@ -109,6 +109,9 @@ BENCH_QUERIES = [
     # round 4: CCNet-style bigram-LM perplexity scoring (distributed
     # train: two hash aggs + vocab scalar; score: two joins + avg)
     "doc_lm_score",
+    # round 4: DSIR importance resampling (hashed-gram densities +
+    # Gumbel top-k; ratio table broadcast-class at any corpus size)
+    "doc_dsir_sample",
 ]
 
 

@@ -839,3 +839,34 @@ def test_lm_score_exact_bits_and_scale_shape(spark):
     assert held[2] == round(math.log2(2), 4)  # V=2 over ref corpus
     plan = text.lm_score(docs)._jdf.queryExecution().toString()
     assert "pythonUDF" not in plan  # all-JVM scoring path
+
+
+def test_dsir_sample_selection_semantics(spark):
+    """DSIR: docs sharing the target's vocabulary outscore disjoint
+    ones, zero-gram docs are unscorable and excluded, exactly n rows
+    return with contiguous ranks, and reruns are deterministic."""
+    raw = spark.createDataFrame(
+        [
+            (1, "spark query engine fast"),
+            (2, "cat dog fish bird"),
+            (3, "spark engine query plan"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    tgt = spark.createDataFrame(
+        [(100, "spark query plan engine optimizer")],
+        "doc_id long, text string",
+    )
+    # big bucket space -> no hash collisions on this vocabulary
+    out = text.dsir_sample(raw, tgt, 3, n_buckets=1 << 20).collect()
+    got = {r["doc_id"]: r for r in out}
+    assert len(out) == 3 and 4 not in got  # zero-gram doc excluded
+    # per-gram weight: target-overlapping docs beat the disjoint one
+    assert (got[3]["log_w"] / got[3]["n_grams"]
+            > got[2]["log_w"] / got[2]["n_grams"])
+    assert (got[1]["log_w"] / got[1]["n_grams"]
+            > got[2]["log_w"] / got[2]["n_grams"])
+    assert sorted(r["rank"] for r in out) == [1, 2, 3]
+    again = text.dsir_sample(raw, tgt, 3, n_buckets=1 << 20).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
