@@ -949,6 +949,60 @@ def emb_topk_pq(spark, sf):
     return A_sim.topk_pq(e, q, k=5, refine=6, n_sub=32, ksub=16)
 
 
+def cdc_debezium_decode(spark, sf):
+    """Debezium-JSON envelope decode (engine/changelog.py
+    from_debezium_json — the reference's DebeziumEventUtils.java:24-66
+    conversion as one JVM from_json projection): the events table is
+    encoded into wire-format envelopes (op from event_type — signup=c,
+    view=r snapshot read, click/purchase=u, error=d with a
+    BEFORE-image payload; source block carrying lsn/collection/txId;
+    transaction block), then decoded back to the engine's changelog
+    shape with the payload flattened by its schema.  The oracle
+    recomputes the decoded result independently — op mapping,
+    delete-side image, schema.table collection, millisecond ts
+    truncation, txn tagging — so the whole encode->parse->project
+    chain must land on the semantics, not echo them."""
+    # epoch math on the NTZ ts and the decoded instant's rendering
+    # must agree with the oracle's naive-as-UTC reading under ANY
+    # host/session timezone (runtime SQL conf, foreign-session-safe)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = _t(spark, sf, "events")
+    payload = F.struct("user_id", "event_type", "value")
+    op_raw = (
+        F.when(F.col("event_type") == "signup", F.lit("c"))
+        .when(F.col("event_type") == "view", F.lit("r"))
+        .when(F.col("event_type") == "error", F.lit("d"))
+        .otherwise(F.lit("u"))
+    )
+    env = e.select(
+        F.to_json(
+            F.struct(
+                F.when(op_raw == "d", payload).alias("before"),
+                F.when(op_raw != "d", payload).alias("after"),
+                op_raw.alias("op"),
+                F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+                F.struct(
+                    F.lit("appdb").alias("db"),
+                    F.lit("public").alias("schema"),
+                    F.lit("events").alias("table"),
+                    F.col("event_id").alias("lsn"),
+                    F.col("user_id").cast("string").alias("txId"),
+                ).alias("source"),
+                F.struct(
+                    F.concat_ws(":", "user_id", "event_id").alias("id"),
+                    F.lit(1).cast("long").alias("total_order"),
+                    F.lit(1).cast("long").alias("data_collection_order"),
+                ).alias("transaction"),
+            )
+        ).alias("value")
+    )
+    from airbyte_spark.engine.changelog import from_debezium_json
+
+    return from_debezium_json(
+        env, image_schema="user_id bigint, event_type string, value double"
+    )
+
+
 # ---------------------------------------------------------------------------
 # the CDC engine end-to-end (non-SQL: COW merge + epochs; rows-only check)
 # ---------------------------------------------------------------------------
@@ -2004,6 +2058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bm25_rank": doc_bm25_rank,
         "doc_lm_score": doc_lm_score,
         "doc_dsir_sample": doc_dsir_sample,
+        "cdc_debezium_decode": cdc_debezium_decode,
         "events_sessionize": events_sessionize,
         "doc_repetition": doc_repetition,
         "doc_pii_scrub": doc_pii_scrub,
@@ -2820,6 +2875,18 @@ FROM d LEFT JOIN (
   SELECT doc_id, count(*) AS n, round(avg(bits), 4) AS bits_per_token
   FROM sc GROUP BY doc_id
 ) s ON d.doc_id = s.doc_id
+""",
+        "cdc_debezium_decode": """
+SELECT event_id AS lsn,
+       CASE WHEN event_type IN ('signup', 'view') THEN 'i'
+            WHEN event_type = 'error' THEN 'd'
+            ELSE 'u' END AS op,
+       'public.events' AS collection,
+       make_timestamp(epoch_ms(ts) * 1000) AS ts,
+       CAST(user_id AS VARCHAR) || ':' || CAST(event_id AS VARCHAR) AS txn_id,
+       CAST(1 AS BIGINT) AS txn_order,
+       user_id, event_type, value
+FROM events
 """,
         "doc_dsir_sample": f"""
 WITH d AS (

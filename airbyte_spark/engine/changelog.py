@@ -123,3 +123,84 @@ def base_table(
     return lww_dedup(ev, ["repo", "path"], ["lsn"]).select(
         "repo", "path", "commit", "lang", "content"
     )
+
+
+# The Debezium change-event envelope, as it arrives on the wire
+# (Kafka value / file dump): before/after images, op, source block,
+# optional transaction block (DebeziumEventUtils.java:24-66 consumes
+# exactly these fields).  before/after are declared STRING so the
+# decode is schema-agnostic: Spark's from_json returns the raw JSON
+# text of object-valued fields, and the payload flattens in a second
+# from_json only when the caller supplies its schema.
+DEBEZIUM_ENVELOPE_DDL = (
+    "before string, after string, op string, ts_ms bigint, "
+    "source struct<db:string,schema:string,table:string,lsn:bigint,txId:string>, "
+    "transaction struct<id:string,total_order:bigint,data_collection_order:bigint>"
+)
+
+
+def from_debezium_json(
+    df: DataFrame,
+    value_col: str = "value",
+    *,
+    image_schema: str | None = None,
+    drop_tombstones: bool = True,
+) -> DataFrame:
+    """Decode raw Debezium-JSON change events into the engine's
+    changelog shape — the on-ramp for users whose CDC stream already
+    exists as Debezium envelopes in Kafka topics or file dumps (the
+    reference consumes these in DebeziumEventUtils.java:24-66; this
+    is that conversion as one JVM ``from_json`` projection, no
+    Python per row).
+
+    * ``op`` maps Debezium's enum to the engine's: ``c`` (create) and
+      ``r`` (snapshot read) -> ``i``, ``u`` -> ``u``, ``d`` -> ``d``;
+      unknown ops yield NULL (filter or fail upstream, never guess).
+    * the row image is ``after`` for upserts and ``before`` for
+      deletes (the only image a delete carries), kept as a raw JSON
+      string unless ``image_schema`` (a DDL string) flattens it into
+      typed columns — compose with engine/raw.py for drift-tolerant
+      typing instead when the payload schema is unknown.
+    * ``lsn`` comes from ``source.lsn``, ``collection`` from
+      ``source.schema|db`` + ``source.table`` (Postgres uses schema,
+      MySQL db), ``ts`` from ``ts_ms`` (millisecond precision — the
+      envelope's own), ``txn_id``/``txn_order`` from the transaction
+      block when present (feeds apply_batch_txn alignment).
+    * Kafka emits a NULL-value tombstone after each delete event for
+      log compaction; ``drop_tombstones`` discards those rows (and
+      unparseable garbage) instead of surfacing them as all-NULL
+      changes.
+
+    The projection is a single narrow map over the stream — it fuses
+    into the scan, preserves the source partitioning, and at 10^10
+    events costs one pass with zero shuffles."""
+    e = df.select(F.from_json(F.col(value_col), DEBEZIUM_ENVELOPE_DDL).alias("_e"))
+    if drop_tombstones:
+        e = e.filter(F.col("_e").isNotNull() & F.col("_e.op").isNotNull())
+    op = (
+        F.when(F.col("_e.op").isin("c", "r"), F.lit("i"))
+        .when(F.col("_e.op") == "u", F.lit("u"))
+        .when(F.col("_e.op") == "d", F.lit("d"))
+    )
+    image = F.when(F.col("_e.op") == "d", F.col("_e.before")).otherwise(
+        F.col("_e.after")
+    )
+    out = e.select(
+        F.col("_e.source.lsn").alias("lsn"),
+        op.alias("op"),
+        F.concat_ws(
+            ".",
+            F.coalesce(F.col("_e.source.schema"), F.col("_e.source.db")),
+            F.col("_e.source.table"),
+        ).alias("collection"),
+        image.alias("image"),
+        F.timestamp_millis(F.col("_e.ts_ms")).alias("ts"),
+        F.col("_e.transaction.id").alias("txn_id"),
+        F.col("_e.transaction.total_order").alias("txn_order"),
+    )
+    if image_schema is not None:
+        meta = [c for c in out.columns if c != "image"]
+        out = out.select(
+            *meta, F.from_json("image", image_schema).alias("_img")
+        ).select(*meta, "_img.*")
+    return out

@@ -112,6 +112,9 @@ BENCH_QUERIES = [
     # round 4: DSIR importance resampling (hashed-gram densities +
     # Gumbel top-k; ratio table broadcast-class at any corpus size)
     "doc_dsir_sample",
+    # round 4: Debezium-JSON envelope decode (encode->parse->project,
+    # one narrow JVM map, zero shuffles)
+    "cdc_debezium_decode",
 ]
 
 

@@ -1,0 +1,75 @@
+"""from_debezium_json: the wire-format on-ramp into the changelog
+shape (op mapping, delete before-images, tombstones, collection
+fallback, txn tagging, payload flattening)."""
+
+from pyspark.sql import functions as F
+
+from airbyte_spark.engine.changelog import from_debezium_json
+
+
+def _env(spark, rows):
+    return spark.createDataFrame([(r,) for r in rows], "value string")
+
+
+def test_decode_full_envelope_semantics(spark):
+    rows = [
+        # create: after image, postgres-style source with schema
+        '{"before":null,"after":{"k":1,"v":"a"},"op":"c","ts_ms":1000,'
+        '"source":{"db":"d","schema":"public","table":"t","lsn":10,"txId":"7"},'
+        '"transaction":{"id":"7:10","total_order":1,"data_collection_order":1}}',
+        # snapshot read maps to insert
+        '{"after":{"k":2,"v":"b"},"op":"r","ts_ms":2000,'
+        '"source":{"db":"d","schema":"public","table":"t","lsn":11}}',
+        # update
+        '{"before":{"k":1,"v":"a"},"after":{"k":1,"v":"c"},"op":"u","ts_ms":3000,'
+        '"source":{"db":"d","schema":"public","table":"t","lsn":12}}',
+        # delete: the image is the BEFORE image (the only one it has)
+        '{"before":{"k":2,"v":"b"},"after":null,"op":"d","ts_ms":4000,'
+        '"source":{"db":"d","schema":"public","table":"t","lsn":13}}',
+        # mysql-style source: no schema -> db qualifies the collection
+        '{"after":{"k":3,"v":"e"},"op":"c","ts_ms":5000,'
+        '"source":{"db":"mydb","table":"t","lsn":14}}',
+    ]
+    got = {r["lsn"]: r for r in from_debezium_json(_env(spark, rows)).collect()}
+    assert [got[i]["op"] for i in (10, 11, 12, 13, 14)] == list("iiudi")
+    assert got[13]["image"] == '{"k":2,"v":"b"}'   # delete keeps before
+    assert got[12]["image"] == '{"k":1,"v":"c"}'   # update keeps after
+    assert got[10]["collection"] == "public.t"
+    assert got[14]["collection"] == "mydb.t"       # db fallback
+    assert got[10]["txn_id"] == "7:10" and got[10]["txn_order"] == 1
+    assert got[11]["txn_id"] is None               # txn block optional
+    assert got[10]["ts"].isoformat().startswith("1970-01-01")
+
+
+def test_decode_tombstones_and_unknown_ops(spark):
+    rows = [
+        None,                      # Kafka compaction tombstone
+        "not json at all",         # garbage
+        '{"after":{"k":1},"op":"x","ts_ms":1,'
+        '"source":{"db":"d","table":"t","lsn":1}}',  # unknown op
+        '{"after":{"k":1},"op":"c","ts_ms":1,'
+        '"source":{"db":"d","table":"t","lsn":2}}',
+    ]
+    out = from_debezium_json(_env(spark, rows)).collect()
+    # tombstone + garbage dropped; unknown op surfaces as NULL op
+    assert sorted((r["lsn"], r["op"]) for r in out) == [(1, None), (2, "i")]
+    kept = from_debezium_json(_env(spark, rows), drop_tombstones=False)
+    assert kept.count() == 4  # opt out: all-NULL rows surface
+
+
+def test_decode_flattens_payload_schema(spark):
+    rows = [
+        '{"after":{"k":1,"v":"a","extra":9},"op":"c","ts_ms":1,'
+        '"source":{"db":"d","table":"t","lsn":1}}',
+        '{"before":{"k":2,"v":"b"},"op":"d","ts_ms":2,'
+        '"source":{"db":"d","table":"t","lsn":2}}',
+    ]
+    out = from_debezium_json(
+        _env(spark, rows), image_schema="k bigint, v string"
+    )
+    assert "image" not in out.columns
+    got = {r["lsn"]: (r["k"], r["v"]) for r in out.collect()}
+    assert got == {1: (1, "a"), 2: (2, "b")}  # delete flattens before
+    # the projection is a narrow map: no shuffle anywhere in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
