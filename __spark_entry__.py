@@ -1003,6 +1003,90 @@ def cdc_debezium_decode(spark, sf):
     )
 
 
+def events_airbyte_roundtrip(spark, sf):
+    """Airbyte protocol lines, both directions (engine/protocol.py —
+    the reference's stdout/stdin wire format, entrypoint.py:128-132):
+    every event row encodes as an AirbyteMessage RECORD JSON line
+    (deterministic emitted_at from the event time) and decodes back
+    through the schema-agnostic envelope parse + payload flatten.
+    The oracle computes the decoded result directly, so the
+    encode->parse->flatten chain must be lossless."""
+    from airbyte_spark.engine.protocol import (
+        from_airbyte_messages, to_airbyte_messages,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = _t(spark, sf, "events")
+    enc = to_airbyte_messages(
+        e, "events", namespace="public",
+        emitted_at=F.unix_millis(F.col("ts").cast("timestamp")),
+        data_cols=["event_id", "user_id", "event_type", "value"],
+    )
+    return from_airbyte_messages(
+        enc,
+        data_schema="event_id bigint, user_id bigint,"
+                    " event_type string, value double",
+    )
+
+
+def cdc_oplog_decode(spark, sf):
+    """MongoDB classic-oplog decode (engine/changelog.py
+    from_mongo_oplog — the $set/$unset delta format feeding the
+    partial-image merge path): events encode as oplog entries
+    (signup=insert, error=delete, click=$set delta with an $unset,
+    purchase=full-replace update, view=noop housekeeping), then
+    decode to the partial-image changelog shape.  The oracle
+    recomputes the result — BSON-Timestamp lsn math, per-op image
+    choice, changed-column sets, noop dropping — independently."""
+    from airbyte_spark.engine.changelog import from_mongo_oplog
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = _t(spark, sf, "events")
+    key = F.col("event_id").cast("string")
+    tsp = F.struct(
+        F.unix_seconds(F.col("ts").cast("timestamp")).alias("t"),
+        F.pmod(F.col("event_id"), F.lit(1000)).cast("long").alias("i"),
+    )
+    full_doc = F.struct(
+        key.alias("_id"), F.col("event_type").alias("event_type"),
+        F.col("value").alias("value"),
+    )
+    key_doc = F.struct(key.alias("_id"))
+
+    def env(op, o, with_o2=False):
+        fields = [
+            tsp.alias("ts"), F.lit(op).alias("op"),
+            F.lit("appdb.events").alias("ns"), o.alias("o"),
+        ]
+        if with_o2:
+            fields.append(key_doc.alias("o2"))
+        return F.to_json(F.struct(*fields))
+
+    delta_doc = F.struct(
+        F.struct(F.col("value").alias("value")).alias("$set"),
+        F.struct(F.lit(True).alias("props")).alias("$unset"),
+    )
+    noop_doc = F.struct(F.lit("hb").alias("msg"))
+    line = (
+        F.when(F.col("event_type") == "signup", env("i", full_doc))
+        .when(F.col("event_type") == "error", env("d", key_doc))
+        .when(F.col("event_type") == "click", env("u", delta_doc, True))
+        .when(F.col("event_type") == "purchase", env("u", full_doc, True))
+        .otherwise(env("n", noop_doc))
+    )
+    out = from_mongo_oplog(
+        e.select(line.alias("value")),
+        image_schema="event_type string, value double",
+    )
+    # arrays stringify differently across engines: compare as a
+    # sorted comma-join
+    return out.select(
+        "lsn", "op", "collection", "doc_key", "ts",
+        F.array_join(F.sort_array("changed_cols"), ",").alias("changed"),
+        "event_type", "value",
+    )
+
+
 # ---------------------------------------------------------------------------
 # the CDC engine end-to-end (non-SQL: COW merge + epochs; rows-only check)
 # ---------------------------------------------------------------------------
@@ -2059,6 +2143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_score": doc_lm_score,
         "doc_dsir_sample": doc_dsir_sample,
         "cdc_debezium_decode": cdc_debezium_decode,
+        "events_airbyte_roundtrip": events_airbyte_roundtrip,
+        "cdc_oplog_decode": cdc_oplog_decode,
         "events_sessionize": events_sessionize,
         "doc_repetition": doc_repetition,
         "doc_pii_scrub": doc_pii_scrub,
@@ -2887,6 +2973,30 @@ SELECT event_id AS lsn,
        CAST(1 AS BIGINT) AS txn_order,
        user_id, event_type, value
 FROM events
+""",
+        "events_airbyte_roundtrip": """
+SELECT 'events' AS stream,
+       'public' AS namespace,
+       make_timestamp(epoch_ms(ts) * 1000) AS emitted_at,
+       event_id, user_id, event_type, value
+FROM events
+""",
+        "cdc_oplog_decode": """
+SELECT CAST(floor(epoch(ts)) AS BIGINT) * 4294967296
+         + (event_id % 1000) AS lsn,
+       CASE WHEN event_type = 'signup' THEN 'i'
+            WHEN event_type = 'error' THEN 'd'
+            ELSE 'u' END AS op,
+       'appdb.events' AS collection,
+       CAST(event_id AS VARCHAR) AS doc_key,
+       make_timestamp(CAST(floor(epoch(ts)) AS BIGINT) * 1000000) AS ts,
+       CASE WHEN event_type = 'click' THEN 'props,value' END AS changed,
+       CASE WHEN event_type IN ('signup', 'purchase')
+            THEN event_type END AS event_type,
+       CASE WHEN event_type IN ('signup', 'purchase', 'click')
+            THEN value END AS value
+FROM events
+WHERE event_type IN ('signup', 'error', 'click', 'purchase')
 """,
         "doc_dsir_sample": f"""
 WITH d AS (

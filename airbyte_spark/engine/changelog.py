@@ -204,3 +204,104 @@ def from_debezium_json(
             *meta, F.from_json("image", image_schema).alias("_img")
         ).select(*meta, "_img.*")
     return out
+
+
+def _oplog_schema():
+    """Envelope schema built programmatically: ``$set``/``$unset``
+    are legal JSON keys but not legal DDL identifiers."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    ts = StructType([StructField("t", LongType()), StructField("i", LongType())])
+    return StructType(
+        [
+            StructField("ts", ts),
+            StructField("op", StringType()),
+            StructField("ns", StringType()),
+            StructField("o", StringType()),    # raw JSON text (document / $set delta)
+            StructField("o2", StringType()),   # update/delete key document
+        ]
+    )
+
+
+def _set_unset_schema():
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    return StructType(
+        [StructField("$set", StringType()), StructField("$unset", StringType())]
+    )
+
+
+def from_mongo_oplog(
+    df: DataFrame,
+    value_col: str = "value",
+    *,
+    image_schema: str | None = None,
+    drop_noops: bool = True,
+) -> DataFrame:
+    """Decode classic MongoDB oplog entries (JSON) into the engine's
+    PARTIAL-IMAGE changelog shape — the other wire format the
+    reference's CDC sources consume (source-mongodb wraps Debezium's
+    oplog/change-stream reader; the update deltas are the
+    ``$set``/``$unset`` form this decoder handles).  Updates carry
+    only the fields a ``$set`` touched, so the output feeds
+    ``lww_dedup_partial`` / ``merge_lww(sparse_cols=...)`` directly:
+
+    * ``changed_cols`` lists the ``$set`` + ``$unset`` keys for a
+      delta update; a full-replace update or insert has it NULL
+      (= full image, the partial contract's marker); an ``$unset``
+      column flattens to NULL while listed as changed (= set-to-NULL,
+      never "unknown").
+    * ``lsn`` is the BSON Timestamp's total order (``t << 32 | i``) —
+      the oplog's own ordering key; ``ts`` is its seconds instant.
+    * ``doc_key`` is the ``_id`` (from ``o2`` for updates, the
+      document itself otherwise); ``collection`` is ``ns``.
+    * no-op entries (``op='n'``, cluster housekeeping) and garbage
+      drop by default.
+
+    ``image_schema`` flattens the image (insert/replace document, or
+    the ``$set`` delta) into typed columns.  One narrow JVM
+    projection — fuses into the scan, zero shuffles."""
+    e = df.select(
+        F.from_json(F.col(value_col), _oplog_schema()).alias("_e")
+    )
+    if drop_noops:
+        e = e.filter(
+            F.col("_e").isNotNull() & F.col("_e.op").isin("i", "u", "d")
+        )
+    delta = F.from_json(F.col("_e.o"), _set_unset_schema())
+    set_doc, unset_doc = delta.getField("$set"), delta.getField("$unset")
+    is_delta_update = (F.col("_e.op") == "u") & set_doc.isNotNull()
+    image = F.when(is_delta_update, set_doc).otherwise(F.col("_e.o"))
+    changed = F.when(
+        is_delta_update,
+        F.concat(
+            F.coalesce(
+                F.json_object_keys(set_doc), F.array().cast("array<string>")
+            ),
+            F.coalesce(
+                F.json_object_keys(unset_doc), F.array().cast("array<string>")
+            ),
+        ),
+    )
+    out = e.select(
+        (
+            F.col("_e.ts.t") * F.lit(1 << 32).cast("long") + F.col("_e.ts.i")
+        ).alias("lsn"),
+        F.col("_e.op").alias("op"),
+        F.col("_e.ns").alias("collection"),
+        F.coalesce(
+            F.get_json_object(F.col("_e.o2"), "$._id"),
+            F.get_json_object(F.col("_e.o"), "$._id"),
+        ).alias("doc_key"),
+        F.timestamp_seconds(F.col("_e.ts.t")).alias("ts"),
+        changed.alias("changed_cols"),
+        image.alias("image"),
+    )
+    if image_schema is not None:
+        meta = [c for c in out.columns if c != "image"]
+        out = out.select(
+            *meta, F.from_json("image", image_schema).alias("_img")
+        ).select(*meta, "_img.*")
+    return out

@@ -1,0 +1,136 @@
+"""The Airbyte message protocol as DataFrame transforms.
+
+Reference (Newton-School/airbyte): sources print AirbyteMessage JSON
+lines to stdout and destinations read them from stdin
+(airbyte_cdk/entrypoint.py:128-132 emits; docs/understanding-airbyte/
+airbyte-protocol.md defines RECORD/STATE/LOG envelopes) — the
+process-pipe wire format every connector speaks.  This module speaks
+it from Spark, both directions, so a user mid-migration can:
+
+* **ingest** an existing source's captured stdout (files/Kafka of
+  protocol lines) straight into this engine
+  (``from_airbyte_messages`` → engine/raw.py typing → lake merge);
+* **emit** protocol lines from any DataFrame for a still-Airbyte
+  destination (``to_airbyte_messages`` → write as text/Kafka).
+
+Both are single narrow JVM projections (``from_json``/``to_json``) —
+they fuse into the scan, preserve partitioning, and shuffle nothing.
+State messages are driver-side one-liners (per-stream cursor JSON),
+matching the protocol's STATE cadence.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# The RECORD envelope, schema-agnostic: ``data`` is declared STRING
+# so from_json hands back the raw JSON object text, flattened later
+# by the caller's schema (or engine/raw.py's drift-tolerant typing).
+AIRBYTE_MESSAGE_DDL = (
+    "type string, "
+    "record struct<stream:string,namespace:string,emitted_at:bigint,data:string>, "
+    "state string, log struct<level:string,message:string>"
+)
+
+
+def to_airbyte_messages(
+    df: DataFrame,
+    stream: str,
+    *,
+    namespace: str | None = None,
+    emitted_at: Column | None = None,
+    data_cols: list[str] | None = None,
+) -> DataFrame:
+    """Encode every row as an AirbyteMessage RECORD JSON line
+    (``{"type":"RECORD","record":{stream,namespace,emitted_at,data}}``,
+    airbyte-protocol.md's record envelope).  ``data`` is the row as a
+    JSON object of all columns.  ``emitted_at`` is epoch millis —
+    pass a deterministic column (e.g. derived from an event time) for
+    reproducible output; defaults to the wall clock like the CDK.
+    ``data_cols`` restricts which columns serialize into ``data``
+    (so an emitted_at source column need not ride along).
+
+    Returns one ``value`` string column: write it with
+    ``df.write.text(...)`` for a stdout-shaped dump or to a Kafka
+    value.  One narrow projection, no shuffle."""
+    ts = (
+        emitted_at
+        if emitted_at is not None
+        else F.unix_millis(F.current_timestamp())
+    )
+    record = F.struct(
+        F.lit(stream).alias("stream"),
+        F.lit(namespace).cast("string").alias("namespace"),
+        ts.cast("long").alias("emitted_at"),
+        F.to_json(
+            F.struct(*[F.col(c) for c in (data_cols or df.columns)])
+        ).alias("data"),
+    )
+    return df.select(
+        F.to_json(
+            F.struct(F.lit("RECORD").alias("type"), record.alias("record"))
+        ).alias("value")
+    )
+
+
+def from_airbyte_messages(
+    df: DataFrame,
+    value_col: str = "value",
+    *,
+    data_schema: str | None = None,
+    streams: list[str] | None = None,
+) -> DataFrame:
+    """Decode AirbyteMessage JSON lines into (stream, namespace,
+    emitted_at, data) rows — the ingest side of the protocol pipe.
+    Non-RECORD lines (STATE/LOG/TRACE) and garbage are dropped: state
+    is a control-plane signal consumed by the runner, not row data
+    (the reference's destination runners do the same split,
+    airbyte-protocol.md STATE semantics).
+
+    ``data`` stays a raw JSON string unless ``data_schema`` (DDL)
+    flattens it into typed columns; prefer engine/raw.py's
+    drift-tolerant typing when the upstream schema is unreliable.
+    ``streams`` filters to an include-list before anything else.
+    One narrow projection, no shuffle."""
+    e = df.select(
+        F.from_json(F.col(value_col), AIRBYTE_MESSAGE_DDL).alias("_m")
+    ).filter(F.col("_m.type") == "RECORD")
+    if streams is not None:
+        e = e.filter(F.col("_m.record.stream").isin(streams))
+    out = e.select(
+        F.col("_m.record.stream").alias("stream"),
+        F.col("_m.record.namespace").alias("namespace"),
+        F.timestamp_millis(F.col("_m.record.emitted_at")).alias("emitted_at"),
+        F.col("_m.record.data").alias("data"),
+    )
+    if data_schema is not None:
+        meta = [c for c in out.columns if c != "data"]
+        out = out.select(
+            *meta, F.from_json("data", data_schema).alias("_d")
+        ).select(*meta, "_d.*")
+    return out
+
+
+def state_message(stream: str, state: dict, *, namespace: str | None = None) -> str:
+    """One STATE JSON line (STREAM-scoped, the protocol's
+    per-stream checkpoint shape).  Driver-side: state is a cursor
+    dict the runner already holds — never row data."""
+    descriptor: dict = {"name": stream}
+    if namespace is not None:
+        descriptor["namespace"] = namespace
+    return json.dumps(
+        {
+            "type": "STATE",
+            "state": {
+                "type": "STREAM",
+                "stream": {
+                    "stream_descriptor": descriptor,
+                    "stream_state": state,
+                },
+            },
+        },
+        separators=(",", ":"),
+    )

@@ -115,6 +115,10 @@ BENCH_QUERIES = [
     # round 4: Debezium-JSON envelope decode (encode->parse->project,
     # one narrow JVM map, zero shuffles)
     "cdc_debezium_decode",
+    # round 4: Airbyte protocol lines both directions + MongoDB
+    # classic-oplog ($set/$unset) decode — narrow JVM maps
+    "events_airbyte_roundtrip",
+    "cdc_oplog_decode",
 ]
 
 

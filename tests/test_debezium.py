@@ -73,3 +73,95 @@ def test_decode_flattens_payload_schema(spark):
     # the projection is a narrow map: no shuffle anywhere in the plan
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# --- Airbyte protocol lines (engine/protocol.py) ---
+
+
+def test_airbyte_messages_roundtrip(spark):
+    """encode -> decode returns the original rows; STATE/LOG lines
+    and foreign streams drop; plans stay shuffle-free."""
+    from airbyte_spark.engine.protocol import (
+        from_airbyte_messages, state_message, to_airbyte_messages,
+    )
+
+    rows = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None)], "id long, s string, v double"
+    )
+    enc = to_airbyte_messages(
+        rows, "t1", namespace="public", emitted_at=F.lit(1234)
+    )
+    line = enc.first()["value"]
+    assert line.startswith('{"type":"RECORD","record":{"stream":"t1"')
+    extra = spark.createDataFrame(
+        [
+            (state_message("t1", {"cursor": 5}),),
+            ('{"type":"LOG","log":{"level":"INFO","message":"hi"}}',),
+            ('{"type":"RECORD","record":{"stream":"other","emitted_at":1,'
+             '"data":{"id":9}}}',),
+        ],
+        "value string",
+    )
+    dec = from_airbyte_messages(
+        enc.unionAll(extra), data_schema="id long, s string, v double",
+        streams=["t1"],
+    )
+    got = sorted((r["id"], r["s"], r["v"]) for r in dec.collect())
+    assert got == [(1, "a", 1.5), (2, "b", None)]
+    assert dec.first()["stream"] == "t1"
+    assert dec.first()["namespace"] == "public"
+    assert dec.first()["emitted_at"].isoformat().startswith("1970-01-01")
+    plan = dec._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_state_message_shape():
+    import json
+
+    from airbyte_spark.engine.protocol import state_message
+
+    m = json.loads(state_message("s1", {"cursor": "2024-01-01"}, namespace="n"))
+    assert m["type"] == "STATE" and m["state"]["type"] == "STREAM"
+    sd = m["state"]["stream"]
+    assert sd["stream_descriptor"] == {"name": "s1", "namespace": "n"}
+    assert sd["stream_state"] == {"cursor": "2024-01-01"}
+
+
+# --- MongoDB oplog (engine/changelog.from_mongo_oplog) ---
+
+
+def test_mongo_oplog_decode_semantics(spark):
+    from airbyte_spark.engine.changelog import from_mongo_oplog
+
+    rows = [
+        # insert: full document, key inside o
+        '{"ts":{"t":100,"i":1},"op":"i","ns":"db.c",'
+        '"o":{"_id":"k1","a":1,"b":"x"}}',
+        # delta update: $set + $unset -> changed_cols lists both,
+        # unset column flattens to NULL
+        '{"ts":{"t":100,"i":2},"op":"u","ns":"db.c",'
+        '"o":{"$set":{"a":2},"$unset":{"b":true}},"o2":{"_id":"k1"}}',
+        # full-replace update: no $set -> changed_cols NULL (full image)
+        '{"ts":{"t":101,"i":1},"op":"u","ns":"db.c",'
+        '"o":{"_id":"k2","a":7,"b":"y"},"o2":{"_id":"k2"}}',
+        # delete: key-only document
+        '{"ts":{"t":102,"i":1},"op":"d","ns":"db.c","o":{"_id":"k1"}}',
+        # noop: dropped
+        '{"ts":{"t":103,"i":1},"op":"n","ns":"db.c","o":{"msg":"hb"}}',
+    ]
+    df = spark.createDataFrame([(r,) for r in rows], "value string")
+    out = from_mongo_oplog(df, image_schema="a bigint, b string").collect()
+    got = {r["lsn"]: r for r in out}
+    assert len(out) == 4  # noop gone
+    assert got[100 * (1 << 32) + 1]["op"] == "i"
+    ins = got[100 * (1 << 32) + 1]
+    assert (ins["doc_key"], ins["a"], ins["b"]) == ("k1", 1, "x")
+    assert ins["changed_cols"] is None  # insert = full image
+    upd = got[100 * (1 << 32) + 2]
+    assert sorted(upd["changed_cols"]) == ["a", "b"]
+    assert (upd["doc_key"], upd["a"], upd["b"]) == ("k1", 2, None)
+    rep = got[101 * (1 << 32) + 1]
+    assert rep["changed_cols"] is None and rep["a"] == 7  # full replace
+    dele = got[102 * (1 << 32) + 1]
+    assert dele["op"] == "d" and dele["doc_key"] == "k1"
+    assert dele["ts"].isoformat().startswith("1970-01-01T00:01:42")
