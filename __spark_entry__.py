@@ -1003,6 +1003,21 @@ def cdc_debezium_decode(spark, sf):
     )
 
 
+def events_windowed_agg(spark, sf):
+    """Event-time tumbling windows (streaming/windows.py windowed_agg
+    — the same plan Structured Streaming runs with a watermark; the
+    late-data contract is pinned in tests/test_windows.py): hourly
+    per-event-type counts and value sums.  One hash shuffle with
+    map-side partial aggregation; the oracle recomputes the bucketing
+    with time_bucket."""
+    from airbyte_spark.streaming.windows import windowed_agg
+
+    return windowed_agg(
+        _t(spark, sf, "events"), key_cols=["event_type"],
+        window="1 hour", value_col="value",
+    )
+
+
 def events_airbyte_roundtrip(spark, sf):
     """Airbyte protocol lines, both directions (engine/protocol.py —
     the reference's stdout/stdin wire format, entrypoint.py:128-132):
@@ -2144,6 +2159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dsir_sample": doc_dsir_sample,
         "cdc_debezium_decode": cdc_debezium_decode,
         "events_airbyte_roundtrip": events_airbyte_roundtrip,
+        "events_windowed_agg": events_windowed_agg,
         "cdc_oplog_decode": cdc_oplog_decode,
         "events_sessionize": events_sessionize,
         "doc_repetition": doc_repetition,
@@ -2973,6 +2989,15 @@ SELECT event_id AS lsn,
        CAST(1 AS BIGINT) AS txn_order,
        user_id, event_type, value
 FROM events
+""",
+        "events_windowed_agg": """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS win_end,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
 """,
         "events_airbyte_roundtrip": """
 SELECT 'events' AS stream,

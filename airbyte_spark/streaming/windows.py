@@ -1,0 +1,67 @@
+"""Event-time windowed aggregation with watermarked late-data
+handling.
+
+Reference behavior: the reference has no event-time windowing —
+its streams are change-replication pipes (SURVEY.md §2.6 lists
+event-time windows N/A) and any time bucketing happens downstream in
+dbt SQL over the landed table.  A Spark-native ingest engine gets
+this for free from Structured Streaming, and a training-data /
+telemetry pipeline needs it (per-window event rates, drift monitors,
+rollups at ingest time), so the engine exposes the canonical form:
+
+* ``windowed_agg`` — tumbling or sliding event-time windows over an
+  (optional) key, counting rows and summing a value column.  On a
+  STREAM: pair with ``withWatermark`` (the ``watermark`` arg) so
+  state for closed windows is dropped and append-mode emits each
+  window exactly once, late rows beyond the watermark discarded —
+  Spark's documented late-data contract.  On a BATCH frame the same
+  plan runs as a plain grouped aggregation (watermark is a no-op),
+  which is how the DuckDB oracle verifies the bucketing math.
+
+Scale: one hash shuffle on (window, key) with map-side partial
+aggregation; sliding windows multiply rows by window/slide before
+the partial agg, never after; state size is bounded by watermark ×
+key cardinality.  All JVM expressions — no Python in the path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_agg(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_cols: list[str] | None = None,
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str | None = None,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Tumbling (default) or sliding (``slide``) event-time windows:
+    one row per (window, *key_cols) with ``n_events`` and — when
+    ``value_col`` is given — ``sum_value`` (2dp).  ``watermark``
+    (e.g. ``"30 minutes"``) bounds lateness on streaming input and
+    MUST be set there (append mode refuses unbounded state without
+    it); leave None for batch.  Watermarks are defined on instants,
+    so an NTZ event-time column is cast to TIMESTAMP (session-tz
+    wall time) on the watermark path — pin the session timezone when
+    the source column is NTZ."""
+    if watermark is not None:
+        if dict(df.dtypes)[ts_col] == "timestamp_ntz":
+            df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        df = df.withWatermark(ts_col, watermark)
+    win = F.window(ts_col, window, slide or window)
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.round(F.sum(value_col), 2).alias("sum_value"))
+    keys = list(key_cols or [])
+    out = df.groupBy(win.alias("_w"), *keys).agg(*aggs)
+    return out.select(
+        F.col("_w.start").alias("win_start"),
+        F.col("_w.end").alias("win_end"),
+        *keys,
+        *[c for c in ("n_events", "sum_value") if c in out.columns],
+    )

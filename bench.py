@@ -119,6 +119,9 @@ BENCH_QUERIES = [
     # classic-oplog ($set/$unset) decode — narrow JVM maps
     "events_airbyte_roundtrip",
     "cdc_oplog_decode",
+    # round 4: event-time tumbling windows (one partial-agg shuffle;
+    # streaming watermark contract pinned in tests/test_windows.py)
+    "events_windowed_agg",
 ]
 
 

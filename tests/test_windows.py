@@ -1,0 +1,91 @@
+"""Event-time windowed aggregation: batch bucketing math and the
+streaming watermark contract (append-once emission, late-row drop)."""
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from airbyte_spark.streaming.windows import windowed_agg
+
+
+def test_batch_window_bucketing(spark):
+    rows = spark.createDataFrame(
+        [
+            ("2024-01-01 00:01:00", "a", 1.0),
+            ("2024-01-01 00:09:59", "a", 2.0),
+            ("2024-01-01 00:10:00", "a", 4.0),   # next bucket boundary
+            ("2024-01-01 00:03:00", "b", 8.0),
+        ],
+        "ts_s string, k string, v double",
+    ).select(F.col("ts_s").cast("timestamp_ntz").alias("ts"), "k", "v")
+    got = {
+        (str(r["win_start"]), r["k"]): (r["n_events"], r["sum_value"])
+        for r in windowed_agg(
+            rows, key_cols=["k"], window="10 minutes", value_col="v"
+        ).collect()
+    }
+    assert got == {
+        ("2024-01-01 00:00:00", "a"): (2, 3.0),
+        ("2024-01-01 00:10:00", "a"): (1, 4.0),
+        ("2024-01-01 00:00:00", "b"): (1, 8.0),
+    }
+    # sliding: each row lands in window/slide = 2 windows
+    slid = windowed_agg(rows, window="10 minutes", slide="5 minutes")
+    assert slid.agg(F.sum("n_events")).collect()[0][0] == 8
+
+
+def test_streaming_watermark_drops_late_rows(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    os.makedirs(src)
+
+    def land(name, rows):
+        spark.createDataFrame(rows, "ts_s string, k string").select(
+            F.col("ts_s").cast("timestamp_ntz").alias("ts"), "k"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/{name}")
+        time.sleep(0.05)  # distinct mtimes -> deterministic batch order
+
+    # batch 0: two rows in the 00:00 window
+    land("f1", [("2024-01-01 00:01:00", "a"), ("2024-01-01 00:05:00", "a")])
+    # batch 1: event time jumps 2h -> watermark will pass 00:00
+    land("f2", [("2024-01-01 02:00:00", "a")])
+    # batch 2: late row STILL ACCEPTED — Spark filters late records
+    # with the PREVIOUS batch's watermark (one-batch lag) while this
+    # batch's eviction watermark (01:30) closes + emits the window
+    land("f3", [("2024-01-01 00:02:00", "a")])
+    # batch 3: now TRULY late (past the filter watermark) -> dropped
+    land("f4", [("2024-01-01 00:03:00", "a")])
+    # batch 4: advance again — if f4 had leaked into fresh state for
+    # the evicted window, this batch would emit a spurious (00:00, 1)
+    land("f5", [("2024-01-01 03:00:00", "a")])
+
+    sdf = (
+        spark.readStream.schema("ts timestamp_ntz, k string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = (
+        windowed_agg(
+            sdf, key_cols=["k"], window="10 minutes", watermark="30 minutes"
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (str(r["win_start"]), r["n_events"])
+        for r in spark.read.parquet(out).collect()
+    )
+    # the 00:00 window emitted EXACTLY ONCE (append mode), counting
+    # the on-time rows + the one-batch-lag late row; the truly-late
+    # f4 row vanished (no spurious (00:00, 1) re-emission once f5
+    # advanced the watermark past the evicted window); the 02:00
+    # window closed in availableNow's finalization batch; 03:00 is
+    # still open
+    assert got == [("2024-01-01 00:00:00", 3), ("2024-01-01 02:00:00", 1)]
