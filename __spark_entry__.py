@@ -1003,6 +1003,27 @@ def cdc_debezium_decode(spark, sf):
     )
 
 
+def events_mapped(spark, sf):
+    """Connection-level mappers (engine/mappers.py — the platform's
+    per-connection hash/rename/drop/row-filter transforms, applied
+    mid-sync so PII never lands raw): salted sha256 field hashing, a
+    rename, a field drop, and a row filter over the renamed column,
+    all pure JVM expressions folded into one projection.  The oracle
+    recomputes every transform in SQL."""
+    from airbyte_spark.engine.mappers import apply_mappers
+
+    return apply_mappers(
+        _t(spark, sf, "events"),
+        [
+            {"type": "hash", "field": "event_type", "method": "sha256",
+             "salt": "k"},
+            {"type": "rename", "field": "value", "to": "amount"},
+            {"type": "drop", "field": "props"},
+            {"type": "filter", "expr": "amount >= 1.0"},
+        ],
+    ).select("event_id", "user_id", "event_type", "amount", "ts")
+
+
 def events_windowed_agg(spark, sf):
     """Event-time tumbling windows (streaming/windows.py windowed_agg
     — the same plan Structured Streaming runs with a watermark; the
@@ -2160,6 +2181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_debezium_decode": cdc_debezium_decode,
         "events_airbyte_roundtrip": events_airbyte_roundtrip,
         "events_windowed_agg": events_windowed_agg,
+        "events_mapped": events_mapped,
         "cdc_oplog_decode": cdc_oplog_decode,
         "events_sessionize": events_sessionize,
         "doc_repetition": doc_repetition,
@@ -2989,6 +3011,14 @@ SELECT event_id AS lsn,
        CAST(1 AS BIGINT) AS txn_order,
        user_id, event_type, value
 FROM events
+""",
+        "events_mapped": """
+SELECT event_id, user_id,
+       CASE WHEN event_type IS NOT NULL
+            THEN sha256(event_type || 'k') END AS event_type,
+       value AS amount, ts
+FROM events
+WHERE value >= 1.0
 """,
         "events_windowed_agg": """
 SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,

@@ -49,6 +49,8 @@ class StreamSpec:
     # (oplog $set / minimal row image) data columns (engine/toast.py)
     txn_aligned: bool = False  # hold back incomplete source
     # transactions per microbatch (engine/txn.py)
+    mappers: list[dict] = field(default_factory=list)  # connection-level
+    # hash/encrypt/row-filter transforms (engine/mappers.py)
 
     def validate(self) -> "StreamSpec":
         if self.mode not in VALID_MODES:
@@ -64,6 +66,10 @@ class StreamSpec:
             )
         if not self.key_cols:
             raise ValueError(f"{self.name}: key_cols must be non-empty")
+        if self.mappers:
+            from airbyte_spark.engine.mappers import validate_mappers
+
+            validate_mappers(self.mappers)
         return self
 
 
@@ -104,6 +110,7 @@ class PipelineSpec:
                 compact_every=s.compact_every,
                 toast_cols=s.toast_cols or None,
                 sparse_cols=s.sparse_cols or None,
+                mappers=s.mappers or None,
             )
         return out
 

@@ -1,0 +1,119 @@
+"""Connection-level column mappers: hash / encrypt / rename / drop /
+row-filter applied to records mid-sync.
+
+Reference: Airbyte's "mappings" feature — per-connection transforms
+(field hashing, encryption, renaming, field filtering, row
+filtering) applied to every record between source and destination,
+so PII never lands raw (docs/platform/using-airbyte/
+mappings.md; the platform applies them in the replication worker).
+Here each mapper is a pure JVM column expression folded into the
+batch projection — no extra pass, no Python per row, fuses into
+whatever scan or shuffle follows.
+
+Determinism contract: hash/rename/drop/filter are deterministic;
+``encrypt`` uses AES in ECB mode specifically because the sync's
+exactly-once story (epoch replay after a crash) re-runs the mapper
+over the same rows and MUST produce byte-identical output — GCM's
+random IV would make replayed files differ (same reasoning as the
+reference's deterministic dbt hashing).  ECB on a high-entropy
+column is the documented trade-off; rotate keys upstream.
+
+Pipeline wiring: ``CdcPipeline(mappers=[...])`` applies the chain at
+the entry of every data path (tail batches, bootstrap snapshots,
+chunked snapshot slices, re-snapshot images), so the destination
+only ever sees mapped rows and merge keys stay consistent across
+paths.  Mapping a TOAST/sparse column is refused — the placeholder
+sentinel must survive verbatim for the fill to recognize it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+VALID_TYPES = ("hash", "encrypt", "rename", "drop", "filter")
+VALID_HASH_METHODS = ("md5", "sha256", "sha512")
+
+
+def validate_mappers(
+    mappers: list[dict],
+    *,
+    protected_cols: tuple[str, ...] = ("op", "lsn", "ts"),
+) -> list[dict]:
+    """Shape-check a mapper chain at config time (the reference
+    validates mappings when the connection is saved, not per sync).
+    ``protected_cols`` are engine plumbing a mapper must not touch."""
+    for m in mappers:
+        t = m.get("type")
+        if t not in VALID_TYPES:
+            raise ValueError(f"mapper type must be one of {VALID_TYPES}: {m}")
+        if t == "filter":
+            if not m.get("expr"):
+                raise ValueError(f"filter mapper needs 'expr': {m}")
+            continue
+        fld = m.get("field")
+        if not fld:
+            raise ValueError(f"{t} mapper needs 'field': {m}")
+        if fld in protected_cols:
+            raise ValueError(
+                f"{t} mapper targets protected column {fld!r} "
+                f"(engine plumbing: {protected_cols})"
+            )
+        if t == "hash" and m.get("method", "sha256") not in VALID_HASH_METHODS:
+            raise ValueError(
+                f"hash method must be one of {VALID_HASH_METHODS}: {m}"
+            )
+        if t == "encrypt" and len(m.get("key", "")) not in (16, 24, 32):
+            raise ValueError(f"encrypt key must be 16/24/32 bytes: {m}")
+        if t == "rename" and not m.get("to"):
+            raise ValueError(f"rename mapper needs 'to': {m}")
+    return mappers
+
+
+def apply_mappers(df: DataFrame, mappers: list[dict]) -> DataFrame:
+    """Apply a validated mapper chain in order.  Mappers referencing
+    a column absent from this frame raise (a mapping that silently
+    skips would land raw PII — fail the sync instead, the platform's
+    behavior for invalid mappings)."""
+    for m in mappers:
+        t = m["type"]
+        if t == "filter":
+            df = df.filter(F.expr(m["expr"]))
+            continue
+        fld = m["field"]
+        if fld not in df.columns:
+            raise ValueError(
+                f"mapper field {fld!r} not in batch columns {df.columns}"
+            )
+        if t == "hash":
+            method = m.get("method", "sha256")
+            src = F.concat(
+                F.coalesce(F.col(fld).cast("string"), F.lit("")),
+                F.lit(m.get("salt", "")),
+            )
+            h = F.md5(src) if method == "md5" else F.sha2(
+                src, int(method[3:])
+            )
+            # null stays null (nothing to protect), like the platform
+            df = df.withColumn(
+                fld, F.when(F.col(fld).isNotNull(), h)
+            )
+        elif t == "encrypt":
+            df = df.withColumn(
+                fld,
+                F.when(
+                    F.col(fld).isNotNull(),
+                    F.base64(
+                        F.aes_encrypt(
+                            F.col(fld).cast("string").cast("binary"),
+                            F.lit(m["key"]).cast("binary"),
+                            F.lit("ECB"),
+                        )
+                    ),
+                ),
+            )
+        elif t == "rename":
+            df = df.withColumnRenamed(fld, m["to"])
+        elif t == "drop":
+            df = df.drop(fld)
+    return df

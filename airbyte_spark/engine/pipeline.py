@@ -129,6 +129,7 @@ class CdcPipeline:
         compact_every: int | None = None,
         toast_cols: list[str] | None = None,
         sparse_cols: list[str] | None = None,
+        mappers: list[dict] | None = None,
     ):
         """mode: destination sync mode (airbyte-protocol.md:395-420)
         - 'dedup'     = incremental + dedup history (MERGE; default)
@@ -191,6 +192,37 @@ class CdcPipeline:
             )
         self.toast_cols = list(toast_cols) if toast_cols else None
         self.sparse_cols = list(sparse_cols) if sparse_cols else None
+        # connection-level mappers (engine/mappers.py — the platform's
+        # per-connection hash/encrypt/row-filter transforms), applied
+        # at the entry of EVERY data path so the destination only ever
+        # sees mapped rows.  Shape-changing mappers (rename/drop) are
+        # refused here: the engine's final schema is fixed; keys must
+        # stay raw (canonicalization runs downstream of mapping), and
+        # TOAST/sparse sentinels must survive verbatim for their fills.
+        if mappers:
+            from airbyte_spark.engine.mappers import validate_mappers
+
+            validate_mappers(mappers)
+            for m in mappers:
+                if m["type"] in ("rename", "drop"):
+                    raise ValueError(
+                        "pipeline mappers must preserve the table shape "
+                        "(hash/encrypt/filter); rename/drop are for "
+                        "standalone apply_mappers use"
+                    )
+                fld = m.get("field")
+                if fld in ("repo", "path"):
+                    raise ValueError(
+                        f"mapper on key column {fld!r}: keys must stay "
+                        "raw (bucket routing + canonicalization)"
+                    )
+                if fld in (self.toast_cols or []) + (self.sparse_cols or []):
+                    raise ValueError(
+                        f"mapper on {fld!r} conflicts with its "
+                        "TOAST/sparse contract (the placeholder sentinel "
+                        "must survive verbatim)"
+                    )
+        self.mappers = list(mappers) if mappers else None
         self.mode = mode
         self.merge_strategy = merge_strategy
         self.on_invalid_offset = on_invalid_offset
@@ -212,6 +244,24 @@ class CdcPipeline:
     def table(self) -> LakeTable:
         return LakeTable(self.table_root)
 
+    def _map(self, df: DataFrame) -> DataFrame:
+        """Apply the connection's mapper chain (engine/mappers.py) at
+        a data-path entry.  Row filters automatically exempt explicit
+        schema-change events (op='s') — a PII filter must never eat a
+        DDL signal."""
+        if not self.mappers:
+            return df
+        from airbyte_spark.engine.mappers import apply_mappers
+
+        specs = self.mappers
+        if "schema_change" in df.columns and "op" in df.columns:
+            specs = [
+                {**m, "expr": f"({m['expr']}) OR op = 's'"}
+                if m["type"] == "filter" else m
+                for m in specs
+            ]
+        return apply_mappers(df, specs)
+
     def bootstrap(
         self,
         spark: SparkSession,
@@ -232,7 +282,7 @@ class CdcPipeline:
         else:
             t = LakeTable(self.table_root)
         if base is not None:
-            df = normalize.normalize_batch(base)
+            df = normalize.normalize_batch(self._map(base))
             df = df.withColumn("last_lsn", F.lit(-1).cast("long")).withColumn(
                 "updated_at", F.lit(None).cast("timestamp")
             )
@@ -382,7 +432,7 @@ class CdcPipeline:
         # recomputing the full lineage n_chunks times; ev_keys is the
         # slim (keys, lsn) projection every chunk's window anti-join
         # re-filters, persisted for the same reason.
-        cbase = normalize.canonicalize_keys(base).persist()
+        cbase = normalize.canonicalize_keys(self._map(base)).persist()
         chunk_expr = F.pmod(
             F.xxhash64(*[F.col(k) for k in KEYS]), F.lit(n_chunks)
         )
@@ -541,7 +591,7 @@ class CdcPipeline:
                 f"snapshot at-or-past it (Debezium blocking-snapshot rule)"
             )
         upserts = (
-            normalize.normalize_batch(fresh)
+            normalize.normalize_batch(self._map(fresh))
             .withColumn("last_lsn", F.lit(snapshot_lsn).cast("long"))
             .withColumn("updated_at", F.lit(None).cast("timestamp"))
             .withColumn("op", F.lit("i"))
@@ -612,6 +662,7 @@ class CdcPipeline:
     ) -> BatchStats:
         """Apply one changelog microbatch exactly-once."""
         t = self.table()
+        batch = self._map(batch)
         if t.last_epoch(self.stream) >= epoch and not self._scd_pending(epoch):
             # already committed (kill/resume replay) — cheap driver-side
             # skip before any job runs.  The SCD history table has its

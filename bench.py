@@ -122,6 +122,9 @@ BENCH_QUERIES = [
     # round 4: event-time tumbling windows (one partial-agg shuffle;
     # streaming watermark contract pinned in tests/test_windows.py)
     "events_windowed_agg",
+    # round 4: connection-level mappers (hash/rename/drop/filter in
+    # one JVM projection)
+    "events_mapped",
 ]
 
 
