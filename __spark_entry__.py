@@ -558,6 +558,17 @@ def doc_dsir_sample(spark, sf):
     return A_text.dsir_sample(d, d.filter(F.col("source") == "src0"), 50)
 
 
+def doc_chunk_windows(spark, sf):
+    """Overlapping fixed-token-budget chunking (analytics/text.py
+    chunk_documents — the pre-training context-window split): 64-token
+    chunks with 16-token overlap, short-but-never-empty final chunk,
+    zero-token docs dropped.  Narrow shuffle-free map; the oracle
+    rebuilds every start position and slice in SQL."""
+    return A_text.chunk_documents(
+        _t(spark, sf, "documents"), chunk_tokens=64, overlap=16
+    )
+
+
 def doc_bm25_rank(spark, sf):
     """Okapi BM25 corpus ranking against a fixed query-term set
     (analytics/text.py bm25_rank — Lucene idf variant): top-10 docs
@@ -2178,6 +2189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bm25_rank": doc_bm25_rank,
         "doc_lm_score": doc_lm_score,
         "doc_dsir_sample": doc_dsir_sample,
+        "doc_chunk_windows": doc_chunk_windows,
         "cdc_debezium_decode": cdc_debezium_decode,
         "events_airbyte_roundtrip": events_airbyte_roundtrip,
         "events_windowed_agg": events_windowed_agg,
@@ -3052,6 +3064,25 @@ SELECT CAST(floor(epoch(ts)) AS BIGINT) * 4294967296
             THEN value END AS value
 FROM events
 WHERE event_type IN ('signup', 'error', 'click', 'purchase')
+""",
+        "doc_chunk_windows": f"""
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN [] ELSE {_TOKS} END AS toks
+  FROM documents
+),
+s AS (
+  SELECT d.doc_id, d.toks, g.s AS s, (g.s - 1) // 48 AS chunk_id
+  FROM d, LATERAL (
+    SELECT unnest(generate_series(1, ((len(d.toks) - 1) // 48) * 48 + 1, 48)) AS s
+  ) g
+  WHERE len(d.toks) > 0
+)
+SELECT doc_id,
+       CAST(chunk_id AS INT) AS chunk_id,
+       CAST(least(len(toks) - s + 1, 64) AS BIGINT) AS n_tokens_chunk,
+       array_to_string(toks[s:s + 63], ' ') AS text_chunk
+FROM s
 """,
         "doc_dsir_sample": f"""
 WITH d AS (

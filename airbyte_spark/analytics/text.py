@@ -625,6 +625,61 @@ def bm25_rank(
     return top.withColumn("rank", F.row_number().over(w))
 
 
+def chunk_documents(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split documents into overlapping fixed-token-budget chunks —
+    the standard pre-training / embedding-indexing stage (a context
+    window holds ``chunk_tokens``; ``overlap`` tokens repeat at each
+    boundary so no span is ever cut without context).  Chunk k starts
+    at token ``k·(chunk_tokens-overlap)``; a new chunk starts only
+    while there are unconsumed tokens, so the final chunk may be
+    short but never empty and no token is dropped.  Zero-token docs
+    emit nothing (there is nothing to train on).
+
+    Pure JVM: one ``posexplode`` over a ``sequence`` of chunk starts
+    with ``slice``/``array_join`` reassembly — a narrow map, no
+    shuffle, no Python.  At 100 TB this fuses into the scan and the
+    output is written straight back out partition-for-partition."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens_expr(F.lower(F.col(text_col)))
+    base = df.select(F.col(id_col), toks.alias("_toks")).filter(
+        F.size("_toks") > 0
+    )
+    starts = F.sequence(
+        F.lit(1),
+        # last start s satisfies s <= n (ensures >=1 unconsumed token)
+        (F.floor((F.size("_toks") - 1) / stride) * stride + 1).cast("int"),
+        F.lit(stride),
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.array_join(
+                F.slice(F.col("_toks"), s, chunk_tokens), " "
+            ).alias("text_chunk"),
+            F.least(
+                F.size("_toks") - s + 1, F.lit(chunk_tokens)
+            ).alias("n_tokens_chunk"),
+        ),
+    )
+    return base.select(
+        id_col, F.posexplode(chunks).alias("chunk_id", "_c")
+    ).select(
+        id_col,
+        "chunk_id",
+        F.col("_c.n_tokens_chunk").cast("long").alias("n_tokens_chunk"),
+        F.col("_c.text_chunk").alias("text_chunk"),
+    )
+
+
 def span_dedup(
     df: DataFrame,
     *,

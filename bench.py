@@ -125,6 +125,8 @@ BENCH_QUERIES = [
     # round 4: connection-level mappers (hash/rename/drop/filter in
     # one JVM projection)
     "events_mapped",
+    # round 4: overlapping token-window chunking (shuffle-free map)
+    "doc_chunk_windows",
 ]
 
 

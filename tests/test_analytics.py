@@ -870,3 +870,33 @@ def test_dsir_sample_selection_semantics(spark):
     assert sorted(r["rank"] for r in out) == [1, 2, 3]
     again = text.dsir_sample(raw, tgt, 3, n_buckets=1 << 20).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_chunk_documents_boundaries(spark):
+    """Chunking: stride/overlap math, short final chunk, tiny docs,
+    zero-token drop, full token coverage, and a shuffle-free plan."""
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 10 toks
+            (2, "a b c"),                                # < one chunk
+            (3, ""),                                     # no tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = text.chunk_documents(docs, chunk_tokens=4, overlap=1).collect()
+    got = {(r["doc_id"], r["chunk_id"]): (r["n_tokens_chunk"], r["text_chunk"])
+           for r in out}
+    # doc 1: starts 1,4,7,10 (stride 3) — last chunk is 1 token
+    assert got[(1, 0)] == (4, "t0 t1 t2 t3")
+    assert got[(1, 1)] == (4, "t3 t4 t5 t6")
+    assert got[(1, 2)] == (4, "t6 t7 t8 t9")
+    assert got[(1, 3)] == (1, "t9")
+    assert got[(2, 0)] == (3, "a b c")
+    assert not any(d == 3 for d, _ in got)  # zero-token doc emits nothing
+    # every token of doc 1 appears in some chunk (coverage)
+    covered = set(" ".join(t for _, t in
+                           [got[(1, i)] for i in range(4)]).split())
+    assert covered == {f"t{i}" for i in range(10)}
+    plan = text.chunk_documents(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
