@@ -14,6 +14,8 @@ re-imagined as lakehouse-ingest verbs).
   python -m airbyte_spark.cli files|history --table /t
   python -m airbyte_spark.cli appends|changes --table /t --since 3
   python -m airbyte_spark.cli tail --table /t --checkpoint /cp --out /sink
+  python -m airbyte_spark.cli ingest --in /dump --table /t --stream s \
+      --properties '{"id":"integer","name":"string"}' --key id --epoch 0
 
 On a cluster: spark-submit --py-files airbyte_spark.zip -m airbyte_spark.cli ...
 (local mode picks cpus from $SPARK_GRAFT_CPUS).
@@ -267,6 +269,22 @@ def main(argv: list[str] | None = None) -> int:
 
     sp = sub.add_parser("check", help="connection check on a parquet dir")
     sp.add_argument("--data-dir", required=True)
+
+    sp = sub.add_parser(
+        "ingest",
+        help="land captured Airbyte protocol lines as a typed lake table",
+    )
+    sp.add_argument("--in", dest="in_path", required=True,
+                    help="text file/dir of AirbyteMessage JSON lines")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--stream", required=True)
+    sp.add_argument("--properties", required=True,
+                    help='JSON name->(Airbyte type) map, e.g. \'{"id":"integer"}\'')
+    sp.add_argument("--key", action="append", default=None,
+                    help="primary-key column (repeatable)")
+    sp.add_argument("--epoch", type=int, default=None,
+                    help="epoch gate: rerunning the same dump+epoch is a no-op")
+    sp.add_argument("--buckets", type=int, default=16)
 
     args = p.parse_args(argv)
 
@@ -568,6 +586,18 @@ def main(argv: list[str] | None = None) -> int:
         from airbyte_spark.catalog import check
 
         print(json.dumps(check(spark, args.data_dir)))
+    elif args.cmd == "ingest":
+        from airbyte_spark.engine.protocol import ingest_lines
+
+        print(json.dumps(ingest_lines(
+            spark, args.in_path,
+            stream=args.stream,
+            properties=json.loads(args.properties),
+            table_root=args.table,
+            primary_key=args.key,
+            n_buckets=args.buckets,
+            epoch=args.epoch,
+        )))
     return 0
 
 

@@ -165,3 +165,56 @@ def test_mongo_oplog_decode_semantics(spark):
     dele = got[102 * (1 << 32) + 1]
     assert dele["op"] == "d" and dele["doc_key"] == "k1"
     assert dele["ts"].isoformat().startswith("1970-01-01T00:01:42")
+
+
+# --- protocol ingest: CLI e2e (engine/protocol.ingest_lines) ---
+
+
+def test_cli_ingest_protocol_lines(spark, tmp_path, capsys):
+    """Captured protocol dump -> typed lake table via the CLI:
+    STATE/garbage drop, V2 typing records un-castable values in
+    _airbyte_meta, unique key from the declared pk, and re-running
+    the same dump with the same epoch is a structural no-op."""
+    import json
+
+    from airbyte_spark.cli import main
+    from airbyte_spark.engine.protocol import state_message
+    from airbyte_spark.lake.table import LakeTable
+
+    dump = tmp_path / "dump.jsonl"
+    rec = (
+        '{"type":"RECORD","record":{"stream":"users","emitted_at":%d,'
+        '"data":{"id":%s,"name":"%s","age":%s}}}'
+    )
+    dump.write_text("\n".join([
+        rec % (1000, "1", "ann", '"41"'),       # castable string age
+        rec % (2000, "2", "bob", '"not-int"'),  # -> NULLED + meta record
+        state_message("users", {"cursor": 2}),
+        "garbage line",
+        '{"type":"RECORD","record":{"stream":"other","emitted_at":1,'
+        '"data":{"id":9}}}',                     # foreign stream
+    ]) + "\n")
+
+    argv = [
+        "ingest", "--in", str(dump), "--table", str(tmp_path / "t"),
+        "--stream", "users",
+        "--properties", '{"id":"integer","name":"string","age":"integer"}',
+        "--key", "id", "--epoch", "0", "--buckets", "4",
+    ]
+    assert main(argv) == 0
+    out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1["committed"] and out1["rows"] == 2
+
+    t = LakeTable(str(tmp_path / "t")).read(spark)
+    rows = {r["id"]: r for r in t.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["age"] == 41 and rows[2]["age"] is None
+    meta2 = json.loads(rows[2]["_airbyte_meta"])
+    assert meta2["changes"][0]["field"] == "age"
+    assert rows[1]["_airbyte_unique_key"] is not None
+
+    # same dump, same epoch -> gated no-op, no duplicate rows
+    assert main(argv) == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert not out2["committed"] and out2["rows"] == 0
+    assert LakeTable(str(tmp_path / "t")).read(spark).count() == 2
