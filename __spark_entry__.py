@@ -1180,6 +1180,57 @@ def _state_digest(final: DataFrame) -> DataFrame:
     )
 
 
+def cdc_debezium_replay_mini(spark, sf):
+    """The wire-format on-ramp drives the ACTUAL engine: the same
+    900-event changelog is round-tripped through Debezium-JSON
+    envelopes (engine/changelog.py from_debezium_json — op enum,
+    delete-side before-images, source.lsn, millisecond ts) and the
+    decoded stream replays through the full CDC pipeline.  The final
+    digest must equal the native replay's pinned golden constant —
+    decode-path ≡ native-path, end to end."""
+    from airbyte_spark.engine.changelog import (
+        base_table, changelog, from_debezium_json,
+    )
+    from airbyte_spark.engine.pipeline import CdcPipeline
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = tempfile.mkdtemp(prefix="cdc_dbz_entry_")
+    pipe = CdcPipeline(os.path.join(root, "t"), n_buckets=8)
+    pipe.bootstrap(spark, base_table(spark, 300, n_repos=10, paths_per_repo=30))
+    ev = changelog(spark, 900, n_repos=10, paths_per_repo=30)
+    payload = F.struct("repo", "path", "commit", "lang", "content")
+    env = ev.select(
+        F.to_json(
+            F.struct(
+                F.when(F.col("op") == "d", payload).alias("before"),
+                F.when(F.col("op") != "d", payload).alias("after"),
+                F.when(F.col("op") == "i", F.lit("c"))
+                .when(F.col("op") == "u", F.lit("u"))
+                .otherwise(F.lit("d")).alias("op"),
+                F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+                F.struct(
+                    F.lit("appdb").alias("db"),
+                    F.lit("public").alias("schema"),
+                    F.lit("files").alias("table"),
+                    F.col("lsn").alias("lsn"),
+                    F.lit(None).cast("string").alias("txId"),
+                ).alias("source"),
+            )
+        ).alias("value")
+    )
+    decoded = from_debezium_json(
+        env,
+        image_schema="repo string, path string, commit string,"
+                     " lang string, content string",
+    )
+    events = decoded.select(
+        "lsn", "op", "repo", "path", "commit", "lang", "content",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+    )
+    pipe.replay(spark, events, batch_lsns=300)
+    return _state_digest(pipe.table().read(spark))
+
+
 def cdc_replay_mor_mini(spark, sf):
     """The merge-on-read strategy (delta files + tombstones +
     scan-time LWW resolve + delta-folding compaction) replaying the
@@ -2223,6 +2274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": multimodal_features,
         "multimodal_frames": multimodal_frames,
         "cdc_replay_mini": cdc_replay_mini,
+        "cdc_debezium_replay_mini": cdc_debezium_replay_mini,
         "cdc_replay_mor_mini": cdc_replay_mor_mini,
         "cdc_replay_chunked_mini": cdc_replay_chunked_mini,
         "cdc_txn_replay_mini": cdc_txn_replay_mini,
@@ -3338,6 +3390,10 @@ FROM m
 SELECT CAST(4 AS BIGINT) AS n_files, count(*) AS n_rows FROM events
 """,
         "cdc_replay_mini": f"""
+SELECT CAST(275 AS BIGINT) AS final_rows,
+       '{_CDC_MINI_DIGEST}' AS state_sha256
+""",
+        "cdc_debezium_replay_mini": f"""
 SELECT CAST(275 AS BIGINT) AS final_rows,
        '{_CDC_MINI_DIGEST}' AS state_sha256
 """,

@@ -127,6 +127,9 @@ BENCH_QUERIES = [
     "events_mapped",
     # round 4: overlapping token-window chunking (shuffle-free map)
     "doc_chunk_windows",
+    # round 4: Debezium envelopes driving the real engine (decode ->
+    # full replay, digest-pinned to the native path)
+    "cdc_debezium_replay_mini",
 ]
 
 
