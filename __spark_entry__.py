@@ -1491,6 +1491,87 @@ def cdc_sparse_replay_mini(spark, sf):
     return _state_digest(t.read(spark))
 
 
+def cdc_oplog_replay_mini(spark, sf):
+    """The MongoDB-oplog on-ramp drives the PARTIAL-IMAGE engine
+    path: the same sparsified 900-event changelog is round-tripped
+    through classic oplog entries — inserts as full documents,
+    updates as ``$set`` deltas of only the kept columns (to_json
+    drops the nulled rest, so the delta IS the changed set), deletes
+    as key-only documents, the composite (repo|path) key as ``_id``,
+    the BSON Timestamp seconds carrying the event time — then decoded
+    (engine/changelog.py from_mongo_oplog) and replayed through
+    merge_lww(sparse_cols=...).  The digest must equal
+    cdc_sparse_replay_mini's golden constant: oplog-decode-path ≡
+    native-sparse-path, reconstruction and all."""
+    from airbyte_spark.engine.changelog import (
+        base_table, changelog, from_mongo_oplog,
+    )
+    from airbyte_spark.engine.pipeline import CdcPipeline
+    from airbyte_spark.engine.toast import sparse_changelog
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = tempfile.mkdtemp(prefix="cdc_oplog_entry_")
+    pipe = CdcPipeline(
+        os.path.join(root, "t"), n_buckets=8,
+        sparse_cols=["commit", "lang", "content"],
+    )
+    t = pipe.bootstrap(spark, base_table(spark, 300, n_repos=10, paths_per_repo=30))
+    ev = sparse_changelog(
+        changelog(spark, 900, n_repos=10, paths_per_repo=30),
+        data_cols=["commit", "lang", "content"], p_keep=0.5,
+    )
+    key = F.concat_ws("|", "repo", "path")
+    tsp = F.struct(
+        F.unix_seconds(F.col("ts").cast("timestamp")).alias("t"),
+        F.lit(0).cast("long").alias("i"),
+    )
+    full_doc = F.struct(
+        key.alias("_id"), F.col("commit").alias("commit"),
+        F.col("lang").alias("lang"), F.col("content").alias("content"),
+    )
+    # $set of the kept columns only: unkept columns are already NULL
+    # in the sparse fixture and to_json drops null fields
+    delta_doc = F.struct(
+        F.struct(
+            F.col("commit").alias("commit"), F.col("lang").alias("lang"),
+            F.col("content").alias("content"),
+        ).alias("$set"),
+    )
+    key_doc = F.struct(key.alias("_id"))
+
+    def env(op, o, with_o2=False):
+        fields = [
+            tsp.alias("ts"), F.lit(op).alias("op"),
+            F.lit("appdb.files").alias("ns"), o.alias("o"),
+        ]
+        if with_o2:
+            fields.append(key_doc.alias("o2"))
+        return F.to_json(F.struct(*fields))
+
+    lines = ev.select(
+        F.when(F.col("op") == "i", env("i", full_doc))
+        .when(F.col("op") == "u", env("u", delta_doc, True))
+        .otherwise(env("d", key_doc)).alias("value")
+    )
+    dec = from_mongo_oplog(
+        lines, image_schema="commit string, lang string, content string"
+    )
+    # ts is bijective with lsn in the generator (base + lsn seconds),
+    # so the original lsn reconstructs from the BSON seconds
+    t0 = 1704067200  # 2024-01-01T00:00:00Z
+    events = dec.select(
+        (F.unix_seconds(F.col("ts")) - F.lit(t0)).alias("lsn"),
+        "op",
+        F.split_part(F.col("doc_key"), F.lit("|"), F.lit(1)).alias("repo"),
+        F.split_part(F.col("doc_key"), F.lit("|"), F.lit(2)).alias("path"),
+        "commit", "lang", "content",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "changed_cols",
+    )
+    pipe.replay(spark, events, batch_lsns=300)
+    return _state_digest(t.read(spark))
+
+
 def cdc_replay_chunked_mini(spark, sf):
     """DBLog-style chunked initial snapshot (pipeline.bootstrap_chunked;
     Netflix DBLog §3.2 / Debezium incremental snapshot — the reference's
@@ -2280,6 +2361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_txn_replay_mini": cdc_txn_replay_mini,
         "cdc_toast_replay_mini": cdc_toast_replay_mini,
         "cdc_sparse_replay_mini": cdc_sparse_replay_mini,
+        "cdc_oplog_replay_mini": cdc_oplog_replay_mini,
         "cdc_sparse_lww_events": cdc_sparse_lww_events,
         "cdc_demux_replay_mini": cdc_demux_replay_mini,
         "cdc_demux_consistent_read": cdc_demux_consistent_read,
@@ -3412,6 +3494,10 @@ SELECT CAST(275 AS BIGINT) AS final_rows,
         "cdc_toast_replay_mini": f"""
 SELECT CAST(275 AS BIGINT) AS final_rows,
        '{_CDC_TOAST_MINI_DIGEST}' AS state_sha256
+""",
+        "cdc_oplog_replay_mini": f"""
+SELECT CAST(275 AS BIGINT) AS final_rows,
+       '{_CDC_SPARSE_MINI_DIGEST}' AS state_sha256
 """,
         "cdc_sparse_replay_mini": f"""
 SELECT CAST(275 AS BIGINT) AS final_rows,

@@ -128,8 +128,10 @@ BENCH_QUERIES = [
     # round 4: overlapping token-window chunking (shuffle-free map)
     "doc_chunk_windows",
     # round 4: Debezium envelopes driving the real engine (decode ->
-    # full replay, digest-pinned to the native path)
+    # full replay, digest-pinned to the native path), and the oplog
+    # on-ramp through the partial-image merge (same contract)
     "cdc_debezium_replay_mini",
+    "cdc_oplog_replay_mini",
 ]
 
 
