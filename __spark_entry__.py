@@ -1050,6 +1050,18 @@ def events_windowed_agg(spark, sf):
     )
 
 
+def events_profile(spark, sf):
+    """Per-column table profile (catalog.py profile_table — the stats
+    pass before choosing cursor columns / merge keys / bucket counts):
+    null count, exact distinct count, min/max per column, all
+    computed in ONE aggregation job (inline over a struct array —
+    never a per-column scan).  The oracle recomputes each statistic
+    per column in SQL."""
+    from airbyte_spark.catalog import profile_table
+
+    return profile_table(_t(spark, sf, "events"))
+
+
 def events_airbyte_roundtrip(spark, sf):
     """Airbyte protocol lines, both directions (engine/protocol.py —
     the reference's stdout/stdin wire format, entrypoint.py:128-132):
@@ -2324,6 +2336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunk_windows": doc_chunk_windows,
         "cdc_debezium_decode": cdc_debezium_decode,
         "events_airbyte_roundtrip": events_airbyte_roundtrip,
+        "events_profile": events_profile,
         "events_windowed_agg": events_windowed_agg,
         "events_mapped": events_mapped,
         "cdc_oplog_decode": cdc_oplog_decode,
@@ -3174,6 +3187,55 @@ SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
        round(sum(value), 2) AS sum_value
 FROM events
 GROUP BY 1, 2, 3
+""",
+        "events_profile": """
+SELECT 'event_id' AS "column", 'bigint' AS dtype,
+       count(*) AS n_rows,
+       count(*) FILTER (event_id IS NULL) AS n_nulls,
+       count(DISTINCT event_id) AS n_distinct,
+       CAST(min(event_id) AS VARCHAR) AS min_value,
+       CAST(max(event_id) AS VARCHAR) AS max_value
+FROM events
+UNION ALL
+SELECT 'ts' AS "column", 'timestamp_ntz' AS dtype,
+       count(*) AS n_rows,
+       count(*) FILTER (ts IS NULL) AS n_nulls,
+       count(DISTINCT ts) AS n_distinct,
+       CAST(min(ts) AS VARCHAR) AS min_value,
+       CAST(max(ts) AS VARCHAR) AS max_value
+FROM events
+UNION ALL
+SELECT 'user_id' AS "column", 'bigint' AS dtype,
+       count(*) AS n_rows,
+       count(*) FILTER (user_id IS NULL) AS n_nulls,
+       count(DISTINCT user_id) AS n_distinct,
+       CAST(min(user_id) AS VARCHAR) AS min_value,
+       CAST(max(user_id) AS VARCHAR) AS max_value
+FROM events
+UNION ALL
+SELECT 'event_type' AS "column", 'string' AS dtype,
+       count(*) AS n_rows,
+       count(*) FILTER (event_type IS NULL) AS n_nulls,
+       count(DISTINCT event_type) AS n_distinct,
+       CAST(min(event_type) AS VARCHAR) AS min_value,
+       CAST(max(event_type) AS VARCHAR) AS max_value
+FROM events
+UNION ALL
+SELECT 'value' AS "column", 'double' AS dtype,
+       count(*) AS n_rows,
+       count(*) FILTER (value IS NULL) AS n_nulls,
+       count(DISTINCT value) AS n_distinct,
+       CAST(min(value) AS VARCHAR) AS min_value,
+       CAST(max(value) AS VARCHAR) AS max_value
+FROM events
+UNION ALL
+SELECT 'props' AS "column", 'string' AS dtype,
+       count(*) AS n_rows,
+       count(*) FILTER (props IS NULL) AS n_nulls,
+       count(DISTINCT props) AS n_distinct,
+       CAST(min(props) AS VARCHAR) AS min_value,
+       CAST(max(props) AS VARCHAR) AS max_value
+FROM events
 """,
         "events_airbyte_roundtrip": """
 SELECT 'events' AS stream,

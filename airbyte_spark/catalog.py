@@ -120,3 +120,55 @@ def check(spark: SparkSession, data_dir: str) -> dict[str, Any]:
                 "message": f"{len(cat['streams'])} streams discovered"}
     except Exception as e:  # pragma: no cover - defensive
         return {"status": "FAILED", "message": str(e)}
+
+
+def profile_table(df, *, approx: bool = False):
+    """Per-column profile: null count, distinct count, min/max (as
+    strings) — the stats pass `discover` doesn't give you, run before
+    choosing cursor columns, merge keys, bucket counts, or cast rules
+    (the reference leaves this to the warehouse; a lakehouse engine
+    owns it).
+
+    ONE aggregation job over the table — every statistic is an
+    aggregate expression in the same pass (map-side combined), never
+    a per-column scan.  ``approx=True`` swaps exact distinct counts
+    for HyperLogLog ``approx_count_distinct`` (constant memory per
+    column — the 100 TB setting where an exact distinct of a
+    high-cardinality column would shuffle the world); exact is the
+    default so results are engine-reproducible.  Returns one row per
+    column: (column, dtype, n_rows, n_nulls, n_distinct, min_value,
+    max_value)."""
+    from pyspark.sql import functions as F
+
+    ndv = F.approx_count_distinct if approx else F.count_distinct
+    aggs: list = [F.count(F.lit(1)).alias("_rows")]
+    for c in df.columns:
+        col = F.col(c)
+        aggs += [
+            F.count(F.when(col.isNull(), 1)).alias(f"_n_{c}"),
+            ndv(col).alias(f"_d_{c}"),
+            F.min(col).cast("string").alias(f"_lo_{c}"),
+            F.max(col).cast("string").alias(f"_hi_{c}"),
+        ]
+    row = df.agg(*aggs)
+    dtypes = dict(df.dtypes)
+    # one inline over a struct array — a union of per-column selects
+    # would re-plan (and re-run) the aggregation once per column
+    return row.select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.lit(dtypes[c]).alias("dtype"),
+                        F.col("_rows").alias("n_rows"),
+                        F.col(f"_n_{c}").alias("n_nulls"),
+                        F.col(f"_d_{c}").alias("n_distinct"),
+                        F.col(f"_lo_{c}").alias("min_value"),
+                        F.col(f"_hi_{c}").alias("max_value"),
+                    )
+                    for c in df.columns
+                ]
+            )
+        )
+    )

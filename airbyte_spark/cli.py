@@ -14,6 +14,7 @@ re-imagined as lakehouse-ingest verbs).
   python -m airbyte_spark.cli files|history --table /t
   python -m airbyte_spark.cli appends|changes --table /t --since 3
   python -m airbyte_spark.cli tail --table /t --checkpoint /cp --out /sink
+  python -m airbyte_spark.cli profile --data-dir /data
   python -m airbyte_spark.cli ingest --in /dump --table /t --stream s \
       --properties '{"id":"integer","name":"string"}' --key id --epoch 0
 
@@ -269,6 +270,14 @@ def main(argv: list[str] | None = None) -> int:
 
     sp = sub.add_parser("check", help="connection check on a parquet dir")
     sp.add_argument("--data-dir", required=True)
+
+    sp = sub.add_parser(
+        "profile",
+        help="per-column stats (nulls/distinct/min/max) of a parquet dir",
+    )
+    sp.add_argument("--data-dir", required=True)
+    sp.add_argument("--approx", action="store_true",
+                    help="HyperLogLog distinct counts (constant memory)")
 
     sp = sub.add_parser(
         "ingest",
@@ -586,6 +595,13 @@ def main(argv: list[str] | None = None) -> int:
         from airbyte_spark.catalog import check
 
         print(json.dumps(check(spark, args.data_dir)))
+    elif args.cmd == "profile":
+        from airbyte_spark.catalog import profile_table
+
+        rows = profile_table(
+            spark.read.parquet(args.data_dir), approx=args.approx
+        ).collect()
+        print(json.dumps([r.asDict() for r in rows]))
     elif args.cmd == "ingest":
         from airbyte_spark.engine.protocol import ingest_lines
 

@@ -132,6 +132,8 @@ BENCH_QUERIES = [
     # on-ramp through the partial-image merge (same contract)
     "cdc_debezium_replay_mini",
     "cdc_oplog_replay_mini",
+    # round 4: one-pass per-column table profile (nulls/distinct/min/max)
+    "events_profile",
 ]
 
 

@@ -39,3 +39,28 @@ def test_configure_defaults_and_overrides(spark):
 def test_check(spark, tmp_path):
     assert check(spark, SF)["status"] == "SUCCEEDED"
     assert check(spark, str(tmp_path))["status"] == "FAILED"
+
+
+def test_profile_table_one_pass(spark):
+    """profile_table: exact stats per column from ONE aggregation job
+    (no per-column rescans), approx variant stays sane, nulls/distinct
+    semantics match SQL."""
+    from airbyte_spark.catalog import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "b")],
+        "k long, s string",
+    )
+    got = {r["column"]: r for r in profile_table(df).collect()}
+    assert got["k"]["n_rows"] == 4 and got["k"]["n_nulls"] == 1
+    assert got["k"]["n_distinct"] == 2          # nulls excluded
+    assert (got["k"]["min_value"], got["k"]["max_value"]) == ("1", "2")
+    assert got["s"]["n_nulls"] == 1 and got["s"]["n_distinct"] == 2
+    assert got["s"]["dtype"] == "string"
+    # approx: HLL counts land on the exact values at this cardinality
+    ap = {r["column"]: r["n_distinct"]
+          for r in profile_table(df, approx=True).collect()}
+    assert ap == {"k": 2, "s": 2}
+    # one aggregate over one scan: no union-driven rescans
+    plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") <= 1 and "Union" not in plan
