@@ -109,6 +109,43 @@ def test_spark_submit_py_files(tmp_path):
     assert json.loads(out.stdout)["status"] == "SUCCEEDED"
 
 
+def test_spark_submit_replay_job(tmp_path):
+    """tools/submit_job.py under spark-submit --py-files: the FULL
+    replay job (bootstrap -> changelog tail -> fused LWW merge ->
+    final-state sha256) with the engine shipped as a zip, run from a
+    foreign cwd so the archive is the only code source.  The digest
+    must be parallelism-independent — BENCH/submit_demo.json pins the
+    same invariant at local[8] vs local[32] on the 1M-event job."""
+    import sys
+
+    import pyspark
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    try:
+        from submit_job import make_zip
+    finally:
+        sys.path.pop(0)
+    zip_path = make_zip(os.path.join(tmp_path, "airbyte_spark.zip"))
+    driver = os.path.join(REPO, "tools", "submit_job.py")
+    submit = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # the zip must be the ONLY source of the pkg
+    out = subprocess.run(
+        [submit, "--master", "local[2]", "--py-files", zip_path, driver,
+         "--events", "2000", "--base", "500", "--buckets", "4",
+         "--workdir", os.path.join(tmp_path, "w")],
+        capture_output=True, text=True, timeout=240, cwd=str(tmp_path), env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["final_rows"] > 0 and len(res["state_sha256"]) == 64
+    # deterministic generators + LWW: the tiny job's digest is stable
+    assert res["state_sha256"] == (
+        "7ba9b7e9b4af0538dbcbe4d65f74dfb19177cda44bd890f9392911d8678d5d67"
+    )
+
+
 def test_scan_files_history_appends_verbs(tmp_path):
     """The lake planning verbs: scan (with pruning stats), files /
     history metadata listings, and the incremental appends count."""

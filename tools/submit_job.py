@@ -1,0 +1,145 @@
+"""spark-submit entry point: the CDC replay as a packaged cluster job.
+
+The north rule requires the engine to run "via spark-submit --py-files
+on a multi-executor cluster".  This script is that evidence: the engine
+ships as a zip (no repo checkout on the executors or the driver's cwd),
+and the job is the same bootstrap -> changelog tail -> fused LWW MERGE
+replay that bench.py times, finishing with the order-independent
+final-state sha256 the replay tests pin (the reference's golden
+replay-check shape, SURVEY.md §5).
+
+Build the archive and run (any cwd — the zip is the only code source):
+
+    python tools/submit_job.py --make-zip dist/airbyte_spark.zip
+    spark-submit --master local[8] \
+        --py-files dist/airbyte_spark.zip \
+        tools/submit_job.py --events 1000000 --base 250000
+
+On a real cluster only --master changes (yarn / k8s / spark://...);
+the job itself is cluster-agnostic: all data paths flow through
+spark.read/write, the table root is a shared-filesystem path, and the
+only driver-local state is the snapshot JSON the lake log keeps
+(swap-in point for a catalog service, lake/log.py docstring).
+
+Prints ONE JSON line:
+  {"metric": "submit_cdc_replay", "events_per_sec": ..., "final_rows": ...,
+   "state_sha256": "...", "master": "...", "parallelism": N}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+
+def make_zip(out_path: str) -> str:
+    """Package airbyte_spark/ into a --py-files archive (stdlib only)."""
+    import zipfile
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg = os.path.join(repo, "airbyte_spark")
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)) or ".", exist_ok=True)
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for dirpath, dirnames, filenames in os.walk(pkg):
+            dirnames[:] = [d for d in dirnames if d != "__pycache__"]
+            for name in sorted(filenames):
+                if not name.endswith(".py"):
+                    continue
+                full = os.path.join(dirpath, name)
+                rel = os.path.relpath(full, repo)
+                zf.write(full, rel)
+    return out_path
+
+
+def run_job(args: argparse.Namespace) -> dict:
+    # Imports resolve from the --py-files zip on the driver and are
+    # shipped to executors by Spark; nothing is read from the cwd.
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from airbyte_spark.engine.changelog import base_table, changelog
+    from airbyte_spark.engine.pipeline import CdcPipeline
+
+    spark = SparkSession.builder.appName("cdc-replay-submit").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    workdir = args.workdir or tempfile.mkdtemp(prefix="submit_cdc_")
+
+    pipe = CdcPipeline(
+        os.path.join(workdir, "table"),
+        n_buckets=args.buckets,
+        merge_strategy=args.merge_strategy,
+    )
+    t0 = time.time()
+    pipe.bootstrap(spark, base_table(spark, args.base))
+    t_boot = time.time() - t0
+
+    tail_dir = os.path.join(workdir, "tail")
+    (
+        changelog(spark, args.events)
+        .repartitionByRange(max(args.batches * 8, 32), "lsn")
+        .write.mode("overwrite")
+        .parquet(tail_dir)
+    )
+    events = spark.read.parquet(tail_dir)
+
+    t1 = time.time()
+    stats = pipe.replay(
+        spark, events, batch_lsns=max(args.events // args.batches, 1)
+    )
+    t_replay = time.time() - t1
+
+    # order-independent final-state digest (the rule's per-row
+    # invariant: content sha256 equality over the whole table state)
+    final = pipe.table().read(spark)
+    line = F.concat_ws(
+        "|",
+        "repo", "path", "commit", "lang",
+        F.col("content_sha256"),
+        F.col("last_lsn").cast("string"),
+        F.date_format("updated_at", "yyyy-MM-dd HH:mm:ss"),
+    )
+    row = final.agg(
+        F.count(F.lit(1)).alias("final_rows"),
+        F.sha2(
+            F.array_join(F.sort_array(F.collect_list(line)), "\n"), 256
+        ).alias("state_sha256"),
+    ).collect()[0]
+
+    return {
+        "metric": "submit_cdc_replay",
+        "master": spark.sparkContext.master,
+        "parallelism": spark.sparkContext.defaultParallelism,
+        "events": args.events,
+        "batches": len(stats),
+        "bootstrap_sec": round(t_boot, 2),
+        "replay_sec": round(t_replay, 2),
+        "events_per_sec": round(args.events / t_replay, 1),
+        "final_rows": int(row["final_rows"]),
+        "state_sha256": row["state_sha256"],
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--make-zip", metavar="OUT", default=None,
+                    help="package airbyte_spark/ into OUT and exit")
+    ap.add_argument("--events", type=int, default=1_000_000)
+    ap.add_argument("--base", type=int, default=250_000)
+    ap.add_argument("--batches", type=int, default=2)
+    ap.add_argument("--buckets", type=int, default=32)
+    ap.add_argument("--merge-strategy", default="fused")
+    ap.add_argument("--workdir", default=None)
+    args = ap.parse_args()
+    if args.make_zip:
+        print(make_zip(args.make_zip))
+        return
+    print(json.dumps(run_job(args)))
+    sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    main()
