@@ -569,6 +569,130 @@ def doc_chunk_windows(spark, sf):
     )
 
 
+def _code_files(spark, sf) -> DataFrame:
+    """Deterministic code-shaped corpus (repo, path, lang, content)
+    derived from the documents table — the BASELINE.json input shape,
+    reproducible in plain SQL on both engines.  Each file is a small
+    multi-line source file: a lang-appropriate comment header, an SPDX
+    license line for every 5th doc (MIT / GPL-3.0 / WTFPL split), the
+    document text, a generated line (1200 chars for every 7th doc —
+    past The Stack's 1000-char gate), and an upper-cased tail line."""
+    d = _t(spark, sf, "documents")
+    m4 = (F.col("doc_id") % 4).cast("int")
+    lang = (
+        F.when(m4 == 0, F.lit("python"))
+        .when(m4 == 1, F.lit("java"))
+        .when(m4 == 2, F.lit("sql"))
+        .otherwise(F.lit("go"))
+    )
+    ext = (
+        F.when(m4 == 0, F.lit(".py"))
+        .when(m4 == 1, F.lit(".java"))
+        .when(m4 == 2, F.lit(".sql"))
+        .otherwise(F.lit(".go"))
+    )
+    marker = (
+        F.when(m4 == 0, F.lit("#")).when(m4 == 2, F.lit("--")).otherwise(F.lit("//"))
+    )
+    lic = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.lit("SPDX-License-Identifier: "),
+            F.when(F.col("doc_id") % 20 == 5, F.lit("WTFPL"))
+            .when(F.col("doc_id") % 10 == 0, F.lit("MIT"))
+            .otherwise(F.lit("GPL-3.0")),
+            F.lit("\n"),
+        ),
+    ).otherwise(F.lit(""))
+    content = F.concat(
+        marker, F.lit(" "), F.col("source"), F.lit("\n"),
+        lic,
+        F.col("text"), F.lit("\n"),
+        F.repeat(
+            F.lit("x"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(1200)).otherwise(F.lit(40)),
+        ),
+        F.lit("\n"),
+        F.upper(F.substring("text", 1, 40)),
+    )
+    return d.select(
+        F.concat(F.lit("repo_"), (F.col("doc_id") % 40).cast("string")).alias("repo"),
+        F.concat(
+            F.lit("src/"), "source", F.lit("/f_"),
+            F.col("doc_id").cast("string"), ext,
+        ).alias("path"),
+        lang.alias("lang"),
+        content.alias("content"),
+    )
+
+
+# the oracle-side twin of _code_files, shared by the three code CTEs
+_CODE_FILES_SQL = """
+  SELECT
+    'repo_' || CAST(doc_id % 40 AS VARCHAR) AS repo,
+    'src/' || source || '/f_' || CAST(doc_id AS VARCHAR) ||
+      CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN '.py' WHEN 1 THEN '.java'
+           WHEN 2 THEN '.sql' ELSE '.go' END AS path,
+    CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'python' WHEN 1 THEN 'java'
+         WHEN 2 THEN 'sql' ELSE 'go' END AS lang,
+    (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN '#' WHEN 2 THEN '--' ELSE '//' END)
+      || ' ' || source || chr(10)
+      || CASE WHEN doc_id % 5 = 0 THEN 'SPDX-License-Identifier: ' ||
+           CASE WHEN doc_id % 20 = 5 THEN 'WTFPL'
+                WHEN doc_id % 10 = 0 THEN 'MIT' ELSE 'GPL-3.0' END || chr(10)
+         ELSE '' END
+      || text || chr(10)
+      || repeat('x', CASE WHEN doc_id % 7 = 0 THEN 1200 ELSE 40 END) || chr(10)
+      || upper(substr(text, 1, 40)) AS content
+  FROM documents
+"""
+
+
+def code_quality_signals(spark, sf):
+    """The Stack's per-file quality gate over the code-shaped corpus
+    (analytics/code.py line_stats): line count, max/mean line length,
+    alphanumeric fraction, lang-keyed comment-line fraction, and the
+    published keep thresholds (max 1000 / mean 100 / alnum 0.25) — all
+    JVM expressions; the only lambdas walk per-file line arrays.  The
+    oracle recomputes every metric from the same fixture in SQL."""
+    from airbyte_spark.analytics import code as A_code
+
+    return A_code.line_stats(_code_files(spark, sf)).select(
+        "repo", "path", "lang", "n_lines", "max_line_len",
+        "avg_line_len", "alnum_frac", "comment_frac", "keep_code",
+    )
+
+
+def code_license_scan(spark, sf):
+    """SPDX license scan + permissive/copyleft/unknown/none classing
+    (analytics/code.py detect_license — The Stack's license filter):
+    per-class file counts.  One regexp_extract per file, one tiny
+    aggregation."""
+    from airbyte_spark.analytics import code as A_code
+
+    return (
+        A_code.detect_license(_code_files(spark, sf))
+        .groupBy("license_id", "license_class", "license_ok")
+        .agg(F.count(F.lit(1)).alias("n_files"))
+    )
+
+
+def code_repo_pack(spark, sf):
+    """The composed code-curation pipeline: quality-gate (line shape)
+    -> license filter (permissive or untagged) -> repo-context packing
+    (analytics/code.py pack_repo — files concatenated in path order
+    with path headers, the StarCoder v2 repo-context format).  The
+    sha256 of each repo's packed document pins exact content and
+    ordering; the oracle rebuilds the pack with string_agg ORDER BY."""
+    from airbyte_spark.analytics import code as A_code
+
+    files = A_code.detect_license(A_code.line_stats(_code_files(spark, sf)))
+    kept = files.filter(
+        F.col("keep_code") & F.col("license_class").isin("permissive", "none")
+    )
+    return A_code.pack_repo(kept)
+
+
 def doc_bm25_rank(spark, sf):
     """Okapi BM25 corpus ranking against a fixed query-term set
     (analytics/text.py bm25_rank — Lucene idf variant): top-10 docs
@@ -2334,6 +2458,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_score": doc_lm_score,
         "doc_dsir_sample": doc_dsir_sample,
         "doc_chunk_windows": doc_chunk_windows,
+        "code_quality_signals": code_quality_signals,
+        "code_license_scan": code_license_scan,
+        "code_repo_pack": code_repo_pack,
         "cdc_debezium_decode": cdc_debezium_decode,
         "events_airbyte_roundtrip": events_airbyte_roundtrip,
         "events_profile": events_profile,
@@ -3279,6 +3406,82 @@ SELECT doc_id,
        CAST(least(len(toks) - s + 1, 64) AS BIGINT) AS n_tokens_chunk,
        array_to_string(toks[s:s + 63], ' ') AS text_chunk
 FROM s
+""",
+        "code_quality_signals": f"""
+WITH cf AS ({_CODE_FILES_SQL}),
+s AS (
+  SELECT repo, path, lang, content,
+    string_split(content, chr(10)) AS lines,
+    CASE lang WHEN 'python' THEN '#' WHEN 'sql' THEN '--' ELSE '//' END AS marker
+  FROM cf
+),
+m AS (
+  SELECT repo, path, lang,
+    len(lines) AS n_lines,
+    list_max(list_transform(lines, x -> length(x))) AS max_line_len,
+    round((length(content) - (len(lines) - 1)) / len(lines), 4) AS avg_line_len,
+    round(CASE WHEN length(content) > 0
+      THEN length(regexp_replace(content, '[^A-Za-z0-9]', '', 'g')) / length(content)
+      ELSE 0.0 END, 4) AS alnum_frac,
+    round(len(list_filter(lines, x -> starts_with(ltrim(x), marker))) / len(lines), 4)
+      AS comment_frac
+  FROM s
+)
+SELECT repo, path, lang, n_lines, max_line_len, avg_line_len, alnum_frac,
+  comment_frac,
+  (max_line_len <= 1000 AND avg_line_len <= 100.0 AND alnum_frac >= 0.25)
+    AS keep_code
+FROM m
+""",
+        "code_license_scan": f"""
+WITH cf AS ({_CODE_FILES_SQL}),
+lx AS (
+  SELECT regexp_extract(content,
+    'SPDX-License-Identifier:\\s*([A-Za-z0-9.+-]+)', 1) AS license_id
+  FROM cf
+),
+cls AS (
+  SELECT license_id,
+    CASE WHEN license_id = '' THEN 'none'
+         WHEN license_id IN ('MIT','Apache-2.0','BSD-2-Clause','BSD-3-Clause',
+                             'ISC','Unlicense') THEN 'permissive'
+         WHEN license_id IN ('GPL-2.0','GPL-3.0','AGPL-3.0','LGPL-2.1',
+                             'LGPL-3.0','MPL-2.0') THEN 'copyleft'
+         ELSE 'unknown' END AS license_class
+  FROM lx
+)
+SELECT license_id, license_class,
+  license_class = 'permissive' AS license_ok,
+  count(*) AS n_files
+FROM cls GROUP BY 1, 2, 3
+""",
+        "code_repo_pack": f"""
+WITH cf AS ({_CODE_FILES_SQL}),
+s AS (
+  SELECT repo, path, content, string_split(content, chr(10)) AS lines
+  FROM cf
+),
+g AS (
+  SELECT repo, path, content,
+    (list_max(list_transform(lines, x -> length(x))) <= 1000
+     AND round((length(content) - (len(lines) - 1)) / len(lines), 4) <= 100.0
+     AND round(length(regexp_replace(content, '[^A-Za-z0-9]', '', 'g'))
+               / length(content), 4) >= 0.25) AS keep_code,
+    regexp_extract(content,
+      'SPDX-License-Identifier:\\s*([A-Za-z0-9.+-]+)', 1) AS license_id
+  FROM s
+),
+k AS (
+  SELECT repo, path, content FROM g
+  WHERE keep_code AND (license_id = '' OR license_id IN
+    ('MIT','Apache-2.0','BSD-2-Clause','BSD-3-Clause','ISC','Unlicense'))
+)
+SELECT repo, count(*) AS n_files,
+  length(string_agg('### ' || path || chr(10) || content,
+                    chr(10) || chr(10) ORDER BY path)) AS packed_chars,
+  sha256(string_agg('### ' || path || chr(10) || content,
+                    chr(10) || chr(10) ORDER BY path)) AS packed_sha256
+FROM k GROUP BY repo
 """,
         "doc_dsir_sample": f"""
 WITH d AS (

@@ -1,0 +1,168 @@
+"""Code-corpus curation operators — the graft payload is SOURCE CODE.
+
+The engine's input table is an Iceberg table of source-code repos
+(repo, path, commit, lang, content — BASELINE.json input_hint), and a
+training-data pipeline over code needs code-specific curation beyond
+the prose operators in text.py.  These implement the published
+code-dataset recipe (The Stack, Kocetkov et al. 2022; StarCoder, Li
+et al. 2023 — public papers): per-file line-shape quality gates,
+SPDX/heuristic license scanning with a permissive/copyleft split, and
+repo-level file packing for repo-context training.
+
+Reference parity: these extend the reference's per-stream transform
+surface (SURVEY §2.5, base-normalization's per-column model) to the
+code payload; the license scan mirrors the reference's connector-level
+metadata extraction pattern (discover-time enrichment).
+
+All hot-path expressions are JVM built-ins; the only higher-order
+functions run over per-file LINE arrays (bounded by file size, no
+shuffle), and packing is one hash-aggregation keyed by repo — at
+100 TB each operator is a single scan with optional map-side combine,
+no driver collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# line-comment marker per language (the fixture/test languages; extend
+# per corpus).  Unknown langs get no comment detection ('\x00' never
+# prefixes a line), they are NOT dropped.
+COMMENT_MARKERS = {
+    "python": "#",
+    "sql": "--",
+    "java": "//",
+    "go": "//",
+}
+
+# The Stack v1 defaults (Kocetkov et al. 2022 §3.2): files with any
+# line over 1000 chars, mean line length over 100, or under 25%
+# alphanumeric content are overwhelmingly auto-generated / minified /
+# data blobs, not human source.
+MAX_LINE_LEN = 1000
+MAX_AVG_LINE_LEN = 100.0
+MIN_ALNUM_FRAC = 0.25
+
+
+def _marker_expr(lang_col: Column) -> Column:
+    pairs: list[Column] = []
+    for k, v in COMMENT_MARKERS.items():
+        pairs.extend([F.lit(k), F.lit(v)])
+    return F.coalesce(
+        F.element_at(F.create_map(*pairs), lang_col), F.lit("\x00")
+    )
+
+
+def line_stats(
+    df: DataFrame, content_col: str = "content", lang_col: str = "lang"
+) -> DataFrame:
+    """Per-file line-shape signals + The-Stack keep gate.
+
+    Adds: ``n_lines``, ``max_line_len``, ``avg_line_len`` (round 4),
+    ``alnum_frac`` (round 4), ``comment_frac`` (round 4, by the lang's
+    line-comment marker after left-trim), ``keep_code`` (the gate).
+
+    Sum of line lengths needs no per-line pass: it is exactly
+    ``length(content) - (n_lines - 1)`` (newlines are the only chars
+    not in any line), so only max-length and comment detection walk
+    the line array — both bounded by the file, evaluated in-task.
+    """
+    c = F.col(content_col)
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines)
+    sum_len = F.length(c) - (n_lines - F.lit(1))
+    marker = _marker_expr(F.col(lang_col))
+    n_comment = F.size(
+        F.filter(lines, lambda ln: F.ltrim(ln).startswith(marker))
+    )
+    alnum = F.length(F.regexp_replace(c, "[^A-Za-z0-9]", ""))
+    avg_line = F.round(sum_len / n_lines, 4)
+    alnum_frac = F.round(
+        F.when(F.length(c) > 0, alnum / F.length(c)).otherwise(F.lit(0.0)), 4
+    )
+    out = (
+        df.withColumn("n_lines", n_lines)
+        .withColumn("max_line_len", F.array_max(F.transform(lines, F.length)))
+        .withColumn("avg_line_len", avg_line)
+        .withColumn("alnum_frac", alnum_frac)
+        .withColumn("comment_frac", F.round(n_comment / n_lines, 4))
+    )
+    return out.withColumn(
+        "keep_code",
+        (F.col("max_line_len") <= MAX_LINE_LEN)
+        & (F.col("avg_line_len") <= MAX_AVG_LINE_LEN)
+        & (F.col("alnum_frac") >= MIN_ALNUM_FRAC),
+    )
+
+
+# SPDX short identifiers -> class; prefix match handles -only/-or-later
+# and versioned ids.  Anything detected but unlisted is "unknown";
+# files with no license text at all are "none" (a repo-level LICENSE
+# file would normally cover them — out of scope for per-file scan).
+_PERMISSIVE = ["MIT", "Apache-2.0", "BSD-2-Clause", "BSD-3-Clause", "ISC", "Unlicense"]
+_COPYLEFT = ["GPL-2.0", "GPL-3.0", "AGPL-3.0", "LGPL-2.1", "LGPL-3.0", "MPL-2.0"]
+
+_SPDX_RE = r"SPDX-License-Identifier:\s*([A-Za-z0-9.+-]+)"
+
+
+def detect_license(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Per-file license scan: extract the SPDX tag (the machine-readable
+    convention The Stack's license filter keys on), classify it
+    permissive / copyleft / unknown / none, and flag redistributable
+    files (permissive-only, the StarCoder training rule)."""
+    spdx = F.regexp_extract(F.col(content_col), _SPDX_RE, 1)
+    cls = (
+        F.when(spdx == "", F.lit("none"))
+        .when(spdx.isin(_PERMISSIVE), F.lit("permissive"))
+        .when(spdx.isin(_COPYLEFT), F.lit("copyleft"))
+        .otherwise(F.lit("unknown"))
+    )
+    return (
+        df.withColumn("license_id", spdx)
+        .withColumn("license_class", cls)
+        .withColumn("license_ok", cls == "permissive")
+    )
+
+
+def pack_repo(
+    df: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    content_col: str = "content",
+    header_prefix: str = "### ",
+) -> DataFrame:
+    """Repo-context packing: concatenate a repo's files in path order
+    into one training document, each file prefixed by a path header
+    (the StarCoder v2 repo-context format).  One hash-aggregation keyed
+    by repo; the per-repo document is bounded by repo size, and the
+    sha256 gives the oracle an exact-content check without shipping
+    the packed text around.
+
+    Returns (repo, n_files, packed_chars, packed_sha256).
+    """
+    entry = F.struct(
+        F.col(path_col).alias("path"), F.col(content_col).alias("content")
+    )
+    packed = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list(entry)),
+            lambda s: F.concat(
+                F.lit(header_prefix), s["path"], F.lit("\n"), s["content"]
+            ),
+        ),
+        "\n\n",
+    )
+    return (
+        df.groupBy(F.col(repo_col).alias("repo"))
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            packed.alias("_packed"),
+        )
+        .select(
+            "repo",
+            "n_files",
+            F.length("_packed").alias("packed_chars"),
+            F.sha2("_packed", 256).alias("packed_sha256"),
+        )
+    )

@@ -134,6 +134,10 @@ BENCH_QUERIES = [
     "cdc_oplog_replay_mini",
     # round 4: one-pass per-column table profile (nulls/distinct/min/max)
     "events_profile",
+    # round 4: code-payload curation (The Stack line gates, SPDX
+    # license scan, repo-context packing — one agg keyed by repo)
+    "code_quality_signals",
+    "code_repo_pack",
 ]
 
 

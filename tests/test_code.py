@@ -1,0 +1,87 @@
+"""Code-corpus curation operators (analytics/code.py): The-Stack line
+gates, SPDX license scan, repo-context packing — exact hand-computed
+values on tiny frames; the driver queries value-verify at sf via
+DuckDB (code_quality_signals / code_license_scan / code_repo_pack)."""
+
+import hashlib
+
+from pyspark.sql import Row
+
+from airbyte_spark.analytics import code as A_code
+
+
+def _files(spark, rows):
+    return spark.createDataFrame([Row(**r) for r in rows])
+
+
+def test_line_stats_exact(spark):
+    # 4 lines: comment header, text, short generated, tail
+    content = "# hdr\nabc def\nxxxx\nAB"
+    out = A_code.line_stats(_files(spark, [
+        {"repo": "r", "path": "a.py", "lang": "python", "content": content},
+    ])).collect()[0]
+    assert out["n_lines"] == 4
+    assert out["max_line_len"] == 7
+    # sum of line lengths = len(content) - (n_lines - 1)
+    assert out["avg_line_len"] == round((len(content) - 3) / 4, 4)
+    alnum = sum(ch.isalnum() for ch in content)
+    assert out["alnum_frac"] == round(alnum / len(content), 4)
+    assert out["comment_frac"] == 0.25
+    assert out["keep_code"] is True
+
+
+def test_line_stats_gate_flips_on_long_line(spark):
+    long = "# h\n" + "x" * 1001
+    ok = "# h\n" + "x" * 1000
+    rows = A_code.line_stats(_files(spark, [
+        {"repo": "r", "path": "a.py", "lang": "python", "content": long},
+        {"repo": "r", "path": "b.py", "lang": "python", "content": ok},
+    ])).collect()
+    by_path = {r["path"]: r for r in rows}
+    assert by_path["a.py"]["keep_code"] is False  # max_line_len 1001
+    # 1000-char line passes max but fails mean (avg > 100)
+    assert by_path["b.py"]["max_line_len"] == 1000
+    assert by_path["b.py"]["keep_code"] is False
+    assert by_path["b.py"]["avg_line_len"] > 100
+
+
+def test_line_stats_unknown_lang_keeps_file_no_comments(spark):
+    out = A_code.line_stats(_files(spark, [
+        {"repo": "r", "path": "a.rs", "lang": "rust", "content": "// c\nfn x"},
+    ])).collect()[0]
+    assert out["comment_frac"] == 0.0  # no marker for rust in the map
+    assert out["keep_code"] is True    # unknown lang is not a drop reason
+
+
+def test_detect_license_classes(spark):
+    rows = A_code.detect_license(_files(spark, [
+        {"repo": "r", "path": "a", "lang": "python",
+         "content": "x\nSPDX-License-Identifier:   MIT\ny"},
+        {"repo": "r", "path": "b", "lang": "python",
+         "content": "SPDX-License-Identifier: GPL-3.0"},
+        {"repo": "r", "path": "c", "lang": "python",
+         "content": "SPDX-License-Identifier: WTFPL"},
+        {"repo": "r", "path": "d", "lang": "python", "content": "no tag"},
+    ])).collect()
+    got = {r["path"]: (r["license_id"], r["license_class"], r["license_ok"])
+           for r in rows}
+    assert got["a"] == ("MIT", "permissive", True)
+    assert got["b"] == ("GPL-3.0", "copyleft", False)
+    assert got["c"] == ("WTFPL", "unknown", False)
+    assert got["d"] == ("", "none", False)
+
+
+def test_pack_repo_order_and_digest(spark):
+    rows = [
+        {"repo": "r1", "path": "b.py", "lang": "python", "content": "B"},
+        {"repo": "r1", "path": "a.py", "lang": "python", "content": "A"},
+        {"repo": "r2", "path": "z.go", "lang": "go", "content": "Z"},
+    ]
+    out = {r["repo"]: r for r in A_code.pack_repo(_files(spark, rows)).collect()}
+    packed_r1 = "### a.py\nA\n\n### b.py\nB"  # path order, not input order
+    assert out["r1"]["n_files"] == 2
+    assert out["r1"]["packed_chars"] == len(packed_r1)
+    assert out["r1"]["packed_sha256"] == hashlib.sha256(
+        packed_r1.encode()).hexdigest()
+    assert out["r2"]["packed_sha256"] == hashlib.sha256(
+        b"### z.go\nZ").hexdigest()
