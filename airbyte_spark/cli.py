@@ -162,6 +162,10 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--older-than-seconds", type=float, default=None,
                     help="only snapshots committed more than this many "
                          "seconds ago may expire (Iceberg olderThan)")
+    sp.add_argument("--expire-metadata", action="store_true",
+                    help="also unlink expired snapshot JSONs (bounds "
+                         "the _log dir at O(retained), Iceberg "
+                         "expire_snapshots parity)")
 
     sp = sub.add_parser("tag", help="create/drop/list named snapshot refs")
     sp.add_argument("--table", required=True)
@@ -334,6 +338,7 @@ def main(argv: list[str] | None = None) -> int:
             args.keep_last,
             grace_seconds=args.grace_seconds,
             older_than_seconds=args.older_than_seconds,
+            expire_metadata=args.expire_metadata,
         )
         snap = t.snapshot()
         print(json.dumps({

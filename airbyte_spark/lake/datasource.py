@@ -420,21 +420,74 @@ class _LakeBatchReaderPushdown(_LakeBatchReader):
         return unhandled
 
 
-class _LakeStreamReader(DataSourceStreamReader):
-    def __init__(self, root: str, starting_version: int):
+class _VersionRateLimit:
+    """Per-trigger backlog cap for the lake stream readers —
+    ``option("maxVersionsPerTrigger", N)`` (Delta's maxFilesPerTrigger
+    analog, but in commit units since a lake version IS the commit
+    granularity).  Without it a consumer bootstrapping against a deep
+    backlog (10^5 microbatch commits) plans ONE microbatch over the
+    whole table: no checkpoint granularity, unbounded batch state.
+
+    The Python streaming source API's ``latestOffset()`` receives no
+    start offset (JVM sources get one via SupportsAdmissionControl;
+    Python ones don't), so the cap rides a monotonic FLOOR the reader
+    tracks itself: the newest version already planned (``partitions``)
+    or committed (``commit``).  The floor starts unknown — Spark calls
+    ``latestOffset`` BEFORE ``initialOffset`` even on a fresh stream
+    (verified empirically under both processingTime and availableNow
+    triggers), and capping against a guess below the checkpoint would
+    make Spark plan a BACKWARD range whose commit regresses the
+    checkpoint (duplicate emission).  So the FIRST planned batch of
+    every run is uncapped and each later batch is capped: steady-state
+    triggers stay bounded while the stream is live.  Draining a deep
+    cold backlog is NOT this option's job — that is snapshot-then-tail
+    (``engine/pipeline.py`` bootstraps from the batch read and starts
+    the tail at the snapshot HWM via ``starting_version``)."""
+
+    _t: LakeTable
+    _start: int
+
+    def _init_rate_limit(self, max_versions: int | None) -> None:
+        self._max_versions = max_versions
+        self._floor: int | None = None
+
+    def _advance_floor(self, *offsets: dict) -> None:
+        vs = [o["version"] for o in offsets]
+        if self._floor is not None:
+            vs.append(self._floor)
+        self._floor = max(vs)
+
+    def initialOffset(self) -> dict:
+        self._advance_floor({"version": self._start})
+        return {"version": self._start}
+
+    def latestOffset(self) -> dict:
+        latest = self._t.snapshot().version
+        if self._max_versions is not None and self._floor is not None:
+            latest = max(min(latest, self._floor + self._max_versions),
+                         self._floor)
+        return {"version": latest}
+
+    def commit(self, end: dict) -> None:
+        # exactly-once comes from the deterministic version diff; the
+        # only commit-time state is the rate-limit floor
+        self._advance_floor(end)
+
+    def stop(self) -> None:
+        pass
+
+
+class _LakeStreamReader(_VersionRateLimit, DataSourceStreamReader):
+    def __init__(self, root: str, starting_version: int,
+                 max_versions_per_trigger: int | None = None):
         self._t = LakeTable(root)
         self._start = starting_version
+        self._init_rate_limit(max_versions_per_trigger)
         # the stream's output schema is pinned at query start; later
         # files (even ones written after an evolve) are projected DOWN
         # to it by field id — restart the stream to pick up new columns
         # (the same contract as Spark's own file sources)
         self._fields = self._t.snapshot().fields
-
-    def initialOffset(self) -> dict:
-        return {"version": self._start}
-
-    def latestOffset(self) -> dict:
-        return {"version": self._t.snapshot().version}
 
     # snapshot operations that rewrite files WITHOUT changing row
     # content — a tail skips them instead of dying (Delta's
@@ -448,6 +501,7 @@ class _LakeStreamReader(DataSourceStreamReader):
     _MAINTENANCE_OPS = frozenset({"compact", "vacuum", "rebucket"})
 
     def partitions(self, start: dict, end: dict):
+        self._advance_floor(start, end)
         sv, ev = start["version"], end["version"]
         until = self._t.snapshot(ev)
         new_files: list[tuple[FileEntry, int]] = []
@@ -495,14 +549,8 @@ class _LakeStreamReader(DataSourceStreamReader):
     def read(self, partition: _FilePartition):
         return _read_file_projected(partition)
 
-    def commit(self, end: dict) -> None:
-        pass  # exactly-once comes from the deterministic version diff
 
-    def stop(self) -> None:
-        pass
-
-
-class _LakeChangesStreamReader(DataSourceStreamReader):
+class _LakeChangesStreamReader(_VersionRateLimit, DataSourceStreamReader):
     """Streaming ROW-LEVEL CHANGES (Delta's streaming readChangeFeed
     analog; option("changes", "true")): each microbatch emits the
     rows of read_changes for the version range — appended base files
@@ -517,18 +565,15 @@ class _LakeChangesStreamReader(DataSourceStreamReader):
 
     _MAINTENANCE_OPS = _LakeStreamReader._MAINTENANCE_OPS
 
-    def __init__(self, root: str, starting_version: int):
+    def __init__(self, root: str, starting_version: int,
+                 max_versions_per_trigger: int | None = None):
         self._t = LakeTable(root)
         self._start = starting_version
+        self._init_rate_limit(max_versions_per_trigger)
         self._fields = self._t.snapshot().fields
 
-    def initialOffset(self) -> dict:
-        return {"version": self._start}
-
-    def latestOffset(self) -> dict:
-        return {"version": self._t.snapshot().version}
-
     def partitions(self, start: dict, end: dict):
+        self._advance_floor(start, end)
         sv, ev = start["version"], end["version"]
         until = self._t.snapshot(ev)
         parts: list = []
@@ -599,12 +644,6 @@ class _LakeChangesStreamReader(DataSourceStreamReader):
         if isinstance(partition, _BucketDeletePartition):
             return _read_bucket_delete(partition)
         return _read_change_file(partition)
-
-    def commit(self, end: dict) -> None:
-        pass  # exactly-once comes from the deterministic version diff
-
-    def stop(self) -> None:
-        pass
 
 
 @dataclass
@@ -799,12 +838,16 @@ class LakeDataSource(DataSource):
         return _LakeBatchReader(self._root(), v)
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        mv = self.options.get("maxVersionsPerTrigger")
+        mv = int(mv) if mv is not None else None
         if self._changes():
             return _LakeChangesStreamReader(
-                self._root(), int(self.options.get("starting_version", 0))
+                self._root(), int(self.options.get("starting_version", 0)),
+                max_versions_per_trigger=mv,
             )
         return _LakeStreamReader(
-            self._root(), int(self.options.get("starting_version", 0))
+            self._root(), int(self.options.get("starting_version", 0)),
+            max_versions_per_trigger=mv,
         )
 
     def _check_write_schema(self, schema: StructType) -> None:

@@ -483,16 +483,36 @@ class LakeTable:
     def snapshot(self, version: int | str | None = None) -> Snapshot:
         if isinstance(version, str):  # a tag name (Iceberg ref syntax)
             version = self.resolve_ref(version)
-        snap = read_snapshot(self.root, version)
+        try:
+            snap = read_snapshot(self.root, version)
+        except FileNotFoundError:
+            # an expired-metadata version (vacuum(expire_metadata=True)
+            # unlinked its snapshot JSON) — same clear retention error
+            # the data-read guard raises, not a raw file error
+            cur = read_snapshot(self.root)
+            mrv = (cur.props if cur else {}).get("min_readable_version", 0)
+            raise ValueError(
+                f"version {version} expired by vacuum "
+                f"(metadata expired; min readable version is {mrv})"
+            ) from None
         if snap is None:
             raise ValueError(f"no table at {self.root}")
         return snap
 
     def history(self) -> list[Snapshot]:
-        last = latest_version(self.root)
-        if last is None:
+        """All snapshots whose metadata still exists, oldest first —
+        after vacuum(expire_metadata=True) the expired prefix (minus
+        tagged pins) is absent, so this lists the log dir rather than
+        assuming versions 0..latest are all present."""
+        log = os.path.join(self.root, LOG_DIR)
+        if not os.path.isdir(log):
             return []
-        return [self.snapshot(v) for v in range(last + 1)]
+        versions = sorted(
+            int(n[1:13])
+            for n in os.listdir(log)
+            if n.startswith("v") and n.endswith(".json")
+        )
+        return [self.snapshot(v) for v in versions]
 
     def resolve_as_of(self, ts) -> int:
         """Time travel AS OF TIMESTAMP (Iceberg's
@@ -511,7 +531,18 @@ class LakeTable:
             raise ValueError(f"no table at {self.root}")
         for v in range(last, -1, -1):
             path = os.path.join(self.root, LOG_DIR, f"v{v:012d}.json")
-            if os.path.getmtime(path) <= ts:
+            try:
+                mtime = os.path.getmtime(path)
+            except FileNotFoundError:
+                # expired metadata: every non-tagged version below here
+                # is gone too, so the correct as-of answer (greatest
+                # version committed <= ts) is unresolvable — refuse
+                # rather than quietly landing on an older tagged pin
+                raise ValueError(
+                    f"as-of {ts} falls below metadata expired by vacuum "
+                    f"(oldest resolvable version is {v + 1})"
+                ) from None
+            if mtime <= ts:
                 return v
         raise ValueError(
             f"as-of {ts} predates the table's first commit"
@@ -534,7 +565,15 @@ class LakeTable:
         if last is None:
             raise ValueError(f"no table at {self.root}")
         for v in range(last, -1, -1):
-            snap = self.snapshot(v)
+            try:
+                snap = self.snapshot(v)
+            except ValueError:
+                # expired metadata below here: no retained version has
+                # an epoch tag <= the requested cut
+                raise ValueError(
+                    f"epoch {epoch} of stream {stream} falls below "
+                    f"metadata expired by vacuum"
+                ) from None
             if snap.epochs.get(stream, -1) <= epoch:
                 return v
         raise ValueError(
@@ -2553,6 +2592,7 @@ class LakeTable:
         *,
         grace_seconds: float = 3600.0,
         older_than_seconds: float | None = None,
+        expire_metadata: bool = False,
     ) -> int:
         """Delete data files not referenced by the last ``keep_last``
         DATA snapshots (Iceberg's expire_snapshots analog; vacuum's
@@ -2567,7 +2607,18 @@ class LakeTable:
         even when unreferenced — a concurrent writer may have written
         them but not yet committed (the two-writer optimistic
         concurrency this log supports); Iceberg's remove_orphan_files
-        has the same age threshold.  Crash-cleanup tests pass 0."""
+        has the same age threshold.  Crash-cleanup tests pass 0.
+
+        ``expire_metadata``: also unlink the snapshot JSONs of expired
+        versions (below the watermark, untagged, not file-pinned this
+        run) — Iceberg expire_snapshots deletes metadata too.  Without
+        this the ``_log`` dir grows O(commits), and each snapshot
+        carries the FULL file list: at 10^5 microbatch commits over a
+        10^5-file table that is terabytes of driver-side JSON, so a
+        production deployment runs maintenance with this on.  History,
+        as-of/epoch resolution, and changelog walks degrade cleanly:
+        expired versions raise the same retention error data reads do
+        (replication's resync fallback already handles it)."""
         import time as _time
 
         hist = self.history()
@@ -2691,6 +2742,23 @@ class LakeTable:
                     os.unlink(side)
             except FileNotFoundError:
                 continue
+        if expire_metadata:
+            # only versions BOTH below the watermark AND outside this
+            # run's pin set (retained suffix + tags) — their data files
+            # were just made orphan-eligible, and their reads already
+            # raise the retention error, so dropping the JSON loses
+            # nothing a reader could still legally see
+            keep = {s.version for s in pinned} | {hist[-1].version}
+            for s in hist:
+                if s.version < min_readable and s.version not in keep:
+                    try:
+                        os.unlink(
+                            os.path.join(
+                                self.root, LOG_DIR, f"v{s.version:012d}.json"
+                            )
+                        )
+                    except FileNotFoundError:
+                        pass
         return removed
 
 

@@ -280,6 +280,18 @@ def test_vacuum_verb_retention_cycle(tmp_path):
     err = _cli_fail("scan", "--table", table, "--version", "1", "--limit", "1")
     assert "expired by vacuum" in err
 
+    # a second pass with --expire-metadata drops the expired snapshot
+    # JSONs too: history shrinks to the retained suffix + markers
+    n_hist = len(hist)
+    json.loads(_cli("vacuum", "--table", table, "--keep-last", "1",
+                    "--grace-seconds", "0", "--expire-metadata"))
+    hist2 = [json.loads(line) for line in
+             _cli("history", "--table", table).strip().splitlines()]
+    assert len(hist2) < n_hist
+    assert all(h["version"] >= compact_v for h in hist2)
+    err = _cli_fail("scan", "--table", table, "--version", "1", "--limit", "1")
+    assert "expired by vacuum" in err  # still the clean error, not ENOENT
+
 
 def test_tag_and_scan_by_ref(tmp_path):
     """Named refs from the CLI: tag the bootstrap state, keep writing,

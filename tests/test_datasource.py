@@ -364,6 +364,52 @@ def test_stream_rejects_rewrite_history(spark, table):
         r.partitions({"version": 1}, r.latestOffset())
 
 
+def test_stream_max_versions_per_trigger(spark, table, tmp_path):
+    """option("maxVersionsPerTrigger", 1) bounds each LIVE microbatch
+    to one commit's worth of new data (Delta's maxFilesPerTrigger
+    analog).  The first planned batch of a run is uncapped by design —
+    Spark calls latestOffset before the reader can learn any start
+    offset (no ReadLimit in the Python API), and guessing low would
+    regress the checkpoint — so the cap's contract is steady-state:
+    once the stream is live, every later batch covers at most N
+    versions, and totals stay exactly-once."""
+    cp = str(tmp_path / "cp")
+    batches = []
+
+    def sink(bdf, bid):
+        batches.append(sorted(r["lsn"] for r in bdf.collect()))
+
+    q = (
+        spark.readStream.format("lake")
+        .option("maxVersionsPerTrigger", "1")
+        .load(table.root)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", cp)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 0 = the v1+v2 backlog, uncapped (documented semantics)
+        assert sorted(sum(batches, [])) == list(range(200))
+        n0 = len(batches)
+        # three live commits -> three capped batches, one version each
+        table.append(spark, _mk(spark, 200, 230), epoch=3)
+        table.append(spark, _mk(spark, 230, 250), epoch=4)
+        table.append(spark, _mk(spark, 250, 260), epoch=5)
+        q.processAllAvailable()
+        live = [b for b in batches[n0:] if b]
+        assert live == [
+            list(range(200, 230)),
+            list(range(230, 250)),
+            list(range(250, 260)),
+        ]
+    finally:
+        q.stop()
+    # exactly-once across the whole run
+    assert sorted(sum(batches, [])) == list(range(260))
+
+
 def test_stream_tail_survives_compact(spark, table, tmp_path):
     """Round-3 verdict Missing #2: content-preserving maintenance
     (compact / vacuum markers) must be SKIPPED by a checkpointed tail

@@ -691,6 +691,56 @@ def test_read_appends_guarded_after_vacuum(spark, tmp_path):
         r.partitions({"version": 0}, {"version": 2})
 
 
+def test_vacuum_expire_metadata(spark, tmp_path):
+    """vacuum(expire_metadata=True) also unlinks expired snapshot
+    JSONs (Iceberg expire_snapshots deletes metadata too — otherwise
+    _log grows O(commits) with the FULL file list per snapshot), and
+    every metadata walker degrades to the clean retention error:
+    history() lists survivors, snapshot()/as-of/epoch resolution and
+    changelog walks over the gap raise, tagged pins keep their JSON."""
+    import os
+
+    t = LakeTable.create(str(tmp_path / "em"), SCHEMA, ["repo", "path"], n_buckets=2)
+    for k in range(4):  # v1..v4 overwrites, each with its own files
+        t.overwrite(spark, _batch(spark, 100 * k, 100 * k + 50), epoch=k + 1)
+    t.tag("pin", 2)  # v5 (metadata commit); v2 pinned
+    n_before = len(os.listdir(os.path.join(t.root, "_log")))
+    t.vacuum(keep_last=2, grace_seconds=0, expire_metadata=True)
+    logs = sorted(os.listdir(os.path.join(t.root, "_log")))
+    # keep_last=2 retains v4 + the v5 tag commit (watermark 4): v0/v1/v3
+    # metadata expired, v2 survives via the tag pin, v6 = vacuum marker
+    assert len(logs) < n_before + 1  # grew by the marker, shrank by 3
+    versions = {int(n[1:13]) for n in logs}
+    assert versions == {2, 4, 5, 6}
+    # history walks the survivors without tripping on the gap
+    assert [s.version for s in t.history()] == sorted(versions)
+    # explicit reads of expired-metadata versions: clean retention error
+    for v in (1, 3):
+        with pytest.raises(ValueError, match="expired by vacuum"):
+            t.snapshot(v)
+        with pytest.raises(ValueError, match="expired by vacuum"):
+            t.read(spark, version=v)
+    # the tagged pin stays fully readable below the watermark
+    assert t.read(spark, version=2).count() == 50
+    assert t.read(spark, "pin").count() == 50
+    # changelog walks spanning the gap raise (replicate's resync
+    # fallback catches exactly this ValueError)
+    with pytest.raises(ValueError, match="expired"):
+        t.read_changes(spark, 0, until_version=3)
+    # epoch resolution below the retained cut refuses cleanly
+    with pytest.raises(ValueError, match="expired"):
+        t.resolve_epoch("default", 0)
+    # as-of below the oldest surviving metadata refuses cleanly
+    import time
+
+    with pytest.raises(ValueError, match="expired|predates"):
+        t.resolve_as_of(time.time() - 10 * 365 * 86400)
+    # current state and writes keep working after metadata expiry
+    assert t.read(spark).count() == 50
+    t.append(spark, _batch(spark, 900, 910), epoch=9)
+    assert t.read(spark).count() == 60
+
+
 def test_metadata_tables(spark, table):
     files = table.files_df(spark)
     snap = table.snapshot()

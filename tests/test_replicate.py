@@ -110,6 +110,20 @@ def test_history_fold_falls_back_to_resync(spark, pair):
     assert _state(spark, dst) == _state(spark, src)
 
 
+def test_metadata_expiry_falls_back_to_resync(spark, pair):
+    """vacuum(expire_metadata=True) on the source unlinks the
+    replica-cursor snapshot's JSON; the next replicate hits the clean
+    retention error mid-walk and falls back to a full resync."""
+    src, dst = pair
+    replicate(spark, src, dst)
+    for k in range(3):  # push the cursor's version below retention
+        src.overwrite(spark, _batch(spark, 100 * k, 100 * k + 20), epoch=k + 2)
+    src.vacuum(keep_last=1, grace_seconds=0, expire_metadata=True)
+    r = replicate(spark, src, dst)
+    assert r["mode"] == "resync" and r["applied"] == 20
+    assert _state(spark, dst) == _state(spark, src)
+
+
 def test_idle_source_advances_cursor(spark, pair):
     src, dst = pair
     replicate(spark, src, dst)
