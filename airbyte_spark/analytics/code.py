@@ -166,3 +166,62 @@ def pack_repo(
             F.sha2("_packed", 256).alias("packed_sha256"),
         )
     )
+
+
+# Secret patterns restricted (like text.py's PII_PATTERNS) to
+# constructs Java regex and RE2 interpret identically: ASCII classes,
+# bounded quantifiers, inline (?i), no lookaround/backreferences.
+# The vendor-prefixed patterns are the published detect-secrets /
+# BigCode (StarCoder §PII) families; "generic" is the quoted
+# assignment heuristic and runs LAST so a vendor match is redacted to
+# its own placeholder before the assignment rule can swallow it (the
+# [^'"<\n] head also refuses to re-redact a placeholder).
+SECRET_PATTERNS: list[tuple[str, str, str]] = [
+    ("aws_key", r"AKIA[0-9A-Z]{16}", "<AWS_KEY>"),
+    ("gh_token", r"ghp_[A-Za-z0-9]{36}", "<GH_TOKEN>"),
+    ("slack_token", r"xox[abpr]-[0-9A-Za-z-]{10,48}", "<SLACK_TOKEN>"),
+    (
+        "jwt",
+        r"eyJ[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{5,}",
+        "<JWT>",
+    ),
+    ("private_key", r"-----BEGIN [A-Z ]*PRIVATE KEY-----", "<PRIVATE_KEY>"),
+    (
+        "generic",
+        r"(?i)(api[_-]?key|secret|token|passwd|password)"
+        r"""\s*[:=]\s*['"][^'"<\n][^'"\n]{7,}['"]""",
+        "<SECRET>",
+    ),
+]
+
+
+def scan_secrets(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Per-file secret scan — the detect-secrets gate of the published
+    code-dataset recipe (The Stack v2 / StarCoder run secret detection
+    before training).  Adds one match-count column per pattern family
+    (``n_<kind>``), the total, and ``has_secret``.  Pure JVM
+    ``regexp_count`` chain: fuses into the scan, no shuffle, no Python
+    in the hot path — at 100 TB this is bandwidth-bound like the PII
+    pass (text.py redact_pii)."""
+    out = df
+    total = F.lit(0)
+    for kind, pat, _ in SECRET_PATTERNS:
+        c = F.regexp_count(F.col(content_col), F.lit(pat))
+        out = out.withColumn(f"n_{kind}", c)
+        total = total + c
+    return out.withColumn("n_secrets", total).withColumn(
+        "has_secret", total > 0
+    )
+
+
+def redact_secrets(
+    df: DataFrame, content_col: str = "content", out_col: str = "content_redacted"
+) -> DataFrame:
+    """Replace every detected secret with a typed placeholder
+    (StarCoder's convention).  The generic-assignment rule keeps the
+    variable name (``$1``) and only masks the quoted value; vendor
+    rules run first so their placeholders are never re-matched."""
+    col = F.col(content_col)
+    for kind, pat, repl in SECRET_PATTERNS:
+        col = F.regexp_replace(col, pat, f"$1={repl}" if kind == "generic" else repl)
+    return df.withColumn(out_col, col)
