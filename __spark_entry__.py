@@ -758,6 +758,58 @@ def code_secret_scan(spark, sf):
     )
 
 
+def cdc_outbox_route(spark, sf):
+    """Outbox event routing (engine/outbox.py — Debezium EventRouter
+    parity): synthesize an outbox changelog from the events table
+    (every 10th row the app's cleanup DELETE, payload JSON built
+    field-by-field so both engines produce byte-identical text),
+    route inserts to per-aggregatetype streams, expand the payload
+    into typed columns, and aggregate per stream.  The oracle
+    recomputes routing/drop/expansion from the base table — the
+    payload values ride a JSON round-trip on the Spark side, so
+    equality pins the router's parse path, not just the grouping."""
+    from airbyte_spark.engine.outbox import route_outbox
+
+    e = _t(spark, sf, "events")
+    ob = e.select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_id") % 10 == 0, F.lit("d"))
+        .otherwise(F.lit("i"))
+        .alias("op"),
+        F.col("event_id").alias("id"),
+        F.col("event_type").alias("aggregatetype"),
+        F.col("user_id").alias("aggregateid"),
+        F.when(F.col("event_id") % 3 == 0, F.lit("created"))
+        .otherwise(F.lit("changed"))
+        .alias("type"),
+        F.concat(
+            F.lit('{"user_id": '),
+            F.col("user_id").cast("string"),
+            F.lit(', "value": '),
+            F.col("value").cast("string"),
+            F.lit(', "k": '),
+            F.regexp_extract(F.col("props"), "[0-9]+", 0),
+            F.lit("}"),
+        ).alias("payload"),
+    )
+    routed = route_outbox(
+        ob,
+        payload_schema={
+            "user_id": "integer",
+            "value": "number",
+            "k": "integer",
+        },
+    )
+    return routed.groupBy("collection").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("event_key").alias("n_keys"),
+        F.sum((F.col("event_type") == "created").cast("long")).alias("n_created"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.sum("k").alias("sum_k"),
+        F.max("lsn").alias("max_lsn"),
+    )
+
+
 def doc_bm25_rank(spark, sf):
     """Okapi BM25 corpus ranking against a fixed query-term set
     (analytics/text.py bm25_rank — Lucene idf variant): top-10 docs
@@ -2527,6 +2579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_license_scan": code_license_scan,
         "code_repo_pack": code_repo_pack,
         "code_secret_scan": code_secret_scan,
+        "cdc_outbox_route": cdc_outbox_route,
         "cdc_debezium_decode": cdc_debezium_decode,
         "events_airbyte_roundtrip": events_airbyte_roundtrip,
         "events_profile": events_profile,
@@ -3548,6 +3601,28 @@ SELECT repo, count(*) AS n_files,
   sha256(string_agg('### ' || path || chr(10) || content,
                     chr(10) || chr(10) ORDER BY path)) AS packed_sha256
 FROM k GROUP BY repo
+""",
+        "cdc_outbox_route": """
+WITH ob AS (
+  SELECT event_id AS lsn,
+    CASE WHEN event_id % 10 = 0 THEN 'd' ELSE 'i' END AS op,
+    event_type AS aggregatetype,
+    user_id AS aggregateid,
+    CASE WHEN event_id % 3 = 0 THEN 'created' ELSE 'changed' END AS type,
+    user_id, value,
+    CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k
+  FROM events
+)
+SELECT 'outbox.event.' || aggregatetype AS collection,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(DISTINCT CAST(aggregateid AS VARCHAR)) AS BIGINT) AS n_keys,
+  CAST(sum(CASE WHEN type = 'created' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_created,
+  round(sum(value), 2) AS sum_value,
+  CAST(sum(k) AS BIGINT) AS sum_k,
+  max(lsn) AS max_lsn
+FROM ob WHERE op = 'i'
+GROUP BY 1
 """,
         "code_secret_scan": r"""
 WITH sf AS (

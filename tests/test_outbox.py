@@ -1,0 +1,107 @@
+"""Outbox event routing (engine/outbox.py — Debezium EventRouter
+parity): route-by templating, key/id extraction, typed payload
+expansion, delete-drop, and the update skip/error modes.  The driver
+query `cdc_outbox_route` value-verifies the whole router against
+DuckDB at sf."""
+
+import pytest
+from pyspark.sql import Row
+
+from airbyte_spark.engine.outbox import route_outbox
+
+
+def _outbox(spark, rows):
+    return spark.createDataFrame(
+        [
+            Row(
+                lsn=i,
+                op=op,
+                id=100 + i,
+                aggregatetype=agg,
+                aggregateid=key,
+                type=typ,
+                payload=payload,
+            )
+            for i, (op, agg, key, typ, payload) in enumerate(rows)
+        ]
+    )
+
+
+def test_route_template_key_and_payload(spark):
+    df = _outbox(
+        spark,
+        [
+            ("i", "order", 7, "created", '{"total": 12.5, "note": "a"}'),
+            ("i", "customer", 9, "updated", '{"total": 3, "note": ""}'),
+        ],
+    )
+    out = {
+        r["event_id"]: r
+        for r in route_outbox(
+            df, payload_schema={"total": "number", "note": "string"}
+        ).collect()
+    }
+    a, b = out["100"], out["101"]
+    assert a["collection"] == "outbox.event.order"
+    assert b["collection"] == "outbox.event.customer"
+    assert a["event_key"] == "7" and a["event_type"] == "created"
+    assert a["total"] == 12.5 and a["note"] == "a"
+    # empty string -> null for non-string; strings pass through
+    assert b["total"] == 3.0 and b["note"] == ""
+    # the raw payload text rides along for undeclared fields
+    assert "note" in a["payload"]
+
+
+def test_deletes_dropped_updates_skipped(spark):
+    df = _outbox(
+        spark,
+        [
+            ("i", "order", 1, "created", "{}"),
+            ("d", "order", 1, "created", None),
+            ("u", "order", 1, "created", "{}"),
+        ],
+    )
+    out = route_outbox(df).collect()
+    assert len(out) == 1 and out[0]["event_id"] == "100"
+
+
+def test_update_error_mode_raises(spark):
+    df = _outbox(
+        spark,
+        [
+            ("i", "order", 1, "created", "{}"),
+            ("u", "order", 1, "created", "{}"),
+        ],
+    )
+    with pytest.raises(Exception, match="invalid UPDATE on outbox"):
+        route_outbox(df, on_update="error").collect()
+    # error mode with a clean batch sails through
+    clean = _outbox(spark, [("i", "order", 1, "created", "{}")])
+    assert len(route_outbox(clean, on_update="error").collect()) == 1
+
+
+def test_custom_route_format_and_columns(spark):
+    df = spark.createDataFrame(
+        [Row(pos=5, verb="i", uid=1, agg="inventory", akey=3, kind="moved", body="{}")]
+    )
+    out = route_outbox(
+        df,
+        route_by="agg",
+        key_col="akey",
+        event_id_col="uid",
+        event_type_col="kind",
+        payload_col="body",
+        op_col="verb",
+        lsn_col="pos",
+        route_format="{route}_events",
+    ).collect()[0]
+    assert out["collection"] == "inventory_events"
+    assert out["lsn"] == 5 and out["event_key"] == "3"
+
+
+def test_bad_args_refused(spark):
+    df = _outbox(spark, [("i", "order", 1, "created", "{}")])
+    with pytest.raises(ValueError, match="skip|error"):
+        route_outbox(df, on_update="warn")
+    with pytest.raises(ValueError, match="route_format"):
+        route_outbox(df, route_format="no-placeholder")
