@@ -1433,6 +1433,69 @@ def _state_digest(final: DataFrame) -> DataFrame:
     )
 
 
+def _content_digest(final: DataFrame) -> DataFrame:
+    """Digest over the SOURCE-CONTENT state only (no last_lsn /
+    updated_at): repaired rows carry the repair's bookkeeping stamps
+    (last_lsn=snapshot_lsn, null updated_at — the same contract as the
+    blocking resnapshot), so equality with a clean replay is defined
+    on content, which is the invariant a repair must restore."""
+    line = F.concat_ws(
+        "|", "repo", "path", "commit", "lang", F.col("content_sha256")
+    )
+    return final.agg(
+        F.count(F.lit(1)).alias("final_rows"),
+        F.sha2(F.array_join(F.sort_array(F.collect_list(line)), "\n"), 256).alias(
+            "content_sha256_digest"
+        ),
+    )
+
+
+def cdc_resnapshot_incremental_mini(spark, sf):
+    """Non-blocking chunked re-snapshot (engine/pipeline.py
+    resnapshot_chunked — Debezium execute-snapshot type=incremental)
+    reduced to a golden digest: diverge the table through a lossy
+    tail to lsn 449 (every 5th event silently dropped — missed
+    upserts AND ghost rows), take the source image at 449, and repair
+    in 4 hash chunks WHILE the intact tail 450..899 keeps applying.
+    The final content state must equal the CLEAN replay's — pinned to
+    the same constant the oracle holds for cdc_replay_mini's table,
+    recomputed content-only."""
+    from airbyte_spark.engine.changelog import base_table, changelog
+    from airbyte_spark.engine.dedup import lww_dedup
+    from airbyte_spark.engine.pipeline import CdcPipeline
+
+    root = tempfile.mkdtemp(prefix="cdc_entry_rs_")
+    base = base_table(spark, 300, n_repos=10, paths_per_repo=30)
+    events = changelog(spark, 900, n_repos=10, paths_per_repo=30)
+    pipe = CdcPipeline(os.path.join(root, "t"), n_buckets=8)
+    pipe.bootstrap(spark, base)
+    corrupt = events.filter(
+        (F.pmod(F.xxhash64("lsn"), F.lit(5)) != 0) & (F.col("lsn") <= 449)
+    )
+    pipe.replay(spark, corrupt, batch_lsns=150)
+    b = base.select(
+        "repo", "path", "commit", "lang", "content",
+        F.lit(-1).cast("long").alias("lsn"), F.lit("i").alias("op"),
+    )
+    e449 = events.filter(F.col("lsn") <= 449).select(
+        "repo", "path", "commit", "lang", "content", "lsn", "op"
+    )
+    image = (
+        lww_dedup(b.unionByName(e449), ["repo", "path"], ["lsn"])
+        .filter(F.col("op") != "d")
+        .select("repo", "path", "commit", "lang", "content")
+    )
+    pipe.resnapshot_chunked(
+        spark,
+        image,
+        events.filter(F.col("lsn") >= 450),
+        snapshot_lsn=449,
+        batch_lsns=150,
+        n_chunks=4,
+    )
+    return _content_digest(pipe.table().read(spark))
+
+
 def cdc_debezium_replay_mini(spark, sf):
     """The wire-format on-ramp drives the ACTUAL engine: the same
     900-event changelog is round-tripped through Debezium-JSON
@@ -2626,6 +2689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_demux_consistent_read": cdc_demux_consistent_read,
         "cdc_demux_txn_replay_mini": cdc_demux_txn_replay_mini,
         "cdc_resnapshot_repair_mini": cdc_resnapshot_repair_mini,
+        "cdc_resnapshot_incremental_mini": cdc_resnapshot_incremental_mini,
         "cdc_toast_lww_events": cdc_toast_lww_events,
         "cdc_pruned_scan": cdc_pruned_scan,
         "cdc_zorder_scan": cdc_zorder_scan,
@@ -4022,6 +4086,10 @@ SELECT CAST(275 AS BIGINT) AS final_rows,
        '{_CDC_MINI_DIGEST}' AS state_sha256
 """,
         "cdc_resnapshot_repair_mini": f"""
+SELECT CAST(275 AS BIGINT) AS final_rows,
+       '{_CDC_CONTENT_DIGEST}' AS content_sha256_digest
+""",
+        "cdc_resnapshot_incremental_mini": f"""
 SELECT CAST(275 AS BIGINT) AS final_rows,
        '{_CDC_CONTENT_DIGEST}' AS content_sha256_digest
 """,

@@ -624,6 +624,208 @@ class CdcPipeline:
         return res
 
     # ------------------------------------------------------------------
+    def resnapshot_chunked(
+        self,
+        spark: SparkSession,
+        fresh: DataFrame,
+        events: DataFrame,
+        *,
+        snapshot_lsn: int,
+        batch_lsns: int,
+        n_chunks: int = 8,
+        signal_id: int = 0,
+        start_epoch: int | None = None,
+        fail_after: int | None = None,
+    ) -> dict[str, Any]:
+        """Ad-hoc NON-BLOCKING re-snapshot — the Debezium signal
+        ``execute-snapshot`` with ``type: incremental``: the tail
+        KEEPS APPLYING while a chunked repair interleaves with it,
+        so a diverged multi-TB table is fixed without pausing
+        replication (the pause is exactly what :meth:`resnapshot`'s
+        blocking mode costs).
+
+        Composition of the two existing halves:
+
+        * per-chunk apply = :meth:`bootstrap_chunked`'s DBLog window
+          rule (chunk rows for keys the tail touched inside the
+          window are DISCARDED — the tail is newer and batch-wins
+          merge must not let the stale image clobber it), plus
+        * :meth:`resnapshot`'s ghost-delete rule per chunk (scope
+          keys the fresh image no longer has are deleted) — also
+          window-guarded: a key the tail touched is the tail's truth,
+          never a ghost (a tail INSERT after the image would
+          otherwise look like divergence and be wrongly deleted).
+
+        ``snapshot_lsn`` must be >= the applied HWM at signal time
+        (footer stats, same rule as blocking): the image is taken at
+        the current position and only the tail that runs DURING the
+        repair needs the window rule.  Exactly-once: chunk ``i``
+        commits under epoch ``i`` on the ``<stream>::resnapshot.
+        <signal_id>`` stream; tail batches keep their normal epochs —
+        a crash anywhere replays into driver-side skips.  Offsets are
+        untouched: the tail's own state already covers
+        ``snapshot_lsn``.  Cost is O(scope + tail), never O(table):
+        each chunk is one bucket-pruned merge over its hash slice.
+        """
+        if self.history_root is not None:
+            raise ValueError(
+                "chunked resnapshot does not maintain the SCD2 history "
+                "sink; use the blocking resnapshot() when history_root "
+                "is set"
+            )
+        if n_chunks < 1:
+            raise ValueError(f"n_chunks must be >= 1, got {n_chunks}")
+        t = self.table()
+        rstream = f"{self.stream}::resnapshot.{signal_id}"
+        sdoc = self.state.load(rstream)
+        resuming = sdoc.get("n_chunks") is not None
+        if not resuming:
+            # fresh signal: the image must be at-or-past the applied
+            # HWM.  On a crash-RESUME the tail has legitimately moved
+            # past snapshot_lsn — the original run enforced the guard,
+            # and the window rule covers everything applied since.
+            snap = t.snapshot()
+            hwm0 = None
+            if snap.files:
+                hwm0 = t.stats_from_footers(snap.files, "last_lsn")["max"]
+            if hwm0 is not None and hwm0 > snapshot_lsn:
+                raise ValueError(
+                    f"incremental resnapshot at lsn {snapshot_lsn} is "
+                    f"behind the applied high-water mark {hwm0}: signal "
+                    f"with an image at-or-past the current position"
+                )
+        # resume guard: identical chunking across re-runs (same reason
+        # as bootstrap_chunked — committed chunk epochs describe key
+        # sets only under the same n_chunks/snapshot_lsn)
+        prev = sdoc.get("n_chunks")
+        if prev is not None and (
+            prev != n_chunks or sdoc.get("snapshot_lsn") != snapshot_lsn
+        ):
+            raise ValueError(
+                f"resnapshot {signal_id} in progress with n_chunks={prev}, "
+                f"snapshot_lsn={sdoc.get('snapshot_lsn')}; resume must "
+                f"pass the same values"
+            )
+        # the tail epochs' base must survive a crash-resume: with the
+        # table's last_epoch advanced mid-run, re-deriving the default
+        # would re-key the replayed batches as NEW epochs (duplicates)
+        if start_epoch is None:
+            start_epoch = sdoc.get(
+                "start_epoch", t.last_epoch(self.stream) + 1
+            )
+        if sdoc.get("start_epoch", start_epoch) != start_epoch:
+            raise ValueError(
+                f"resnapshot {signal_id} in progress with start_epoch="
+                f"{sdoc['start_epoch']}; resume must pass the same value"
+            )
+        sdoc["n_chunks"] = n_chunks
+        sdoc["snapshot_lsn"] = snapshot_lsn
+        sdoc["start_epoch"] = start_epoch
+        self.state._write(rstream, sdoc)
+
+        bounds = events.agg(
+            F.min("lsn").alias("lo"), F.max("lsn").alias("hi")
+        ).collect()[0]
+        lo, hi = bounds["lo"], bounds["hi"]
+        n_batches = 0 if lo is None else (hi - lo) // batch_lsns + 1
+
+        cfresh = normalize.canonicalize_keys(self._map(fresh)).persist()
+        chunk_expr = F.pmod(
+            F.xxhash64(*[F.col(k) for k in KEYS]), F.lit(n_chunks)
+        )
+        ev = events
+        if "schema_change" in ev.columns:
+            ev = ev.filter(F.col("op") != "s")
+        ev_keys = normalize.canonicalize_keys(ev).select(*KEYS, "lsn").persist()
+
+        null_payload = [
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in FINAL_SCHEMA.fields
+            if f.name not in KEYS and f.name != "last_lsn"
+        ]
+        out_cols = [f.name for f in FINAL_SCHEMA.fields]
+
+        stats: list[BatchStats] = []
+        chunks_applied = 0
+        committed_steps = 0
+
+        def _apply_chunk(idx: int) -> bool:
+            if t.last_epoch(rstream) >= idx:
+                return False  # committed before a crash
+            applied = max(0, t.last_epoch(self.stream) - start_epoch + 1)
+            hwm = (
+                lo + applied * batch_lsns - 1
+                if (lo is not None and applied > 0)
+                else snapshot_lsn
+            )
+            window = (
+                ev_keys.filter(
+                    (F.col("lsn") > snapshot_lsn) & (F.col("lsn") <= hwm)
+                )
+                .select(*KEYS)
+                .distinct()
+            )
+            chunk = cfresh.filter(chunk_expr == idx)
+            upserts = (
+                normalize.enrich(chunk.join(window, KEYS, "left_anti"))
+                .withColumn("last_lsn", F.lit(snapshot_lsn).cast("long"))
+                .withColumn("updated_at", F.lit(None).cast("timestamp"))
+                .withColumn("op", F.lit("i"))
+            )
+            ghosts = (
+                t.read(spark)
+                .filter(chunk_expr == idx)
+                .select(*KEYS)
+                .join(chunk.select(*KEYS), KEYS, "left_anti")
+                .join(window, KEYS, "left_anti")
+                .select(
+                    *KEYS,
+                    *null_payload,
+                    F.lit(snapshot_lsn).cast("long").alias("last_lsn"),
+                )
+                .withColumn("op", F.lit("d"))
+            )
+            batch = upserts.select(*out_cols, "op").unionByName(
+                ghosts.select(*out_cols, "op")
+            )
+            res = t.merge(spark, batch, op_col="op", epoch=idx, stream=rstream)
+            return res.committed
+
+        try:
+            for step in range(max(n_batches, n_chunks)):
+                if step < n_batches:
+                    start = lo + step * batch_lsns
+                    batch = events.filter(
+                        (F.col("lsn") >= start)
+                        & (F.col("lsn") < start + batch_lsns)
+                    )
+                    st = self.apply_batch(spark, batch, start_epoch + step)
+                    stats.append(st)
+                    if st.committed:
+                        committed_steps += 1
+                        if fail_after is not None and committed_steps >= fail_after:
+                            raise RuntimeError(
+                                f"injected failure after {committed_steps} commits"
+                            )
+                if step < n_chunks:
+                    if _apply_chunk(step):
+                        chunks_applied += 1
+                        committed_steps += 1
+                        if fail_after is not None and committed_steps >= fail_after:
+                            raise RuntimeError(
+                                f"injected failure after {committed_steps} commits"
+                            )
+        finally:
+            cfresh.unpersist()
+            ev_keys.unpersist()
+        return {
+            "n_chunks": n_chunks,
+            "chunks_applied": chunks_applied,
+            "chunks_done": t.last_epoch(rstream) + 1,
+            "batches": stats,
+        }
+
+    # ------------------------------------------------------------------
     def check_offset_continuity(self, tail_min_lsn: int | None) -> bool:
         """The offset-invalidation guard (PostgresSource.java:366-375):
         the saved offset must reach at least one LSN before the tail's

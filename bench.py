@@ -138,6 +138,12 @@ BENCH_QUERIES = [
     # license scan, repo-context packing — one agg keyed by repo)
     "code_quality_signals",
     "code_repo_pack",
+    # round 4: detect-secrets scan + typed redaction + residual
+    # re-scan (pure JVM regexp chain, three passes over the corpus)
+    "code_secret_scan",
+    # round 4: outbox event routing (filter + template + JSON expand,
+    # one fused projection then a small agg)
+    "cdc_outbox_route",
 ]
 
 

@@ -143,3 +143,67 @@ def test_tail_resumes_after_repair(spark, tmp_path, data):
     assert _content_state(pipe.table(), spark) == _expected_content(
         base, events, 1199
     )
+
+
+def test_incremental_repair_with_live_tail_matches_oracle(spark, tmp_path, data):
+    """Non-blocking chunked re-snapshot (Debezium execute-snapshot
+    type=incremental): diverge through a lossy tail to lsn 599, take
+    the image at 599, and repair in 4 chunks WHILE the intact tail
+    600..1199 keeps applying — the final state must equal the full
+    clean replay's oracle (repair fixed the past, live tail owned the
+    present, the window rule kept them from clobbering each other)."""
+    base, events, _ = data
+    pipe = _diverged_pipe(spark, tmp_path, data, upto=599)
+    res = pipe.resnapshot_chunked(
+        spark,
+        _true_image(base, events, 599),
+        events.filter((F.col("lsn") >= 600) & (F.col("lsn") <= 1199)),
+        snapshot_lsn=599,
+        batch_lsns=200,
+        n_chunks=4,
+    )
+    assert res["chunks_done"] == 4 and len(res["batches"]) == 3
+    assert _content_state(pipe.table(), spark) == _expected_content(
+        base, events, 1199
+    )
+
+
+def test_incremental_kill_resume_exactly_once(spark, tmp_path, data):
+    """Crash after 2 commits mid-interleave; the resume (same args,
+    start_epoch recovered from the signal state doc) replays into
+    driver-side skips and lands on the same oracle state."""
+    base, events, _ = data
+    pipe = _diverged_pipe(spark, tmp_path, data, upto=599)
+    tail = events.filter((F.col("lsn") >= 600) & (F.col("lsn") <= 1199))
+    img = _true_image(base, events, 599)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        pipe.resnapshot_chunked(
+            spark, img, tail, snapshot_lsn=599, batch_lsns=200,
+            n_chunks=4, fail_after=2,
+        )
+    res = pipe.resnapshot_chunked(
+        spark, img, tail, snapshot_lsn=599, batch_lsns=200, n_chunks=4
+    )
+    assert res["chunks_done"] == 4
+    assert _content_state(pipe.table(), spark) == _expected_content(
+        base, events, 1199
+    )
+    # resume with different chunking refused (committed chunk epochs
+    # describe key sets only under the original partition)
+    with pytest.raises(ValueError, match="resume must pass the same"):
+        pipe.resnapshot_chunked(
+            spark, img, tail, snapshot_lsn=599, batch_lsns=200, n_chunks=8
+        )
+
+
+def test_incremental_guard_refuses_stale_image(spark, tmp_path, data):
+    base, events, _ = data
+    pipe = _diverged_pipe(spark, tmp_path, data)  # applied through 1199
+    with pytest.raises(ValueError, match="behind the applied high-water"):
+        pipe.resnapshot_chunked(
+            spark,
+            _true_image(base, events, 599),
+            events.limit(0),
+            snapshot_lsn=599,
+            batch_lsns=200,
+        )
