@@ -7,6 +7,8 @@ re-imagined as lakehouse-ingest verbs).
   python -m airbyte_spark.cli run --table /t --tail /tail --checkpoint /cp
   python -m airbyte_spark.cli replay --table /t --events 1000000 --batch-lsns 100000
   python -m airbyte_spark.cli resnapshot --table /t --from /img --snapshot-lsn 900
+  python -m airbyte_spark.cli resnapshot --table /t --from /img --snapshot-lsn 900 \
+      --incremental --tail /tail --batch-lsns 100000 --chunks 16
   python -m airbyte_spark.cli lineage --table /t
   python -m airbyte_spark.cli compact --table /t [--cluster-by lsn]
   python -m airbyte_spark.cli vacuum --table /t --keep-last 2 [--grace-seconds 0]
@@ -128,8 +130,19 @@ def main(argv: list[str] | None = None) -> int:
                     "(must be >= the applied high-water mark)")
     sp.add_argument("--scope", default=None,
                     help="SQL predicate bounding the repaired scope "
-                    "(default: whole table)")
+                    "(default: whole table; blocking mode only)")
     sp.add_argument("--signal-id", type=int, default=0)
+    sp.add_argument("--incremental", action="store_true",
+                    help="non-blocking mode (Debezium execute-snapshot "
+                    "type=incremental): repair in hash chunks while the "
+                    "tail at --tail keeps applying")
+    sp.add_argument("--tail", default=None,
+                    help="parquet dir of changelog events to apply "
+                    "DURING the chunked repair (incremental mode)")
+    sp.add_argument("--batch-lsns", type=int, default=300,
+                    help="tail microbatch width in LSNs (incremental)")
+    sp.add_argument("--chunks", type=int, default=8,
+                    help="hash-chunk count for the repair (incremental)")
 
     sp = sub.add_parser("lineage", help="per-bucket lineage + state")
     sp.add_argument("--table", required=True)
@@ -431,17 +444,47 @@ def main(argv: list[str] | None = None) -> int:
 
         pipe = CdcPipeline(args.table)
         fresh = spark.read.parquet(args.from_dir)
-        res = pipe.resnapshot(
-            spark, fresh,
-            snapshot_lsn=args.snapshot_lsn,
-            scope=F.expr(args.scope) if args.scope else None,
-            signal_id=args.signal_id,
-        )
-        print(json.dumps({
-            "committed": res.committed,
-            "version": res.version,
-            "signal_id": args.signal_id,
-        }))
+        if args.incremental:
+            if args.scope:
+                raise SystemExit(
+                    "--scope is blocking-mode only (the chunked repair "
+                    "covers the whole key space by construction)"
+                )
+            tail = (
+                # gen-tail lands ordered chunk-NNNNNN subdirs
+                spark.read.option("recursiveFileLookup", "true")
+                .parquet(args.tail)
+                if args.tail
+                else fresh.limit(0).selectExpr(
+                    "repo", "path", "'' AS commit", "'' AS lang",
+                    "'' AS content", "CAST(0 AS LONG) AS lsn", "'i' AS op"
+                ).limit(0)
+            )
+            res = pipe.resnapshot_chunked(
+                spark, fresh, tail,
+                snapshot_lsn=args.snapshot_lsn,
+                batch_lsns=args.batch_lsns,
+                n_chunks=args.chunks,
+                signal_id=args.signal_id,
+            )
+            print(json.dumps({
+                "chunks_done": res["chunks_done"],
+                "chunks_applied": res["chunks_applied"],
+                "tail_batches": len(res["batches"]),
+                "signal_id": args.signal_id,
+            }))
+        else:
+            res = pipe.resnapshot(
+                spark, fresh,
+                snapshot_lsn=args.snapshot_lsn,
+                scope=F.expr(args.scope) if args.scope else None,
+                signal_id=args.signal_id,
+            )
+            print(json.dumps({
+                "committed": res.committed,
+                "version": res.version,
+                "signal_id": args.signal_id,
+            }))
     elif args.cmd == "replay":
         pipe = CdcPipeline(args.table, merge_strategy=args.merge_strategy,
                            history_root=args.history_root)

@@ -144,6 +144,9 @@ BENCH_QUERIES = [
     # round 4: outbox event routing (filter + template + JSON expand,
     # one fused projection then a small agg)
     "cdc_outbox_route",
+    # round 4: non-blocking chunked re-snapshot interleaved with a
+    # live tail (4 chunk merges + 3 tail batches, all bucket-pruned)
+    "cdc_resnapshot_incremental_mini",
 ]
 
 

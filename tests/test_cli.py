@@ -438,3 +438,68 @@ def test_sync_verb_runs_demuxed_spec(tmp_path):
         )["buckets"]
     )
     assert rows > 0
+
+
+def test_resnapshot_incremental_verb_repairs_with_live_tail(tmp_path):
+    import duckdb
+
+    t = str(tmp_path / "t")
+    _cli("init", "--table", t, "--base-rows", "60", "--buckets", "4",
+         "--repos", "6", "--paths-per-repo", "10")
+    # fresh image: one row repaired, one ghost dropped (same shape as
+    # the blocking test), taken at lsn 1000
+    img = str(tmp_path / "img")
+    os.makedirs(img)
+    con = duckdb.connect()
+    con.sql(
+        f"""
+        CREATE TABLE cur AS
+        SELECT repo, path, commit, lang, content
+        FROM parquet_scan('{t}/**/*.parquet');
+        COPY (
+          SELECT repo, path, commit, lang,
+                 CASE WHEN rn = 1 THEN 'REPAIRED CONTENT' ELSE content END
+                   AS content
+          FROM (SELECT *, row_number() OVER (ORDER BY repo, path) rn FROM cur)
+          WHERE rn <> 2
+        ) TO '{img}/image.parquet' (FORMAT PARQUET);
+        """
+    )
+    fixed_key, ghost_key = con.sql(
+        "SELECT repo, path FROM cur ORDER BY repo, path LIMIT 2"
+    ).fetchall()
+    # a live tail PAST the image position keeps applying during repair
+    tail = str(tmp_path / "tail")
+    _cli("gen-tail", "--out", tail, "--events", "200", "--chunks", "1",
+         "--start-lsn", "1001", "--repos", "6", "--paths-per-repo", "10")
+    out = json.loads(_cli(
+        "resnapshot", "--table", t, "--from", img, "--snapshot-lsn", "1000",
+        "--incremental", "--tail", tail, "--batch-lsns", "100",
+        "--chunks", "4",
+    ))
+    assert out["chunks_done"] == 4 and out["tail_batches"] == 2
+    # the repaired content survives unless the tail rewrote that key
+    tail_touched = {
+        (r["repo"], r["path"])
+        for r in json.loads(_cli("scan", "--table", t,
+                                 "--where", "last_lsn>=1001"))["rows"]
+    }
+    scan = json.loads(_cli(
+        "scan", "--table", t,
+        "--where", f"repo='{fixed_key[0]}'", "--where", f"path='{fixed_key[1]}'",
+    ))
+    if tuple(fixed_key) not in tail_touched:
+        assert [r["content"] for r in scan["rows"]] == ["REPAIRED CONTENT"]
+    ghost = json.loads(_cli(
+        "scan", "--table", t,
+        "--where", f"repo='{ghost_key[0]}'", "--where", f"path='{ghost_key[1]}'",
+    ))
+    if tuple(ghost_key) not in tail_touched:
+        assert ghost["rows"] == []
+    # rerunning the same signal no-ops (all chunk epochs committed)
+    again = json.loads(_cli(
+        "resnapshot", "--table", t, "--from", img, "--snapshot-lsn", "1000",
+        "--incremental", "--tail", tail, "--batch-lsns", "100",
+        "--chunks", "4",
+    ))
+    assert again["chunks_applied"] == 0
