@@ -1496,6 +1496,83 @@ def cdc_resnapshot_incremental_mini(spark, sf):
     return _content_digest(pipe.table().read(spark))
 
 
+def cdc_schema_evolution_mini(spark, sf):
+    """Replay under the north rule's schema-evolution clause: op='s'
+    DDL events interleave with data, and EACH EPOCH SHIPS ITS OWN
+    BATCH SCHEMA (the source's catalog changes between syncs, the
+    reference's messages_schema_change.txt replay).  Epoch 0 adds
+    `stars int` (no data carries it yet); epoch 1 ships int stars and
+    widens to double (the batch's narrower ints cast on align);
+    epoch 2 renames stars->stargazers and ships fractional doubles
+    under the new name.  The final state — 275 LWW winners with each
+    winner's own stars value under the renamed column — is pinned as
+    a golden digest; tests/test_entry_digest.py recomputes it
+    row-for-row against a sequential LWW oracle."""
+    import json
+
+    from airbyte_spark.engine.changelog import base_table, changelog
+    from airbyte_spark.engine.pipeline import CdcPipeline
+
+    def _sev(batch, lsn, payload):
+        sel = []
+        for f in batch.schema.fields:
+            if f.name == "lsn":
+                sel.append(F.lit(lsn).cast("long").alias("lsn"))
+            elif f.name == "op":
+                sel.append(F.lit("s").alias("op"))
+            elif f.name == "schema_change":
+                sel.append(F.lit(json.dumps(payload)).alias("schema_change"))
+            else:
+                sel.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return spark.range(1).select(*sel)
+
+    root = tempfile.mkdtemp(prefix="cdc_entry_se_")
+    pipe = CdcPipeline(os.path.join(root, "t"), n_buckets=8)
+    t = pipe.bootstrap(
+        spark, base_table(spark, 300, n_repos=10, paths_per_repo=30)
+    )
+    ev = changelog(spark, 900, n_repos=10, paths_per_repo=30)
+    nul = F.lit(None).cast("string")
+
+    b0 = ev.filter(F.col("lsn") < 300).withColumn("schema_change", nul)
+    b0 = b0.unionByName(
+        _sev(b0, 100, {"kind": "add", "name": "stars", "type": "int"})
+    )
+    pipe.apply_batch(spark, b0, epoch=0)
+
+    b1 = (
+        ev.filter((F.col("lsn") >= 300) & (F.col("lsn") < 600))
+        .withColumn("stars", F.pmod(F.col("lsn"), F.lit(50)).cast("int"))
+        .withColumn("schema_change", nul)
+    )
+    b1 = b1.unionByName(
+        _sev(b1, 400, {"kind": "widen", "name": "stars", "type": "double"})
+    )
+    pipe.apply_batch(spark, b1, epoch=1)
+
+    b2 = (
+        ev.filter(F.col("lsn") >= 600)
+        .withColumn("stargazers", F.col("lsn") / F.lit(4.0))
+        .withColumn("schema_change", nul)
+    )
+    b2 = b2.unionByName(
+        _sev(b2, 700, {"kind": "rename", "old": "stars", "new": "stargazers"})
+    )
+    pipe.apply_batch(spark, b2, epoch=2)
+
+    final = t.read(spark)
+    line = F.concat_ws(
+        "|", "repo", "path", "commit", "lang",
+        F.col("content_sha256"), F.col("stargazers").cast("string"),
+    )
+    return final.agg(
+        F.count(F.lit(1)).alias("final_rows"),
+        F.sha2(
+            F.array_join(F.sort_array(F.collect_list(line)), "\n"), 256
+        ).alias("state_sha256"),
+    )
+
+
 def cdc_debezium_replay_mini(spark, sf):
     """The wire-format on-ramp drives the ACTUAL engine: the same
     900-event changelog is round-tripped through Debezium-JSON
@@ -2690,6 +2767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_demux_txn_replay_mini": cdc_demux_txn_replay_mini,
         "cdc_resnapshot_repair_mini": cdc_resnapshot_repair_mini,
         "cdc_resnapshot_incremental_mini": cdc_resnapshot_incremental_mini,
+        "cdc_schema_evolution_mini": cdc_schema_evolution_mini,
         "cdc_toast_lww_events": cdc_toast_lww_events,
         "cdc_pruned_scan": cdc_pruned_scan,
         "cdc_zorder_scan": cdc_zorder_scan,
@@ -3173,6 +3251,13 @@ _CDC_SPARSE_MINI_DIGEST = (
 # test_entry_digest.py against the lossless replay itself
 _CDC_CONTENT_DIGEST = (
     "5f1f937dbe98d6125b7b27dce875a062feb053b22f2323b582fdff2687d0c169"
+)
+
+# schema-evolution replay (add int -> widen double -> rename), digest
+# over (content state + the evolved column); recomputed row-for-row
+# against a sequential LWW oracle in test_entry_digest.py
+_CDC_EVOLVE_DIGEST = (
+    "b654d821d91f1dbe9d37b577447d948b919d6c593679bda34a648b150d7f1273"
 )
 
 
@@ -4092,6 +4177,10 @@ SELECT CAST(275 AS BIGINT) AS final_rows,
         "cdc_resnapshot_incremental_mini": f"""
 SELECT CAST(275 AS BIGINT) AS final_rows,
        '{_CDC_CONTENT_DIGEST}' AS content_sha256_digest
+""",
+        "cdc_schema_evolution_mini": f"""
+SELECT CAST(275 AS BIGINT) AS final_rows,
+       '{_CDC_EVOLVE_DIGEST}' AS state_sha256
 """,
         # toast fill reproduced declaratively: the latest real value
         # per key (NULL values count as real — IS DISTINCT FROM), the

@@ -83,3 +83,58 @@ def test_cdc_sparse_replay_mini_digest_matches_golden(spark):
     row = E.cdc_sparse_replay_mini(spark, "/root/testdata/sf0.001").collect()[0]
     assert row["final_rows"] == 275
     assert row["state_sha256"] == E._CDC_SPARSE_MINI_DIGEST
+
+
+def test_schema_evolution_mini_matches_sequential_oracle(spark, tmp_path):
+    # the pinned digest must equal a sequential LWW recomputation that
+    # never touches the table/merge/evolve machinery: per key, the
+    # newest event wins; its stars value follows the per-epoch data
+    # rule (epoch 0 carried none, epoch 1 carried lsn%50 as int-widened
+    # -to-double, epoch 2 carried lsn/4.0 under the renamed column)
+    import __spark_entry__ as E
+    from pyspark.sql import functions as F
+
+    from airbyte_spark.engine import normalize
+    from airbyte_spark.engine.changelog import base_table, changelog
+    from airbyte_spark.engine.dedup import lww_dedup
+
+    row = E.cdc_schema_evolution_mini(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row["final_rows"] == 275
+    assert row["state_sha256"] == E._CDC_EVOLVE_DIGEST
+
+    base = base_table(spark, 300, n_repos=10, paths_per_repo=30).select(
+        "repo", "path", "commit", "lang", "content",
+        F.lit(-1).cast("long").alias("lsn"), F.lit("i").alias("op"),
+    )
+    ev = changelog(spark, 900, n_repos=10, paths_per_repo=30).select(
+        "repo", "path", "commit", "lang", "content", "lsn", "op"
+    )
+    expected = (
+        normalize.enrich(
+            lww_dedup(base.unionByName(ev), ["repo", "path"], ["lsn"]).filter(
+                F.col("op") != "d"
+            )
+        )
+        .withColumn(
+            "stargazers",
+            F.when(F.col("lsn") >= 600, F.col("lsn") / F.lit(4.0)).when(
+                F.col("lsn") >= 300,
+                F.pmod(F.col("lsn"), F.lit(50)).cast("int").cast("double"),
+            ),
+        )
+        .select(
+            "repo", "path", "commit", "lang", "content_sha256", "stargazers"
+        )
+    )
+    line = F.concat_ws(
+        "|", "repo", "path", "commit", "lang",
+        F.col("content_sha256"), F.col("stargazers").cast("string"),
+    )
+    oracle = expected.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sha2(
+            F.array_join(F.sort_array(F.collect_list(line)), "\n"), 256
+        ).alias("d"),
+    ).collect()[0]
+    assert oracle["n"] == 275
+    assert oracle["d"] == E._CDC_EVOLVE_DIGEST
