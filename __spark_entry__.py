@@ -1496,6 +1496,39 @@ def cdc_resnapshot_incremental_mini(spark, sf):
     return _content_digest(pipe.table().read(spark))
 
 
+def cdc_soft_delete_replay_mini(spark, sf):
+    """CDC deletion-mode replay (reference: normalization retains the
+    delete record with `_ab_cdc_deleted_at` and excludes it from
+    active rows, stream_processor.py:783-798): the SAME 900-event
+    changelog replayed with soft_delete=True.  The invariant the
+    oracle pins: the ACTIVE view (deleted_at is null) digests to the
+    hard-delete replay's golden constant EXACTLY — soft delete changes
+    only what happens to the losers (6 tombstones retained, one per
+    key whose last event is a delete)."""
+    from airbyte_spark.engine.changelog import base_table, changelog
+    from airbyte_spark.engine.pipeline import CdcPipeline
+
+    root = tempfile.mkdtemp(prefix="cdc_entry_sd_")
+    pipe = CdcPipeline(os.path.join(root, "t"), n_buckets=8,
+                       soft_delete=True)
+    pipe.bootstrap(
+        spark, base_table(spark, 300, n_repos=10, paths_per_repo=30)
+    )
+    pipe.replay(spark, changelog(spark, 900, n_repos=10, paths_per_repo=30),
+                batch_lsns=300)
+    tombs = (
+        pipe.table().read(spark)
+        .filter(F.col("deleted_at").isNotNull())
+        .count()
+    )
+    return (
+        _state_digest(pipe.read_active(spark).drop("deleted_at"))
+        .withColumnRenamed("final_rows", "active_rows")
+        .withColumn("tombstones", F.lit(tombs).cast("long"))
+        .select("active_rows", "tombstones", "state_sha256")
+    )
+
+
 def cdc_schema_evolution_mini(spark, sf):
     """Replay under the north rule's schema-evolution clause: op='s'
     DDL events interleave with data, and EACH EPOCH SHIPS ITS OWN
@@ -2768,6 +2801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_resnapshot_repair_mini": cdc_resnapshot_repair_mini,
         "cdc_resnapshot_incremental_mini": cdc_resnapshot_incremental_mini,
         "cdc_schema_evolution_mini": cdc_schema_evolution_mini,
+        "cdc_soft_delete_replay_mini": cdc_soft_delete_replay_mini,
         "cdc_toast_lww_events": cdc_toast_lww_events,
         "cdc_pruned_scan": cdc_pruned_scan,
         "cdc_zorder_scan": cdc_zorder_scan,
@@ -4181,6 +4215,13 @@ SELECT CAST(275 AS BIGINT) AS final_rows,
         "cdc_schema_evolution_mini": f"""
 SELECT CAST(275 AS BIGINT) AS final_rows,
        '{_CDC_EVOLVE_DIGEST}' AS state_sha256
+""",
+        # the active view under soft delete IS the hard-delete state:
+        # same golden digest, plus the retained-tombstone count
+        "cdc_soft_delete_replay_mini": f"""
+SELECT CAST(275 AS BIGINT) AS active_rows,
+       CAST(6 AS BIGINT) AS tombstones,
+       '{_CDC_MINI_DIGEST}' AS state_sha256
 """,
         # toast fill reproduced declaratively: the latest real value
         # per key (NULL values count as real — IS DISTINCT FROM), the

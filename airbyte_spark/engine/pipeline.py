@@ -130,6 +130,7 @@ class CdcPipeline:
         toast_cols: list[str] | None = None,
         sparse_cols: list[str] | None = None,
         mappers: list[dict] | None = None,
+        soft_delete: bool = False,
     ):
         """mode: destination sync mode (airbyte-protocol.md:395-420)
         - 'dedup'     = incremental + dedup history (MERGE; default)
@@ -192,6 +193,31 @@ class CdcPipeline:
             )
         self.toast_cols = list(toast_cols) if toast_cols else None
         self.sparse_cols = list(sparse_cols) if sparse_cols else None
+        # soft delete (the reference's CDC deletion-mode: normalization
+        # retains the delete record with `_ab_cdc_deleted_at` set and
+        # excludes it from the active-row pattern,
+        # stream_processor.py:783-798 + DebeziumEventUtils.CDC_DELETED_AT):
+        # op='d' events become upserts carrying `deleted_at` = the
+        # event's ts, so the tombstone IS the per-key LWW winner — a
+        # later re-insert resurrects the row (null deleted_at) through
+        # ordinary merge semantics, and read_active() is the reference's
+        # `where deleted_at is null` view.  Composes with every merge
+        # strategy because the rewrite happens before strategy dispatch
+        # (no delete branch ever runs).
+        if soft_delete and history_root is not None:
+            raise ValueError(
+                "soft_delete with history_root: the SCD2 sink models "
+                "deletes as interval closes (no active row); a tombstone "
+                "active row would change the history contract — run the "
+                "history sink in hard-delete mode"
+            )
+        if soft_delete and (toast_cols or sparse_cols):
+            raise ValueError(
+                "soft_delete with toast_cols/sparse_cols: delete events "
+                "fence the placeholder/partial-image fills; rewriting "
+                "them to upserts would let a fill cross a row generation"
+            )
+        self.soft_delete = soft_delete
         # connection-level mappers (engine/mappers.py — the platform's
         # per-connection hash/encrypt/row-filter transforms), applied
         # at the entry of EVERY data path so the destination only ever
@@ -243,6 +269,16 @@ class CdcPipeline:
     # ------------------------------------------------------------------
     def table(self) -> LakeTable:
         return LakeTable(self.table_root)
+
+    def read_active(self, spark: SparkSession) -> DataFrame:
+        """The reference's active-row view (`where _ab_cdc_deleted_at
+        is null`, stream_processor.py:788): the final table minus
+        soft-delete tombstones.  In hard-delete mode this is just
+        ``read`` (deletes never land)."""
+        df = self.table().read(spark)
+        if self.soft_delete and "deleted_at" in df.columns:
+            df = df.filter(F.col("deleted_at").isNull())
+        return df
 
     def _map(self, df: DataFrame) -> DataFrame:
         """Apply the connection's mapper chain (engine/mappers.py) at
@@ -899,6 +935,23 @@ class CdcPipeline:
                         raise ValueError(f"unknown schema change {c}")
                 t.evolve(changes)
             batch = batch.filter(F.col("op") != "s").drop("schema_change")
+
+        if self.soft_delete and "op" in batch.columns:
+            # retain deletes as tombstones: the delete record (null
+            # payload, as the source emits it) upserts with deleted_at
+            # stamped from the event's own time; data rows carry null.
+            # The column reaches the table via the ordinary reconciler
+            # (first soft batch adds it; old rows read as null).
+            ts_col = (
+                F.col("ts") if "ts" in batch.columns
+                else F.lit(None).cast("timestamp")
+            )
+            batch = batch.withColumn(
+                "deleted_at", F.when(F.col("op") == "d", ts_col)
+            ).withColumn(
+                "op",
+                F.when(F.col("op") == "d", F.lit("u")).otherwise(F.col("op")),
+            )
 
         if self.mode == "dedup" and self.merge_strategy == "fused":
             st = self._apply_fused(spark, batch, epoch, t)

@@ -150,6 +150,9 @@ BENCH_QUERIES = [
     # round 4: replay under schema evolution — add/widen/rename via
     # op='s' events, each epoch shipping its own batch schema
     "cdc_schema_evolution_mini",
+    # round 4: CDC deletion-mode replay (tombstones retained, active
+    # view pinned to the hard-delete golden digest)
+    "cdc_soft_delete_replay_mini",
 ]
 
 

@@ -1,0 +1,122 @@
+"""Soft-delete (CDC deletion-mode) destination: op='d' events retained
+as tombstone rows with ``deleted_at`` set, excluded from the active-row
+view — the reference's normalization keeps `_ab_cdc_deleted_at` in the
+final table and filters it from active rows (stream_processor.py:783-798,
+DebeziumEventUtils.CDC_DELETED_AT)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airbyte_spark.engine.changelog import base_table, changelog
+from airbyte_spark.engine.pipeline import CdcPipeline
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    base = base_table(spark, 120, n_repos=6, paths_per_repo=15)
+    events = changelog(spark, 600, n_repos=6, paths_per_repo=15)
+    return base, events
+
+
+def _replay(spark, root, data, **kw):
+    base, events = data
+    pipe = CdcPipeline(str(root), n_buckets=4, **kw)
+    pipe.bootstrap(spark, base)
+    pipe.replay(spark, events, batch_lsns=200)
+    return pipe
+
+
+def test_active_rows_equal_hard_delete_state(spark, tmp_path, data):
+    """The active view under soft delete must be row-for-row the
+    hard-delete replay's final state (same winners, same stamps) —
+    soft delete changes only what happens to the losers."""
+    hard = _replay(spark, tmp_path / "hard", data)
+    soft = _replay(spark, tmp_path / "soft", data, soft_delete=True)
+    cols = ["repo", "path", "commit", "lang", "content",
+            "content_sha256", "last_lsn"]
+    h = hard.table().read(spark).select(*cols)
+    s = soft.read_active(spark).select(*cols)
+    assert s.count() == h.count()
+    assert s.exceptAll(h).count() == 0 and h.exceptAll(s).count() == 0
+
+
+def test_tombstones_are_the_deleted_keys_with_event_ts(spark, tmp_path, data):
+    base, events = data
+    soft = _replay(spark, tmp_path / "t", data, soft_delete=True)
+    full = soft.table().read(spark)
+    tombs = full.filter(F.col("deleted_at").isNotNull())
+    # expected tombstone keys: keys whose LAST event is a delete
+    last = (
+        events.groupBy("repo", "path")
+        .agg(F.max_by("op", "lsn").alias("op"), F.max("lsn").alias("lsn"),
+             F.max_by("ts", "lsn").alias("ts"),
+             F.max_by("content", "lsn").alias("content"))
+        .filter(F.col("op") == "d")
+    )
+    got = {(r["repo"], r["path"]): (r["last_lsn"], r["deleted_at"], r["content"])
+           for r in tombs.collect()}
+    want = {(r["repo"], r["path"]): (r["lsn"], r["ts"], r["content"])
+            for r in last.collect()}
+    # the tombstone retains the delete RECORD verbatim (whatever
+    # columns the source emitted on it — the reference's normalization
+    # keeps the delete record's columns, nulls included)
+    assert got == want
+
+
+def test_reinsert_resurrects_the_row(spark, tmp_path):
+    base = base_table(spark, 20, n_repos=2, paths_per_repo=10)
+    key = base.select("repo", "path", "commit", "lang", "content").first()
+    pipe = CdcPipeline(str(tmp_path / "t"), n_buckets=4, soft_delete=True)
+    pipe.bootstrap(spark, base)
+    sch = ("lsn long, op string, repo string, path string, commit string, "
+           "lang string, content string, ts timestamp")
+    import datetime
+
+    ts = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    b0 = spark.createDataFrame(
+        [(1, "d", key["repo"], key["path"], None, None, None, ts)], sch
+    )
+    pipe.apply_batch(spark, b0, epoch=0)
+    row = (
+        pipe.table().read(spark)
+        .filter((F.col("repo") == key["repo"]) & (F.col("path") == key["path"]))
+        .collect()
+    )
+    assert len(row) == 1 and row[0]["deleted_at"] is not None
+    assert pipe.read_active(spark).filter(
+        (F.col("repo") == key["repo"]) & (F.col("path") == key["path"])
+    ).count() == 0
+    # a later re-insert resurrects: null deleted_at, active again
+    b1 = spark.createDataFrame(
+        [(2, "i", key["repo"], key["path"], "c2", key["lang"],
+          "resurrected", None)], sch
+    )
+    pipe.apply_batch(spark, b1, epoch=1)
+    row = pipe.read_active(spark).filter(
+        (F.col("repo") == key["repo"]) & (F.col("path") == key["path"])
+    ).collect()
+    assert len(row) == 1
+    assert row[0]["content"] == "resurrected" and row[0]["deleted_at"] is None
+
+
+def test_soft_delete_all_strategies_agree(spark, tmp_path, data):
+    cols = ["repo", "path", "content_sha256", "last_lsn", "deleted_at"]
+    frames = []
+    for strat in ("fused", "pruned", "mor"):
+        pipe = _replay(spark, tmp_path / strat, data,
+                       soft_delete=True, merge_strategy=strat)
+        frames.append(pipe.table().read(spark).select(*cols))
+    a, b, c = frames
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert a.exceptAll(c).count() == 0 and c.exceptAll(a).count() == 0
+
+
+def test_soft_delete_refusals(tmp_path):
+    with pytest.raises(ValueError, match="history_root"):
+        CdcPipeline(str(tmp_path / "a"), soft_delete=True,
+                    history_root=str(tmp_path / "h"))
+    with pytest.raises(ValueError, match="toast_cols"):
+        CdcPipeline(str(tmp_path / "b"), soft_delete=True,
+                    toast_cols=["content"])
