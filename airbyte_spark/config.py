@@ -49,6 +49,8 @@ class StreamSpec:
     # (oplog $set / minimal row image) data columns (engine/toast.py)
     txn_aligned: bool = False  # hold back incomplete source
     # transactions per microbatch (engine/txn.py)
+    soft_delete: bool = False  # CDC deletion-mode: retain deletes as
+    # deleted_at tombstones; read_active() is the active-row view
     mappers: list[dict] = field(default_factory=list)  # connection-level
     # hash/encrypt/row-filter transforms (engine/mappers.py)
 
@@ -111,6 +113,7 @@ class PipelineSpec:
                 toast_cols=s.toast_cols or None,
                 sparse_cols=s.sparse_cols or None,
                 mappers=s.mappers or None,
+                soft_delete=s.soft_delete,
             )
         return out
 

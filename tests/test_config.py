@@ -107,3 +107,13 @@ def test_spec_passes_toast_and_txn_knobs(tmp_path):
     assert spec.streams[0].txn_aligned is True
     pipes = spec.build_pipelines()
     assert pipes["code"].toast_cols == ["content"]
+
+
+def test_spec_passes_soft_delete_knob(tmp_path):
+    doc = {
+        "streams": {
+            "code": {"table": str(tmp_path / "t"), "soft_delete": True}
+        }
+    }
+    pipes = PipelineSpec.from_dict(doc).build_pipelines()
+    assert pipes["code"].soft_delete is True
