@@ -610,6 +610,15 @@ class CdcPipeline:
         the ghost keys (both sides scope-bounded), and a bucket-pruned
         merge touching only the scope's key buckets, never O(table).
         """
+        if self.soft_delete:
+            raise ValueError(
+                "resnapshot on a soft-delete destination: the repair's "
+                "ghost-row deletes are hard deletes by construction (no "
+                "source event exists to stamp deleted_at from) and would "
+                "break the tombstone-retention contract; repair the table "
+                "with a hard-delete pipeline over the same root, or "
+                "replay the source's own delete events"
+            )
         t = self.table()
         stream = f"{self.stream}::resnapshot"
         if t.last_epoch(stream) >= signal_id:
@@ -708,6 +717,13 @@ class CdcPipeline:
                 "chunked resnapshot does not maintain the SCD2 history "
                 "sink; use the blocking resnapshot() when history_root "
                 "is set"
+            )
+        if self.soft_delete:
+            raise ValueError(
+                "resnapshot on a soft-delete destination: the repair's "
+                "ghost-row deletes are hard deletes by construction (no "
+                "source event exists to stamp deleted_at from) and would "
+                "break the tombstone-retention contract"
             )
         if n_chunks < 1:
             raise ValueError(f"n_chunks must be >= 1, got {n_chunks}")

@@ -113,10 +113,24 @@ def test_soft_delete_all_strategies_agree(spark, tmp_path, data):
     assert a.exceptAll(c).count() == 0 and c.exceptAll(a).count() == 0
 
 
-def test_soft_delete_refusals(tmp_path):
+def test_soft_delete_refusals(spark, tmp_path):
     with pytest.raises(ValueError, match="history_root"):
         CdcPipeline(str(tmp_path / "a"), soft_delete=True,
                     history_root=str(tmp_path / "h"))
     with pytest.raises(ValueError, match="toast_cols"):
         CdcPipeline(str(tmp_path / "b"), soft_delete=True,
                     toast_cols=["content"])
+    # divergence repair hard-deletes ghosts — incompatible by design
+    pipe = CdcPipeline(str(tmp_path / "c"), n_buckets=4, soft_delete=True)
+    base = base_table(spark, 20, n_repos=2, paths_per_repo=10)
+    pipe.bootstrap(spark, base)
+    img = base.select("repo", "path", "commit", "lang", "content")
+    with pytest.raises(ValueError, match="soft-delete destination"):
+        pipe.resnapshot(spark, img, snapshot_lsn=10)
+    with pytest.raises(ValueError, match="soft-delete destination"):
+        pipe.resnapshot_chunked(
+            spark, img, img.limit(0).withColumn(
+                "lsn", F.lit(0).cast("long")
+            ).withColumn("op", F.lit("i")),
+            snapshot_lsn=10, batch_lsns=10,
+        )
