@@ -1657,6 +1657,40 @@ def cdc_debezium_replay_mini(spark, sf):
     return _state_digest(pipe.table().read(spark))
 
 
+def cdc_avro_replay_mini(spark, sf):
+    """The KAFKA wire-format on-ramp drives the ACTUAL engine: the
+    same 900-event changelog round-trips through Confluent-framed
+    Avro Debezium envelopes (formats/avro_wire.py — magic + schema-id
+    framing, numpy column-sweep decode, delete-side before-images as
+    nullable sub-records) and the decoded stream replays through the
+    full CDC pipeline.  The final digest must equal the native
+    replay's pinned golden constant — the binary transport provably
+    carries the engine's semantics with zero drift, end to end."""
+    from airbyte_spark.engine.changelog import base_table, changelog
+    from airbyte_spark.engine.pipeline import CdcPipeline
+    from airbyte_spark.formats.avro_wire import (
+        from_debezium_avro, to_debezium_avro,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = tempfile.mkdtemp(prefix="cdc_avro_entry_")
+    pipe = CdcPipeline(os.path.join(root, "t"), n_buckets=8)
+    pipe.bootstrap(spark, base_table(spark, 300, n_repos=10, paths_per_repo=30))
+    props = {"repo": "string", "path": "string", "commit": "string",
+             "lang": "string", "content": "string"}
+    wire = to_debezium_avro(
+        changelog(spark, 900, n_repos=10, paths_per_repo=30),
+        props, schema_id=21,
+    )
+    decoded = from_debezium_avro(wire, props, schema_id=21)
+    events = decoded.select(
+        "lsn", "op", "repo", "path", "commit", "lang", "content",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+    )
+    pipe.replay(spark, events, batch_lsns=300)
+    return _state_digest(pipe.table().read(spark))
+
+
 def cdc_replay_mor_mini(spark, sf):
     """The merge-on-read strategy (delta files + tombstones +
     scan-time LWW resolve + delta-folding compaction) replaying the
@@ -2788,6 +2822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": multimodal_frames,
         "cdc_replay_mini": cdc_replay_mini,
         "cdc_debezium_replay_mini": cdc_debezium_replay_mini,
+        "cdc_avro_replay_mini": cdc_avro_replay_mini,
         "cdc_replay_mor_mini": cdc_replay_mor_mini,
         "cdc_replay_chunked_mini": cdc_replay_chunked_mini,
         "cdc_txn_replay_mini": cdc_txn_replay_mini,
@@ -4126,6 +4161,10 @@ SELECT CAST(275 AS BIGINT) AS final_rows,
        '{_CDC_MINI_DIGEST}' AS state_sha256
 """,
         "cdc_debezium_replay_mini": f"""
+SELECT CAST(275 AS BIGINT) AS final_rows,
+       '{_CDC_MINI_DIGEST}' AS state_sha256
+""",
+        "cdc_avro_replay_mini": f"""
 SELECT CAST(275 AS BIGINT) AS final_rows,
        '{_CDC_MINI_DIGEST}' AS state_sha256
 """,

@@ -132,6 +132,9 @@ BENCH_QUERIES = [
     # on-ramp through the partial-image merge (same contract)
     "cdc_debezium_replay_mini",
     "cdc_oplog_replay_mini",
+    # round 4: Confluent-framed AVRO envelopes driving the real engine
+    # (numpy column-sweep decode -> full replay, same golden digest)
+    "cdc_avro_replay_mini",
     # round 4: one-pass per-column table profile (nulls/distinct/min/max)
     "events_profile",
     # round 4: code-payload curation (The Stack line gates, SPDX

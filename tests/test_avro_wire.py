@@ -1,0 +1,363 @@
+"""Confluent-framed Avro wire codec: vectorized encode/decode parity
+against an independent per-record scalar reference, garbage
+tolerance, and the Debezium envelope round-trip driving the engine
+changelog shape (reference consumes this transport via Kafka Connect
+converters ahead of DebeziumEventUtils.java:24-66)."""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+
+from airbyte_spark.formats.avro_wire import (
+    WIRE_MAGIC,
+    debezium_envelope_schema,
+    decode_batch,
+    decode_stream,
+    encode_batch_framed,
+    from_debezium_avro,
+    payload_record,
+    to_debezium_avro,
+)
+
+# ---------------------------------------------------------------------------
+# scalar reference codec (independent spec implementation, per record)
+# ---------------------------------------------------------------------------
+
+def _ref_zigzag(n: int) -> bytes:
+    z = (n << 1) ^ (n >> 63) if n < 0 else n << 1
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _ref_read_long(data: bytes, pos: int) -> tuple[int, int]:
+    shift = acc = 0
+    while True:
+        b = data[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    v = (acc >> 1) ^ -(acc & 1)
+    # wrap to int64 two's complement like a JVM reader
+    v &= (1 << 64) - 1
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v, pos
+
+
+def _ref_encode(node, value) -> bytes:
+    """Encode one value against a ["null", T]/record/primitive node."""
+    if isinstance(node, list):
+        if value is None:
+            return _ref_zigzag(0)
+        return _ref_zigzag(1) + _ref_encode(node[1], value)
+    if isinstance(node, dict) and node.get("type") == "record":
+        return b"".join(
+            _ref_encode(f["type"], (value or {}).get(f["name"]))
+            for f in node["fields"]
+        )
+    if node == "long":
+        return _ref_zigzag(int(value))
+    if node == "double":
+        return struct.pack("<d", float(value))
+    if node == "boolean":
+        return b"\x01" if value else b"\x00"
+    b = value if isinstance(value, bytes) else str(value).encode("utf-8")
+    return _ref_zigzag(len(b)) + b
+
+
+def _ref_decode(node, data: bytes, pos: int):
+    if isinstance(node, list):
+        branch, pos = _ref_read_long(data, pos)
+        if branch == 0:
+            return None, pos
+        return _ref_decode(node[1], data, pos)
+    if isinstance(node, dict) and node.get("type") == "record":
+        row = {}
+        for f in node["fields"]:
+            row[f["name"]], pos = _ref_decode(f["type"], data, pos)
+        return row, pos
+    if node == "long":
+        return _ref_read_long(data, pos)
+    if node == "double":
+        return struct.unpack("<d", data[pos:pos + 8])[0], pos + 8
+    if node == "boolean":
+        return data[pos] == 1, pos + 1
+    ln, pos = _ref_read_long(data, pos)
+    raw = data[pos:pos + ln]
+    return (raw.decode("utf-8") if node == "string" else raw), pos + ln
+
+
+def _ref_frame(node, value, schema_id=1) -> bytes:
+    return bytes([WIRE_MAGIC]) + struct.pack(">i", schema_id) + _ref_encode(
+        node, value
+    )
+
+
+def _flatten(prefix, row, out):
+    for k, v in row.items():
+        name = f"{prefix}_{k}" if prefix else k
+        if isinstance(v, dict):
+            _flatten(name, v, out)
+        else:
+            out[name] = v
+
+
+# ---------------------------------------------------------------------------
+# schema fixtures
+# ---------------------------------------------------------------------------
+
+MIXED = {
+    "type": "record", "name": "t", "fields": [
+        {"name": "id", "type": ["null", "long"]},
+        {"name": "name", "type": ["null", "string"]},
+        {"name": "score", "type": ["null", "double"]},
+        {"name": "ok", "type": ["null", "boolean"]},
+        {"name": "sub", "type": ["null", {
+            "type": "record", "name": "s", "fields": [
+                {"name": "a", "type": ["null", "long"]},
+                {"name": "b", "type": ["null", "string"]},
+            ]}]},
+    ],
+}
+
+ROWS = [
+    {"id": 0, "name": "plain", "score": 1.5, "ok": True,
+     "sub": {"a": 7, "b": "x"}},
+    {"id": -1, "name": "", "score": -0.0, "ok": False, "sub": None},
+    {"id": None, "name": "unicode – ünïcodé 🎉", "score": None, "ok": None,
+     "sub": {"a": None, "b": "nested – ü"}},
+    {"id": (1 << 62), "name": "x" * 300, "score": math.inf, "ok": True,
+     "sub": {"a": -(1 << 62), "b": None}},
+    {"id": -(1 << 63), "name": "varint boundary", "score": 1e-300,
+     "ok": False, "sub": {"a": (1 << 63) - 1, "b": ""}},
+]
+
+
+def _ref_frames(rows, schema=MIXED, schema_id=1):
+    return pa.array(
+        [None if r is None else _ref_frame(schema, r, schema_id) for r in rows],
+        type=pa.large_binary(),
+    )
+
+
+def _decoded_to_rows(cols, n):
+    py = {k: v.to_pylist() for k, v in cols.items()}
+    return [{k: py[k][i] for k in py} for i in range(n)]
+
+
+# ---------------------------------------------------------------------------
+# decode: vectorized == scalar reference
+# ---------------------------------------------------------------------------
+
+def test_decode_matches_scalar_reference():
+    frames = _ref_frames(ROWS)
+    cols, ok = decode_batch(frames, MIXED, schema_id=1)
+    assert ok.all()
+    got = _decoded_to_rows(cols, len(ROWS))
+    for row, g in zip(ROWS, got):
+        want: dict = {}
+        _flatten("", {**row, "sub": row["sub"] or
+                      {"a": None, "b": None}}, want)
+        assert g == want
+
+
+def test_decode_null_and_garbage_rows_are_all_null():
+    frames = pa.array(
+        [
+            _ref_frame(MIXED, ROWS[0]),
+            None,                                   # Kafka tombstone
+            b"",                                    # empty
+            b"\x01\x00\x00\x00\x01\x02",            # wrong magic
+            b"\x00\x00\x00\x00\x01" + b"\xff" * 12,  # runaway varint
+            _ref_frame(MIXED, ROWS[0])[:9],          # truncated body
+            bytes([WIRE_MAGIC]) + struct.pack(">i", 1)
+            + b"\x02\x02"                            # id=1 then truncated
+            + _ref_zigzag(10 ** 12),                 # huge string length
+            _ref_frame(MIXED, ROWS[3]),
+        ],
+        type=pa.large_binary(),
+    )
+    cols, ok = decode_batch(frames, MIXED, schema_id=1)
+    assert ok.tolist() == [True, False, False, False, False, False, False, True]
+    rows = _decoded_to_rows(cols, len(frames))
+    for i in (1, 2, 3, 4, 5, 6):
+        assert all(v is None for v in rows[i].values()), rows[i]
+    assert rows[0]["name"] == "plain" and rows[7]["id"] == (1 << 62)
+
+
+def test_decode_schema_id_filter():
+    frames = pa.array(
+        [_ref_frame(MIXED, ROWS[0], schema_id=1),
+         _ref_frame(MIXED, ROWS[0], schema_id=2)],
+        type=pa.large_binary(),
+    )
+    _, ok = decode_batch(frames, MIXED, schema_id=1)
+    assert ok.tolist() == [True, False]
+    _, ok = decode_batch(frames, MIXED)  # no filter: both decode
+    assert ok.tolist() == [True, True]
+
+
+def test_decode_empty_batch():
+    cols, ok = decode_batch(pa.array([], type=pa.large_binary()), MIXED)
+    assert len(ok) == 0 and all(len(v) == 0 for v in cols.values())
+
+
+# ---------------------------------------------------------------------------
+# encode: vectorized == scalar reference, byte for byte
+# ---------------------------------------------------------------------------
+
+def _rows_to_pdf(rows):
+    import pandas as pd
+
+    flat = []
+    for r in rows:
+        d: dict = {}
+        _flatten("", {**r, "sub": r["sub"] or {"a": None, "b": None}}, d)
+        d["_pres_sub"] = r["sub"] is not None
+        flat.append(d)
+    pdf = pd.DataFrame(flat, dtype=object)
+    # typed nullable columns like Arrow->pandas would hand mapInArrow
+    # (built from the object values — a float64 detour would corrupt
+    # int64 values beyond 2^53)
+    for c, dt in (("id", "Int64"), ("sub_a", "Int64"), ("ok", "boolean"),
+                  ("score", "Float64"), ("_pres_sub", "boolean")):
+        if c in pdf:
+            pdf[c] = pd.array(pdf[c].tolist(), dtype=dt)
+    return pdf
+
+
+def test_encode_matches_scalar_reference_bytes():
+    pdf = _rows_to_pdf(ROWS)
+    arr = encode_batch_framed(pdf, MIXED, 7, presence={"sub": "_pres_sub"})
+    for got, row in zip(arr.to_pylist(), ROWS):
+        assert got == _ref_frame(MIXED, row, schema_id=7)
+
+
+def test_encode_default_presence_any_leaf():
+    # without an explicit presence column, a sub-record with any
+    # non-null leaf encodes present; all-null encodes absent
+    pdf = _rows_to_pdf(ROWS).drop(columns=["_pres_sub"])
+    arr = encode_batch_framed(pdf, MIXED, 7)
+    want = [dict(r) for r in ROWS]
+    want[2]["sub"] = {"a": None, "b": "nested – ü"}  # b set -> present
+    for got, row in zip(arr.to_pylist(), want):
+        assert got == _ref_frame(MIXED, row, schema_id=7)
+
+
+def test_roundtrip_property():
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    longs = st.one_of(st.none(), st.integers(-(1 << 63), (1 << 63) - 1))
+    texts = st.one_of(st.none(), st.text(max_size=40))
+    doubles = st.one_of(
+        st.none(),
+        st.floats(allow_nan=False, width=64),
+    )
+    bools = st.one_of(st.none(), st.booleans())
+    sub = st.one_of(st.none(), st.fixed_dictionaries({"a": longs, "b": texts}))
+    row = st.fixed_dictionaries(
+        {"id": longs, "name": texts, "score": doubles, "ok": bools, "sub": sub}
+    )
+
+    @settings(max_examples=60, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(row, min_size=1, max_size=20))
+    def check(rows):
+        pdf = _rows_to_pdf(rows)
+        arr = encode_batch_framed(pdf, MIXED, 3, presence={"sub": "_pres_sub"})
+        # encode == reference encode
+        for got, r in zip(arr.to_pylist(), rows):
+            assert got == _ref_frame(MIXED, r, schema_id=3)
+        # decode(encode(x)) == x
+        cols, ok = decode_batch(arr, MIXED, schema_id=3)
+        assert ok.all()
+        back = _decoded_to_rows(cols, len(rows))
+        for r, g in zip(rows, back):
+            want: dict = {}
+            _flatten("", {**r, "sub": r["sub"] or {"a": None, "b": None}}, want)
+            assert g == want
+
+    check()
+
+
+# ---------------------------------------------------------------------------
+# Spark integration: streams + the Debezium envelope round-trip
+# ---------------------------------------------------------------------------
+
+def test_decode_stream_plan_is_one_pass(spark):
+    df = spark.createDataFrame(
+        [(v,) for v in _ref_frames(ROWS).to_pylist()], "value binary"
+    )
+    out = decode_stream(df, MIXED, schema_id=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # fuses into the scan, no shuffle
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[0]["sub_b"] == "x" and rows[-1]["name"] == ""
+
+
+def test_debezium_avro_roundtrip_matches_source_events(spark):
+    from airbyte_spark.engine.changelog import changelog
+
+    props = {"repo": "string", "path": "string", "commit": "string",
+             "lang": "string", "content": "string"}
+    ev = changelog(spark, 400, n_repos=10, paths_per_repo=30)
+    wire = to_debezium_avro(ev, props, schema_id=11)
+    back = from_debezium_avro(wire, props, schema_id=11)
+    a = ev.select(
+        "lsn", "op", "repo", "path", "commit", "lang", "content",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+    )
+    b = back.select(
+        "lsn", "op", "repo", "path", "commit", "lang", "content",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+    )
+    assert back.filter(F.col("collection") != "public.files").count() == 0
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_from_debezium_avro_drops_tombstones_and_garbage(spark):
+    props = {"repo": "string", "path": "string"}
+    env = debezium_envelope_schema(props)
+    good = _ref_frame(env, {
+        "before": None,
+        "after": {"repo": "r1", "path": "p1"},
+        "op": "c", "ts_ms": 1700000000000,
+        "source": {"db": "d", "schema": "s", "table": "t", "lsn": 5,
+                   "txId": None},
+        "transaction": None,
+    })
+    df = spark.createDataFrame(
+        [(good,), (None,), (b"junk bytes",)], "value binary"
+    )
+    out = from_debezium_avro(df, props).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["op"], r["lsn"], r["repo"], r["collection"]) == (
+        "i", 5, "r1", "s.t"
+    )
+    kept = from_debezium_avro(df, props, drop_tombstones=False)
+    assert kept.count() == 3
+
+
+def test_payload_record_temporal_types_ride_base_primitives():
+    rec = payload_record("r", {"id": "integer", "when": "timestamp_with_timezone",
+                               "day": "date", "note": "object"})
+    types = {f["name"]: f["type"][1] for f in rec["fields"]}
+    assert types == {"id": "long", "when": "long", "day": "long",
+                     "note": "string"}
