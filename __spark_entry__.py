@@ -1691,6 +1691,68 @@ def cdc_avro_replay_mini(spark, sf):
     return _state_digest(pipe.table().read(spark))
 
 
+def cdc_avro_schema_evolution_mini(spark, sf):
+    """Schema evolution AT THE WIRE LEVEL: the topic's messages span
+    three registry schema versions (v1 base payload; v2 adds `stars`
+    long; v3 widens it to double — source DDL happened twice, old
+    messages keep their old writer schema).  from_debezium_avro_
+    evolving decodes each cohort with ITS writer schema (the split is
+    a JVM comparison on the frame's id bytes), unions at the widest
+    type, and the replay's per-batch reconciler applies the same
+    evolution table-side.  The final digest must equal
+    _CDC_EVOLVE_DIGEST — the SAME constant the explicit DDL-event
+    replay (cdc_schema_evolution_mini) pins — because the digest
+    hashes values, and registry-id evolution must reach the same
+    final state as op='s' DDL events carrying the same data."""
+    from airbyte_spark.engine.changelog import base_table, changelog
+    from airbyte_spark.engine.pipeline import CdcPipeline
+    from airbyte_spark.formats.avro_wire import (
+        from_debezium_avro_evolving, to_debezium_avro,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = tempfile.mkdtemp(prefix="cdc_avro_se_entry_")
+    pipe = CdcPipeline(os.path.join(root, "t"), n_buckets=8)
+    t = pipe.bootstrap(
+        spark, base_table(spark, 300, n_repos=10, paths_per_repo=30)
+    )
+    base = {"repo": "string", "path": "string", "commit": "string",
+            "lang": "string", "content": "string"}
+    v2 = {**base, "stars": "integer"}
+    v3 = {**base, "stars": "number"}
+    ev = changelog(spark, 900, n_repos=10, paths_per_repo=30)
+    wire = (
+        to_debezium_avro(ev.filter(F.col("lsn") < 300), base, schema_id=1)
+        .unionByName(to_debezium_avro(
+            ev.filter((F.col("lsn") >= 300) & (F.col("lsn") < 600))
+            .withColumn("stars", F.pmod(F.col("lsn"), F.lit(50)).cast("long")),
+            v2, schema_id=2,
+        ))
+        .unionByName(to_debezium_avro(
+            ev.filter(F.col("lsn") >= 600)
+            .withColumn("stars", F.col("lsn") / F.lit(4.0)),
+            v3, schema_id=3,
+        ))
+    )
+    decoded = from_debezium_avro_evolving(wire, {1: base, 2: v2, 3: v3})
+    events = decoded.select(
+        "lsn", "op", "repo", "path", "commit", "lang", "content", "stars",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+    )
+    pipe.replay(spark, events, batch_lsns=300)
+    final = t.read(spark)
+    line = F.concat_ws(
+        "|", "repo", "path", "commit", "lang",
+        F.col("content_sha256"), F.col("stars").cast("string"),
+    )
+    return final.agg(
+        F.count(F.lit(1)).alias("final_rows"),
+        F.sha2(
+            F.array_join(F.sort_array(F.collect_list(line)), "\n"), 256
+        ).alias("state_sha256"),
+    )
+
+
 def cdc_replay_mor_mini(spark, sf):
     """The merge-on-read strategy (delta files + tombstones +
     scan-time LWW resolve + delta-folding compaction) replaying the
@@ -2823,6 +2885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_mini": cdc_replay_mini,
         "cdc_debezium_replay_mini": cdc_debezium_replay_mini,
         "cdc_avro_replay_mini": cdc_avro_replay_mini,
+        "cdc_avro_schema_evolution_mini": cdc_avro_schema_evolution_mini,
         "cdc_replay_mor_mini": cdc_replay_mor_mini,
         "cdc_replay_chunked_mini": cdc_replay_chunked_mini,
         "cdc_txn_replay_mini": cdc_txn_replay_mini,
@@ -4252,6 +4315,12 @@ SELECT CAST(275 AS BIGINT) AS final_rows,
        '{_CDC_CONTENT_DIGEST}' AS content_sha256_digest
 """,
         "cdc_schema_evolution_mini": f"""
+SELECT CAST(275 AS BIGINT) AS final_rows,
+       '{_CDC_EVOLVE_DIGEST}' AS state_sha256
+""",
+        # wire-level (registry-id) evolution must reach the SAME final
+        # state as the explicit DDL-event replay — one shared constant
+        "cdc_avro_schema_evolution_mini": f"""
 SELECT CAST(275 AS BIGINT) AS final_rows,
        '{_CDC_EVOLVE_DIGEST}' AS state_sha256
 """,

@@ -206,6 +206,37 @@ def from_debezium_json(
     return out
 
 
+def debezium_json_dead_letters(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """The dead-letter side of from_debezium_json(drop_tombstones=
+    True): non-NULL lines the envelope parse rejects (NULL values are
+    Kafka's post-delete log-compaction tombstones, not errors) —
+    returned as (value, reason) rows for a quarantine table, Kafka
+    Connect's errors.deadletterqueue semantics: the raw message
+    survives for replay-after-fix.  Same fused one-pass plan as the
+    decode itself; the Avro transport's twin is
+    formats/avro_wire.debezium_avro_dead_letters (which also
+    classifies framing failures)."""
+    e = df.select(
+        F.col(value_col),
+        F.from_json(F.col(value_col), DEBEZIUM_ENVELOPE_DDL).alias("_e"),
+    )
+    # PERMISSIVE from_json yields an all-NULL struct for garbage (not
+    # a NULL struct), so "nothing parsed" is the unparseable signal
+    nothing = (
+        F.col("_e").isNull()
+        | (F.col("_e.before").isNull() & F.col("_e.after").isNull()
+           & F.col("_e.op").isNull() & F.col("_e.ts_ms").isNull()
+           & F.col("_e.source").isNull())
+    )
+    return e.filter(
+        F.col(value_col).isNotNull() & F.col("_e.op").isNull()
+    ).select(
+        value_col,
+        F.when(nothing, F.lit("unparseable_envelope"))
+        .otherwise(F.lit("missing_op")).alias("reason"),
+    )
+
+
 def _oplog_schema():
     """Envelope schema built programmatically: ``$set``/``$unset``
     are legal JSON keys but not legal DDL identifiers."""

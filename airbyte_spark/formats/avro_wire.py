@@ -263,13 +263,21 @@ def _decode_node(sweep, node, active, out, path=""):
         raise ValueError(f"unsupported wire type {node!r} at {path or '<root>'}")
 
 
+# per-row decode outcome codes (decode_batch's third result): the
+# dead-letter surface's `reason` vocabulary
+DECODE_OK = 0
+DECODE_REASONS = ["ok", "null_value", "short_frame", "wrong_magic",
+                  "wrong_schema_id", "malformed_body"]
+
+
 def decode_batch(values, schema: dict[str, Any], *,
                  schema_id: int | None = None):
     """Decode a pyarrow binary array of Confluent-framed Avro records
     into flattened Arrow columns (one column per leaf, names joined
     with '_').  NULL inputs, wrong-magic/wrong-id frames, and any
     malformed body decode as all-NULL rows.  Returns
-    (dict[name, pa.Array], ok_mask ndarray)."""
+    (dict[name, pa.Array], ok_mask ndarray, reason_codes int8
+    ndarray indexing DECODE_REASONS)."""
     import numpy as np
     import pyarrow as pa
 
@@ -285,7 +293,7 @@ def decode_batch(values, schema: dict[str, Any], *,
             }[t])
             for name, t in _walk_leaves(schema)
         }
-        return cols, np.zeros(0, bool)
+        return cols, np.zeros(0, bool), np.zeros(0, np.int8)
     # zero-copy view of the column's own buffers
     validity, offbuf, databuf = arr.buffers()
     offsets = np.frombuffer(offbuf, np.int64, count=n + 1, offset=8 * arr.offset)
@@ -295,26 +303,33 @@ def decode_batch(values, schema: dict[str, Any], *,
     framed = alive & (ends - starts >= _FRAME_LEN)
     magic_ok = np.zeros(n, bool)
     magic_ok[framed] = buf[starts[framed]] == WIRE_MAGIC
+    id_ok = magic_ok.copy()
     if schema_id is not None:
         ids = np.zeros(n, np.int64)
         for j in range(4):
             got = np.zeros(n, np.int64)
             got[framed] = buf[starts[framed] + 1 + j]
             ids = (ids << 8) | got
-        magic_ok &= ids == schema_id
-    active = framed & magic_ok
+        id_ok &= ids == schema_id
+    active = framed & id_ok
     sweep = _Sweep(buf, starts + _FRAME_LEN, ends)
     out: dict[str, tuple] = {}
     _decode_node(sweep, schema, active, out)
     # a row that went bad anywhere decodes all-NULL (from_json semantics)
     ok = active & ~sweep.bad
+    reason = np.zeros(n, np.int8)  # ok
+    reason[active & sweep.bad] = 5  # malformed_body
+    reason[framed & magic_ok & ~id_ok] = 4  # wrong_schema_id
+    reason[framed & ~magic_ok] = 3  # wrong_magic
+    reason[alive & ~framed] = 2  # short_frame
+    reason[~alive] = 1  # null_value
     cols: dict[str, Any] = {}
     for name, (typ, bufs, mask) in out.items():
         mask = mask & ~sweep.bad
         cols[name] = pa.Array.from_buffers(
             typ, n, [_validity_buffer(mask), *bufs]
         )
-    return cols, ok
+    return cols, ok, reason
 
 
 # ---------------------------------------------------------------------------
@@ -401,27 +416,60 @@ def encode_batch_framed(pdf, schema: dict[str, Any], schema_id: int,
 # ---------------------------------------------------------------------------
 
 def decode_stream(df, schema: dict[str, Any], *, value_col: str = "value",
-                  schema_id: int | None = None):
+                  schema_id: int | None = None,
+                  reason_col: str | None = None):
     """Framed-Avro binary column -> flattened typed columns, one
     mapInArrow pass (fuses into the scan, preserves partitioning,
     zero shuffles — the same plan shape as from_debezium_json's
-    from_json projection).  Malformed rows surface all-NULL."""
+    from_json projection).  Malformed rows surface all-NULL.
+    ``reason_col``: also emit the raw message plus a per-row decode
+    outcome from DECODE_REASONS — the dead-letter routing surface."""
+    import numpy as np
     import pyarrow as pa
 
+    names = [name for name, _ in _walk_leaves(schema)]
     ddl = decoded_ddl(schema)
+    if reason_col:
+        ddl += f", {value_col} binary, {reason_col} string"
+    reasons = None
 
     def _go(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        nonlocal reasons
         for b in batches:
-            cols, _ = decode_batch(
-                pa.chunked_array([b.column(0)]).combine_chunks(),
-                schema, schema_id=schema_id,
-            )
-            yield pa.RecordBatch.from_arrays(
-                [cols[name] for name, _ in _walk_leaves(schema)],
-                [name for name, _ in _walk_leaves(schema)],
-            )
+            val = pa.chunked_array([b.column(0)]).combine_chunks()
+            cols, _, codes = decode_batch(val, schema, schema_id=schema_id)
+            arrays = [cols[n] for n in names]
+            out_names = list(names)
+            if reason_col:
+                if reasons is None:
+                    reasons = np.array(DECODE_REASONS)
+                arrays += [val, pa.array(reasons[codes])]
+                out_names += [value_col, reason_col]
+            yield pa.RecordBatch.from_arrays(arrays, out_names)
 
     return df.select(value_col).mapInArrow(_go, ddl)
+
+
+def debezium_avro_dead_letters(df, payload_properties: dict[str, str], *,
+                               value_col: str = "value",
+                               schema_id: int | None = None):
+    """The dead-letter side of from_debezium_avro(drop_tombstones=
+    True): messages that decode all-NULL for a REASON OTHER than a
+    Kafka log-compaction tombstone (NULL value is the protocol's
+    post-delete marker, not an error) — wrong magic/schema id,
+    truncated frames, malformed bodies.  Returns (value, reason)
+    rows to land in a quarantine table (Kafka Connect
+    errors.deadletterqueue.topic.name semantics: the raw message
+    survives for replay-after-fix, with error context).  Same
+    one-pass plan shape as the decode itself."""
+    from pyspark.sql import functions as F
+
+    env = debezium_envelope_schema(payload_properties)
+    e = decode_stream(df, env, value_col=value_col, schema_id=schema_id,
+                      reason_col="reason")
+    return e.filter(
+        (F.col("reason") != "ok") & (F.col("reason") != "null_value")
+    ).select(value_col, "reason")
 
 
 def encode_stream(df, schema: dict[str, Any], *, schema_id: int,
@@ -483,6 +531,100 @@ def to_debezium_avro(events, payload_properties: dict[str, str], *,
         flat, env, schema_id=schema_id, value_col=value_col,
         presence={"before": "_pres_before", "after": "_pres_after"},
     )
+
+
+def wire_schema_id(value_col: str = "value"):
+    """The frame's 4-byte big-endian schema id as a JVM expression
+    (bytes 2..5 of the message) — lets version cohorts split BEFORE
+    any Python decode runs, so each cohort's decode pass prunes to
+    its own rows inside the scan."""
+    from pyspark.sql import functions as F
+
+    return F.conv(
+        F.hex(F.expr(f"substring({value_col}, 2, 4)")), 16, 10
+    ).cast("long")
+
+
+def _widest(types: list[str]) -> str:
+    """Fold wire primitives to the widest per the engine's widen
+    rules (lake/typerules.can_widen); incompatible pairs fall back to
+    string — the protocol's documented rule
+    (supported-data-types.md:156-159)."""
+    from pyspark.sql import types as T
+
+    from airbyte_spark.lake.typerules import can_widen
+
+    # the wire vocabulary is closed (decoded primitives only), so no
+    # session-bound DDL parser is needed
+    t_of = {"bigint": T.LongType(), "double": T.DoubleType(),
+            "boolean": T.BooleanType(), "string": T.StringType(),
+            "binary": T.BinaryType()}
+    cur = types[0]
+    for t in types[1:]:
+        if t == cur:
+            continue
+        if can_widen(t_of[cur], t_of[t]):
+            cur = t
+        elif not can_widen(t_of[t], t_of[cur]):
+            cur = "string"
+    return cur
+
+
+def from_debezium_avro_evolving(df, schemas: dict[int, dict[str, str]], *,
+                                value_col: str = "value",
+                                drop_tombstones: bool = True):
+    """Decode a Debezium-Avro stream whose messages span MULTIPLE
+    registry schema versions — the shape a real topic has after
+    source DDL (the registry assigns a new id; old messages keep the
+    old one; a consumer must decode each message with ITS writer
+    schema).  ``schemas``: schema id -> payload properties, ascending
+    ids = registry history.
+
+    Each version cohort decodes with its own payload schema (the
+    cohort split is a JVM comparison on the frame's id bytes, fused
+    into the scan), and the cohorts union BY NAME: columns a version
+    lacks surface as typed NULLs, and a column whose wire type
+    changed across versions lands at the widest type per the engine's
+    widen rules — exactly what engine/schema_evolution.reconcile will
+    apply table-side, so the decoded stream feeds the schema-evolution
+    replay with no extra glue.  Cost: one fused pass per registered
+    version (each row decodes exactly once — the id filters partition
+    the stream); version count is registry history, typically a
+    handful, never data-sized."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    if not schemas:
+        raise ValueError("schemas must map at least one schema id")
+    # final column set: insertion order of first appearance across
+    # ascending ids; final type: widest across the versions
+    by_col: dict[str, list[str]] = {}
+    for _, props in sorted(schemas.items()):
+        for c, ftype in props.items():
+            at = _AVRO_TYPES.get(ftype, "string")
+            if isinstance(at, dict):  # logical types ride long wires
+                at = "long"
+            by_col.setdefault(c, []).append(_AVRO_TO_DDL[at])
+    final = {c: _widest(ts) for c, ts in by_col.items()}
+
+    sid = wire_schema_id(value_col)
+    parts = []
+    for schema_id, props in sorted(schemas.items()):
+        part = from_debezium_avro(
+            df.filter(sid == schema_id), props,
+            value_col=value_col, schema_id=schema_id,
+            drop_tombstones=drop_tombstones,
+        )
+        cols = [
+            (F.col(c) if c in props else F.lit(None)).cast(t).alias(c)
+            for c, t in final.items()
+        ]
+        parts.append(
+            part.select("lsn", "op", "collection", *cols,
+                        "ts", "txn_id", "txn_order")
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
 
 
 def from_debezium_avro(df, payload_properties: dict[str, str], *,

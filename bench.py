@@ -133,8 +133,10 @@ BENCH_QUERIES = [
     "cdc_debezium_replay_mini",
     "cdc_oplog_replay_mini",
     # round 4: Confluent-framed AVRO envelopes driving the real engine
-    # (numpy column-sweep decode -> full replay, same golden digest)
+    # (numpy column-sweep decode -> full replay, same golden digest),
+    # and registry-id schema evolution decoded per writer schema
     "cdc_avro_replay_mini",
+    "cdc_avro_schema_evolution_mini",
     # round 4: one-pass per-column table profile (nulls/distinct/min/max)
     "events_profile",
     # round 4: code-payload curation (The Stack line gates, SPDX

@@ -16,13 +16,16 @@ from pyspark.sql import functions as F
 
 from airbyte_spark.formats.avro_wire import (
     WIRE_MAGIC,
+    _widest,
     debezium_envelope_schema,
     decode_batch,
     decode_stream,
     encode_batch_framed,
     from_debezium_avro,
+    from_debezium_avro_evolving,
     payload_record,
     to_debezium_avro,
+    wire_schema_id,
 )
 
 # ---------------------------------------------------------------------------
@@ -166,7 +169,7 @@ def _decoded_to_rows(cols, n):
 
 def test_decode_matches_scalar_reference():
     frames = _ref_frames(ROWS)
-    cols, ok = decode_batch(frames, MIXED, schema_id=1)
+    cols, ok, _rs = decode_batch(frames, MIXED, schema_id=1)
     assert ok.all()
     got = _decoded_to_rows(cols, len(ROWS))
     for row, g in zip(ROWS, got):
@@ -192,7 +195,7 @@ def test_decode_null_and_garbage_rows_are_all_null():
         ],
         type=pa.large_binary(),
     )
-    cols, ok = decode_batch(frames, MIXED, schema_id=1)
+    cols, ok, _rs = decode_batch(frames, MIXED, schema_id=1)
     assert ok.tolist() == [True, False, False, False, False, False, False, True]
     rows = _decoded_to_rows(cols, len(frames))
     for i in (1, 2, 3, 4, 5, 6):
@@ -206,14 +209,14 @@ def test_decode_schema_id_filter():
          _ref_frame(MIXED, ROWS[0], schema_id=2)],
         type=pa.large_binary(),
     )
-    _, ok = decode_batch(frames, MIXED, schema_id=1)
+    _, ok, _rs = decode_batch(frames, MIXED, schema_id=1)
     assert ok.tolist() == [True, False]
-    _, ok = decode_batch(frames, MIXED)  # no filter: both decode
+    _, ok, _rs = decode_batch(frames, MIXED)  # no filter: both decode
     assert ok.tolist() == [True, True]
 
 
 def test_decode_empty_batch():
-    cols, ok = decode_batch(pa.array([], type=pa.large_binary()), MIXED)
+    cols, ok, _rs = decode_batch(pa.array([], type=pa.large_binary()), MIXED)
     assert len(ok) == 0 and all(len(v) == 0 for v in cols.values())
 
 
@@ -285,7 +288,7 @@ def test_roundtrip_property():
         for got, r in zip(arr.to_pylist(), rows):
             assert got == _ref_frame(MIXED, r, schema_id=3)
         # decode(encode(x)) == x
-        cols, ok = decode_batch(arr, MIXED, schema_id=3)
+        cols, ok, _rs = decode_batch(arr, MIXED, schema_id=3)
         assert ok.all()
         back = _decoded_to_rows(cols, len(rows))
         for r, g in zip(rows, back):
@@ -353,6 +356,111 @@ def test_from_debezium_avro_drops_tombstones_and_garbage(spark):
     )
     kept = from_debezium_avro(df, props, drop_tombstones=False)
     assert kept.count() == 3
+
+
+def test_decode_reason_codes():
+    from airbyte_spark.formats.avro_wire import DECODE_REASONS
+
+    frames = pa.array(
+        [
+            _ref_frame(MIXED, ROWS[0], schema_id=1),
+            None,
+            b"\x00\x00",
+            b"\x01\x00\x00\x00\x01\x02",
+            _ref_frame(MIXED, ROWS[0], schema_id=9),
+            _ref_frame(MIXED, ROWS[0], schema_id=1)[:9],
+        ],
+        type=pa.large_binary(),
+    )
+    _, _, codes = decode_batch(frames, MIXED, schema_id=1)
+    assert [DECODE_REASONS[c] for c in codes] == [
+        "ok", "null_value", "short_frame", "wrong_magic",
+        "wrong_schema_id", "malformed_body",
+    ]
+
+
+def test_dead_letters_both_transports(spark):
+    """The quarantine surface: malformed messages survive with error
+    context; tombstones are NOT errors (Kafka log-compaction
+    markers); good rows never leak into the DLQ."""
+    from airbyte_spark.engine.changelog import debezium_json_dead_letters
+    from airbyte_spark.formats.avro_wire import debezium_avro_dead_letters
+
+    props = {"repo": "string", "path": "string"}
+    env = debezium_envelope_schema(props)
+    good = _ref_frame(env, {
+        "before": None, "after": {"repo": "r", "path": "p"},
+        "op": "c", "ts_ms": 1, "source": {
+            "db": "d", "schema": None, "table": "t", "lsn": 1, "txId": None},
+        "transaction": None,
+    }, schema_id=4)
+    df = spark.createDataFrame(
+        [(good,), (None,), (b"garbage",), (good[:8],)], "value binary"
+    )
+    dlq = debezium_avro_dead_letters(df, props, schema_id=4)
+    got = {bytes(r["value"]): r["reason"] for r in dlq.collect()}
+    assert got == {b"garbage": "wrong_magic", good[:8]: "malformed_body"}
+
+    jdf = spark.createDataFrame(
+        [('{"op":"c","after":{},"source":{"lsn":1}}',),
+         (None,), ("not json",), ('{"after":{}}',)], "value string"
+    )
+    jgot = {r["value"]: r["reason"]
+            for r in debezium_json_dead_letters(jdf).collect()}
+    assert jgot == {"not json": "unparseable_envelope",
+                    '{"after":{}}': "missing_op"}
+
+
+def test_widest_type_folding():
+    assert _widest(["bigint", "double"]) == "double"
+    assert _widest(["double", "bigint"]) == "double"
+    assert _widest(["bigint", "bigint"]) == "bigint"
+    # incompatible families fall back to the protocol's string rule
+    assert _widest(["boolean", "bigint"]) == "string"
+    assert _widest(["string", "bigint"]) == "string"
+
+
+def test_evolving_decode_unions_registry_versions(spark):
+    """A topic after two source DDLs: v1 payload, v2 adds a long
+    column, v3 widens it to double.  One mixed stream decodes per
+    writer schema and unions at the widest type with typed NULL
+    fill — the shape engine/schema_evolution.reconcile applies
+    table-side."""
+    from airbyte_spark.engine.changelog import changelog
+
+    base = {"repo": "string", "path": "string", "commit": "string",
+            "lang": "string", "content": "string"}
+    v2 = {**base, "stars": "integer"}
+    v3 = {**base, "stars": "number"}
+    ev = changelog(spark, 300, n_repos=5, paths_per_repo=10)
+    w1 = to_debezium_avro(ev.filter(F.col("lsn") < 100), base, schema_id=1)
+    w2 = to_debezium_avro(
+        ev.filter((F.col("lsn") >= 100) & (F.col("lsn") < 200))
+        .withColumn("stars", F.pmod(F.col("lsn"), F.lit(50)).cast("long")),
+        v2, schema_id=2,
+    )
+    w3 = to_debezium_avro(
+        ev.filter(F.col("lsn") >= 200)
+        .withColumn("stars", F.col("lsn") / F.lit(4.0)),
+        v3, schema_id=3,
+    )
+    wire = w1.unionByName(w2).unionByName(w3)
+    # the frame's id bytes split cohorts JVM-side
+    ids = wire.select(wire_schema_id().alias("i")).groupBy("i").count()
+    assert {r["i"]: r["count"] for r in ids.collect()} == {1: 100, 2: 100, 3: 100}
+
+    out = from_debezium_avro_evolving(wire, {1: base, 2: v2, 3: v3})
+    assert dict(out.dtypes)["stars"] == "double"
+    got = {r["lsn"]: r for r in out.collect()}
+    assert len(got) == 300
+    for lsn, r in got.items():
+        if lsn < 100:
+            assert r["stars"] is None
+        elif lsn < 200:
+            assert r["stars"] == float(lsn % 50)
+        else:
+            assert r["stars"] == lsn / 4.0
+        assert r["repo"] is not None and r["op"] in ("i", "u", "d")
 
 
 def test_payload_record_temporal_types_ride_base_primitives():
