@@ -22,6 +22,14 @@ from typing import Any
 VALID_MODES = ("dedup", "append", "overwrite")
 VALID_STRATEGIES = ("fused", "pruned", "mor")
 VALID_OFFSET_POLICIES = ("error", "rebootstrap", "ignore")
+VALID_TAIL_FORMATS = ("events", "debezium-json", "debezium-avro")
+
+# the north-rule input shape — the default payload when a wire tail
+# doesn't declare its own columns
+_DEFAULT_PAYLOAD = {"repo": "string", "path": "string", "commit": "string",
+                    "lang": "string", "content": "string"}
+_PROTO_DDL = {"string": "string", "integer": "bigint", "number": "double",
+              "boolean": "boolean"}
 
 
 @dataclass
@@ -53,6 +61,15 @@ class StreamSpec:
     # deleted_at tombstones; read_active() is the active-row view
     mappers: list[dict] = field(default_factory=list)  # connection-level
     # hash/encrypt/row-filter transforms (engine/mappers.py)
+    tail_format: str = "events"  # what the tail dir holds: typed
+    # event parquet ("events"), or Kafka-shaped wire messages decoded
+    # in-stream — Debezium-JSON lines or Confluent-framed Debezium-
+    # Avro (formats/avro_wire.py)
+    payload_properties: dict[str, str] = field(default_factory=dict)
+    # wire payload columns (protocol types); default: the north-rule
+    # input shape
+    wire_schema_id: int | None = None  # expected registry id for
+    # debezium-avro frames (others quarantine-drop as wrong_schema_id)
 
     def validate(self) -> "StreamSpec":
         if self.mode not in VALID_MODES:
@@ -68,11 +85,59 @@ class StreamSpec:
             )
         if not self.key_cols:
             raise ValueError(f"{self.name}: key_cols must be non-empty")
+        if self.tail_format not in VALID_TAIL_FORMATS:
+            raise ValueError(
+                f"{self.name}: tail_format must be one of {VALID_TAIL_FORMATS}"
+            )
+        if self.tail_format != "events" and self.collection is not None:
+            raise ValueError(
+                f"{self.name}: wire tails do not demux yet — one stream "
+                f"per wire topic (drop `collection`, or decode with "
+                f"from_debezium_avro/json and route via engine/demux.py)"
+            )
         if self.mappers:
             from airbyte_spark.engine.mappers import validate_mappers
 
             validate_mappers(self.mappers)
         return self
+
+
+def _wire_decode(s: StreamSpec):
+    """(decode callable, source DDL) for a wire-format tail — the
+    in-stream on-ramp from Kafka-shaped dumps to the engine changelog
+    shape; (None, None) for typed event tails."""
+    if s.tail_format == "events":
+        return None, None
+    from pyspark.sql import functions as F
+
+    props = dict(s.payload_properties) or dict(_DEFAULT_PAYLOAD)
+
+    def _project(d):
+        return d.select(
+            "lsn", "op", *props,
+            F.col("ts").cast("timestamp").alias("ts"),
+        )
+
+    if s.tail_format == "debezium-avro":
+        from airbyte_spark.formats.avro_wire import from_debezium_avro
+
+        def dec(sdf):
+            return _project(
+                from_debezium_avro(sdf, props, schema_id=s.wire_schema_id)
+            )
+
+        return dec, "value binary"
+
+    from airbyte_spark.engine.changelog import from_debezium_json
+
+    image = ", ".join(
+        f"{c} {_PROTO_DDL.get(t, 'string')}" for c, t in props.items()
+    )
+
+    def dec(sdf):
+        return _project(from_debezium_json(sdf, image_schema=image))
+
+    return dec, "value string"
 
 
 @dataclass
@@ -142,17 +207,25 @@ class PipelineSpec:
         for tail, specs in by_tail.items():
             if len(specs) == 1 and specs[0].collection is None:
                 s = specs[0]
+                decode, source_ddl = _wire_decode(s)
                 stats = run_stream(
                     spark, pipes[s.name], tail,
                     s.checkpoint or f"{s.table}/_checkpoint",
                     max_files_per_trigger=s.max_files_per_trigger,
                     txn_aligned=s.txn_aligned,
+                    decode=decode, source_ddl=source_ddl,
                 )
                 results[s.name] = {
                     "batches": len(stats),
                     "committed": sum(1 for st in stats if st.committed),
                 }
                 continue
+            wired = [s.name for s in specs if s.tail_format != "events"]
+            if wired:
+                raise ValueError(
+                    f"streams {wired} share a wire tail: wire tails do "
+                    f"not demux yet — one stream per wire topic"
+                )
             group = {
                 (s.collection or s.name): pipes[s.name] for s in specs
             }

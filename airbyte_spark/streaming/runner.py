@@ -102,6 +102,8 @@ def run_stream(
     on_batch: Callable[[BatchStats], None] | None = None,
     base: DataFrame | None = None,
     txn_aligned: bool = False,
+    decode: Callable[[DataFrame], DataFrame] | None = None,
+    source_ddl: str | None = None,
 ) -> list[BatchStats]:
     """One bounded sync run (Trigger.AvailableNow).  Returns per-batch
     stats.  Safe to re-run after a kill: the streaming checkpoint
@@ -122,8 +124,19 @@ def run_stream(
     epochs survive the re-snapshot, the epoch continuation offset is
     persisted in the new checkpoint dir (``_epoch_base``) so replayed
     batchIds keep mapping to the same epochs across kill/resume and
-    nothing is spuriously epoch-skipped."""
-    gap_min = tail_min_lsn(changelog_dir)
+    nothing is spuriously epoch-skipped.
+
+    ``decode``/``source_ddl``: tail a WIRE topic instead of typed
+    event files — ``source_ddl`` declares the raw file schema (e.g.
+    ``"value binary"`` for Confluent-framed Debezium-Avro messages)
+    and ``decode`` maps the raw stream to the changelog shape (e.g.
+    ``from_debezium_avro`` + the engine-column projection; it must be
+    a map-side transform so microbatch boundaries stay file-aligned).
+    The LSN-footer continuity guard only runs for typed tails —
+    a wire topic's parquet footers carry no cursor stats, so gap
+    detection there falls to the pipeline's own state-offset check
+    and epoch gate inside apply_batch."""
+    gap_min = tail_min_lsn(changelog_dir) if decode is None else None
     if pipeline.check_offset_continuity(gap_min):
         from airbyte_spark.engine.pipeline import OffsetInvalidated
 
@@ -174,13 +187,18 @@ def run_stream(
         ddl = CHANGELOG_DDL + ", txn_id long, txn_events long"
         cols = cols + list(TXN_COLS)
     reader = (
-        spark.readStream.schema(ddl)
+        spark.readStream.schema(source_ddl or ddl)
         .option("pathGlobFilter", "*.parquet")
         .option("recursiveFileLookup", "true")
     )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     sdf = reader.parquet(changelog_dir)
+    if decode is not None:
+        # the decode owns the engine-shape projection (payloads vary
+        # by source table); apply_batch validates the result
+        sdf = decode(sdf)
+        cols = sdf.columns
 
     q = (
         sdf.select(*cols)
