@@ -23,6 +23,7 @@ VALID_MODES = ("dedup", "append", "overwrite")
 VALID_STRATEGIES = ("fused", "pruned", "mor")
 VALID_OFFSET_POLICIES = ("error", "rebootstrap", "ignore")
 VALID_TAIL_FORMATS = ("events", "debezium-json", "debezium-avro")
+VALID_SNAPSHOT_MODES = ("initial", "schema_only", "never", "when_needed")
 
 # the north-rule input shape — the default payload when a wire tail
 # doesn't declare its own columns
@@ -70,6 +71,17 @@ class StreamSpec:
     # input shape
     wire_schema_id: int | None = None  # expected registry id for
     # debezium-avro frames (others quarantine-drop as wrong_schema_id)
+    snapshot_mode: str = "initial"  # Debezium snapshot.mode:
+    # 'initial' bootstraps a missing table from snapshot_source (empty
+    # when none is declared), 'schema_only' always starts empty and
+    # tails forward, 'never' refuses to create the table, and
+    # 'when_needed' additionally re-snapshots from snapshot_source
+    # when the saved offset falls behind the tail's retention
+    # (implies on_invalid_offset='rebootstrap')
+    snapshot_source: str | None = None  # parquet dir holding the
+    # source image for initial/when_needed bootstraps
+    snapshot_lsn: int | None = None  # WAL position the image is
+    # consistent as of (the tail applies strictly newer events)
 
     def validate(self) -> "StreamSpec":
         if self.mode not in VALID_MODES:
@@ -94,6 +106,17 @@ class StreamSpec:
                 f"{self.name}: wire tails do not demux yet — one stream "
                 f"per wire topic (drop `collection`, or decode with "
                 f"from_debezium_avro/json and route via engine/demux.py)"
+            )
+        if self.snapshot_mode not in VALID_SNAPSHOT_MODES:
+            raise ValueError(
+                f"{self.name}: snapshot_mode must be one of "
+                f"{VALID_SNAPSHOT_MODES}"
+            )
+        if self.snapshot_mode == "when_needed" and not self.snapshot_source:
+            raise ValueError(
+                f"{self.name}: snapshot_mode='when_needed' needs a "
+                f"snapshot_source to re-snapshot from when the offset "
+                f"invalidates"
             )
         if self.mappers:
             from airbyte_spark.engine.mappers import validate_mappers
@@ -172,7 +195,11 @@ class PipelineSpec:
                 rename_hints=s.rename_hints,
                 mode=s.mode,
                 merge_strategy=s.merge_strategy,
-                on_invalid_offset=s.on_invalid_offset,
+                # Debezium when_needed == re-snapshot on invalid offsets
+                on_invalid_offset=(
+                    "rebootstrap" if s.snapshot_mode == "when_needed"
+                    else s.on_invalid_offset
+                ),
                 history_root=s.history_root,
                 compact_every=s.compact_every,
                 toast_cols=s.toast_cols or None,
@@ -194,11 +221,26 @@ class PipelineSpec:
 
         pipes = self.build_pipelines()
         for s in self.streams:
-            # first sync creates the destination table (empty bootstrap;
-            # the platform's create-on-first-sync behavior) — a real
-            # initial snapshot goes through bootstrap()/bootstrap_chunked
-            if not LakeTable.exists(s.table):
-                pipes[s.name].bootstrap(spark)
+            if LakeTable.exists(s.table):
+                continue
+            # first sync creates the destination per snapshot_mode
+            # (Debezium snapshot.mode): 'never' refuses, 'schema_only'
+            # starts empty and tails forward, initial/when_needed
+            # bootstrap the declared source image (empty when none —
+            # the platform's create-on-first-sync behavior; chunked
+            # resumable snapshots go through bootstrap_chunked)
+            if s.snapshot_mode == "never":
+                raise ValueError(
+                    f"{s.name}: destination {s.table} does not exist and "
+                    f"snapshot_mode='never' refuses to create it"
+                )
+            img = None
+            if s.snapshot_mode in ("initial", "when_needed") and s.snapshot_source:
+                img = spark.read.parquet(s.snapshot_source)
+            pipes[s.name].bootstrap(
+                spark, img,
+                snapshot_lsn=-1 if s.snapshot_lsn is None else s.snapshot_lsn,
+            )
         by_tail: dict[str, list[StreamSpec]] = {}
         for s in self.streams:
             if s.tail:
@@ -214,6 +256,12 @@ class PipelineSpec:
                     max_files_per_trigger=s.max_files_per_trigger,
                     txn_aligned=s.txn_aligned,
                     decode=decode, source_ddl=source_ddl,
+                    # a declared source image makes the rebootstrap
+                    # offset policy actionable from the spec alone
+                    base=(
+                        spark.read.parquet(s.snapshot_source)
+                        if s.snapshot_source else None
+                    ),
                 )
                 results[s.name] = {
                     "batches": len(stats),

@@ -117,3 +117,61 @@ def test_spec_passes_soft_delete_knob(tmp_path):
     }
     pipes = PipelineSpec.from_dict(doc).build_pipelines()
     assert pipes["code"].soft_delete is True
+
+
+def test_spec_snapshot_modes(spark, tmp_path):
+    """Debezium snapshot.mode via the spec: 'never' refuses to create
+    a missing destination; 'initial' + snapshot_source bootstraps the
+    declared image with its WAL position, so a tail starting past 0
+    is contiguous; 'when_needed' implies the rebootstrap offset
+    policy and demands a source image."""
+    # never: refuse on a missing table
+    tail = str(tmp_path / "tail")
+    ev = changelog(spark, 200, start_lsn=500, n_repos=5, paths_per_repo=20)
+    write_changelog_chunks(ev, tail, chunk_lsns=100, lo=500, hi=699)
+    doc_never = {
+        "streams": {
+            "code": {"table": str(tmp_path / "never"), "tail": tail,
+                     "checkpoint": str(tmp_path / "cp0"),
+                     "snapshot_mode": "never"}
+        }
+    }
+    with pytest.raises(ValueError, match="refuses to create"):
+        PipelineSpec.from_dict(doc_never).run(spark)
+
+    # initial + source image consistent as of lsn 499; late tail flows
+    img_dir = str(tmp_path / "img")
+    base_table(spark, 150, n_repos=5, paths_per_repo=20).write.parquet(img_dir)
+    doc = {
+        "streams": {
+            "code": {
+                "table": str(tmp_path / "t"), "tail": tail,
+                "checkpoint": str(tmp_path / "cp1"), "n_buckets": 4,
+                "snapshot_mode": "initial",
+                "snapshot_source": img_dir, "snapshot_lsn": 499,
+            }
+        }
+    }
+    spec = PipelineSpec.from_dict(doc)
+    res = spec.run(spark)
+    assert res["code"]["committed"] >= 1
+    final = spec.build_pipelines()["code"].table().read(spark)
+    # the image's ~92 distinct keys (5x20 key space) survive modulo
+    # tail deletes; an empty-bootstrap run would hold only tail keys
+    img_keys = base_table(
+        spark, 150, n_repos=5, paths_per_repo=20
+    ).count()
+    assert final.count() > img_keys * 0.8
+
+    # when_needed: needs a source image, and wires the rebootstrap policy
+    with pytest.raises(ValueError, match="when_needed"):
+        PipelineSpec.from_dict({
+            "streams": {"c": {"table": str(tmp_path / "x"),
+                              "snapshot_mode": "when_needed"}}
+        })
+    pipes = PipelineSpec.from_dict({
+        "streams": {"c": {"table": str(tmp_path / "x"),
+                          "snapshot_mode": "when_needed",
+                          "snapshot_source": img_dir}}
+    }).build_pipelines()
+    assert pipes["c"].on_invalid_offset == "rebootstrap"
