@@ -1,0 +1,131 @@
+"""Model-based lake-op fuzzing (hypothesis).
+
+test_property.py randomizes the DATA (any changelog, any epoch split,
+every merge strategy == a pure-Python LWW fold); this file randomizes
+the MAINTENANCE SCHEDULE: any interleaving of key-merges (with
+deletes), predicate deletes, plain / clustered compaction, and
+snapshot rollback, applied to a live table, must leave the table
+equal to a pure-Python dict model that applies the same semantic
+operations — and every RECORDED version must time-travel back to the
+model's state as of that version (compaction, being content-
+preserving, must be invisible to both checks).
+
+The reference has no analog — its Iceberg maintenance is exercised
+op-by-op in library tests; interleaving is exactly where snapshot /
+tag / watermark bookkeeping regressions hide.
+
+Data stays tiny (10-key space over 4 buckets to force collisions,
+<= 6 ops per example) because each op pays Spark jobs; the point is
+the random op STRUCTURE.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from airbyte_spark.lake.table import LakeTable
+
+SCHEMA = StructType(
+    [
+        StructField("k", LongType()),
+        StructField("v", LongType()),
+        StructField("op", StringType()),
+    ]
+)
+
+rows_strategy = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 99), st.booleans()),
+    min_size=1, max_size=6,
+)
+
+op_strategy = st.one_of(
+    st.tuples(st.just("merge"), rows_strategy),
+    st.tuples(
+        st.just("delete_where"),
+        st.sampled_from(["<=", ">=", "="]),
+        st.integers(0, 99),
+    ),
+    st.tuples(st.just("compact")),
+    st.tuples(st.just("compact_cluster")),
+    st.tuples(st.just("rollback"), st.integers(0, 1 << 30)),
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [Row(k=int(k), v=int(v), op="d" if d else "u") for k, v, d in rows],
+        schema=SCHEMA,
+    )
+
+
+def _table_state(t: LakeTable, spark, version=None):
+    return {
+        r["k"]: r["v"]
+        for r in t.read(spark, version).select("k", "v").collect()
+    }
+
+
+def _pred(op, val):
+    return {
+        "<=": lambda v: v <= val,
+        ">=": lambda v: v >= val,
+        "=": lambda v: v == val,
+    }[op]
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow,
+                           HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(op_strategy, min_size=1, max_size=6))
+def test_any_maintenance_interleaving_matches_model(spark, tmp_path, ops):
+    root = os.path.join(str(tmp_path), uuid.uuid4().hex)
+    t = LakeTable.create(root, SCHEMA, ["k"], 4)
+    model: dict[int, int] = {}
+    # model state as of each recorded table version (version 0 = create)
+    recorded: dict[int, dict[int, int]] = {t.snapshot().version: {}}
+
+    for op in ops:
+        if op[0] == "merge":
+            # last occurrence of a key wins inside one batch (the
+            # batch is pre-deduped in real pipelines; dedupe here so
+            # the model is unambiguous)
+            batch = {k: (v, d) for k, v, d in op[1]}
+            rows = [(k, v, d) for k, (v, d) in batch.items()]
+            res = t.merge(spark, _df(spark, rows), op_col="op")
+            assert res.committed
+            for k, v, d in rows:
+                if d:
+                    model.pop(k, None)
+                else:
+                    model[k] = v
+        elif op[0] == "delete_where":
+            _, cmp_op, val = op
+            t.delete_where(spark, [("v", cmp_op, val)])
+            pred = _pred(cmp_op, val)
+            model = {k: v for k, v in model.items() if not pred(v)}
+        elif op[0] == "compact":
+            t.compact(spark, max_files_per_bucket=1)
+        elif op[0] == "compact_cluster":
+            t.compact(spark, cluster_by=["v"])
+        elif op[0] == "rollback":
+            versions = sorted(recorded)
+            target = versions[op[1] % len(versions)]
+            if target != t.snapshot().version:
+                t.rollback(target)
+            model = dict(recorded[target])
+        recorded[t.snapshot().version] = dict(model)
+
+    assert _table_state(t, spark) == model
+    # every recorded version time-travels back to its model state
+    # (sample the newest three to bound Spark-job count)
+    for ver in sorted(recorded)[-3:]:
+        assert _table_state(t, spark, ver) == recorded[ver], f"version {ver}"
