@@ -165,6 +165,23 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--buckets", type=int, required=True)
 
     sp = sub.add_parser(
+        "maintain",
+        help="one-call maintenance: compact-if-needed + retention "
+             "(Delta OPTIMIZE+VACUUM as one scheduled job)",
+    )
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--max-files-per-bucket", type=int, default=4)
+    sp.add_argument("--cluster-by", default=None,
+                    help="comma-separated sort-order rewrite columns")
+    sp.add_argument("--zorder", action="store_true")
+    sp.add_argument("--keep-last", type=int, default=1)
+    sp.add_argument("--grace-seconds", type=float, default=3600.0)
+    sp.add_argument("--older-than-seconds", type=float, default=None)
+    sp.add_argument("--keep-metadata", action="store_true",
+                    help="skip snapshot-JSON expiry (kept by default "
+                         "maintenance runs)")
+
+    sp = sub.add_parser(
         "vacuum", help="expire unreferenced data files (retention)"
     )
     sp.add_argument("--table", required=True)
@@ -497,6 +514,20 @@ def main(argv: list[str] | None = None) -> int:
         }))
     elif args.cmd == "lineage":
         print(json.dumps(CdcPipeline(args.table).lineage(), indent=2))
+    elif args.cmd == "maintain":
+        from airbyte_spark.lake import LakeTable
+
+        report = LakeTable(args.table).maintain(
+            spark,
+            max_files_per_bucket=args.max_files_per_bucket,
+            cluster_by=args.cluster_by.split(",") if args.cluster_by else None,
+            zorder=args.zorder,
+            keep_last=args.keep_last,
+            grace_seconds=args.grace_seconds,
+            older_than_seconds=args.older_than_seconds,
+            expire_metadata=not args.keep_metadata,
+        )
+        print(json.dumps(report))
     elif args.cmd == "compact":
         from airbyte_spark.lake import LakeTable
 

@@ -503,3 +503,37 @@ def test_resnapshot_incremental_verb_repairs_with_live_tail(tmp_path):
         "--chunks", "4",
     ))
     assert again["chunks_applied"] == 0
+
+
+def test_maintain_verb_one_call_policy(tmp_path):
+    """`maintain` = compact-if-needed + retention in one scheduled
+    call: fragmented buckets rewrite, expired files delete, metadata
+    expires by default, and an immediate re-run is a no-op."""
+    table = os.path.join(tmp_path, "t")
+    json.loads(_cli(
+        "init", "--table", table, "--base-rows", "200",
+        "--buckets", "4", "--repos", "5", "--paths-per-repo", "50",
+    ))
+    # fragment: a merge-on-read tail leaves delta files per bucket
+    # (COW merges rewrite in place and never fragment)
+    json.loads(_cli(
+        "replay", "--table", table, "--events", "400",
+        "--batch-lsns", "100", "--repos", "5", "--paths-per-repo", "50",
+        "--merge-strategy", "mor",
+    ))
+    r = json.loads(_cli(
+        "maintain", "--table", table, "--max-files-per-bucket", "1",
+        "--grace-seconds", "0",
+    ))
+    assert r["compacted_to_version"] is not None
+    assert r["removed_files"] > 0
+    assert r["files_after"] <= r["files_before"]
+    # re-run: nothing to compact, nothing young enough... still clean
+    r2 = json.loads(_cli(
+        "maintain", "--table", table, "--max-files-per-bucket", "1",
+        "--grace-seconds", "0",
+    ))
+    assert r2["compacted_to_version"] is None
+    # table still reads after the full cycle
+    rows = json.loads(_cli("scan", "--table", table, "--limit", "1"))
+    assert len(rows["rows"]) == 1
