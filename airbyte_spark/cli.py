@@ -337,7 +337,8 @@ def main(argv: list[str] | None = None) -> int:
         from dataclasses import fields as dc_fields
 
         from airbyte_spark.config import (
-            StreamSpec, VALID_MODES, VALID_OFFSET_POLICIES, VALID_STRATEGIES,
+            StreamSpec, VALID_MODES, VALID_OFFSET_POLICIES,
+            VALID_SNAPSHOT_MODES, VALID_STRATEGIES, VALID_TAIL_FORMATS,
         )
 
         props = {}
@@ -346,6 +347,8 @@ def main(argv: list[str] | None = None) -> int:
         props["mode"]["enum"] = list(VALID_MODES)
         props["merge_strategy"]["enum"] = list(VALID_STRATEGIES)
         props["on_invalid_offset"]["enum"] = list(VALID_OFFSET_POLICIES)
+        props["tail_format"]["enum"] = list(VALID_TAIL_FORMATS)
+        props["snapshot_mode"]["enum"] = list(VALID_SNAPSHOT_MODES)
         print(json.dumps({
             "documentationUrl": "README.md",
             "connectionSpecification": {

@@ -101,12 +101,6 @@ class StreamSpec:
             raise ValueError(
                 f"{self.name}: tail_format must be one of {VALID_TAIL_FORMATS}"
             )
-        if self.tail_format != "events" and self.collection is not None:
-            raise ValueError(
-                f"{self.name}: wire tails do not demux yet — one stream "
-                f"per wire topic (drop `collection`, or decode with "
-                f"from_debezium_avro/json and route via engine/demux.py)"
-            )
         if self.snapshot_mode not in VALID_SNAPSHOT_MODES:
             raise ValueError(
                 f"{self.name}: snapshot_mode must be one of "
@@ -125,10 +119,13 @@ class StreamSpec:
         return self
 
 
-def _wire_decode(s: StreamSpec):
+def _wire_decode(s: StreamSpec, *, keep_collection: bool = False):
     """(decode callable, source DDL) for a wire-format tail — the
     in-stream on-ramp from Kafka-shaped dumps to the engine changelog
-    shape; (None, None) for typed event tails."""
+    shape; (None, None) for typed event tails.  ``keep_collection``:
+    retain the envelope's source collection (schema|db + '.' + table)
+    for demuxed tails — single-stream tails drop it so the per-batch
+    schema reconciler never lands it as a destination column."""
     if s.tail_format == "events":
         return None, None
     from pyspark.sql import functions as F
@@ -136,8 +133,9 @@ def _wire_decode(s: StreamSpec):
     props = dict(s.payload_properties) or dict(_DEFAULT_PAYLOAD)
 
     def _project(d):
+        extra = ["collection"] if keep_collection else []
         return d.select(
-            "lsn", "op", *props,
+            "lsn", "op", *extra, *props,
             F.col("ts").cast("timestamp").alias("ts"),
         )
 
@@ -268,12 +266,18 @@ class PipelineSpec:
                     "committed": sum(1 for st in stats if st.committed),
                 }
                 continue
-            wired = [s.name for s in specs if s.tail_format != "events"]
-            if wired:
+            wire = {
+                (s.tail_format, json.dumps(s.payload_properties, sort_keys=True),
+                 s.wire_schema_id)
+                for s in specs
+            }
+            if len(wire) > 1:
                 raise ValueError(
-                    f"streams {wired} share a wire tail: wire tails do "
-                    f"not demux yet — one stream per wire topic"
+                    f"streams sharing tail {tail} disagree on "
+                    f"tail_format/payload_properties/wire_schema_id — one "
+                    f"wire encoding per topic"
                 )
+            decode, source_ddl = _wire_decode(specs[0], keep_collection=True)
             group = {
                 (s.collection or s.name): pipes[s.name] for s in specs
             }
@@ -281,6 +285,7 @@ class PipelineSpec:
                 spark, group, tail,
                 specs[0].checkpoint or f"{tail}/_checkpoint_demux",
                 max_files_per_trigger=specs[0].max_files_per_trigger,
+                decode=decode, source_ddl=source_ddl,
             )
             for s in specs:
                 coll = s.collection or s.name

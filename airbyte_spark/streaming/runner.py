@@ -220,6 +220,8 @@ def run_stream_demux(
     collection_col: str = "collection",
     max_files_per_trigger: int | None = None,
     on_batch: Callable[[dict], None] | None = None,
+    decode: Callable[[DataFrame], DataFrame] | None = None,
+    source_ddl: str | None = None,
 ) -> list[dict]:
     """One bounded sync of a MULTIPLEXED tail (engine/demux.py): the
     changelog carries a ``collection`` column and each microbatch is
@@ -231,8 +233,14 @@ def run_stream_demux(
     resumes cleanly.  The offset-continuity guard runs per stream
     (any stream's saved offset inside a retention gap raises — a
     shared tail cannot be selectively rebootstrapped; re-snapshot via
-    each pipeline's batch path)."""
-    gap_min = tail_min_lsn(changelog_dir)
+    each pipeline's batch path).
+
+    ``decode``/``source_ddl``: tail a WIRE topic (see run_stream) —
+    the decode must emit ``collection_col``, which the Debezium
+    envelope carries natively (source.schema|db + source.table), so
+    from_debezium_avro/json demux with no glue.  The footer
+    continuity guard is typed-tail-only, as in run_stream."""
+    gap_min = tail_min_lsn(changelog_dir) if decode is None else None
     for pipe in pipes.values():
         if pipe.check_offset_continuity(gap_min):
             from airbyte_spark.engine.pipeline import OffsetInvalidated
@@ -255,15 +263,22 @@ def run_stream_demux(
             on_batch(st)
 
     reader = (
-        spark.readStream.schema(CHANGELOG_DDL + f", {collection_col} string")
+        spark.readStream.schema(
+            source_ddl or CHANGELOG_DDL + f", {collection_col} string"
+        )
         .option("pathGlobFilter", "*.parquet")
         .option("recursiveFileLookup", "true")
     )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    sdf = reader.parquet(changelog_dir)
+    if decode is not None:
+        sdf = decode(sdf)
+        cols = sdf.columns
+    else:
+        cols = [*CHANGELOG_COLS, collection_col]
     q = (
-        reader.parquet(changelog_dir)
-        .select(*CHANGELOG_COLS, collection_col)
+        sdf.select(*cols)
         .writeStream.foreachBatch(_apply)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

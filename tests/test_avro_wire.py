@@ -552,17 +552,57 @@ def test_spec_runs_wire_tail(spark, tmp_path):
     final = pipes["code"].table().read(spark)
     assert final.count() > 0 and "content_sha256" in final.columns
 
-    # wire tails don't demux: collection refuses at validation
-    import pytest as _pt
 
-    bad = {
+
+def test_spec_demuxes_multiplexed_wire_tail(spark, tmp_path):
+    """One wire topic carrying TWO collections (the Debezium
+    one-binlog-many-tables shape over its production transport):
+    streams sharing the tail demux in one streaming pass, routed by
+    the envelope's own source block — exactly-once per table from
+    each destination's epoch gate."""
+    from airbyte_spark.config import PipelineSpec
+    from airbyte_spark.engine.changelog import changelog
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    props = {"repo": "string", "path": "string", "commit": "string",
+             "lang": "string", "content": "string"}
+    ev = changelog(spark, 400, n_repos=8, paths_per_repo=20)
+    # route even LSNs to t1, odd to t2 — two tables on one topic
+    w1 = to_debezium_avro(
+        ev.filter(F.col("lsn") % 2 == 0), props, schema_id=3, table="t1")
+    w2 = to_debezium_avro(
+        ev.filter(F.col("lsn") % 2 == 1), props, schema_id=3, table="t2")
+    topic = str(tmp_path / "topic")
+    w1.unionByName(w2).coalesce(2).write.parquet(topic)
+    doc = {
         "streams": {
-            "a": {"table": str(tmp_path / "x"), "tail": topic,
-                  "tail_format": "debezium-avro", "collection": "c1"},
+            "s1": {"table": str(tmp_path / "d1"), "tail": topic,
+                   "checkpoint": str(tmp_path / "cp"), "n_buckets": 4,
+                   "tail_format": "debezium-avro", "wire_schema_id": 3,
+                   "collection": "public.t1"},
+            "s2": {"table": str(tmp_path / "d2"), "tail": topic,
+                   "n_buckets": 4,
+                   "tail_format": "debezium-avro", "wire_schema_id": 3,
+                   "collection": "public.t2"},
         }
     }
-    with _pt.raises(ValueError, match="do not demux"):
-        PipelineSpec.from_dict(bad)
+    spec = PipelineSpec.from_dict(doc)
+    res = spec.run(spark)
+    assert res["s1"]["committed"] >= 1 and res["s2"]["committed"] >= 1
+    pipes = spec.build_pipelines()
+    t1 = pipes["s1"].table().read(spark)
+    t2 = pipes["s2"].table().read(spark)
+    # every landed row came from its own collection's LSN parity
+    assert t1.filter(F.col("last_lsn") % 2 == 1).count() == 0
+    assert t2.filter(F.col("last_lsn") % 2 == 0).count() == 0
+    assert t1.count() > 0 and t2.count() > 0
+
+    # mixed wire encodings on one topic refuse loudly
+    import pytest as _pt
+
+    doc["streams"]["s2"]["tail_format"] = "debezium-json"
+    with _pt.raises(ValueError, match="one .*wire encoding per topic"):
+        PipelineSpec.from_dict(doc).run(spark)
 
 
 def test_payload_record_temporal_types_ride_base_primitives():
