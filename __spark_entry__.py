@@ -1686,7 +1686,9 @@ def cdc_avro_replay_mini(spark, sf):
     events = decoded.select(
         "lsn", "op", "repo", "path", "commit", "lang", "content",
         F.col("ts").cast("timestamp_ntz").alias("ts"),
-    )
+    ).localCheckpoint()  # a real tail reads the topic once per
+    # microbatch; without the boundary each epoch's LSN filter would
+    # re-derive the whole encode->decode lineage
     pipe.replay(spark, events, batch_lsns=300)
     return _state_digest(pipe.table().read(spark))
 
@@ -1733,12 +1735,16 @@ def cdc_avro_schema_evolution_mini(spark, sf):
             .withColumn("stars", F.col("lsn") / F.lit(4.0)),
             v3, schema_id=3,
         ))
+        .localCheckpoint()  # the topic exists ONCE; without the
+        # boundary every cohort decode and every epoch filter would
+        # re-run the three encodes
     )
     decoded = from_debezium_avro_evolving(wire, {1: base, 2: v2, 3: v3})
     events = decoded.select(
         "lsn", "op", "repo", "path", "commit", "lang", "content", "stars",
         F.col("ts").cast("timestamp_ntz").alias("ts"),
-    )
+    ).localCheckpoint()  # one decode per cohort total, as a real
+    # per-microbatch tail would pay
     pipe.replay(spark, events, batch_lsns=300)
     final = t.read(spark)
     line = F.concat_ws(

@@ -1,0 +1,107 @@
+"""Wire-codec throughput: the numpy column sweep vs a per-record
+scalar decode, on one core, no Spark — isolates the codec kernel the
+way bench.py can't (there the 900-event minis hide decode cost inside
+full replays).
+
+Usage: python tools/bench_wire.py [n_events] [reps]
+Prints one JSON line: events/sec for vectorized encode, vectorized
+decode, scalar decode, and the resulting speedup factor.  The scalar
+decoder here is the same independent spec implementation the parity
+tests pin against (tests/test_avro_wire.py).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")  # repo root
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+
+    import numpy as np
+    import pandas as pd
+
+    from airbyte_spark.formats.avro_wire import (
+        debezium_envelope_schema, decode_batch, encode_batch_framed,
+    )
+
+    props = {"repo": "string", "path": "string", "commit": "string",
+             "lang": "string", "content": "string"}
+    env = debezium_envelope_schema(props)
+
+    # synthetic envelope rows, ~the changelog's shape/sizes
+    rng = np.random.default_rng(7)
+    lsn = np.arange(n, dtype=np.int64)
+    is_del = rng.random(n) < 0.05
+    body = pd.Series(
+        ["// " + format(x, "016x") + "\n" + "x" * int(r)
+         for x, r in zip(rng.integers(0, 1 << 62, n), rng.integers(16, 272, n))]
+    )
+    side = {"repo": "repo-" + pd.Series(rng.integers(0, 100, n)).astype(str),
+            "path": "src/d1/f" + pd.Series(rng.integers(0, 200, n)).astype(str) + ".py",
+            "commit": pd.Series(rng.integers(0, 1 << 62, n)).apply(lambda x: format(x, "016x")),
+            "lang": pd.Series(np.where(rng.random(n) < 0.5, "python", "rust")),
+            "content": body}
+    flat = {}
+    for c, vals in side.items():
+        flat[f"before_{c}"] = vals.where(pd.Series(is_del), None)
+        flat[f"after_{c}"] = vals.where(~pd.Series(is_del), None)
+    pdf = pd.DataFrame(flat, dtype=object)
+    pdf["op"] = np.where(is_del, "d", "u")
+    pdf["ts_ms"] = pd.array(1700000000000 + lsn, dtype="Int64")
+    pdf["source_db"] = "appdb"
+    pdf["source_schema"] = "public"
+    pdf["source_table"] = "files"
+    pdf["source_lsn"] = pd.array(lsn, dtype="Int64")
+    for c in ("source_txId", "transaction_id"):
+        pdf[c] = pd.array([None] * n, dtype="string")
+    for c in ("transaction_total_order", "transaction_data_collection_order"):
+        pdf[c] = pd.array([None] * n, dtype="Int64")
+    pdf["_pb"] = pd.array(is_del, dtype="boolean")
+    pdf["_pa"] = pd.array(~is_del, dtype="boolean")
+    presence = {"before": "_pb", "after": "_pa"}
+
+    def best(f):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            f()
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    arr = encode_batch_framed(pdf, env, 1, presence=presence)
+    t_enc = best(lambda: encode_batch_framed(pdf, env, 1, presence=presence))
+    t_dec = best(lambda: decode_batch(arr, env, schema_id=1))
+
+    # scalar reference decode (the parity oracle) on a 1/20 sample,
+    # extrapolated — running it on the full set takes minutes
+    sys.path.insert(0, "tests")
+    from test_avro_wire import _ref_decode
+
+    sample = arr.to_pylist()[: max(1, n // 20)]
+    t0 = time.perf_counter()
+    for b in sample:
+        _ref_decode(env, b, 5)
+    t_scalar = (time.perf_counter() - t0) * (n / len(sample))
+
+    wire_mb = sum(len(b) for b in arr.to_pylist()[:1000]) / 1000 * n / 1e6
+    print(json.dumps({
+        "metric": "wire_codec_throughput",
+        "n_events": n,
+        "wire_mb": round(wire_mb, 1),
+        "encode_events_per_sec": round(n / t_enc),
+        "decode_events_per_sec": round(n / t_dec),
+        "scalar_decode_events_per_sec": round(n / t_scalar),
+        "decode_speedup_vs_scalar": round(t_scalar / t_dec, 1),
+        "unit": "events/sec, single core",
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
