@@ -58,6 +58,15 @@ from airbyte_spark.formats.avro import (
 WIRE_MAGIC = 0x00
 _FRAME_LEN = 5  # magic + 4-byte big-endian schema id
 
+# decode-sweep constants (allocated once, numpy imported lazily at
+# first use elsewhere — these two are tiny and break no lazy-import
+# contract because pyspark itself hard-depends on numpy)
+import numpy as _np  # noqa: E402
+
+_AR10 = _np.arange(10)
+_SH7 = (_np.uint64(7) * _np.arange(10, dtype=_np.uint64))[None, :]
+del _np
+
 # Avro primitive name -> the protocol-type vocabulary _enc_col speaks
 _AVRO_TO_PROTO = {"long": "integer", "double": "number",
                   "boolean": "boolean", "string": "string"}
@@ -161,21 +170,36 @@ class _Sweep:
 
     def varint(self, active):
         """Zigzag varint at pos for live active rows -> int64 values
-        (garbage elsewhere); advances pos."""
+        (garbage elsewhere); advances pos.  Fast path: most wire
+        varints (union branches, short string lengths, small ids) are
+        ONE byte — read just buf[pos] for every row and run the
+        10-wide window math only on the rows whose first byte has the
+        continuation bit (a subset gather), so the common case costs
+        one 1-byte gather instead of a (n, 10) matrix."""
         import numpy as np
 
         a = self.live(active)
-        w = self.buf[self.pos[:, None] + np.arange(10)]  # (n, 10)
-        cont = (w & 0x80) != 0
-        nb = np.argmin(cont, axis=1).astype(np.int64) + 1
-        runaway = cont.all(axis=1)  # >10 continuation bytes: malformed
-        viol = a & (runaway | (self.pos + nb > self.end))
+        b0 = self.buf[self.pos]
+        z = (b0 & 0x7F).astype(np.uint64)
+        nb = np.ones(len(b0), np.int64)
+        multi = a & (b0 >= 0x80)
+        if multi.any():
+            idx = np.flatnonzero(multi)
+            w = self.buf[self.pos[idx, None] + _AR10]  # (k, 10)
+            cont = (w & 0x80) != 0
+            mnb = np.argmin(cont, axis=1) + 1
+            runaway = cont.all(axis=1)  # >10 continuation bytes
+            self.bad[idx[runaway]] = True
+            keep = _AR10[None, :] < mnb[:, None]
+            parts = (w & 0x7F).astype(np.uint64) << _SH7
+            z[idx] = np.where(keep, parts, np.uint64(0)).sum(
+                axis=1, dtype=np.uint64
+            )
+            nb[idx] = mnb
+        a &= ~self.bad
+        viol = a & (self.pos + nb > self.end)
         self.bad |= viol
         a &= ~viol
-        keep = np.arange(10)[None, :] < nb[:, None]
-        shifts = (np.uint64(7) * np.arange(10, dtype=np.uint64))[None, :]
-        parts = (w & 0x7F).astype(np.uint64) << shifts
-        z = np.where(keep, parts, np.uint64(0)).sum(axis=1, dtype=np.uint64)
         v = (z >> np.uint64(1)).astype(np.int64) ^ -(z & np.uint64(1)).astype(
             np.int64
         )
