@@ -182,6 +182,18 @@ def main(argv: list[str] | None = None) -> int:
                          "maintenance runs)")
 
     sp = sub.add_parser(
+        "export",
+        help="external-engine snapshot handoff: zero-copy parquet file "
+             "list (pure-COW at current schema), or materialize the "
+             "resolved state to --out",
+    )
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--version", default=None, help="version number or tag")
+    sp.add_argument("--out", default=None,
+                    help="materialization dir (needed only for MOR/"
+                         "mixed-schema snapshots)")
+
+    sp = sub.add_parser(
         "vacuum", help="expire unreferenced data files (retention)"
     )
     sp.add_argument("--table", required=True)
@@ -359,6 +371,30 @@ def main(argv: list[str] | None = None) -> int:
                 "properties": props,
             },
         }, indent=2))
+        return 0
+
+    if args.cmd == "export":
+        from airbyte_spark.lake import LakeTable
+
+        t = LakeTable(args.table)
+        ver = args.version
+        if ver is not None and ver.lstrip("-").isdigit():
+            ver = int(ver)
+        direct = t.external_files(ver)
+        if direct is not None:
+            # zero-copy handoff: no SparkSession, no JVM
+            print(json.dumps({"files": direct, "materialized": False}))
+            return 0
+        if not args.out:
+            print(json.dumps({
+                "error": "snapshot holds MOR deltas or old-schema files; "
+                         "pass --out to materialize the resolved state"
+            }))
+            return 1
+        from airbyte_spark.session import get_spark
+
+        rep = t.export_snapshot(get_spark("airbyte-spark-export"), args.out, ver)
+        print(json.dumps(rep))
         return 0
 
     if args.cmd == "vacuum":

@@ -2761,6 +2761,55 @@ class LakeTable:
                         pass
         return removed
 
+    def external_files(self, version: int | str | None = None) -> list[str] | None:
+        """Zero-copy external-engine handoff (DuckDB / Trino / pandas
+        can `read_parquet` a lake snapshot directly): the live data
+        files ARE plain parquet holding only data columns (the bucket
+        is a directory key), so when a snapshot is pure-COW AND every
+        file is at the snapshot's current schema version, the file
+        list is the snapshot — return it verbatim.  Returns None when
+        direct reads would be WRONG: live MOR deltas (tombstones would
+        surface as rows) or files written under an older schema
+        version (renames/widenings are field-id projections this
+        engine applies at read time; a foreign reader would see stale
+        names/types) — materialize via export_snapshot instead.
+
+        Caveat (Iceberg's snapshot-isolation handoff caveat): the list
+        is only as durable as retention — a later vacuum may delete
+        files the external engine still references."""
+        snap = self.snapshot(version)
+        if version is not None:
+            self._check_readable(snap)
+        if any(f.delta for f in snap.files) or any(
+            f.schema_version != snap.schema_version for f in snap.files
+        ):
+            return None
+        return [os.path.join(self.root, f.path) for f in snap.files]
+
+    def export_snapshot(
+        self,
+        spark: SparkSession | None,
+        out_dir: str | None = None,
+        version: int | str | None = None,
+    ) -> dict[str, Any]:
+        """External-engine readable snapshot: the zero-copy file list
+        when `external_files` allows it, else (MOR deltas / mixed
+        schema versions) the RESOLVED state materialized as plain
+        parquet under ``out_dir`` (requires a SparkSession).  Returns
+        {"files": [...], "materialized": bool}."""
+        direct = self.external_files(version)
+        if direct is not None:
+            return {"files": direct, "materialized": False}
+        if spark is None or out_dir is None:
+            raise ValueError(
+                "snapshot holds MOR deltas or old-schema files — direct "
+                "reads would be wrong; pass spark + out_dir to "
+                "materialize the resolved state"
+            )
+        self.read(spark, version).write.mode("error").parquet(out_dir)
+        files = sorted(glob.glob(os.path.join(out_dir, "*.parquet")))
+        return {"files": files, "materialized": True}
+
     def maintain(
         self,
         spark: SparkSession,

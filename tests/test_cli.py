@@ -537,3 +537,22 @@ def test_maintain_verb_one_call_policy(tmp_path):
     # table still reads after the full cycle
     rows = json.loads(_cli("scan", "--table", table, "--limit", "1"))
     assert len(rows["rows"]) == 1
+
+
+def test_export_verb_zero_copy(tmp_path):
+    """`export` hands a pure-COW snapshot to an external engine as a
+    plain parquet file list with no JVM started; DuckDB reads it
+    equal to the table's row count."""
+    import duckdb
+
+    table = os.path.join(tmp_path, "t")
+    json.loads(_cli(
+        "init", "--table", table, "--base-rows", "200",
+        "--buckets", "4", "--repos", "5", "--paths-per-repo", "50",
+    ))
+    r = json.loads(_cli("export", "--table", table))
+    assert r["materialized"] is False and r["files"]
+    n = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet({r['files']})"
+    ).fetchone()[0]
+    assert n > 0

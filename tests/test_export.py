@@ -1,0 +1,99 @@
+"""External-engine snapshot handoff: a foreign reader (DuckDB here —
+the class Trino/pandas/polars stand in for) must read a lake snapshot
+EQUAL to the engine's own read.  Zero-copy when the snapshot is
+pure-COW at the current schema; materialized when MOR deltas or
+old-schema files would make raw files lie (tombstones as rows, stale
+names under renames)."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import Row
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from airbyte_spark.lake.table import LakeTable
+
+SCHEMA = StructType(
+    [
+        StructField("k", LongType()),
+        StructField("v", StringType()),
+        StructField("op", StringType()),
+    ]
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [Row(k=int(k), v=str(v), op=o) for k, v, o in rows], schema=SCHEMA
+    )
+
+
+def _duck(files):
+    return set(
+        duckdb.sql(
+            f"SELECT k, v FROM read_parquet({[str(f) for f in files]})"
+        ).fetchall()
+    )
+
+
+def _engine(t, spark, version=None):
+    return {
+        (r["k"], r["v"])
+        for r in t.read(spark, version).select("k", "v").collect()
+    }
+
+
+def test_external_files_duckdb_reads_snapshot_equal(spark, tmp_path):
+    t = LakeTable.create(str(tmp_path / "t"), SCHEMA, ["k"], 4)
+    t.merge(spark, _df(spark, [(k, f"v{k}", "u") for k in range(20)]),
+            op_col="op")
+    v1 = t.snapshot().version
+    t.merge(spark, _df(spark, [(3, "v3b", "u"), (4, "gone", "d")]),
+            op_col="op")
+
+    files = t.external_files()
+    assert files and all(os.path.exists(f) for f in files)
+    assert _duck(files) == _engine(t, spark)
+    # time travel: the earlier snapshot's list reads the earlier state
+    old = t.external_files(v1)
+    assert _duck(old) == _engine(t, spark, v1)
+    assert (4, "v4") in _duck(old) and (4, "v4") not in _duck(files)
+
+
+def test_export_materializes_mor_and_mixed_schema(spark, tmp_path):
+    t = LakeTable.create(str(tmp_path / "m"), SCHEMA, ["k"], 4)
+    t.merge(spark, _df(spark, [(k, f"v{k}", "u") for k in range(10)]),
+            op_col="op")
+    t.merge_mor(spark, _df(spark, [(1, "v1b", "u"), (2, "x", "d")]),
+                order_cols="k", op_col="op")
+    assert t.external_files() is None  # raw deltas would lie
+    with pytest.raises(ValueError, match="materialize"):
+        t.export_snapshot(None)
+    rep = t.export_snapshot(spark, str(tmp_path / "out"))
+    assert rep["materialized"] and rep["files"]
+    assert _duck(rep["files"]) == _engine(t, spark)
+    assert (1, "v1b") in _duck(rep["files"])
+    assert all(kv[0] != 2 for kv in _duck(rep["files"]))  # tombstone applied
+
+    # compaction folds the deltas -> zero-copy works again
+    t.compact(spark)
+    files = t.external_files()
+    assert files is not None and _duck(files) == _engine(t, spark)
+
+    # schema evolution: old-schema files refuse the fast path
+    t.evolve([("rename", "v", "val")])
+    assert t.external_files() is None
+    rep2 = t.export_snapshot(spark, str(tmp_path / "out2"))
+    assert rep2["materialized"]
+    got = set(
+        duckdb.sql(
+            f"SELECT k, val FROM read_parquet({[str(f) for f in rep2['files']]})"
+        ).fetchall()
+    )
+    assert got == {
+        (r["k"], r["val"])
+        for r in t.read(spark).select("k", "val").collect()
+    }
