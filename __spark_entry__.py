@@ -1606,6 +1606,76 @@ def cdc_schema_evolution_mini(spark, sf):
     )
 
 
+def cdc_schema_policy_mini(spark, sf):
+    """schema_policy='ignore' (the platform's per-connection
+    NonBreakingChangesPreference, airbyte-api config.yaml:4946-4950):
+    the SAME evolving stream as cdc_schema_evolution_mini — add-column
+    DDL, batches shipping an extra ``stars`` column, a widen, a rename
+    plus ``stargazers`` payloads — replays into a destination whose
+    schema is FROZEN.  Every detected change is classified
+    (engine/catalog_diff.py) but never applied: DDL events are
+    swallowed, data batches narrow to the bootstrap schema on align.
+    The pinned invariant is the strongest one available: the final
+    state is BYTE-IDENTICAL to the plain never-evolving replay
+    (cdc_replay_mini's golden digest) — 'ignore' loses no rows,
+    corrupts no values, and mutates no schema."""
+    import json
+
+    from airbyte_spark.engine.changelog import base_table, changelog
+    from airbyte_spark.engine.pipeline import CdcPipeline
+
+    def _sev(batch, lsn, payload):
+        sel = []
+        for f in batch.schema.fields:
+            if f.name == "lsn":
+                sel.append(F.lit(lsn).cast("long").alias("lsn"))
+            elif f.name == "op":
+                sel.append(F.lit("s").alias("op"))
+            elif f.name == "schema_change":
+                sel.append(F.lit(json.dumps(payload)).alias("schema_change"))
+            else:
+                sel.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return spark.range(1).select(*sel)
+
+    root = tempfile.mkdtemp(prefix="cdc_entry_sp_")
+    pipe = CdcPipeline(
+        os.path.join(root, "t"), n_buckets=8, schema_policy="ignore"
+    )
+    t = pipe.bootstrap(
+        spark, base_table(spark, 300, n_repos=10, paths_per_repo=30)
+    )
+    ev = changelog(spark, 900, n_repos=10, paths_per_repo=30)
+    nul = F.lit(None).cast("string")
+
+    b0 = ev.filter(F.col("lsn") < 300).withColumn("schema_change", nul)
+    b0 = b0.unionByName(
+        _sev(b0, 100, {"kind": "add", "name": "stars", "type": "int"})
+    )
+    pipe.apply_batch(spark, b0, epoch=0)
+
+    b1 = (
+        ev.filter((F.col("lsn") >= 300) & (F.col("lsn") < 600))
+        .withColumn("stars", F.pmod(F.col("lsn"), F.lit(50)).cast("int"))
+        .withColumn("schema_change", nul)
+    )
+    b1 = b1.unionByName(
+        _sev(b1, 400, {"kind": "widen", "name": "stars", "type": "double"})
+    )
+    pipe.apply_batch(spark, b1, epoch=1)
+
+    b2 = (
+        ev.filter(F.col("lsn") >= 600)
+        .withColumn("stargazers", F.col("lsn") / F.lit(4.0))
+        .withColumn("schema_change", nul)
+    )
+    b2 = b2.unionByName(
+        _sev(b2, 700, {"kind": "rename", "old": "stars", "new": "stargazers"})
+    )
+    pipe.apply_batch(spark, b2, epoch=2)
+
+    return _state_digest(t.read(spark))
+
+
 def cdc_debezium_replay_mini(spark, sf):
     """The wire-format on-ramp drives the ACTUAL engine: the same
     900-event changelog is round-tripped through Debezium-JSON
@@ -2905,6 +2975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_resnapshot_repair_mini": cdc_resnapshot_repair_mini,
         "cdc_resnapshot_incremental_mini": cdc_resnapshot_incremental_mini,
         "cdc_schema_evolution_mini": cdc_schema_evolution_mini,
+        "cdc_schema_policy_mini": cdc_schema_policy_mini,
         "cdc_soft_delete_replay_mini": cdc_soft_delete_replay_mini,
         "cdc_toast_lww_events": cdc_toast_lww_events,
         "cdc_pruned_scan": cdc_pruned_scan,
@@ -4323,6 +4394,13 @@ SELECT CAST(275 AS BIGINT) AS final_rows,
         "cdc_schema_evolution_mini": f"""
 SELECT CAST(275 AS BIGINT) AS final_rows,
        '{_CDC_EVOLVE_DIGEST}' AS state_sha256
+""",
+        # schema_policy='ignore' on the SAME evolving stream must
+        # land the frozen destination on the plain never-evolving
+        # replay's golden digest — the policy drops drift, not data
+        "cdc_schema_policy_mini": f"""
+SELECT CAST(275 AS BIGINT) AS final_rows,
+       '{_CDC_MINI_DIGEST}' AS state_sha256
 """,
         # wire-level (registry-id) evolution must reach the SAME final
         # state as the explicit DDL-event replay — one shared constant

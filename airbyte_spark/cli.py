@@ -147,6 +147,33 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("lineage", help="per-bucket lineage + state")
     sp.add_argument("--table", required=True)
 
+    sp = sub.add_parser(
+        "reset",
+        help="Clear / 'refresh and remove records': destroy the "
+             "stream's destination table, SCD history, and state so "
+             "the next sync re-bootstraps from scratch (the remedy "
+             "for a breaking schema change)",
+    )
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--stream", default="default")
+    sp.add_argument("--history-root", default=None)
+    sp.add_argument("--state-root", default=None)
+    sp.add_argument("--yes", action="store_true",
+                    help="required: confirms the destructive clear")
+
+    sp = sub.add_parser(
+        "diff",
+        help="CatalogDiff of a destination table vs a source parquet "
+             "dir (add/remove/update field transforms + breaking "
+             "classification; the platform's schema-change detection)",
+    )
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--source", required=True,
+                    help="parquet dir holding the source's current shape")
+    sp.add_argument("--key-cols", default="repo,path",
+                    help="comma-separated key columns (breaking rules)")
+    sp.add_argument("--cursor-col", default=None)
+
     sp = sub.add_parser("compact", help="rewrite fragmented buckets")
     sp.add_argument("--table", required=True)
     sp.add_argument("--cluster-by", default=None,
@@ -397,6 +424,22 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(rep))
         return 0
 
+    if args.cmd == "reset":
+        # pure driver-side file deletes — no SparkSession (the
+        # platform's Clear job; the remedy for a breaking-change pause)
+        if not args.yes:
+            print("reset destroys the destination table, history, and "
+                  "state; re-run with --yes to confirm", file=sys.stderr)
+            return 2
+        from airbyte_spark.engine.pipeline import CdcPipeline
+
+        pipe = CdcPipeline(
+            args.table, stream=args.stream,
+            state_root=args.state_root, history_root=args.history_root,
+        )
+        print(json.dumps(pipe.reset(), indent=2))
+        return 0
+
     if args.cmd == "vacuum":
         # pure driver-side metadata + file deletes — no SparkSession
         # (a production operator runs retention without paying a JVM)
@@ -553,6 +596,25 @@ def main(argv: list[str] | None = None) -> int:
         }))
     elif args.cmd == "lineage":
         print(json.dumps(CdcPipeline(args.table).lineage(), indent=2))
+    elif args.cmd == "diff":
+        from airbyte_spark.engine.catalog_diff import diff_schemas
+        from airbyte_spark.lake import LakeTable
+
+        transforms = diff_schemas(
+            LakeTable(args.table).schema(),
+            spark.read.parquet(args.source).schema,
+            key_cols=[c for c in args.key_cols.split(",") if c],
+            cursor_col=args.cursor_col,
+        )
+        change = (
+            "no_change" if not transforms
+            else "breaking" if any(f.breaking for f in transforms)
+            else "non_breaking"
+        )
+        print(json.dumps({
+            "transforms": [f.to_dict() for f in transforms],
+            "schemaChange": change,
+        }, indent=2))
     elif args.cmd == "maintain":
         from airbyte_spark.lake import LakeTable
 

@@ -24,6 +24,7 @@ VALID_STRATEGIES = ("fused", "pruned", "mor")
 VALID_OFFSET_POLICIES = ("error", "rebootstrap", "ignore")
 VALID_TAIL_FORMATS = ("events", "debezium-json", "debezium-avro")
 VALID_SNAPSHOT_MODES = ("initial", "schema_only", "never", "when_needed")
+VALID_SCHEMA_POLICIES = ("propagate", "ignore", "disable")
 
 # the north-rule input shape — the default payload when a wire tail
 # doesn't declare its own columns
@@ -82,6 +83,20 @@ class StreamSpec:
     # source image for initial/when_needed bootstraps
     snapshot_lsn: int | None = None  # WAL position the image is
     # consistent as of (the tail applies strictly newer events)
+    schema_policy: str = "propagate"  # what to do with detected
+    # non-breaking schema changes (the platform's per-connection
+    # NonBreakingChangesPreference, config.yaml:4946-4950, plus our
+    # 'propagate' default): propagate = evolve the destination;
+    # ignore = freeze the destination schema, batches narrow to it;
+    # disable = pause the sync (SchemaChangePaused) on any change.
+    # Breaking changes (key/cursor drift) pause under every policy.
+    backfill_new_columns: bool = False  # after a sync whose
+    # reconciliation added columns, re-sync from snapshot_source so
+    # old rows carry values instead of nulls (the platform's
+    # 'backfill new columns' preference; rides the blocking
+    # resnapshot).  Requires snapshot_source; the declared image must
+    # be at-or-past the applied HWM (blocking-snapshot rule) —
+    # re-dump the source and update snapshot_lsn before the run.
 
     def validate(self) -> "StreamSpec":
         if self.mode not in VALID_MODES:
@@ -111,6 +126,22 @@ class StreamSpec:
                 f"{self.name}: snapshot_mode='when_needed' needs a "
                 f"snapshot_source to re-snapshot from when the offset "
                 f"invalidates"
+            )
+        if self.schema_policy not in VALID_SCHEMA_POLICIES:
+            raise ValueError(
+                f"{self.name}: schema_policy must be one of "
+                f"{VALID_SCHEMA_POLICIES}"
+            )
+        if self.backfill_new_columns and not self.snapshot_source:
+            raise ValueError(
+                f"{self.name}: backfill_new_columns needs a "
+                f"snapshot_source to re-sync added columns from"
+            )
+        if self.backfill_new_columns and self.schema_policy != "propagate":
+            raise ValueError(
+                f"{self.name}: backfill_new_columns only makes sense "
+                f"with schema_policy='propagate' (the other policies "
+                f"never add destination columns)"
             )
         if self.mappers:
             from airbyte_spark.engine.mappers import validate_mappers
@@ -204,6 +235,7 @@ class PipelineSpec:
                 sparse_cols=s.sparse_cols or None,
                 mappers=s.mappers or None,
                 soft_delete=s.soft_delete,
+                schema_policy=s.schema_policy,
             )
         return out
 
@@ -294,4 +326,25 @@ class PipelineSpec:
                     "batches": len(per),
                     "committed": sum(1 for st in per if st.committed),
                 }
+        # new-column backfill (the platform's 'backfill new columns'
+        # preference): streams whose sync added destination columns
+        # re-sync from the declared source image so old rows carry
+        # values instead of nulls.  The image must be at-or-past the
+        # applied HWM (resnapshot's blocking rule raises otherwise —
+        # re-dump the source and update snapshot_lsn, then re-run).
+        for s in self.streams:
+            p = pipes[s.name]
+            if not (s.backfill_new_columns and p.pending_backfill):
+                continue
+            added = sorted(p.pending_backfill)
+            res = p.backfill_added_columns(
+                spark, spark.read.parquet(s.snapshot_source),
+                snapshot_lsn=(
+                    s.snapshot_lsn if s.snapshot_lsn is not None else 0
+                ),
+            )
+            results[s.name]["backfilled_columns"] = added
+            results[s.name]["backfill_committed"] = bool(
+                res is not None and res.committed
+            )
         return results

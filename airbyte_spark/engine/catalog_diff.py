@@ -1,0 +1,237 @@
+"""Typed catalog/schema diffing + change classification.
+
+Reference parity: the platform's connection-level schema-change
+surface (airbyte-api/src/main/openapi/config.yaml):
+* ``CatalogDiff`` / ``StreamTransform`` (add_stream | remove_stream |
+  update_stream) / ``FieldTransform`` (add_field | remove_field |
+  update_field_schema, each with a ``breaking`` flag) — :4379-4470;
+* ``SchemaChange`` = no_change | non_breaking | breaking — :3506-3511;
+* ``NonBreakingChangesPreference`` = ignore | disable — :4946-4950
+  (the per-connection policy for what to do when a non-breaking
+  change is detected; breaking changes always pause the connection).
+
+This module is pure driver-side metadata work — it never runs a
+Spark job.  The policy dispatch that consumes these diffs lives in
+``CdcPipeline._reconcile`` (engine/pipeline.py): ``propagate``
+evolves the destination via the schema reconciler
+(engine/schema_evolution.py), ``ignore`` keeps the destination
+schema frozen and lets the lake's ``_align`` narrow each batch,
+``disable`` pauses the sync (raises) on ANY detected change.
+Breaking changes — a key or cursor column removed or retyped —
+raise under EVERY policy: key-column type drift silently changes
+hash-bucket routing for existing rows (xxhash64 hashes int and long
+differently), the one drift the engine can never absorb.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Iterable
+
+from pyspark.sql.types import AtomicType, DataType, StringType, StructType
+
+from airbyte_spark.lake.typerules import can_widen
+
+
+@dataclass
+class FieldTransform:
+    """One field-level difference (FieldTransform, config.yaml:4409)."""
+
+    transform_type: str  # add_field | remove_field | update_field_schema
+    field: str
+    breaking: bool = False
+    old_type: str | None = None
+    new_type: str | None = None
+
+    def to_dict(self) -> dict[str, Any]:
+        d: dict[str, Any] = {
+            "transformType": self.transform_type,
+            "fieldName": [self.field],
+            "breaking": self.breaking,
+        }
+        if self.transform_type == "add_field":
+            d["addField"] = {"schema": {"type": self.new_type}}
+        elif self.transform_type == "remove_field":
+            d["removeField"] = {"schema": {"type": self.old_type}}
+        else:
+            d["updateFieldSchema"] = {
+                "oldSchema": {"type": self.old_type},
+                "newSchema": {"type": self.new_type},
+            }
+        return d
+
+
+@dataclass
+class StreamTransform:
+    """One stream-level difference (StreamTransform, config.yaml:4390)."""
+
+    transform_type: str  # add_stream | remove_stream | update_stream
+    stream: str
+    fields: list[FieldTransform] = field(default_factory=list)
+
+    @property
+    def breaking(self) -> bool:
+        # removing a configured stream is breaking for its consumers;
+        # a new stream is additive; update inherits its fields
+        if self.transform_type == "remove_stream":
+            return True
+        return any(f.breaking for f in self.fields)
+
+    def to_dict(self) -> dict[str, Any]:
+        d: dict[str, Any] = {
+            "transformType": self.transform_type,
+            "streamDescriptor": {"name": self.stream},
+        }
+        if self.fields:
+            d["updateStream"] = [f.to_dict() for f in self.fields]
+        return d
+
+
+@dataclass
+class CatalogDiff:
+    """The difference between two catalogs (CatalogDiff, config.yaml:4379)."""
+
+    transforms: list[StreamTransform] = field(default_factory=list)
+
+    @property
+    def change(self) -> str:
+        """SchemaChange classification (config.yaml:3506-3511)."""
+        if not self.transforms:
+            return "no_change"
+        if any(t.breaking for t in self.transforms):
+            return "breaking"
+        return "non_breaking"
+
+    def to_dict(self) -> dict[str, Any]:
+        return {
+            "transforms": [t.to_dict() for t in self.transforms],
+            "schemaChange": self.change,
+        }
+
+
+class SchemaChangePaused(RuntimeError):
+    """The sync stopped BEFORE applying anything because the detected
+    schema change requires operator review (the platform pausing a
+    connection: breaking change, or any change under
+    nonBreakingChangesPreference='disable').  The epoch gate is
+    untouched — fix the policy/spec and re-run; exactly-once replay
+    resumes from the same batch."""
+
+    def __init__(self, msg: str, transforms: list[FieldTransform]):
+        super().__init__(msg)
+        self.transforms = transforms
+
+
+def _fields_of(schema) -> dict[str, DataType]:
+    """Accept a StructType or an iterable of (name, DataType)."""
+    if isinstance(schema, StructType):
+        return {f.name: f.dataType for f in schema.fields}
+    return dict(schema)
+
+
+def diff_schemas(
+    current,
+    incoming,
+    *,
+    key_cols: Iterable[str] = (),
+    cursor_col: str | None = None,
+    rename_hints: dict[str, str] | None = None,
+    ignore_cols: Iterable[str] = (),
+) -> list[FieldTransform]:
+    """Field-level diff of one stream's schema: what changes if
+    ``incoming`` (the batch/source schema) replaces ``current`` (the
+    destination schema).  Declared renames (``rename_hints``,
+    old->new) are reported as a remove+add pair with breaking=False —
+    the operator already reviewed them.  ``ignore_cols`` are engine
+    columns (op/lsn/...) that never land as destination columns.
+
+    Breaking rules (the guard every policy enforces):
+    * a key or cursor column missing from ``incoming`` -> breaking
+      (the reference resets streams whose PK/cursor vanishes);
+    * a key or cursor column whose type changed -> breaking even when
+      widenable — bucket routing hashes by physical type, so widening
+      a key col would silently split existing keys across buckets.
+    Everything else is non_breaking: adds land as nullable columns,
+    removes null out going forward, widens cast old files on read,
+    and un-widenable atomic drift falls back to string (the
+    protocol's documented destination fallback).
+    """
+    rename_hints = dict(rename_hints or {})
+    skip = set(ignore_cols)
+    sensitive = set(key_cols) | ({cursor_col} if cursor_col else set())
+    cur = {k: v for k, v in _fields_of(current).items() if k not in skip}
+    inc = {}
+    for name, dt in _fields_of(incoming).items():
+        if name in skip:
+            continue
+        inc[rename_hints.get(name, name)] = dt
+
+    out: list[FieldTransform] = []
+    for old, new in rename_hints.items():
+        if old in cur and new not in cur:
+            # a declared rename: surfaces as a reviewed remove+add
+            out.append(FieldTransform(
+                "remove_field", old, False, old_type=str(cur[old]),
+            ))
+            cur[new] = cur.pop(old)
+            out.append(FieldTransform(
+                "add_field", new, False, new_type=str(cur[new]),
+            ))
+
+    for name, dt in inc.items():
+        have = cur.get(name)
+        if have is None:
+            out.append(FieldTransform(
+                "add_field", name, False, new_type=dt.simpleString(),
+            ))
+        elif have != dt:
+            breaking = name in sensitive
+            if not breaking and can_widen(dt, have):
+                continue  # batch narrower than the table: align casts
+            if not breaking and isinstance(have, StringType) and \
+                    isinstance(dt, AtomicType):
+                # table already at the string fallback: align casts
+                # losslessly, no DDL — not a change
+                continue
+            out.append(FieldTransform(
+                "update_field_schema", name, breaking,
+                old_type=have.simpleString(), new_type=dt.simpleString(),
+            ))
+    for name, dt in cur.items():
+        if name not in inc:
+            out.append(FieldTransform(
+                "remove_field", name, name in sensitive,
+                old_type=dt.simpleString(),
+            ))
+    return out
+
+
+def diff_catalogs(
+    current: dict[str, Any],
+    incoming: dict[str, Any],
+    *,
+    key_cols: Iterable[str] = (),
+    cursor_col: str | None = None,
+    ignore_cols: Iterable[str] = (),
+) -> CatalogDiff:
+    """Catalog-level diff: streams are dict name -> schema (StructType
+    or (name, DataType) pairs).  New source streams are add_stream,
+    vanished ones remove_stream (breaking — consumers lose the table),
+    shared ones update_stream with their field transforms."""
+    out = CatalogDiff()
+    for name in sorted(set(current) | set(incoming)):
+        if name not in current:
+            out.transforms.append(StreamTransform("add_stream", name))
+        elif name not in incoming:
+            out.transforms.append(StreamTransform("remove_stream", name))
+        else:
+            fields = diff_schemas(
+                current[name], incoming[name],
+                key_cols=key_cols, cursor_col=cursor_col,
+                ignore_cols=ignore_cols,
+            )
+            if fields:
+                out.transforms.append(
+                    StreamTransform("update_stream", name, fields)
+                )
+    return out

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType, TimestampType
 
 import json
+import os
 
 from airbyte_spark.engine import normalize
 from airbyte_spark.engine.dedup import lww_dedup
@@ -131,6 +132,7 @@ class CdcPipeline:
         sparse_cols: list[str] | None = None,
         mappers: list[dict] | None = None,
         soft_delete: bool = False,
+        schema_policy: str = "propagate",
     ):
         """mode: destination sync mode (airbyte-protocol.md:395-420)
         - 'dedup'     = incremental + dedup history (MERGE; default)
@@ -249,6 +251,25 @@ class CdcPipeline:
                         "must survive verbatim)"
                     )
         self.mappers = list(mappers) if mappers else None
+        # schema-change policy (the platform's per-connection
+        # NonBreakingChangesPreference, config.yaml:4946-4950, plus the
+        # engine's default of applying non-breaking changes):
+        # - 'propagate': evolve the destination (add/widen/stringify)
+        #   via the schema reconciler — today's behavior;
+        # - 'ignore':    destination schema frozen; batches narrow to
+        #   it on align (extra columns dropped, missing nulled);
+        # - 'disable':   ANY detected change pauses the sync
+        #   (SchemaChangePaused) before a byte is written.
+        # Breaking changes — key/cursor column removed or retyped —
+        # pause under EVERY policy (engine/catalog_diff.py rules).
+        if schema_policy not in ("propagate", "ignore", "disable"):
+            raise ValueError(f"unknown schema_policy {schema_policy}")
+        self.schema_policy = schema_policy
+        # destination columns added by reconcile since construction —
+        # old rows hold null until a backfill re-snapshot repairs them
+        # (the platform's 'backfill new columns' option; consumed by
+        # PipelineSpec.run when the spec sets backfill_new_columns)
+        self.pending_backfill: set[str] = set()
         self.mode = mode
         self.merge_strategy = merge_strategy
         self.on_invalid_offset = on_invalid_offset
@@ -647,9 +668,14 @@ class CdcPipeline:
         ghost_keys = cur.select(*KEYS).join(
             upserts.select(*KEYS), KEYS, "left_anti"
         )
+        # repair against the destination's CURRENT (evolved) schema —
+        # a resnapshot is how added columns get backfilled, so evolved
+        # columns must flow through, not be dropped back to the base
+        # schema; image columns absent for an evolved field null-fill
+        dest_fields = t.schema().fields
         null_payload = [
             F.lit(None).cast(f.dataType).alias(f.name)
-            for f in FINAL_SCHEMA.fields
+            for f in dest_fields
             if f.name not in KEYS and f.name != "last_lsn"
         ]
         ghosts = ghost_keys.select(
@@ -657,15 +683,41 @@ class CdcPipeline:
             *null_payload,
             F.lit(snapshot_lsn).cast("long").alias("last_lsn"),
         ).withColumn("op", F.lit("d"))
-        batch = upserts.select(*[f.name for f in FINAL_SCHEMA.fields], "op")
-        batch = batch.unionByName(
-            ghosts.select(*[f.name for f in FINAL_SCHEMA.fields], "op")
-        )
+        up_cols = [
+            (F.col(f.name) if f.name in upserts.columns
+             else F.lit(None).cast(f.dataType)).alias(f.name)
+            for f in dest_fields
+        ]
+        names = [f.name for f in dest_fields]
+        batch = upserts.select(*up_cols, "op")
+        batch = batch.unionByName(ghosts.select(*names, "op"))
         res = t.merge(
             spark, batch, op_col="op", epoch=signal_id, stream=stream
         )
         if res.committed:
             self.state.record_offset(self.stream, snapshot_lsn)
+        return res
+
+    # ------------------------------------------------------------------
+    def backfill_added_columns(
+        self, spark: SparkSession, fresh: DataFrame, *, snapshot_lsn: int
+    ):
+        """Backfill columns added by schema evolution (null on old
+        rows) from a fresh source image — the platform's 'backfill
+        new columns' option, which re-syncs the affected stream.
+        Rides the blocking resnapshot: batch-wins LWW at
+        ``snapshot_lsn >= hwm`` rewrites every live row with the
+        image's values, so the added columns fill and any unrelated
+        drift repairs as a bonus.  No-op when nothing is pending."""
+        if not self.pending_backfill:
+            return None
+        t = self.table()
+        sig = t.last_epoch(f"{self.stream}::resnapshot") + 1
+        res = self.resnapshot(
+            spark, fresh, snapshot_lsn=snapshot_lsn, signal_id=sig
+        )
+        if res.committed:
+            self.pending_backfill.clear()
         return res
 
     # ------------------------------------------------------------------
@@ -790,12 +842,15 @@ class CdcPipeline:
             ev = ev.filter(F.col("op") != "s")
         ev_keys = normalize.canonicalize_keys(ev).select(*KEYS, "lsn").persist()
 
+        # current (evolved) destination schema, as in resnapshot():
+        # the repair must carry evolved columns through the chunks
+        dest_fields = t.schema().fields
         null_payload = [
             F.lit(None).cast(f.dataType).alias(f.name)
-            for f in FINAL_SCHEMA.fields
+            for f in dest_fields
             if f.name not in KEYS and f.name != "last_lsn"
         ]
-        out_cols = [f.name for f in FINAL_SCHEMA.fields]
+        out_cols = [f.name for f in dest_fields]
 
         stats: list[BatchStats] = []
         chunks_applied = 0
@@ -837,7 +892,12 @@ class CdcPipeline:
                 )
                 .withColumn("op", F.lit("d"))
             )
-            batch = upserts.select(*out_cols, "op").unionByName(
+            up_cols = [
+                (F.col(f.name) if f.name in upserts.columns
+                 else F.lit(None).cast(f.dataType)).alias(f.name)
+                for f in dest_fields
+            ]
+            batch = upserts.select(*up_cols, "op").unionByName(
                 ghosts.select(*out_cols, "op")
             )
             res = t.merge(spark, batch, op_col="op", epoch=idx, stream=rstream)
@@ -911,12 +971,77 @@ class CdcPipeline:
         df = normalize.enrich(df)
         return df.withColumnRenamed("lsn", "last_lsn").withColumnRenamed("ts", "updated_at")
 
+    def _reconcile(self, t: LakeTable, data_df: DataFrame) -> None:
+        """Policy-gated schema reconciliation (one driver-side diff,
+        no Spark job).  Only DESTINATION-MUTATING transforms (add /
+        type update) are policy decisions — a column absent from one
+        batch is the protocol's steady state (destinations null out
+        missing fields) and the engine's own enrichment columns never
+        arrive on a batch.  Breaking transforms (key/cursor column
+        removed or retyped, engine/catalog_diff.py rules) pause the
+        sync under EVERY policy, before a byte is written."""
+        from airbyte_spark.engine.catalog_diff import (
+            SchemaChangePaused, diff_schemas,
+        )
+
+        diff = diff_schemas(
+            t.schema(), data_df.schema,
+            key_cols=KEYS, cursor_col="last_lsn",
+            rename_hints=self.rename_hints, ignore_cols=set(ENGINE_COLS),
+        )
+        breaking = [f for f in diff if f.breaking]
+        if breaking:
+            raise SchemaChangePaused(
+                f"stream {self.stream}: breaking schema change detected "
+                f"({[f.to_dict() for f in breaking]}); key/cursor columns "
+                f"cannot drift — review the source or declare a rename",
+                breaking,
+            )
+        mutating = [
+            f for f in diff
+            if f.transform_type in ("add_field", "update_field_schema")
+        ]
+        if not mutating:
+            return
+        if self.schema_policy == "disable":
+            raise SchemaChangePaused(
+                f"stream {self.stream}: schema change detected and "
+                f"schema_policy='disable' pauses the sync for review: "
+                f"{[f.to_dict() for f in mutating]}",
+                mutating,
+            )
+        if self.schema_policy == "ignore":
+            return  # frozen schema: _align narrows every batch to it
+        rep = reconcile(
+            t, data_df, rename_hints=self.rename_hints,
+            extra_cols=ENGINE_COLS,
+        )
+        if rep.added:
+            self.pending_backfill.update(rep.added)
+
+    # ------------------------------------------------------------------
     def apply_batch(
         self, spark: SparkSession, batch: DataFrame, epoch: int
     ) -> BatchStats:
         """Apply one changelog microbatch exactly-once."""
         t = self.table()
         batch = self._map(batch)
+        missing_keys = [k for k in KEYS if k not in batch.columns]
+        if missing_keys:
+            # breaking schema change, caught before canonicalization
+            # references the column (clean pause, not an
+            # AnalysisException deep in the key-normalization plan)
+            from airbyte_spark.engine.catalog_diff import (
+                FieldTransform, SchemaChangePaused,
+            )
+
+            raise SchemaChangePaused(
+                f"stream {self.stream}: key column(s) {missing_keys} "
+                f"missing from the batch — breaking schema change; "
+                f"review the source or declare a rename",
+                [FieldTransform("remove_field", k, True)
+                 for k in missing_keys],
+            )
         if t.last_epoch(self.stream) >= epoch and not self._scd_pending(epoch):
             # already committed (kill/resume replay) — cheap driver-side
             # skip before any job runs.  The SCD history table has its
@@ -949,7 +1074,36 @@ class CdcPipeline:
                         changes.append(("widen", c["name"], _parse_ddl_type(c["type"])))
                     else:
                         raise ValueError(f"unknown schema change {c}")
-                t.evolve(changes)
+                # explicit source DDL obeys the same policy as inferred
+                # drift: key/cursor mutations pause under every policy,
+                # 'disable' pauses on any, 'ignore' skips the evolve
+                # (data rows narrow to the frozen schema on align)
+                from airbyte_spark.engine.catalog_diff import (
+                    SchemaChangePaused,
+                )
+
+                sensitive = set(KEYS) | {"last_lsn"}
+                touched = {
+                    ch[1] for ch in changes
+                } | {ch[2] for ch in changes if ch[0] == "rename"}
+                if touched & sensitive:
+                    raise SchemaChangePaused(
+                        f"stream {self.stream}: source DDL touches "
+                        f"key/cursor columns {sorted(touched & sensitive)}",
+                        [],
+                    )
+                if self.schema_policy == "disable":
+                    raise SchemaChangePaused(
+                        f"stream {self.stream}: source DDL events "
+                        f"{changes} and schema_policy='disable' pauses "
+                        f"the sync for review",
+                        [],
+                    )
+                if self.schema_policy != "ignore":
+                    t.evolve(changes)
+                    self.pending_backfill.update(
+                        ch[1] for ch in changes if ch[0] == "add"
+                    )
             batch = batch.filter(F.col("op") != "s").drop("schema_change")
 
         if self.soft_delete and "op" in batch.columns:
@@ -1009,12 +1163,7 @@ class CdcPipeline:
                     MergeResult(v is not None, v, 0, 0),
                 )
 
-            reconcile(
-                t,
-                prepared.drop("op", _BUCKET),
-                rename_hints=self.rename_hints,
-                extra_cols=ENGINE_COLS,
-            )
+            self._reconcile(t, prepared.drop("op", _BUCKET))
             if self.mode == "dedup" and self.merge_strategy == "mor":
                 # merge-on-read: O(batch) delta write, no base rewrite
                 merge_res = t.merge_mor(
@@ -1088,10 +1237,7 @@ class CdcPipeline:
                 epoch, v is not None, 0, 0, None,
                 MergeResult(v is not None, v, 0, 0),
             )
-        reconcile(
-            t, b.drop("op", _BUCKET, "changed_cols"),
-            rename_hints=self.rename_hints, extra_cols=ENGINE_COLS,
-        )
+        self._reconcile(t, b.drop("op", _BUCKET, "changed_cols"))
         wide = n_sample >= 4096 and len(sample) >= 0.8 * snap.n_buckets
         batch_max_lsn = None
         if wide:
@@ -1338,3 +1484,50 @@ class CdcPipeline:
         if self.history_root is not None and LakeTable.exists(self._scd_open_root()):
             out["scd_epoch"] = self.scd_epoch()
         return out
+
+    # ------------------------------------------------------------------
+    def reset(self) -> dict[str, Any]:
+        """Clear this stream — the platform's **Clear / Refresh and
+        remove records** (job type ``reset_connection``, the
+        config-API's ConnectionStream reset; airbyte-protocol's
+        documented remedy once a breaking schema change pauses a
+        connection, which is exactly what ``SchemaChangePaused`` now
+        raises).  Destroys, in this order:
+
+        * the destination lake table directory — its snapshot log
+          carries every epoch tag (data + snapshot + resnapshot
+          streams), so exactly-once numbering restarts cleanly at -1
+          and the next :meth:`bootstrap` is a true first sync under
+          the source's CURRENT schema;
+        * the SCD2 history tables when ``history_root`` is set (the
+          platform clears final AND raw tables);
+        * the stream's state sidecars (data stream + ``::snapshot`` +
+          every ``::resnapshot*`` doc) — state must never outlive the
+          data it describes (state-never-ahead, inverted).
+
+        Pure driver-side file ops; no Spark job.  Readers lose the
+        table until the next bootstrap — same contract as the
+        platform, where a cleared connection's destination is empty
+        until the post-clear sync finishes."""
+        import shutil
+
+        removed: dict[str, Any] = {"table": False, "history": False,
+                                   "state_docs": []}
+        state_root = self.state.root
+        external_state = not os.path.abspath(state_root).startswith(
+            os.path.abspath(self.table_root) + os.sep
+        )
+        if os.path.isdir(self.table_root):
+            shutil.rmtree(self.table_root)
+            removed["table"] = True
+        if self.history_root is not None and os.path.isdir(self.history_root):
+            shutil.rmtree(self.history_root)
+            removed["history"] = True
+        if external_state and os.path.isdir(state_root):
+            prefixes = (f"{self.stream}.json", f"{self.stream}::")
+            for fn in sorted(os.listdir(state_root)):
+                if fn == prefixes[0] or fn.startswith(prefixes[1]):
+                    os.remove(os.path.join(state_root, fn))
+                    removed["state_docs"].append(fn)
+        self.pending_backfill.clear()
+        return removed

@@ -121,7 +121,10 @@ class StateStore:
         return st
 
     def _write(self, stream: str, st: dict[str, Any]) -> None:
-        # atomic replace so a crash mid-write never corrupts state
+        # atomic replace so a crash mid-write never corrupts state;
+        # self-healing dir create — a stream reset may have removed
+        # the store's root along with the table it nested under
+        os.makedirs(self.root, exist_ok=True)
         fd, tmp = tempfile.mkstemp(dir=self.root)
         with os.fdopen(fd, "w") as fh:
             json.dump(st, fh)

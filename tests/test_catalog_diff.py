@@ -1,0 +1,273 @@
+"""Schema-change detection + propagation policies.
+
+Reference parity: the platform's per-connection schema-change surface
+(airbyte-api/src/main/openapi/config.yaml — CatalogDiff/StreamTransform/
+FieldTransform :4379-4470, SchemaChange :3506-3511,
+NonBreakingChangesPreference ignore|disable :4946-4950) and the
+'backfill new columns' preference (implemented there as a stream
+re-sync; here it rides the blocking resnapshot)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType, IntegerType, LongType, StringType,
+)
+
+from airbyte_spark.engine.catalog_diff import (
+    CatalogDiff, SchemaChangePaused, diff_catalogs, diff_schemas,
+)
+from airbyte_spark.engine.changelog import base_table, changelog
+from airbyte_spark.engine.pipeline import CdcPipeline
+
+
+# ---------------------------------------------------------------- unit
+
+CUR = [("repo", StringType()), ("path", StringType()),
+       ("last_lsn", LongType()), ("stars", IntegerType())]
+
+
+def _by_field(transforms):
+    return {(t.transform_type, t.field): t for t in transforms}
+
+
+def test_no_change():
+    assert diff_schemas(CUR, CUR, key_cols=["repo", "path"]) == []
+
+
+def test_add_and_remove_fields():
+    inc = [("repo", StringType()), ("path", StringType()),
+           ("last_lsn", LongType()), ("forks", IntegerType())]
+    d = _by_field(diff_schemas(CUR, inc, key_cols=["repo", "path"]))
+    assert ("add_field", "forks") in d
+    assert not d[("add_field", "forks")].breaking
+    assert ("remove_field", "stars") in d
+    assert not d[("remove_field", "stars")].breaking
+
+
+def test_key_and_cursor_drift_is_breaking():
+    # key column missing
+    inc = [("repo", StringType()), ("last_lsn", LongType()),
+           ("stars", IntegerType())]
+    d = _by_field(diff_schemas(
+        CUR, inc, key_cols=["repo", "path"], cursor_col="last_lsn"))
+    assert d[("remove_field", "path")].breaking
+    # key column retyped (widenable, still breaking: bucket routing
+    # hashes by physical type)
+    inc = [("repo", StringType()), ("path", IntegerType()),
+           ("last_lsn", LongType()), ("stars", IntegerType())]
+    d = _by_field(diff_schemas(
+        CUR, inc, key_cols=["repo", "path"], cursor_col="last_lsn"))
+    assert d[("update_field_schema", "path")].breaking
+    # cursor retyped
+    inc = [("repo", StringType()), ("path", StringType()),
+           ("last_lsn", IntegerType()), ("stars", IntegerType())]
+    d = _by_field(diff_schemas(
+        CUR, inc, key_cols=["repo", "path"], cursor_col="last_lsn"))
+    assert d[("update_field_schema", "last_lsn")].breaking
+
+
+def test_widen_narrow_and_string_fallback():
+    # batch wider -> non-breaking update
+    inc = [("repo", StringType()), ("path", StringType()),
+           ("last_lsn", LongType()), ("stars", DoubleType())]
+    d = _by_field(diff_schemas(CUR, inc, key_cols=["repo", "path"]))
+    assert ("update_field_schema", "stars") in d
+    assert not d[("update_field_schema", "stars")].breaking
+    # batch narrower -> align casts, not a change
+    cur = [("stars", DoubleType())]
+    assert diff_schemas(cur, [("stars", IntegerType())]) == []
+    # table already at the string fallback -> not a change
+    cur = [("stars", StringType())]
+    assert diff_schemas(cur, [("stars", IntegerType())]) == []
+
+
+def test_rename_hints_are_reviewed_not_breaking():
+    inc = [("repo", StringType()), ("path", StringType()),
+           ("last_lsn", LongType()), ("stargazers", IntegerType())]
+    out = diff_schemas(
+        CUR, inc, key_cols=["repo", "path"],
+        rename_hints={"stars": "stargazers"})
+    assert all(not f.breaking for f in out)
+    kinds = {(f.transform_type, f.field) for f in out}
+    assert ("remove_field", "stars") in kinds
+    assert ("add_field", "stargazers") in kinds
+
+
+def test_diff_catalogs_and_classification():
+    cur = {"files": CUR, "gone": CUR}
+    inc = {"files": CUR + [("forks", IntegerType())], "new": CUR}
+    diff = diff_catalogs(cur, inc, key_cols=["repo", "path"])
+    by = {t.stream: t for t in diff.transforms}
+    assert by["new"].transform_type == "add_stream"
+    assert by["gone"].transform_type == "remove_stream"
+    assert by["gone"].breaking
+    assert by["files"].transform_type == "update_stream"
+    assert diff.change == "breaking"  # the removed stream
+    del by
+    diff2 = diff_catalogs({"files": CUR}, {"files": CUR})
+    assert diff2.change == "no_change"
+    d = json.loads(json.dumps(diff.to_dict()))
+    assert d["schemaChange"] == "breaking"
+    assert CatalogDiff().change == "no_change"
+
+
+# ------------------------------------------------------------ pipeline
+
+def _batch_with(spark, n, col=None, expr=None, **kw):
+    ev = changelog(spark, n, **kw)
+    if col is not None:
+        ev = ev.withColumn(col, expr)
+    return ev
+
+
+def test_policy_propagate_adds_and_tracks_backfill(spark, tmp_path):
+    pipe = CdcPipeline(str(tmp_path / "t"), n_buckets=4)
+    t = pipe.bootstrap(spark, base_table(spark, 40, n_repos=4,
+                                         paths_per_repo=10))
+    b = _batch_with(spark, 80, "stars",
+                    F.pmod(F.col("lsn"), F.lit(7)).cast("int"),
+                    n_repos=4, paths_per_repo=10)
+    assert pipe.apply_batch(spark, b, epoch=0).committed
+    assert "stars" in dict(t.read(spark).dtypes)
+    assert pipe.pending_backfill == {"stars"}
+
+
+def test_policy_ignore_freezes_schema_but_syncs(spark, tmp_path):
+    pipe = CdcPipeline(str(tmp_path / "t"), n_buckets=4,
+                       schema_policy="ignore")
+    t = pipe.bootstrap(spark, base_table(spark, 40, n_repos=4,
+                                         paths_per_repo=10))
+    before = set(dict(t.read(spark).dtypes))
+    b = _batch_with(spark, 80, "stars",
+                    F.pmod(F.col("lsn"), F.lit(7)).cast("int"),
+                    n_repos=4, paths_per_repo=10)
+    assert pipe.apply_batch(spark, b, epoch=0).committed
+    after = dict(t.read(spark).dtypes)
+    assert set(after) == before  # frozen
+    # the data itself applied: LWW winners present
+    twin_root = str(tmp_path / "twin")
+    twin = CdcPipeline(twin_root, n_buckets=4)
+    twin.bootstrap(spark, base_table(spark, 40, n_repos=4,
+                                     paths_per_repo=10))
+    twin.apply_batch(spark, b, epoch=0)
+    cols = sorted(before)
+    a = t.read(spark).select(*cols).orderBy(*cols).collect()
+    e = twin.table().read(spark).select(*cols).orderBy(*cols).collect()
+    assert a == e
+
+
+def test_policy_disable_pauses_before_writing(spark, tmp_path):
+    pipe = CdcPipeline(str(tmp_path / "t"), n_buckets=4,
+                       schema_policy="disable")
+    t = pipe.bootstrap(spark, base_table(spark, 40, n_repos=4,
+                                         paths_per_repo=10))
+    v0 = t.snapshot().version
+    b = _batch_with(spark, 80, "stars",
+                    F.pmod(F.col("lsn"), F.lit(7)).cast("int"),
+                    n_repos=4, paths_per_repo=10)
+    with pytest.raises(SchemaChangePaused):
+        pipe.apply_batch(spark, b, epoch=0)
+    assert t.snapshot().version == v0  # nothing written, resumable
+    # operator reviews, switches policy, the SAME epoch re-applies
+    pipe2 = CdcPipeline(str(tmp_path / "t"), n_buckets=4)
+    assert pipe2.apply_batch(spark, b, epoch=0).committed
+    # an unchanged-schema batch sails through under 'disable'
+    pipe3 = CdcPipeline(str(tmp_path / "t2"), n_buckets=4,
+                        schema_policy="disable")
+    pipe3.bootstrap(spark, base_table(spark, 40, n_repos=4,
+                                      paths_per_repo=10))
+    assert pipe3.apply_batch(
+        spark, changelog(spark, 50, n_repos=4, paths_per_repo=10), epoch=0
+    ).committed
+
+
+def test_breaking_key_drift_pauses_under_every_policy(spark, tmp_path):
+    for i, policy in enumerate(("propagate", "ignore", "disable")):
+        pipe = CdcPipeline(str(tmp_path / f"t{i}"), n_buckets=4,
+                           schema_policy=policy)
+        pipe.bootstrap(spark, base_table(spark, 40, n_repos=4,
+                                         paths_per_repo=10))
+        bad = changelog(spark, 50, n_repos=4, paths_per_repo=10).drop("path")
+        with pytest.raises(SchemaChangePaused):
+            pipe.apply_batch(spark, bad, epoch=0)
+
+
+def test_ddl_events_obey_policy(spark, tmp_path):
+    def _with_ddl(ev, lsn, payload):
+        nul = F.lit(None).cast("string")
+        s = ev.limit(1).select(
+            F.lit(lsn).cast("long").alias("lsn"), F.lit("s").alias("op"),
+            *[F.lit(None).cast(t).alias(c) for c, t in ev.dtypes
+              if c not in ("lsn", "op")],
+        ).withColumn("schema_change", F.lit(json.dumps(payload)))
+        return ev.withColumn("schema_change", nul).unionByName(s)
+
+    ev = changelog(spark, 50, n_repos=4, paths_per_repo=10)
+    add = {"kind": "add", "name": "stars", "type": "int"}
+
+    p_dis = CdcPipeline(str(tmp_path / "dis"), n_buckets=4,
+                        schema_policy="disable")
+    p_dis.bootstrap(spark, base_table(spark, 40, n_repos=4,
+                                      paths_per_repo=10))
+    with pytest.raises(SchemaChangePaused):
+        p_dis.apply_batch(spark, _with_ddl(ev, 10, add), epoch=0)
+
+    p_ign = CdcPipeline(str(tmp_path / "ign"), n_buckets=4,
+                        schema_policy="ignore")
+    t = p_ign.bootstrap(spark, base_table(spark, 40, n_repos=4,
+                                          paths_per_repo=10))
+    assert p_ign.apply_batch(spark, _with_ddl(ev, 10, add), epoch=0).committed
+    assert "stars" not in dict(t.read(spark).dtypes)
+
+    # DDL on a key column pauses under every policy
+    p_any = CdcPipeline(str(tmp_path / "key"), n_buckets=4)
+    p_any.bootstrap(spark, base_table(spark, 40, n_repos=4,
+                                      paths_per_repo=10))
+    ren = {"kind": "rename", "old": "path", "new": "filepath"}
+    with pytest.raises(SchemaChangePaused):
+        p_any.apply_batch(spark, _with_ddl(ev, 10, ren), epoch=0)
+
+
+def test_backfill_added_columns_fills_old_rows(spark, tmp_path):
+    pipe = CdcPipeline(str(tmp_path / "t"), n_buckets=4)
+    base = base_table(spark, 60, n_repos=4, paths_per_repo=20)
+    t = pipe.bootstrap(spark, base)
+    # epoch 0 adds `stars` but only the batch's own keys carry values
+    b = _batch_with(spark, 40, "stars",
+                    F.pmod(F.col("lsn"), F.lit(7)).cast("int"),
+                    n_repos=4, paths_per_repo=20)
+    pipe.apply_batch(spark, b, epoch=0)
+    nulls_before = t.read(spark).filter(F.col("stars").isNull()).count()
+    assert nulls_before > 0  # old rows hold null until the backfill
+    assert pipe.pending_backfill == {"stars"}
+    # fresh source image at-or-past the HWM carries stars for EVERY row
+    hwm = t.read(spark).agg(F.max("last_lsn")).collect()[0][0]
+    fresh = (
+        t.read(spark)
+        .select("repo", "path", "commit", "lang", "content")
+        .withColumn("stars", F.lit(5).cast("int"))
+    )
+    res = pipe.backfill_added_columns(spark, fresh, snapshot_lsn=hwm)
+    assert res.committed
+    assert pipe.pending_backfill == set()
+    out = t.read(spark)
+    assert out.filter(F.col("stars").isNull()).count() == 0
+    assert out.filter(F.col("stars") != 5).count() == 0
+    # idempotent: a second call is a no-op (nothing pending)
+    assert pipe.backfill_added_columns(spark, fresh, snapshot_lsn=hwm) is None
+
+
+def test_spec_validation():
+    from airbyte_spark.config import StreamSpec
+
+    with pytest.raises(ValueError, match="schema_policy"):
+        StreamSpec(name="s", table="/t", schema_policy="nope").validate()
+    with pytest.raises(ValueError, match="snapshot_source"):
+        StreamSpec(name="s", table="/t",
+                   backfill_new_columns=True).validate()
+    with pytest.raises(ValueError, match="propagate"):
+        StreamSpec(name="s", table="/t", backfill_new_columns=True,
+                   snapshot_source="/img",
+                   schema_policy="ignore").validate()

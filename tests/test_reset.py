@@ -1,0 +1,121 @@
+"""Stream clear / reset — the platform's 'Clear' (job type
+reset_connection) and 'Refresh and remove records': destroy the
+destination table, SCD history, and checkpointed state so the next
+sync is a true first sync.  The documented remedy once a breaking
+schema change pauses the connection (SchemaChangePaused)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from airbyte_spark.engine.catalog_diff import SchemaChangePaused
+from airbyte_spark.engine.changelog import base_table, changelog
+from airbyte_spark.engine.pipeline import CdcPipeline
+from airbyte_spark.lake.table import LakeTable
+
+
+def _digest(df):
+    line = F.concat_ws("|", "repo", "path", "commit",
+                       F.col("last_lsn").cast("string"))
+    return df.agg(F.sha2(F.array_join(
+        F.sort_array(F.collect_list(line)), "\n"), 256)).first()[0]
+
+
+def test_reset_clears_table_history_and_state(spark, tmp_path):
+    state = str(tmp_path / "state")
+    pipe = CdcPipeline(str(tmp_path / "t"), n_buckets=4,
+                       state_root=state, history_root=str(tmp_path / "h"))
+    pipe.bootstrap(spark, base_table(spark, 40, n_repos=4,
+                                     paths_per_repo=10))
+    pipe.apply_batch(
+        spark, changelog(spark, 80, n_repos=4, paths_per_repo=10), epoch=0
+    )
+    assert os.path.isdir(str(tmp_path / "t"))
+    assert pipe.state.load("default")["epoch"] == 0
+    pipe.pending_backfill.add("stars")
+
+    removed = pipe.reset()
+    assert removed["table"] and removed["history"]
+    assert "default.json" in removed["state_docs"]
+    assert not os.path.isdir(str(tmp_path / "t"))
+    assert not os.path.isdir(str(tmp_path / "h"))
+    assert pipe.pending_backfill == set()
+    # state reads back as the never-synced default
+    assert pipe.state.load("default")["epoch"] == -1
+
+
+def test_reset_state_inside_table_root_goes_with_it(spark, tmp_path):
+    # default state root nests under the table dir — removing the
+    # table removes it; nothing external is touched
+    pipe = CdcPipeline(str(tmp_path / "t"), n_buckets=4)
+    pipe.bootstrap(spark, base_table(spark, 20, n_repos=2,
+                                     paths_per_repo=10))
+    removed = pipe.reset()
+    assert removed["table"] and removed["state_docs"] == []
+    assert pipe.state.load("default")["epoch"] == -1
+
+
+def test_resync_after_reset_is_a_true_first_sync(spark, tmp_path):
+    """Epoch numbering restarts at -1: the post-reset sync re-applies
+    epoch 0 (a pre-reset table would skip it via the exactly-once
+    gate) and lands on the same state as a fresh pipeline."""
+    base = base_table(spark, 40, n_repos=4, paths_per_repo=10)
+    ev = changelog(spark, 80, n_repos=4, paths_per_repo=10)
+
+    pipe = CdcPipeline(str(tmp_path / "t"), n_buckets=4)
+    t = pipe.bootstrap(spark, base)
+    pipe.apply_batch(spark, ev, epoch=0)
+    assert pipe.reset()["table"]
+
+    t = pipe.bootstrap(spark, base)
+    assert t.last_epoch("default") == -1
+    res = pipe.apply_batch(spark, ev, epoch=0)
+    assert res.committed  # NOT skipped: the old epoch tag is gone
+
+    fresh = CdcPipeline(str(tmp_path / "fresh"), n_buckets=4)
+    tf = fresh.bootstrap(spark, base)
+    fresh.apply_batch(spark, ev, epoch=0)
+    assert _digest(t.read(spark)) == _digest(tf.read(spark))
+
+
+def test_reset_is_the_breaking_change_remedy(spark, tmp_path):
+    """The platform flow: breaking drift pauses the sync; the operator
+    clears the stream; the next sync bootstraps from a fresh image of
+    the source's new shape and the tail proceeds."""
+    pipe = CdcPipeline(str(tmp_path / "t"), n_buckets=4)
+    pipe.bootstrap(spark, base_table(spark, 40, n_repos=4,
+                                     paths_per_repo=10))
+    broken = changelog(spark, 80, n_repos=4, paths_per_repo=10) \
+        .drop("path")  # key column vanished at the source
+    with pytest.raises(SchemaChangePaused):
+        pipe.apply_batch(spark, broken, epoch=0)
+    # pause happened BEFORE any write: epoch gate untouched
+    assert pipe.table().last_epoch("default") == -1
+
+    pipe.reset()
+    t = pipe.bootstrap(spark, base_table(spark, 40, n_repos=4,
+                                         paths_per_repo=10))
+    res = pipe.apply_batch(
+        spark, changelog(spark, 80, n_repos=4, paths_per_repo=10), epoch=0
+    )
+    assert res.committed
+    assert t.read(spark).count() > 0
+
+
+def test_reset_cli(spark, tmp_path, capsys):
+    from airbyte_spark.cli import main
+
+    root = str(tmp_path / "t")
+    pipe = CdcPipeline(root, n_buckets=4)
+    pipe.bootstrap(spark, base_table(spark, 20, n_repos=2,
+                                     paths_per_repo=10))
+    # refuses without --yes
+    assert main(["reset", "--table", root]) == 2
+    assert os.path.isdir(root)
+    assert main(["reset", "--table", root, "--yes"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["table"] is True
+    assert not os.path.isdir(root)
+    assert not LakeTable.exists(root)
