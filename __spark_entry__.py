@@ -758,6 +758,26 @@ def code_secret_scan(spark, sf):
     )
 
 
+def code_clone_groups(spark, sf):
+    """Type-2 code-clone groups (analytics/code.py clone_fingerprints
+    / clone_groups — NiCad/SourcererCC normalization, The Stack's
+    normalize-then-exact-hash dedup pre-pass): strip comment lines,
+    blind identifiers/numbers/string-literals to I/N/S with a
+    Java-regex/RE2-shared rule chain, md5 the blinded stream, and
+    group files of the same language on the fingerprint — one
+    map-side-combined hash aggregation whose key IS a hash (no skew
+    by construction).  The group rows pin member count, repo spread,
+    Type-1 variant count inside each group, and the deterministic
+    lexicographic-min survivor; the oracle re-runs the whole chain
+    in DuckDB RE2."""
+    from airbyte_spark.analytics import code as A_code
+
+    return A_code.clone_groups(_code_files(spark, sf)).select(
+        "lang", "fp_type2", "n_files", "n_repos", "n_exact_variants",
+        "rep_path",
+    )
+
+
 def cdc_outbox_route(spark, sf):
     """Outbox event routing (engine/outbox.py — Debezium EventRouter
     parity): synthesize an outbox changelog from the events table
@@ -2924,6 +2944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_license_scan": code_license_scan,
         "code_repo_pack": code_repo_pack,
         "code_secret_scan": code_secret_scan,
+        "code_clone_groups": code_clone_groups,
         "cdc_outbox_route": cdc_outbox_route,
         "cdc_debezium_decode": cdc_debezium_decode,
         "events_airbyte_roundtrip": events_airbyte_roundtrip,
@@ -4042,6 +4063,39 @@ SELECT
   CAST(count(DISTINCT md5(c2)) AS BIGINT) AS n_redacted_variants,
   CAST(sum(length(c2)) AS BIGINT) AS sum_redacted_chars
 FROM r
+""",
+        "code_clone_groups": f"""
+WITH cf AS ({_CODE_FILES_SQL}),
+stripped AS (
+  SELECT repo, path, lang,
+    array_to_string(
+      list_filter(
+        list_transform(string_split(content, chr(10)),
+                       l -> trim(regexp_replace(l, '[ \\t]+', ' ', 'g'))),
+        l -> l <> '' AND NOT starts_with(l,
+          CASE lang WHEN 'python' THEN '#' WHEN 'sql' THEN '--' ELSE '//' END)
+      ), chr(10)) AS s
+  FROM cf
+),
+fp AS (
+  SELECT repo, path, lang,
+    md5(regexp_replace(s, '[ \\t]+', ' ', 'g')) AS fp_type1,
+    md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(s, '[A-Za-z_][A-Za-z0-9_]*', 'I', 'g'),
+        '[0-9]+(\\.[0-9]+)?', 'N', 'g'),
+        '''[^''' || chr(10) || ''']*''', '''S''', 'g'),
+        '"[^"' || chr(10) || ']*"', '"S"', 'g'),
+        '[ \\t]+', ' ', 'g')) AS fp_type2
+  FROM stripped
+)
+SELECT lang, fp_type2,
+  CAST(count(*) AS BIGINT) AS n_files,
+  CAST(count(DISTINCT repo) AS BIGINT) AS n_repos,
+  CAST(count(DISTINCT fp_type1) AS BIGINT) AS n_exact_variants,
+  min(path) AS rep_path
+FROM fp
+GROUP BY 1, 2
+HAVING count(*) >= 2
 """,
         "doc_dsir_sample": f"""
 WITH d AS (

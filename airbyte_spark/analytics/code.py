@@ -225,3 +225,122 @@ def redact_secrets(
     for kind, pat, repl in SECRET_PATTERNS:
         col = F.regexp_replace(col, pat, f"$1={repl}" if kind == "generic" else repl)
     return df.withColumn(out_col, col)
+
+
+def strip_comments(
+    df: DataFrame,
+    content_col: str = "content",
+    lang_col: str = "lang",
+    out_col: str = "content_stripped",
+) -> DataFrame:
+    """Remove full-line comments and blank lines, trimming each
+    surviving line — the canonical pre-pass of every published code
+    clone detector (NiCad's pretty-printing stage, Roy & Cordy 2008;
+    SourcererCC's tokenizer, Sajnani et al. 2016).
+
+    Line-granular by design: trailing (mid-line) comments are kept —
+    they blind to identifier tokens in the Type-2 pass anyway, and a
+    line-granular rule is expressible as bounded per-file array ops in
+    BOTH engines (the oracle twin is list_filter/list_transform), so
+    clone verdicts are cross-engine checkable.  Per-file work is
+    bounded by file size, evaluated in-task: no shuffle, no Python.
+
+    Each surviving line is whitespace-collapsed BEFORE trimming:
+    ``trim`` strips only spaces in Spark and DuckDB alike, so a
+    tab-indented line would otherwise keep its indent and break
+    Type-1 layout invariance."""
+    marker = _marker_expr(F.col(lang_col))
+    lines = F.transform(
+        F.split(F.col(content_col), "\n"),
+        lambda ln: F.trim(F.regexp_replace(ln, r"[ \t]+", " ")),
+    )
+    kept = F.filter(lines, lambda ln: (ln != "") & ~ln.startswith(marker))
+    return df.withColumn(out_col, F.array_join(kept, "\n"))
+
+
+# Token-blinding chain for Type-2 clone fingerprints.  Pattern order
+# is load-bearing: identifiers first (so the 'I'/'N'/'S' placeholders
+# inserted by LATER rules are never themselves re-matched), then
+# numbers (a leading-digit run like `123abc` -> `N` + `I` in both
+# engines: regex scanning is leftmost in Java and RE2 alike), then
+# quoted literals (their inner words are already `I`-blinded; the rule
+# collapses the whole literal so content differences vanish), then
+# whitespace.  Like SECRET_PATTERNS, every pattern stays in the
+# Java-regex/RE2 shared subset: ASCII classes, no lookaround, no
+# backreferences.
+_BLIND_RULES: list[tuple[str, str]] = [
+    (r"[A-Za-z_][A-Za-z0-9_]*", "I"),
+    (r"[0-9]+(\.[0-9]+)?", "N"),
+    (r"'[^'\n]*'", "'S'"),
+    (r'"[^"\n]*"', '"S"'),
+    (r"[ \t]+", " "),
+]
+
+
+def clone_fingerprints(
+    df: DataFrame,
+    content_col: str = "content",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-file clone fingerprints (the big-clone-bench taxonomy):
+
+    * ``fp_type1`` — md5 of the comment-stripped, whitespace-collapsed
+      text: Type-1 clones (identical modulo layout/comments).
+    * ``fp_type2`` — md5 after additionally blinding identifiers to
+      ``I``, numbers to ``N``, and string literals to ``S``: Type-2
+      clones (identical modulo consistent renaming / literal changes).
+      Blind (non-positional) renaming, as in SourcererCC's token bags:
+      it over-groups relative to true alpha-rename equivalence (`a+b`
+      and `a+a` both blind to `I+I`) but needs no per-file symbol
+      table, so the whole pass is a JVM regexp chain fused into the
+      scan — the right trade at 10^10 files, where published pipelines
+      (The Stack v2 dedup) make the same one.
+
+    Pure narrow plan: no shuffle, no Python; grouping happens in
+    ``clone_groups``."""
+    out = strip_comments(df, content_col, lang_col, out_col="_stripped")
+    blinded = F.col("_stripped")
+    for pat, repl in _BLIND_RULES:
+        blinded = F.regexp_replace(blinded, pat, repl)
+    ws = F.regexp_replace(F.col("_stripped"), r"[ \t]+", " ")
+    return (
+        out.withColumn("fp_type1", F.md5(ws))
+        .withColumn("fp_type2", F.md5(blinded))
+        .drop("_stripped")
+    )
+
+
+def clone_groups(
+    df: DataFrame,
+    content_col: str = "content",
+    lang_col: str = "lang",
+    repo_col: str = "repo",
+    path_col: str = "path",
+    min_files: int = 2,
+) -> DataFrame:
+    """Type-2 clone groups across the corpus: files of the same
+    language whose blinded token streams hash equal.  Returns one row
+    per group: (lang, fp_type2, n_files, n_repos, n_exact_variants,
+    rep_path) — ``n_exact_variants`` counts distinct Type-1
+    fingerprints inside the group (how much the members actually vary
+    beyond renaming), ``rep_path`` is the lexicographic-min member,
+    the deterministic canonical-survivor rule the dedup family uses.
+
+    ONE hash aggregation keyed by (lang, md5): map-side combined,
+    uniformly distributed by construction (the key IS a hash), no
+    skew, no Python — at 10^10 files this is the same shape as exact
+    dedup, the cheapest distributed operator there is.  Published
+    recipe: The Stack's near-dedup pipeline runs exactly this
+    normalize-then-exact-hash pass before MinHash (Kocetkov et al.
+    2022 §3.1)."""
+    fps = clone_fingerprints(df, content_col, lang_col)
+    return (
+        fps.groupBy(F.col(lang_col).alias("lang"), "fp_type2")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.count_distinct(F.col(repo_col)).alias("n_repos"),
+            F.count_distinct(F.col("fp_type1")).alias("n_exact_variants"),
+            F.min(F.col(path_col)).alias("rep_path"),
+        )
+        .where(F.col("n_files") >= min_files)
+    )

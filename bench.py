@@ -146,6 +146,9 @@ BENCH_QUERIES = [
     # round 4: detect-secrets scan + typed redaction + residual
     # re-scan (pure JVM regexp chain, three passes over the corpus)
     "code_secret_scan",
+    # round 4: Type-2 clone groups (comment-strip + token-blind
+    # regexp chain -> one hash agg keyed by the fingerprint)
+    "code_clone_groups",
     # round 4: outbox event routing (filter + template + JSON expand,
     # one fused projection then a small agg)
     "cdc_outbox_route",

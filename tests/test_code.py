@@ -139,3 +139,65 @@ def test_redact_secrets_exact_and_residual_free(spark):
         content_col="content_redacted",
     ).collect()
     assert all(r["n_secrets"] == 0 for r in rescan)
+
+
+def test_clone_fingerprints_type1_layout_invariance(spark):
+    # same tokens, different comments / blank lines / indentation
+    a = "# header one\ndef f(x):\n    return x + 1\n"
+    b = "\n\n# totally different header\ndef f(x):\n\treturn x + 1"
+    rows = A_code.clone_fingerprints(_files(spark, [
+        {"repo": "r1", "path": "a.py", "lang": "python", "content": a},
+        {"repo": "r2", "path": "b.py", "lang": "python", "content": b},
+    ])).collect()
+    by_path = {r["path"]: r for r in rows}
+    assert by_path["a.py"]["fp_type1"] == by_path["b.py"]["fp_type1"]
+    assert by_path["a.py"]["fp_type2"] == by_path["b.py"]["fp_type2"]
+
+
+def test_clone_fingerprints_type2_rename_and_literals(spark):
+    # renamed identifiers + changed string/number literals: Type-2
+    # clone (same fp_type2) but NOT Type-1 (different fp_type1)
+    a = 'def total(items):\n    msg = "empty"\n    return len(items) + 10'
+    b = 'def suma(xs):\n    note = "none!"\n    return len(xs) + 999'
+    # structurally different file: extra statement
+    c = 'def total(items):\n    msg = "empty"\n    msg = msg\n    return len(items) + 10'
+    rows = A_code.clone_fingerprints(_files(spark, [
+        {"repo": "r1", "path": "a.py", "lang": "python", "content": a},
+        {"repo": "r2", "path": "b.py", "lang": "python", "content": b},
+        {"repo": "r3", "path": "c.py", "lang": "python", "content": c},
+    ])).collect()
+    by_path = {r["path"]: r for r in rows}
+    assert by_path["a.py"]["fp_type2"] == by_path["b.py"]["fp_type2"]
+    assert by_path["a.py"]["fp_type1"] != by_path["b.py"]["fp_type1"]
+    assert by_path["a.py"]["fp_type2"] != by_path["c.py"]["fp_type2"]
+
+
+def test_clone_groups_counts_and_survivor(spark):
+    a = "v = 'x'\nprint(v)"
+    b = "w = 'yyy'\nprint(w)"          # Type-2 clone of a
+    c = "v = 'x'\n# note\nprint(v)"    # Type-1 clone of a (comment only)
+    d = "if v:\n    print(1)"          # unrelated
+    out = A_code.clone_groups(_files(spark, [
+        {"repo": "r1", "path": "p/a.py", "lang": "python", "content": a},
+        {"repo": "r2", "path": "p/b.py", "lang": "python", "content": b},
+        {"repo": "r1", "path": "p/c.py", "lang": "python", "content": c},
+        {"repo": "r3", "path": "p/d.py", "lang": "python", "content": d},
+    ])).collect()
+    assert len(out) == 1
+    g = out[0]
+    assert g["n_files"] == 3
+    assert g["n_repos"] == 2
+    # a+c share fp_type1 (comment-only diff); b differs -> 2 variants
+    assert g["n_exact_variants"] == 2
+    assert g["rep_path"] == "p/a.py"
+
+
+def test_clone_groups_lang_split(spark):
+    # identical blinded shape in two languages must NOT group
+    a = "x = 1"
+    b = "y = 2"
+    out = A_code.clone_groups(_files(spark, [
+        {"repo": "r1", "path": "a.py", "lang": "python", "content": a},
+        {"repo": "r2", "path": "b.go", "lang": "go", "content": b},
+    ])).collect()
+    assert out == []
