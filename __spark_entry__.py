@@ -778,6 +778,27 @@ def code_clone_groups(spark, sf):
     )
 
 
+def code_repo_overlap(spark, sf):
+    """Fork/mirror candidate pairs (analytics/code.py repo_overlap —
+    The Stack's fork-collapse problem): plant deterministic forks
+    (every 9th file also lands in a fork_<n> repo), hash contents,
+    and rank repo pairs by shared-file count + Jaccard over distinct
+    contents via an inverted-index self-join on the hash — never
+    repo × repo, hot hashes (boilerplate shared everywhere) dropped
+    from the join by the max_repos_per_hash guard.  The oracle
+    recomputes postings, guard, pair counts, and Jaccard in SQL."""
+    from airbyte_spark.analytics import code as A_code
+
+    files = _code_files(spark, sf)
+    fid = F.regexp_extract("path", r"f_([0-9]+)\.", 1).cast("long")
+    forks = files.where(fid % 9 == 0).withColumn(
+        "repo", F.concat(F.lit("fork_"), (fid % 40).cast("string"))
+    )
+    return A_code.repo_overlap(files.unionByName(forks)).select(
+        "repo_a", "repo_b", "n_shared", "n_a", "n_b", "jaccard"
+    )
+
+
 def cdc_outbox_route(spark, sf):
     """Outbox event routing (engine/outbox.py — Debezium EventRouter
     parity): synthesize an outbox changelog from the events table
@@ -2945,6 +2966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_repo_pack": code_repo_pack,
         "code_secret_scan": code_secret_scan,
         "code_clone_groups": code_clone_groups,
+        "code_repo_overlap": code_repo_overlap,
         "cdc_outbox_route": cdc_outbox_route,
         "cdc_debezium_decode": cdc_debezium_decode,
         "events_airbyte_roundtrip": events_airbyte_roundtrip,
@@ -4096,6 +4118,40 @@ SELECT lang, fp_type2,
 FROM fp
 GROUP BY 1, 2
 HAVING count(*) >= 2
+""",
+        "code_repo_overlap": f"""
+WITH cf AS ({_CODE_FILES_SQL}),
+allf AS (
+  SELECT repo, content FROM cf
+  UNION ALL
+  SELECT 'fork_' || CAST(CAST(regexp_extract(path, 'f_([0-9]+)\\.', 1) AS BIGINT) % 40 AS VARCHAR) AS repo,
+         content
+  FROM cf
+  WHERE CAST(regexp_extract(path, 'f_([0-9]+)\\.', 1) AS BIGINT) % 9 = 0
+),
+postings AS (
+  SELECT DISTINCT repo, md5(content) AS h FROM allf
+),
+sizes AS (
+  SELECT repo, CAST(count(*) AS BIGINT) AS n FROM postings GROUP BY 1
+),
+guarded AS (
+  SELECT p.repo, p.h FROM postings p
+  JOIN (SELECT h FROM postings GROUP BY h HAVING count(*) <= 256) g
+    ON p.h = g.h
+),
+pairs AS (
+  SELECT a.repo AS repo_a, b.repo AS repo_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM guarded a JOIN guarded b ON a.h = b.h AND a.repo < b.repo
+  GROUP BY 1, 2
+  HAVING count(*) >= 1
+)
+SELECT p.repo_a, p.repo_b, p.n_shared, sa.n AS n_a, sb.n AS n_b,
+  round(p.n_shared / (sa.n + sb.n - p.n_shared), 4) AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.repo = p.repo_a
+JOIN sizes sb ON sb.repo = p.repo_b
 """,
         "doc_dsir_sample": f"""
 WITH d AS (

@@ -344,3 +344,68 @@ def clone_groups(
         )
         .where(F.col("n_files") >= min_files)
     )
+
+
+def repo_overlap(
+    df: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    content_col: str = "content",
+    min_shared: int = 1,
+    max_repos_per_hash: int = 256,
+) -> DataFrame:
+    """Fork/mirror candidate pairs: repos ranked by how many exact
+    file contents they share — The Stack's fork-collapse problem
+    (Kocetkov et al. 2022 §3.1 dedups files across forks; the
+    repo-pair view is what you need to pick ONE canonical repo).
+
+    Shape: an inverted index on the content hash — distinct
+    (repo, md5) postings, self-joined on the hash — never repo ×
+    repo.  Cost is sum over hashes of (repos sharing it)², so
+    boilerplate files shared by thousands of repos (empty
+    __init__.py, vendored LICENSE texts) are the hot keys; postings
+    on hashes present in more than ``max_repos_per_hash`` repos are
+    dropped from the JOIN ONLY (the same ``max_token_df`` guard the
+    n-gram index uses) — a file every repo carries says nothing
+    about fork lineage anyway.  Per-repo sizes for the Jaccard
+    denominator stay un-guarded (distinct contents per repo), so
+    the similarity is conservative: dropped hot files can only
+    lower it.
+
+    Returns (repo_a, repo_b, n_shared, n_a, n_b, jaccard) with
+    repo_a < repo_b, ``n_shared >= min_shared``; jaccard is over
+    distinct content hashes, rounded to 4 for cross-engine compare."""
+    h = F.md5(F.col(content_col)).alias("h")
+    postings = df.select(F.col(repo_col).alias("repo"), h).distinct()
+    sizes = postings.groupBy("repo").agg(F.count(F.lit(1)).alias("n"))
+    guarded = postings.join(
+        postings.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= max_repos_per_hash)
+        .select("h"),
+        "h",
+    )
+    a, b = guarded.alias("a"), guarded.alias("b")
+    pairs = (
+        a.join(b, "h")
+        .where(F.col("a.repo") < F.col("b.repo"))
+        .groupBy(
+            F.col("a.repo").alias("repo_a"), F.col("b.repo").alias("repo_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    return (
+        pairs.join(sizes.select(F.col("repo").alias("repo_a"),
+                                F.col("n").alias("n_a")), "repo_a")
+        .join(sizes.select(F.col("repo").alias("repo_b"),
+                           F.col("n").alias("n_b")), "repo_b")
+        .select(
+            "repo_a", "repo_b", "n_shared", "n_a", "n_b",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                4,
+            ).alias("jaccard"),
+        )
+    )

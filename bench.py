@@ -149,6 +149,9 @@ BENCH_QUERIES = [
     # round 4: Type-2 clone groups (comment-strip + token-blind
     # regexp chain -> one hash agg keyed by the fingerprint)
     "code_clone_groups",
+    # round 4: fork detection — inverted-index self-join on content
+    # hash with a hot-hash guard, Jaccard over distinct contents
+    "code_repo_overlap",
     # round 4: outbox event routing (filter + template + JSON expand,
     # one fused projection then a small agg)
     "cdc_outbox_route",

@@ -201,3 +201,42 @@ def test_clone_groups_lang_split(spark):
         {"repo": "r2", "path": "b.go", "lang": "go", "content": b},
     ])).collect()
     assert out == []
+
+
+def test_repo_overlap_pairs_and_jaccard(spark):
+    rows = [
+        {"repo": "A", "path": "1", "lang": "python", "content": "f1"},
+        {"repo": "A", "path": "2", "lang": "python", "content": "f2"},
+        {"repo": "A", "path": "3", "lang": "python", "content": "f3"},
+        {"repo": "B", "path": "1", "lang": "python", "content": "f1"},
+        {"repo": "B", "path": "2", "lang": "python", "content": "f2"},
+        {"repo": "C", "path": "4", "lang": "python", "content": "f4"},
+    ]
+    out = A_code.repo_overlap(_files(spark, rows)).collect()
+    assert len(out) == 1
+    p = out[0]
+    assert (p["repo_a"], p["repo_b"]) == ("A", "B")
+    assert p["n_shared"] == 2 and p["n_a"] == 3 and p["n_b"] == 2
+    assert p["jaccard"] == round(2 / 3, 4)
+
+
+def test_repo_overlap_hot_hash_guard_and_within_repo_dups(spark):
+    # 'boiler' is in every repo -> guarded out of the join; repo D
+    # carries the same content twice -> counted once in its size
+    rows = [
+        {"repo": "D", "path": "1", "lang": "python", "content": "boiler"},
+        {"repo": "D", "path": "1b", "lang": "python", "content": "boiler"},
+        {"repo": "D", "path": "2", "lang": "python", "content": "only-d"},
+        {"repo": "E", "path": "1", "lang": "python", "content": "boiler"},
+        {"repo": "E", "path": "2", "lang": "python", "content": "shared"},
+        {"repo": "G", "path": "1", "lang": "python", "content": "boiler"},
+        {"repo": "G", "path": "2", "lang": "python", "content": "shared"},
+    ]
+    out = A_code.repo_overlap(_files(spark, rows), max_repos_per_hash=2).collect()
+    # boiler spans 3 repos > 2 -> only the E/G 'shared' pair survives;
+    # sizes stay un-guarded (D=2 distinct, E=G=2)
+    assert len(out) == 1
+    p = out[0]
+    assert (p["repo_a"], p["repo_b"]) == ("E", "G")
+    assert p["n_shared"] == 1 and p["n_a"] == 2 and p["n_b"] == 2
+    assert p["jaccard"] == round(1 / 3, 4)
