@@ -799,6 +799,41 @@ def code_repo_overlap(spark, sf):
     )
 
 
+def code_import_depth(spark, sf):
+    """Repo-local dependency depth (analytics/code.py
+    extract_imports / resolve_imports / import_depth — the
+    DeepSeek-Coder repo-topological-ordering layer): plant
+    lang-correct import lines (f_<id> imports f_<id-40>, same repo
+    by construction; sql files import nothing), regex-extract the
+    modules, resolve them to sibling files by stem, and compute each
+    file's longest-chain depth with ONE per-repo Arrow-batched graph
+    peel — no iterative Spark joins.  The oracle recomputes the
+    edges and depths with a recursive CTE (longest downstream walk),
+    pinning the graph layer exactly."""
+    from airbyte_spark.analytics import code as A_code
+
+    files = _code_files(spark, sf)
+    fid = F.regexp_extract("path", r"f_([0-9]+)\.", 1).cast("long")
+    dep = (fid - 40).cast("string")
+    imp = (
+        F.when(
+            (fid >= 40) & (F.col("lang") == "python"),
+            F.concat(F.lit("import f_"), dep, F.lit("\n")),
+        )
+        .when(
+            (fid >= 40) & (F.col("lang") == "java"),
+            F.concat(F.lit("import f_"), dep, F.lit(";\n")),
+        )
+        .when(
+            (fid >= 40) & (F.col("lang") == "go"),
+            F.concat(F.lit('import "f_'), dep, F.lit('"\n')),
+        )
+        .otherwise(F.lit(""))
+    )
+    aug = files.withColumn("content", F.concat(imp, F.col("content")))
+    return A_code.import_depth(aug).select("repo", "path", "depth")
+
+
 def cdc_outbox_route(spark, sf):
     """Outbox event routing (engine/outbox.py — Debezium EventRouter
     parity): synthesize an outbox changelog from the events table
@@ -2967,6 +3002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_secret_scan": code_secret_scan,
         "code_clone_groups": code_clone_groups,
         "code_repo_overlap": code_repo_overlap,
+        "code_import_depth": code_import_depth,
         "cdc_outbox_route": cdc_outbox_route,
         "cdc_debezium_decode": cdc_debezium_decode,
         "events_airbyte_roundtrip": events_airbyte_roundtrip,
@@ -4152,6 +4188,49 @@ SELECT p.repo_a, p.repo_b, p.n_shared, sa.n AS n_a, sb.n AS n_b,
 FROM pairs p
 JOIN sizes sa ON sa.repo = p.repo_a
 JOIN sizes sb ON sb.repo = p.repo_b
+""",
+        "code_import_depth": f"""
+WITH RECURSIVE cf AS ({_CODE_FILES_SQL}),
+aug AS (
+  SELECT repo, path, lang,
+    CASE WHEN fid >= 40 AND lang = 'python'
+           THEN 'import f_' || CAST(fid - 40 AS VARCHAR) || chr(10)
+         WHEN fid >= 40 AND lang = 'java'
+           THEN 'import f_' || CAST(fid - 40 AS VARCHAR) || ';' || chr(10)
+         WHEN fid >= 40 AND lang = 'go'
+           THEN 'import "f_' || CAST(fid - 40 AS VARCHAR) || '"' || chr(10)
+         ELSE '' END || content AS content
+  FROM (SELECT cf.*, CAST(regexp_extract(path, 'f_([0-9]+)\\.', 1) AS BIGINT) AS fid
+        FROM cf)
+),
+imports AS (
+  SELECT repo, path, unnest(list_distinct(
+    regexp_extract_all(content, '(?m)^import +"?([A-Za-z0-9_./]+)"?;?$', 1)
+    || regexp_extract_all(content, '(?m)^from +([A-Za-z0-9_.]+) +import\\b', 1)
+  )) AS module
+  FROM aug
+),
+stems AS (
+  SELECT repo, path AS dst_path,
+    regexp_extract(path, '([A-Za-z0-9_]+)\\.[A-Za-z0-9]+$', 1) AS stem
+  FROM aug
+),
+edges AS (
+  SELECT DISTINCT i.repo, i.path AS src_path, s.dst_path
+  FROM imports i
+  JOIN stems s ON s.repo = i.repo
+    AND s.stem = list_extract(string_split_regex(i.module, '[./]'), -1)
+  WHERE i.path <> s.dst_path
+),
+walk AS (
+  SELECT repo, src_path AS start, dst_path AS cur, 1 AS len FROM edges
+  UNION ALL
+  SELECT w.repo, w.start, e.dst_path, w.len + 1
+  FROM walk w JOIN edges e ON e.repo = w.repo AND e.src_path = w.cur
+)
+SELECT f.repo, f.path, CAST(COALESCE(max(w.len), 0) AS INT) AS depth
+FROM aug f LEFT JOIN walk w ON w.repo = f.repo AND w.start = f.path
+GROUP BY f.repo, f.path
 """,
         "doc_dsir_sample": f"""
 WITH d AS (

@@ -152,6 +152,9 @@ BENCH_QUERIES = [
     # round 4: fork detection — inverted-index self-join on content
     # hash with a hot-hash guard, Jaccard over distinct contents
     "code_repo_overlap",
+    # round 4: repo-local import graph + per-repo Arrow-batched
+    # longest-chain depth (DeepSeek-Coder topological packing layer)
+    "code_import_depth",
     # round 4: outbox event routing (filter + template + JSON expand,
     # one fused projection then a small agg)
     "cdc_outbox_route",

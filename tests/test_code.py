@@ -240,3 +240,84 @@ def test_repo_overlap_hot_hash_guard_and_within_repo_dups(spark):
     assert (p["repo_a"], p["repo_b"]) == ("E", "G")
     assert p["n_shared"] == 1 and p["n_a"] == 2 and p["n_b"] == 2
     assert p["jaccard"] == round(1 / 3, 4)
+
+
+def test_extract_and_resolve_imports_syntaxes(spark):
+    rows = [
+        {"repo": "r", "path": "src/a.py", "lang": "python",
+         "content": "import b\nfrom c import thing\nimport os\n"},
+        {"repo": "r", "path": "src/b.java", "lang": "java",
+         "content": "import pkg.c;\nint x;"},
+        {"repo": "r", "path": "src/c.go", "lang": "go",
+         "content": 'import "lib/b"\nfunc main() {}'},
+        {"repo": "other", "path": "src/b.py", "lang": "python",
+         "content": "pass"},  # same stem, different repo: never an edge
+    ]
+    edges = {
+        (e["src_path"], e["dst_path"])
+        for e in A_code.resolve_imports(_files(spark, rows)).collect()
+        if e["repo"] == "r"
+    }
+    # a -> b (import b), a -> c (from c import), b -> c (pkg.c),
+    # c -> b (quoted go path); 'import os' dangles and drops
+    assert edges == {
+        ("src/a.py", "src/b.java"),
+        ("src/a.py", "src/c.go"),
+        ("src/b.java", "src/c.go"),
+        ("src/c.go", "src/b.java"),
+    }
+
+
+def _depths_of(spark, rows):
+    out = A_code.import_depth(_files(spark, rows)).collect()
+    return {r["path"]: r["depth"] for r in out}
+
+
+def test_import_depth_chain_and_diamond(spark):
+    rows = [
+        # diamond: a -> b, a -> c, b -> d, c -> d
+        {"repo": "r", "path": "a.py", "lang": "python",
+         "content": "import b\nimport c"},
+        {"repo": "r", "path": "b.py", "lang": "python", "content": "import d"},
+        {"repo": "r", "path": "c.py", "lang": "python", "content": "import d"},
+        {"repo": "r", "path": "d.py", "lang": "python", "content": "pass"},
+        # dangling import only -> depth 0
+        {"repo": "r", "path": "e.py", "lang": "python", "content": "import numpy"},
+    ]
+    d = _depths_of(spark, rows)
+    assert d == {"a.py": 2, "b.py": 1, "c.py": 1, "d.py": 0, "e.py": 0}
+
+
+def test_import_depth_cycle_marks_minus_one(spark):
+    rows = [
+        {"repo": "r", "path": "x.py", "lang": "python", "content": "import y"},
+        {"repo": "r", "path": "y.py", "lang": "python", "content": "import x"},
+        # downstream of the cycle: also unplaceable
+        {"repo": "r", "path": "z.py", "lang": "python", "content": "import x"},
+        {"repo": "r", "path": "w.py", "lang": "python", "content": "pass"},
+    ]
+    d = _depths_of(spark, rows)
+    assert d == {"x.py": -1, "y.py": -1, "z.py": -1, "w.py": 0}
+
+
+def test_pack_repo_topo_order(spark):
+    # b depends on a: depth-ordered pack must put a first even though
+    # path order says otherwise
+    rows = [
+        {"repo": "r", "path": "a_late.py", "lang": "python",
+         "content": "import z_base"},
+        {"repo": "r", "path": "z_base.py", "lang": "python",
+         "content": "pass"},
+    ]
+    df = _files(spark, rows)
+    withd = df.join(
+        A_code.import_depth(df).withColumnRenamed("depth", "depth"),
+        ["repo", "path"],
+    )
+    topo = A_code.pack_repo(withd, order_col="depth").collect()[0]
+    expected = "### z_base.py\npass\n\n### a_late.py\nimport z_base"
+    import hashlib as _h
+    assert topo["packed_sha256"] == _h.sha256(expected.encode()).hexdigest()
+    # default path order differs
+    plain = A_code.pack_repo(df).collect()[0]
+    assert plain["packed_sha256"] != topo["packed_sha256"]
