@@ -834,6 +834,30 @@ def code_import_depth(spark, sf):
     return A_code.import_depth(aug).select("repo", "path", "depth")
 
 
+def code_curate_corpus(spark, sf):
+    """The composed code-curation pipeline, end to end — the code
+    twin of doc_clean_corpus_full: The-Stack line gates -> license
+    filter (permissive or untagged) -> Type-2 clone collapse (keep
+    the lexicographic-min member of every (lang, fingerprint) group;
+    the window key IS a hash, so no skew) -> StarCoder repo-context
+    packing.  Stage order is the published recipe's: cheap JVM
+    gates first so the fingerprint chain runs only on survivors.
+    The per-repo sha256 pins exact surviving content AND ordering;
+    the oracle recomputes all four stages in SQL."""
+    from airbyte_spark.analytics import code as A_code
+
+    files = A_code.detect_license(A_code.line_stats(_code_files(spark, sf)))
+    kept = files.filter(
+        F.col("keep_code") & F.col("license_class").isin("permissive", "none")
+    ).select("repo", "path", "lang", "content")
+    fps = A_code.clone_fingerprints(kept)
+    w = Window.partitionBy("lang", "fp_type2")
+    surv = fps.withColumn("_rep", F.min("path").over(w)).where(
+        F.col("path") == F.col("_rep")
+    )
+    return A_code.pack_repo(surv)
+
+
 def cdc_outbox_route(spark, sf):
     """Outbox event routing (engine/outbox.py — Debezium EventRouter
     parity): synthesize an outbox changelog from the events table
@@ -3003,6 +3027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_clone_groups": code_clone_groups,
         "code_repo_overlap": code_repo_overlap,
         "code_import_depth": code_import_depth,
+        "code_curate_corpus": code_curate_corpus,
         "cdc_outbox_route": cdc_outbox_route,
         "cdc_debezium_decode": cdc_debezium_decode,
         "events_airbyte_roundtrip": events_airbyte_roundtrip,
@@ -4231,6 +4256,62 @@ walk AS (
 SELECT f.repo, f.path, CAST(COALESCE(max(w.len), 0) AS INT) AS depth
 FROM aug f LEFT JOIN walk w ON w.repo = f.repo AND w.start = f.path
 GROUP BY f.repo, f.path
+""",
+        "code_curate_corpus": f"""
+WITH cf AS ({_CODE_FILES_SQL}),
+s AS (
+  SELECT repo, path, lang, content, string_split(content, chr(10)) AS lines
+  FROM cf
+),
+g AS (
+  SELECT repo, path, lang, content,
+    (list_max(list_transform(lines, x -> length(x))) <= 1000
+     AND round((length(content) - (len(lines) - 1)) / len(lines), 4) <= 100.0
+     AND round(length(regexp_replace(content, '[^A-Za-z0-9]', '', 'g'))
+               / length(content), 4) >= 0.25) AS keep_code,
+    regexp_extract(content,
+      'SPDX-License-Identifier:\\s*([A-Za-z0-9.+-]+)', 1) AS license_id
+  FROM s
+),
+k AS (
+  SELECT repo, path, lang, content FROM g
+  WHERE keep_code AND (license_id = '' OR license_id IN
+    ('MIT','Apache-2.0','BSD-2-Clause','BSD-3-Clause','ISC','Unlicense'))
+),
+stripped AS (
+  SELECT repo, path, lang, content,
+    array_to_string(
+      list_filter(
+        list_transform(string_split(content, chr(10)),
+                       l -> trim(regexp_replace(l, '[ \\t]+', ' ', 'g'))),
+        l -> l <> '' AND NOT starts_with(l,
+          CASE lang WHEN 'python' THEN '#' WHEN 'sql' THEN '--' ELSE '//' END)
+      ), chr(10)) AS st
+  FROM k
+),
+fp AS (
+  SELECT repo, path, lang, content,
+    md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(st, '[A-Za-z_][A-Za-z0-9_]*', 'I', 'g'),
+        '[0-9]+(\\.[0-9]+)?', 'N', 'g'),
+        '''[^''' || chr(10) || ''']*''', '''S''', 'g'),
+        '"[^"' || chr(10) || ']*"', '"S"', 'g'),
+        '[ \\t]+', ' ', 'g')) AS fp_type2
+  FROM stripped
+),
+surv AS (
+  SELECT repo, path, content FROM (
+    SELECT repo, path, content,
+      min(path) OVER (PARTITION BY lang, fp_type2) AS rep
+    FROM fp
+  ) WHERE path = rep
+)
+SELECT repo, count(*) AS n_files,
+  length(string_agg('### ' || path || chr(10) || content,
+                    chr(10) || chr(10) ORDER BY path)) AS packed_chars,
+  sha256(string_agg('### ' || path || chr(10) || content,
+                    chr(10) || chr(10) ORDER BY path)) AS packed_sha256
+FROM surv GROUP BY repo
 """,
         "doc_dsir_sample": f"""
 WITH d AS (

@@ -155,6 +155,9 @@ BENCH_QUERIES = [
     # round 4: repo-local import graph + per-repo Arrow-batched
     # longest-chain depth (DeepSeek-Coder topological packing layer)
     "code_import_depth",
+    # round 4: composed code-curation pipeline (gates -> license ->
+    # clone collapse -> repo pack), sha256-pinned end to end
+    "code_curate_corpus",
     # round 4: outbox event routing (filter + template + JSON expand,
     # one fused projection then a small agg)
     "cdc_outbox_route",
