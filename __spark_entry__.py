@@ -4151,13 +4151,13 @@ FROM r
 WITH cf AS ({_CODE_FILES_SQL}),
 stripped AS (
   SELECT repo, path, lang,
-    array_to_string(
+    COALESCE(array_to_string(
       list_filter(
         list_transform(string_split(content, chr(10)),
                        l -> trim(regexp_replace(l, '[ \\t]+', ' ', 'g'))),
         l -> l <> '' AND NOT starts_with(l,
           CASE lang WHEN 'python' THEN '#' WHEN 'sql' THEN '--' ELSE '//' END)
-      ), chr(10)) AS s
+      ), chr(10)), '') AS s
   FROM cf
 ),
 fp AS (
@@ -4280,13 +4280,13 @@ k AS (
 ),
 stripped AS (
   SELECT repo, path, lang, content,
-    array_to_string(
+    COALESCE(array_to_string(
       list_filter(
         list_transform(string_split(content, chr(10)),
                        l -> trim(regexp_replace(l, '[ \\t]+', ' ', 'g'))),
         l -> l <> '' AND NOT starts_with(l,
           CASE lang WHEN 'python' THEN '#' WHEN 'sql' THEN '--' ELSE '//' END)
-      ), chr(10)) AS st
+      ), chr(10)), '') AS st
   FROM k
 ),
 fp AS (

@@ -321,3 +321,69 @@ def test_pack_repo_topo_order(spark):
     # default path order differs
     plain = A_code.pack_repo(df).collect()[0]
     assert plain["packed_sha256"] != topo["packed_sha256"]
+
+
+def test_clone_fingerprint_cross_engine_parity(spark):
+    """The clone chain's Java-regex/RE2-shared-subset claim, pinned:
+    300 seeded adversarial code-ish strings (quotes, digits, tabs,
+    markers, mixed-language lines, non-ASCII) must fingerprint
+    byte-identically in Spark and DuckDB."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    rng = random.Random(20260820)
+    atoms = [
+        "x", "_y1", "Var23", "def f(a, b):", "return a+b", "{", "}",
+        "'lit'", '"two words"', "'it''s'", "3.14", "007", "0x1f",
+        "# comment", "// note", "-- sql note", "\t\tindent", "   ",
+        "a.b.c", 's = "a # not comment"', "n=42;", "print('x', 9)",
+        "é", "中文", "'", '"', "x='", "mix 'q' and \"qq\" here",
+    ]
+    langs = ["python", "java", "sql", "go", "rust"]
+    rows = []
+    for i in range(300):
+        n = rng.randint(0, 8)
+        content = "\n".join(rng.choice(atoms) for _ in range(n))
+        rows.append({"repo": "r", "path": f"p{i}", "lang": rng.choice(langs),
+                     "content": content})
+    pdf = pd.DataFrame(rows)
+
+    got = (
+        A_code.clone_fingerprints(spark.createDataFrame(pdf))
+        .select("path", "fp_type1", "fp_type2")
+        .toPandas()
+        .set_index("path")
+        .sort_index()
+    )
+
+    con = duckdb.connect()
+    con.register("files", pdf)
+    exp = con.execute(r"""
+WITH stripped AS (
+  SELECT path,
+    COALESCE(array_to_string(
+      list_filter(
+        list_transform(string_split(content, chr(10)),
+                       l -> trim(regexp_replace(l, '[ \t]+', ' ', 'g'))),
+        l -> l <> '' AND NOT starts_with(l,
+          CASE lang WHEN 'python' THEN '#' WHEN 'sql' THEN '--'
+               WHEN 'java' THEN '//' WHEN 'go' THEN '//'
+               ELSE chr(0) END)
+      ), chr(10)), '') AS s
+  FROM files
+)
+SELECT path,
+  md5(regexp_replace(s, '[ \t]+', ' ', 'g')) AS fp_type1,
+  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(s, '[A-Za-z_][A-Za-z0-9_]*', 'I', 'g'),
+      '[0-9]+(\.[0-9]+)?', 'N', 'g'),
+      '''[^''' || chr(10) || ''']*''', '''S''', 'g'),
+      '"[^"' || chr(10) || ']*"', '"S"', 'g'),
+      '[ \t]+', ' ', 'g')) AS fp_type2
+FROM stripped
+""").df().set_index("path").sort_index()
+
+    assert got["fp_type1"].to_dict() == exp["fp_type1"].to_dict()
+    assert got["fp_type2"].to_dict() == exp["fp_type2"].to_dict()
