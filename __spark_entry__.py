@@ -858,6 +858,24 @@ def code_curate_corpus(spark, sf):
     return A_code.pack_repo(surv)
 
 
+def code_neardup_pairs(spark, sf):
+    """Type-3 (near-miss) clone pairs — The Stack's code near-dedup
+    recipe (Kocetkov et al. 2022 §3.1): strip comments/layout but
+    KEEP identifiers (they are the near-dup signal; blinding is for
+    exact Type-2 grouping), then MinHash-LSH band join + exact
+    3-gram Jaccard verify on the candidates only.  Reuses the
+    text-side LSH machinery verbatim over the stripped column — the
+    operator surface is corpus-agnostic.  The oracle brute-forces
+    exact Jaccard over the same stripped streams."""
+    from airbyte_spark.analytics import code as A_code
+
+    stripped = A_code.strip_comments(_code_files(spark, sf))
+    return A_dedup.minhash_lsh_verified_pairs(
+        stripped, text_col="content_stripped", id_col="path",
+        shingle=3, bands=32, threshold=0.5,
+    )
+
+
 def cdc_outbox_route(spark, sf):
     """Outbox event routing (engine/outbox.py — Debezium EventRouter
     parity): synthesize an outbox changelog from the events table
@@ -3028,6 +3046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_repo_overlap": code_repo_overlap,
         "code_import_depth": code_import_depth,
         "code_curate_corpus": code_curate_corpus,
+        "code_neardup_pairs": code_neardup_pairs,
         "cdc_outbox_route": cdc_outbox_route,
         "cdc_debezium_decode": cdc_debezium_decode,
         "events_airbyte_roundtrip": events_airbyte_roundtrip,
@@ -4312,6 +4331,37 @@ SELECT repo, count(*) AS n_files,
   sha256(string_agg('### ' || path || chr(10) || content,
                     chr(10) || chr(10) ORDER BY path)) AS packed_sha256
 FROM surv GROUP BY repo
+""",
+        "code_neardup_pairs": f"""
+WITH cf AS ({_CODE_FILES_SQL}),
+st AS (
+  SELECT path,
+    COALESCE(array_to_string(
+      list_filter(
+        list_transform(string_split(content, chr(10)),
+                       l -> trim(regexp_replace(l, '[ \\t]+', ' ', 'g'))),
+        l -> l <> '' AND NOT starts_with(l,
+          CASE lang WHEN 'python' THEN '#' WHEN 'sql' THEN '--' ELSE '//' END)
+      ), chr(10)), '') AS text
+  FROM cf
+),
+d AS (
+  SELECT path AS id, {_GRAMS3} AS grams
+  FROM st WHERE length(trim(text)) > 0
+),
+s AS (SELECT id, len(grams) AS sz FROM d),
+inv AS (SELECT id, unnest(grams) AS g FROM d),
+inter AS (
+  SELECT a.id AS id1, b.id AS id2, count(*) AS inter
+  FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id1, id2,
+  round(inter / (s1.sz + s2.sz - inter), 4) AS jaccard
+FROM inter
+JOIN s s1 ON id1 = s1.id
+JOIN s s2 ON id2 = s2.id
+WHERE round(inter / (s1.sz + s2.sz - inter), 4) >= 0.5
 """,
         "doc_dsir_sample": f"""
 WITH d AS (

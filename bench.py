@@ -158,6 +158,9 @@ BENCH_QUERIES = [
     # round 4: composed code-curation pipeline (gates -> license ->
     # clone collapse -> repo pack), sha256-pinned end to end
     "code_curate_corpus",
+    # round 4: Type-3 near-miss clone pairs (comment-strip keeps
+    # identifiers; MinHash-LSH band join + exact Jaccard verify)
+    "code_neardup_pairs",
     # round 4: outbox event routing (filter + template + JSON expand,
     # one fused projection then a small agg)
     "cdc_outbox_route",

@@ -387,3 +387,24 @@ FROM stripped
 
     assert got["fp_type1"].to_dict() == exp["fp_type1"].to_dict()
     assert got["fp_type2"].to_dict() == exp["fp_type2"].to_dict()
+
+
+def test_code_neardup_finds_type3_clone(spark):
+    from airbyte_spark.analytics import dedup as A_dedup
+
+    base = "def f(a, b):\n    c = a + b\n    d = c * 2\n    e = d - a\n    return e"
+    # Type-3: one statement edited, one comment added — high overlap
+    near = "# tweaked\ndef f(a, b):\n    c = a + b\n    d = c * 3\n    e = d - a\n    return e"
+    other = "class Z:\n    pass\n\nz = Z()\nprint(z)"
+    rows = [
+        {"repo": "r1", "path": "a.py", "lang": "python", "content": base},
+        {"repo": "r2", "path": "b.py", "lang": "python", "content": near},
+        {"repo": "r3", "path": "c.py", "lang": "python", "content": other},
+    ]
+    stripped = A_code.strip_comments(_files(spark, rows))
+    pairs = A_dedup.minhash_lsh_verified_pairs(
+        stripped, text_col="content_stripped", id_col="path",
+        shingle=3, bands=32, threshold=0.5,
+    ).collect()
+    assert [(p["id1"], p["id2"]) for p in pairs] == [("a.py", "b.py")]
+    assert pairs[0]["jaccard"] >= 0.5
