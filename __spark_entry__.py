@@ -876,6 +876,72 @@ def code_neardup_pairs(spark, sf):
     )
 
 
+def code_curate_incremental(spark, sf):
+    """Incrementally-maintained CURATED corpus (lake/matview.py
+    maintain_filtered) — the A+B fusion: a curated view of a code lake
+    table follows the source under CDC, re-gating only net-changed
+    keys per sync instead of recomputing the corpus (the reference's
+    dbt models rebuild derived tables from scratch every sync).
+
+    Fixture: the code corpus lands as epoch 1 (full maintain), then a
+    MOR batch mutates it by integer rules — every 11th doc grows a
+    1300-char generated line (gate flips OFF: curated row deleted),
+    every 13th (not 11th) is deleted, every 21st (⊂ every-7th, which
+    _code_files built with a 1200-char line) is repaired to 40 chars
+    (gate flips ON: curated row inserted).  The second maintain must
+    be mode=incremental touching exactly the changed keys; the view is
+    then repo-packed, so the sha256 pins every add/drop/edit against
+    the oracle's from-scratch gate over the final state (incremental ≡
+    recompute, value-verified)."""
+    from airbyte_spark.analytics import code as A_code
+    from airbyte_spark.lake.matview import maintain_filtered
+    from airbyte_spark.lake.table import LakeTable
+
+    files = _code_files(spark, sf)
+    root = tempfile.mkdtemp(prefix="lake_curate_")
+    src = LakeTable.create(
+        os.path.join(root, "src"), files.schema, ["path"], n_buckets=8
+    )
+    view = LakeTable.create(
+        os.path.join(root, "view"), files.schema, ["path"], n_buckets=8
+    )
+    src.append(spark, files, epoch=1)                                   # v1
+    r1 = maintain_filtered(spark, src, view,
+                           predicate=A_code.curation_gate())            # full
+
+    did = F.regexp_extract("path", r"f_(\d+)\.", 1).cast("long")
+    d = files.withColumn("_did", did)
+    m11, m13, m21 = (
+        F.col("_did") % 11 == 0, F.col("_did") % 13 == 0,
+        F.col("_did") % 21 == 0,
+    )
+    batch = d.filter(m11 | m13 | m21).select(
+        "repo", "path", "lang",
+        F.when(
+            m11, F.concat("content", F.lit("\n"), F.repeat(F.lit("x"), 1300))
+        )
+        .when(m13, F.col("content"))
+        # literal replace, not a regex: RE2 (the oracle side) caps
+        # bounded repetition at {1000}, so 'x{1200}' is inexpressible
+        .otherwise(
+            F.replace("content", F.lit("x" * 1200), F.lit("x" * 40))
+        )
+        .alias("content"),
+        F.when(m11, F.lit("u")).when(m13, F.lit("d"))
+        .otherwise(F.lit("u")).alias("_op"),
+    )
+    src.merge_mor(spark, batch, order_cols=["path"], op_col="_op",
+                  delete_value="d", epoch=2)                            # v2
+    r2 = maintain_filtered(spark, src, view,
+                           predicate=A_code.curation_gate())
+    return A_code.pack_repo(view.read(spark)).select(
+        F.lit(r1["mode"]).alias("mode_first"),
+        F.lit(r2["mode"]).alias("mode_second"),
+        F.lit(r2["rows_touched"]).cast("long").alias("rows_touched"),
+        "repo", "n_files", "packed_chars", "packed_sha256",
+    )
+
+
 def cdc_outbox_route(spark, sf):
     """Outbox event routing (engine/outbox.py — Debezium EventRouter
     parity): synthesize an outbox changelog from the events table
@@ -3047,6 +3113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_import_depth": code_import_depth,
         "code_curate_corpus": code_curate_corpus,
         "code_neardup_pairs": code_neardup_pairs,
+        "code_curate_incremental": code_curate_incremental,
         "cdc_outbox_route": cdc_outbox_route,
         "cdc_debezium_decode": cdc_debezium_decode,
         "events_airbyte_roundtrip": events_airbyte_roundtrip,
@@ -4362,6 +4429,48 @@ FROM inter
 JOIN s s1 ON id1 = s1.id
 JOIN s s2 ON id2 = s2.id
 WHERE round(inter / (s1.sz + s2.sz - inter), 4) >= 0.5
+""",
+        "code_curate_incremental": f"""
+WITH cf AS ({_CODE_FILES_SQL}),
+ids AS (
+  SELECT *, CAST(regexp_extract(path, 'f_(\\d+)\\.', 1) AS BIGINT) AS did
+  FROM cf
+),
+fin AS (
+  SELECT repo, path,
+    CASE WHEN did % 11 = 0 THEN content || chr(10) || repeat('x', 1300)
+         WHEN did % 21 = 0
+           THEN replace(content, repeat('x', 1200), repeat('x', 40))
+         ELSE content END AS content
+  FROM ids
+  WHERE NOT (did % 13 = 0 AND did % 11 <> 0)
+),
+g AS (
+  SELECT repo, path, content,
+    (list_max(list_transform(string_split(content, chr(10)),
+                             x -> length(x))) <= 1000
+     AND round((length(content) - (len(string_split(content, chr(10))) - 1))
+               / len(string_split(content, chr(10))), 4) <= 100.0
+     AND round(length(regexp_replace(content, '[^A-Za-z0-9]', '', 'g'))
+               / length(content), 4) >= 0.25) AS keep_code,
+    regexp_extract(content,
+      'SPDX-License-Identifier:\\s*([A-Za-z0-9.+-]+)', 1) AS license_id
+  FROM fin
+),
+k AS (
+  SELECT repo, path, content FROM g
+  WHERE keep_code AND (license_id = '' OR license_id IN
+    ('MIT','Apache-2.0','BSD-2-Clause','BSD-3-Clause','ISC','Unlicense'))
+)
+SELECT 'full' AS mode_first, 'incremental' AS mode_second,
+  (SELECT count(*) FROM ids
+   WHERE did % 11 = 0 OR did % 13 = 0 OR did % 21 = 0) AS rows_touched,
+  repo, count(*) AS n_files,
+  length(string_agg('### ' || path || chr(10) || content,
+                    chr(10) || chr(10) ORDER BY path)) AS packed_chars,
+  sha256(string_agg('### ' || path || chr(10) || content,
+                    chr(10) || chr(10) ORDER BY path)) AS packed_sha256
+FROM k GROUP BY repo
 """,
         "doc_dsir_sample": f"""
 WITH d AS (

@@ -125,6 +125,37 @@ def detect_license(df: DataFrame, content_col: str = "content") -> DataFrame:
     )
 
 
+def curation_gate(content_col: str = "content",
+                  lang_col: str = "lang") -> Column:
+    """The row-local curation gate as ONE unbound Column: The-Stack
+    line gates AND redistributable license (permissive or untagged) —
+    exactly ``line_stats().keep_code AND detect_license()
+    .license_class IN ('permissive', 'none')``, factored as an
+    expression (parity-pinned in tests) so callers that only need the
+    verdict — e.g. the incrementally-maintained curated view — can
+    gate without materializing the wide signal columns."""
+    c = F.col(content_col)
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines)
+    sum_len = F.length(c) - (n_lines - F.lit(1))
+    alnum = F.length(F.regexp_replace(c, "[^A-Za-z0-9]", ""))
+    keep = (
+        (F.array_max(F.transform(lines, F.length)) <= MAX_LINE_LEN)
+        & (F.round(sum_len / n_lines, 4) <= MAX_AVG_LINE_LEN)
+        & (
+            F.round(
+                F.when(F.length(c) > 0, alnum / F.length(c)).otherwise(
+                    F.lit(0.0)
+                ),
+                4,
+            )
+            >= MIN_ALNUM_FRAC
+        )
+    )
+    spdx = F.regexp_extract(c, _SPDX_RE, 1)
+    return keep & ((spdx == "") | spdx.isin(_PERMISSIVE))
+
+
 def pack_repo(
     df: DataFrame,
     repo_col: str = "repo",

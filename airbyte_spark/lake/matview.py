@@ -149,3 +149,90 @@ def maintain_sums(
                epoch=until, stream=stream)
     return {"mode": "incremental", "since": since, "until": until,
             "groups_touched": n}
+
+
+FILTER_STREAM = "matview_filter"
+
+
+def maintain_filtered(
+    spark: SparkSession,
+    src: LakeTable,
+    view: LakeTable,
+    *,
+    predicate,
+    stream: str = FILTER_STREAM,
+) -> dict:
+    """Row-level FILTERED view — a curated subset of ``src`` kept in
+    sync without rescanning it.  Per sync the source's NET changelog
+    (:meth:`LakeTable.read_changes_net` — at most one row per key,
+    intermediate states removed) is gated by ``predicate`` (an unbound
+    Column over the source schema): passers upsert into the view,
+    gate-failers and deletes tombstone out.  Work per sync is O(net
+    changed keys) + one bucket-pruned merge — never O(source).
+
+    Filters are trivially self-maintainable (each view row depends on
+    exactly one source row), so unlike :func:`maintain_sums` there is
+    no retraction arithmetic: the view row is recomputed from the
+    key's final image.  A key whose update flips the gate OFF is
+    deleted from the view; a repair that flips it ON inserts it.  This
+    is the incremental twin of the code-curation gate stage — a
+    curated corpus that follows the source under CDC (the reference's
+    dbt models recompute such derived tables from scratch every sync).
+
+    Cursor/fallback rules are maintain_sums's: the view's epoch gate
+    IS the cursor (new rows + cursor land in one atomic snapshot); a
+    history-folding source commit or vacuum-expired cursor falls back
+    to a full recompute; noop when already current.  Deleting a key
+    the gate had already excluded merges a tombstone for an absent
+    key — a structural no-op inside an already-rewritten bucket.
+
+    Returns ``{"mode": noop|full|incremental, "since", "until",
+    "rows_touched": n}``.
+    """
+    s_snap, v_snap = src.snapshot(), view.snapshot()
+    if sorted(v_snap.key_cols) != sorted(s_snap.key_cols):
+        raise ValueError(
+            f"view table must be keyed like the source {s_snap.key_cols}, "
+            f"got {v_snap.key_cols}"
+        )
+    names = [f["name"] for f in s_snap.fields]
+    if [f["name"] for f in v_snap.fields] != names:
+        raise ValueError("filtered view schema must equal the source schema")
+
+    def _full(until: int) -> dict:
+        kept = src.read(spark).filter(predicate).select(*names)
+        n = kept.count()
+        view.overwrite(spark, kept, epoch=until, stream=stream)
+        return {"mode": "full", "until": until, "rows_touched": n}
+
+    since = view.last_epoch(stream)
+    until = s_snap.version
+    if since >= until:
+        return {"mode": "noop", "since": since, "until": since,
+                "rows_touched": 0}
+    if since < 0:
+        return {"since": -1, **_full(until)}
+
+    try:
+        net = src.read_changes_net(
+            spark, since, until_version=until, skip_maintenance=True
+        )
+    except ValueError:
+        return {"since": since, **_full(until)}
+
+    batch = net.select(
+        *names,
+        F.when(F.col("_change_type") == "delete", F.lit("d"))
+        .when(predicate, F.lit("u"))
+        .otherwise(F.lit("d"))
+        .alias("_op"),
+    )
+    n = batch.count()
+    if n == 0:
+        view.commit_epoch(until, stream=stream)
+        return {"mode": "incremental", "since": since, "until": until,
+                "rows_touched": 0}
+    view.merge(spark, batch, op_col="_op", delete_value="d",
+               epoch=until, stream=stream)
+    return {"mode": "incremental", "since": since, "until": until,
+            "rows_touched": n}

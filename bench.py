@@ -161,6 +161,9 @@ BENCH_QUERIES = [
     # round 4: Type-3 near-miss clone pairs (comment-strip keeps
     # identifiers; MinHash-LSH band join + exact Jaccard verify)
     "code_neardup_pairs",
+    # round 4: incrementally-maintained curated corpus (filtered view
+    # from the net changelog — O(changed keys), never O(source))
+    "code_curate_incremental",
     # round 4: outbox event routing (filter + template + JSON expand,
     # one fused projection then a small agg)
     "cdc_outbox_route",

@@ -6,6 +6,7 @@ DuckDB (code_quality_signals / code_license_scan / code_repo_pack)."""
 import hashlib
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from airbyte_spark.analytics import code as A_code
 
@@ -408,3 +409,18 @@ def test_code_neardup_finds_type3_clone(spark):
     ).collect()
     assert [(p["id1"], p["id2"]) for p in pairs] == [("a.py", "b.py")]
     assert pairs[0]["jaccard"] >= 0.5
+
+
+def test_curation_gate_equals_composed_stages(spark):
+    import __spark_entry__ as E
+
+    files = E._code_files(spark, "/root/testdata/sf0.001")
+    composed = A_code.detect_license(A_code.line_stats(files)).select(
+        "path",
+        (F.col("keep_code")
+         & F.col("license_class").isin("permissive", "none")).alias("want"),
+    )
+    got = files.select("path", A_code.curation_gate().alias("got"))
+    j = composed.join(got, "path")
+    assert j.count() > 0
+    assert j.filter(F.col("want") != F.col("got")).count() == 0

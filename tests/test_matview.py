@@ -222,3 +222,91 @@ def test_matview_matches_recompute_any_history(spark, tmp_path):
         assert _view_state(spark, view) == _recompute(spark, src)
 
     run()
+
+
+# --- maintain_filtered: row-level curated view -----------------------
+
+def _gate():  # the curation-gate stand-in (lazy: needs a live session)
+    return F.col("lsn") % 2 == 0
+
+
+def _filtered_pair(spark, tmp_path):
+    src = LakeTable.create(str(tmp_path / "fs"), SCHEMA, ["repo", "path"],
+                           n_buckets=4)
+    view = LakeTable.create(str(tmp_path / "fv"), SCHEMA, ["repo", "path"],
+                            n_buckets=4)
+    src.append(spark, _batch(spark, 0, 20), epoch=1)
+    return src, view
+
+
+def _filter_recompute(spark, src):
+    return {(r["path"], r["lsn"])
+            for r in src.read(spark).filter(_gate()).collect()}
+
+
+def _filter_state(spark, view):
+    return {(r["path"], r["lsn"]) for r in view.read(spark).collect()}
+
+
+def test_filtered_view_gate_flips_both_ways(spark, tmp_path):
+    from airbyte_spark.lake.matview import maintain_filtered
+
+    src, view = _filtered_pair(spark, tmp_path)
+    r = maintain_filtered(spark, src, view, predicate=_gate())
+    assert r["mode"] == "full" and r["rows_touched"] == 10
+    assert _filter_state(spark, view) == _filter_recompute(spark, src)
+    assert maintain_filtered(spark, src, view,
+                             predicate=_gate())["mode"] == "noop"
+
+    op_schema = StructType(list(SCHEMA.fields)).add("op", StringType())
+    src.merge_mor(
+        spark,
+        spark.createDataFrame(
+            [Row(repo="r0", path="p0", lsn=1, ts=T0, op="u"),    # ON -> OFF
+             Row(repo="r1", path="p1", lsn=100, ts=T0, op="u"),  # OFF -> ON
+             Row(repo="r2", path="p2", lsn=50, ts=T0, op="d"),   # in-view del
+             Row(repo="r0", path="p3", lsn=51, ts=T0, op="d"),   # absent del
+             Row(repo="r1", path="p4", lsn=200, ts=T0, op="u")], # ON update
+            op_schema,
+        ),
+        order_cols=["lsn"], op_col="op", delete_value="d", epoch=2,
+    )
+    src.compact(spark)  # content-preserving: must NOT force a full pass
+    r = maintain_filtered(spark, src, view, predicate=_gate())
+    assert r["mode"] == "incremental" and r["rows_touched"] == 5
+    assert _filter_state(spark, view) == _filter_recompute(spark, src)
+    assert ("p1", 100) in _filter_state(spark, view)      # gate flipped ON
+    # crash-replay: epoch-gated structural no-op
+    assert maintain_filtered(spark, src, view,
+                             predicate=_gate())["mode"] == "noop"
+    assert _filter_state(spark, view) == _filter_recompute(spark, src)
+
+
+def test_filtered_view_history_fold_forces_full(spark, tmp_path):
+    from airbyte_spark.lake.matview import maintain_filtered
+
+    src, view = _filtered_pair(spark, tmp_path)
+    maintain_filtered(spark, src, view, predicate=_gate())
+    src.merge(spark, _batch(spark, 0, 5).withColumn(
+        "lsn", F.col("lsn") + 500), epoch=2)  # COW fold
+    r = maintain_filtered(spark, src, view, predicate=_gate())
+    assert r["mode"] == "full"
+    assert _filter_state(spark, view) == _filter_recompute(spark, src)
+
+
+def test_filtered_view_schema_and_key_validation(spark, tmp_path):
+    from airbyte_spark.lake.matview import maintain_filtered
+
+    src, _ = _filtered_pair(spark, tmp_path)
+    badkey = LakeTable.create(str(tmp_path / "bk"), SCHEMA, ["path"],
+                              n_buckets=2)
+    with pytest.raises(ValueError, match="keyed like the source"):
+        maintain_filtered(spark, src, badkey, predicate=_gate())
+    badschema = LakeTable.create(
+        str(tmp_path / "bs"),
+        StructType([StructField("repo", StringType()),
+                    StructField("path", StringType())]),
+        ["repo", "path"], n_buckets=2,
+    )
+    with pytest.raises(ValueError, match="schema must equal"):
+        maintain_filtered(spark, src, badschema, predicate=_gate())
