@@ -942,6 +942,40 @@ def code_curate_incremental(spark, sf):
     )
 
 
+def code_function_spans(spark, sf):
+    """Definition-level corpus splitting (analytics/code.py
+    function_spans — the function-level dataset cut of CodeSearchNet /
+    The Stack v2): each file splits at top-level definition starts
+    (lang-dispatched line-anchored regex, Java-regex/RE2-shared
+    subset), spans running to the next start or EOF.  The fixture
+    plants 2-3 lang-appropriate definitions per file (incl. a go
+    receiver method and a lowercase SQL create) so kind/name/bounds/
+    body-sha256 are all value-pinned; span discovery is per-file array
+    work in-task — no line-level explode, no extra shuffle."""
+    from airbyte_spark.analytics import code as A_code
+
+    files = _code_files(spark, sf)
+    did = F.regexp_extract("path", r"f_(\d+)\.", 1)
+    m = (did.cast("long") % 7).cast("string")
+    block = (
+        F.when(F.col("lang") == "python", F.concat(
+            F.lit("\ndef fn_"), did, F.lit("(a):\n    return a + "), m,
+            F.lit("\nclass C"), did, F.lit(":\n    pass")))
+        .when(F.col("lang") == "java", F.concat(
+            F.lit("\nclass C"), did, F.lit(" {\n    int x = "), m,
+            F.lit(";\n}\ninterface I"), did, F.lit(" {\n}")))
+        .when(F.col("lang") == "sql", F.concat(
+            F.lit("\nCREATE TABLE t"), did, F.lit(" (x INT);\ncreate view v"),
+            did, F.lit(" AS SELECT "), m))
+        .otherwise(F.concat(
+            F.lit("\nfunc fn"), did, F.lit("() int {\n    return "), m,
+            F.lit("\n}\nfunc (r T"), did, F.lit(") M() {\n}\ntype T"), did,
+            F.lit(" struct {\n}")))
+    )
+    planted = files.withColumn("content", F.concat("content", block))
+    return A_code.function_spans(planted)
+
+
 def cdc_outbox_route(spark, sf):
     """Outbox event routing (engine/outbox.py — Debezium EventRouter
     parity): synthesize an outbox changelog from the events table
@@ -3114,6 +3148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_curate_corpus": code_curate_corpus,
         "code_neardup_pairs": code_neardup_pairs,
         "code_curate_incremental": code_curate_incremental,
+        "code_function_spans": code_function_spans,
         "cdc_outbox_route": cdc_outbox_route,
         "cdc_debezium_decode": cdc_debezium_decode,
         "events_airbyte_roundtrip": events_airbyte_roundtrip,
@@ -4471,6 +4506,74 @@ SELECT 'full' AS mode_first, 'incremental' AS mode_second,
   sha256(string_agg('### ' || path || chr(10) || content,
                     chr(10) || chr(10) ORDER BY path)) AS packed_sha256
 FROM k GROUP BY repo
+""",
+        "code_function_spans": f"""
+WITH cf AS ({_CODE_FILES_SQL}),
+ids AS (
+  SELECT repo, path, lang, content,
+    regexp_extract(path, 'f_(\\d+)\\.', 1) AS did FROM cf
+),
+pl AS (
+  SELECT repo, path, lang, content ||
+    CASE lang
+      WHEN 'python' THEN chr(10) || 'def fn_' || did || '(a):' || chr(10) ||
+        '    return a + ' || (CAST(did AS BIGINT) % 7) || chr(10) ||
+        'class C' || did || ':' || chr(10) || '    pass'
+      WHEN 'java' THEN chr(10) || 'class C' || did || ' {{' || chr(10) ||
+        '    int x = ' || (CAST(did AS BIGINT) % 7) || ';' || chr(10) ||
+        '}}' || chr(10) || 'interface I' || did || ' {{' || chr(10) || '}}'
+      WHEN 'sql' THEN chr(10) || 'CREATE TABLE t' || did ||
+        ' (x INT);' || chr(10) || 'create view v' || did ||
+        ' AS SELECT ' || (CAST(did AS BIGINT) % 7)
+      ELSE chr(10) || 'func fn' || did || '() int {{' || chr(10) ||
+        '    return ' || (CAST(did AS BIGINT) % 7) || chr(10) || '}}' ||
+        chr(10) || 'func (r T' || did || ') M() {{' || chr(10) || '}}' ||
+        chr(10) || 'type T' || did || ' struct {{' || chr(10) || '}}'
+    END AS content
+  FROM ids
+),
+l AS (
+  SELECT repo, path, lang, string_split(content, chr(10)) AS lines FROM pl
+),
+x AS (
+  SELECT repo, path, lang, lines, unnest(lines) AS line,
+         unnest(range(1, len(lines) + 1)) AS i
+  FROM l
+),
+st AS (
+  SELECT repo, path, lang, lines, i,
+    CASE lang
+      WHEN 'python' THEN regexp_extract(line,
+        '^(def|class)\\s+([A-Za-z_][A-Za-z0-9_]*)', 1)
+      WHEN 'go' THEN regexp_extract(line,
+        '^(func|type)\\s+(?:\\([^)]*\\)\\s*)?([A-Za-z_][A-Za-z0-9_]*)', 1)
+      WHEN 'java' THEN regexp_extract(line,
+        '^(?:(?:public|private|protected|static|final|abstract)\\s+)*(class|interface|enum)\\s+([A-Za-z_][A-Za-z0-9_]*)', 1)
+      ELSE regexp_extract(line,
+        '(?i)^\\s*create\\s+(table|view|function)\\s+([A-Za-z_][A-Za-z0-9_.]*)', 1)
+    END AS kind,
+    CASE lang
+      WHEN 'python' THEN regexp_extract(line,
+        '^(def|class)\\s+([A-Za-z_][A-Za-z0-9_]*)', 2)
+      WHEN 'go' THEN regexp_extract(line,
+        '^(func|type)\\s+(?:\\([^)]*\\)\\s*)?([A-Za-z_][A-Za-z0-9_]*)', 2)
+      WHEN 'java' THEN regexp_extract(line,
+        '^(?:(?:public|private|protected|static|final|abstract)\\s+)*(class|interface|enum)\\s+([A-Za-z_][A-Za-z0-9_]*)', 2)
+      ELSE regexp_extract(line,
+        '(?i)^\\s*create\\s+(table|view|function)\\s+([A-Za-z_][A-Za-z0-9_.]*)', 2)
+    END AS name
+  FROM x
+),
+sp AS (
+  SELECT repo, path, lang, lines, kind, name, i AS start_line,
+    coalesce(lead(i) OVER (PARTITION BY path ORDER BY i) - 1,
+             len(lines)) AS end_line
+  FROM st WHERE kind <> ''
+)
+SELECT repo, path, lang, kind, name, start_line, end_line,
+  end_line - start_line + 1 AS n_span_lines,
+  sha256(array_to_string(lines[start_line:end_line], chr(10))) AS span_sha256
+FROM sp
 """,
         "doc_dsir_sample": f"""
 WITH d AS (

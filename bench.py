@@ -164,6 +164,9 @@ BENCH_QUERIES = [
     # round 4: incrementally-maintained curated corpus (filtered view
     # from the net changelog — O(changed keys), never O(source))
     "code_curate_incremental",
+    # round 4: definition-level corpus splitting (per-file array scan,
+    # no line-level explode; span list is the only explode)
+    "code_function_spans",
     # round 4: outbox event routing (filter + template + JSON expand,
     # one fused projection then a small agg)
     "cdc_outbox_route",

@@ -424,3 +424,33 @@ def test_curation_gate_equals_composed_stages(spark):
     j = composed.join(got, "path")
     assert j.count() > 0
     assert j.filter(F.col("want") != F.col("got")).count() == 0
+
+
+def test_function_spans_exact(spark):
+    import hashlib as _h
+
+    py = "# hdr\ndef f(x):\n    return x\n\nclass K:\n    pass\ntail"
+    go = "package m\nfunc (r *T) M() int {\n\treturn 1\n}\ntype T struct {\n}"
+    plain = "no definitions here\njust prose"
+    rows = [
+        {"repo": "r", "path": "a.py", "lang": "python", "content": py},
+        {"repo": "r", "path": "b.go", "lang": "go", "content": go},
+        {"repo": "r", "path": "c.py", "lang": "python", "content": plain},
+    ]
+    out = {
+        (s["path"], s["name"]): s
+        for s in A_code.function_spans(_files(spark, rows)).collect()
+    }
+    assert set(out) == {("a.py", "f"), ("a.py", "K"), ("b.go", "M"),
+                        ("b.go", "T")}  # no-def file emits nothing
+    f = out[("a.py", "f")]
+    assert (f["kind"], f["start_line"], f["end_line"],
+            f["n_span_lines"]) == ("def", 2, 4, 3)
+    body = "def f(x):\n    return x\n"  # runs to line before next start
+    assert f["span_sha256"] == _h.sha256(body.encode()).hexdigest()
+    k = out[("a.py", "K")]
+    assert (k["kind"], k["start_line"], k["end_line"]) == ("class", 5, 7)
+    m = out[("b.go", "M")]  # receiver method, span ends before 'type'
+    assert (m["kind"], m["start_line"], m["end_line"]) == ("func", 2, 4)
+    t = out[("b.go", "T")]  # EOF-bounded span
+    assert (t["kind"], t["start_line"], t["end_line"]) == ("type", 5, 6)
