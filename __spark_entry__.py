@@ -976,6 +976,25 @@ def code_function_spans(spark, sf):
     return A_code.function_spans(planted)
 
 
+def code_fim_transform(spark, sf):
+    """Fill-in-the-Middle training transform (analytics/code.py
+    fim_transform — Bavarian et al. 2022, applied as StarCoder §3.2):
+    half the corpus splits at two md5-derived character cuts and
+    re-serializes with FIM sentinels (PSM or SPM order, again
+    hash-chosen), the rest passes through as-is.  Everything is
+    engine-shared md5 arithmetic, so the oracle rebuilds each
+    document byte-for-byte (sha256-pinned) — and the transform is
+    partition-independent, which rand() could never be."""
+    from airbyte_spark.analytics import code as A_code
+
+    out = A_code.fim_transform(_code_files(spark, sf))
+    return out.select(
+        "repo", "path", "lang", "fim_mode", "n_prefix", "n_middle",
+        F.length("content").alias("n_chars"),
+        F.sha2("content", 256).alias("content_sha256"),
+    )
+
+
 def cdc_outbox_route(spark, sf):
     """Outbox event routing (engine/outbox.py — Debezium EventRouter
     parity): synthesize an outbox changelog from the events table
@@ -3149,6 +3168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_neardup_pairs": code_neardup_pairs,
         "code_curate_incremental": code_curate_incremental,
         "code_function_spans": code_function_spans,
+        "code_fim_transform": code_fim_transform,
         "cdc_outbox_route": cdc_outbox_route,
         "cdc_debezium_decode": cdc_debezium_decode,
         "events_airbyte_roundtrip": events_airbyte_roundtrip,
@@ -4506,6 +4526,47 @@ SELECT 'full' AS mode_first, 'incremental' AS mode_second,
   sha256(string_agg('### ' || path || chr(10) || content,
                     chr(10) || chr(10) ORDER BY path)) AS packed_sha256
 FROM k GROUP BY repo
+""",
+        "code_fim_transform": f"""
+WITH cf AS ({_CODE_FILES_SQL}),
+b AS (
+  SELECT repo, path, lang, content, length(content) AS n,
+    ('0x' || substr(md5('fim|apply' || path), 1, 8))::BIGINT
+      % 10000 AS u_apply,
+    ('0x' || substr(md5('fim|mode' || path), 1, 8))::BIGINT
+      % 10000 AS u_mode,
+    ('0x' || substr(md5('fim|cut1' || path), 1, 8))::BIGINT
+      % (length(content) + 1) AS c1,
+    ('0x' || substr(md5('fim|cut2' || path), 1, 8))::BIGINT
+      % (length(content) + 1) AS c2
+  FROM cf
+),
+s AS (
+  SELECT repo, path, lang, content, n, u_apply, u_mode,
+    least(c1, c2) AS lo, greatest(c1, c2) AS hi
+  FROM b
+),
+o AS (
+  SELECT repo, path, lang,
+    CASE WHEN u_apply >= 5000 THEN 'ar'
+         WHEN u_mode < 5000 THEN 'spm' ELSE 'psm' END AS fim_mode,
+    CASE WHEN u_apply >= 5000 THEN 0 ELSE lo END AS n_prefix,
+    CASE WHEN u_apply >= 5000 THEN 0 ELSE hi - lo END AS n_middle,
+    CASE WHEN u_apply >= 5000 THEN content
+         WHEN u_mode < 5000 THEN
+           '<fim_prefix><fim_suffix>' || substr(content, hi + 1, n - hi) ||
+           '<fim_middle>' || substr(content, 1, lo) ||
+           substr(content, lo + 1, hi - lo)
+         ELSE
+           '<fim_prefix>' || substr(content, 1, lo) ||
+           '<fim_suffix>' || substr(content, hi + 1, n - hi) ||
+           '<fim_middle>' || substr(content, lo + 1, hi - lo)
+    END AS doc
+  FROM s
+)
+SELECT repo, path, lang, fim_mode, n_prefix, n_middle,
+  length(doc) AS n_chars, sha256(doc) AS content_sha256
+FROM o
 """,
         "code_function_spans": f"""
 WITH cf AS ({_CODE_FILES_SQL}),

@@ -698,3 +698,85 @@ def function_spans(
             F.sha2(body, 256).alias("span_sha256"),
         )
     )
+
+
+# FIM sentinels (the StarCoder vocabulary; Li et al. 2023 §3.2)
+FIM_PREFIX, FIM_MIDDLE, FIM_SUFFIX = (
+    "<fim_prefix>", "<fim_middle>", "<fim_suffix>"
+)
+
+
+def fim_transform(
+    df: DataFrame,
+    content_col: str = "content",
+    key_col: str = "path",
+    *,
+    rate: float = 0.5,
+    spm_rate: float = 0.5,
+    salt: str = "fim",
+) -> DataFrame:
+    """Fill-in-the-Middle training transform (Bavarian et al. 2022;
+    applied to code exactly as StarCoder does, Li et al. 2023 §3.2):
+    a ``rate`` fraction of documents is split at two character cuts
+    into (prefix, middle, suffix) and re-serialized with FIM sentinel
+    tokens — PSM order, or SPM for a ``spm_rate`` fraction of the
+    transformed docs; the rest pass through unchanged (``fim_mode`` =
+    'ar').
+
+    All randomness is md5-derived from ``key_col`` (the hash_bucket
+    convention), so the transform is deterministic, reproducible on
+    any SQL engine, and independent of partitioning — rand() would be
+    none of those.  Cut points are uniform over [0, len] per the
+    paper's character-level splitting.  Adds ``fim_mode`` ('psm' /
+    'spm' / 'ar') and ``n_prefix`` / ``n_middle`` (cut sizes; 0 for
+    'ar') beside the rewritten content.
+
+    Scale: four md5s + substring arithmetic per row, all JVM built-ins
+    fused into the scan — no shuffle, no Python.
+    """
+    c = F.col(content_col)
+    key = F.col(key_col).cast("string")
+
+    def _bucket(tag: str, modulus: Column) -> Column:
+        h = F.md5(F.concat(F.lit(salt + "|" + tag), key))
+        return F.pmod(
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), modulus
+        )
+
+    n = F.length(c)
+    apply_fim = _bucket("apply", F.lit(10000)) < int(rate * 10000)
+    spm = _bucket("mode", F.lit(10000)) < int(spm_rate * 10000)
+    c1 = _bucket("cut1", n + 1)
+    c2 = _bucket("cut2", n + 1)
+    lo, hi = F.least(c1, c2), F.greatest(c1, c2)
+    prefix = F.substring(c, F.lit(1), lo)
+    middle = F.substring(c, lo + 1, hi - lo)
+    suffix = F.substring(c, hi + 1, n - hi)
+    psm_doc = F.concat(
+        F.lit(FIM_PREFIX), prefix, F.lit(FIM_SUFFIX), suffix,
+        F.lit(FIM_MIDDLE), middle,
+    )
+    spm_doc = F.concat(
+        F.lit(FIM_PREFIX + FIM_SUFFIX), suffix, F.lit(FIM_MIDDLE),
+        prefix, middle,
+    )
+    return (
+        df.withColumn(
+            "fim_mode",
+            F.when(~apply_fim, F.lit("ar"))
+            .when(spm, F.lit("spm"))
+            .otherwise(F.lit("psm")),
+        )
+        .withColumn(
+            "n_prefix",
+            F.when(~apply_fim, F.lit(0).cast("long")).otherwise(lo),
+        )
+        .withColumn(
+            "n_middle",
+            F.when(~apply_fim, F.lit(0).cast("long")).otherwise(hi - lo),
+        )
+        .withColumn(
+            content_col,
+            F.when(~apply_fim, c).when(spm, spm_doc).otherwise(psm_doc),
+        )
+    )

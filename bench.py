@@ -167,6 +167,9 @@ BENCH_QUERIES = [
     # round 4: definition-level corpus splitting (per-file array scan,
     # no line-level explode; span list is the only explode)
     "code_function_spans",
+    # round 4: FIM training transform (md5-derived cuts + sentinel
+    # re-serialization, all JVM, fuses into the scan)
+    "code_fim_transform",
     # round 4: outbox event routing (filter + template + JSON expand,
     # one fused projection then a small agg)
     "cdc_outbox_route",

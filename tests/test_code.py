@@ -454,3 +454,40 @@ def test_function_spans_exact(spark):
     assert (m["kind"], m["start_line"], m["end_line"]) == ("func", 2, 4)
     t = out[("b.go", "T")]  # EOF-bounded span
     assert (t["kind"], t["start_line"], t["end_line"]) == ("type", 5, 6)
+
+
+def test_fim_transform_reconstructs_and_is_deterministic(spark):
+    rows = [
+        {"repo": "r", "path": f"p{i}.py", "lang": "python",
+         "content": f"line one {i}\nline two {i}\nline three {i}"}
+        for i in range(60)
+    ]
+    out = A_code.fim_transform(_files(spark, rows)).collect()
+    orig = {r["path"]: r["content"] for r in rows}
+    modes = {r["fim_mode"] for r in out}
+    assert modes == {"ar", "psm", "spm"}  # all three arms exercised
+    P, M, S = "<fim_prefix>", "<fim_middle>", "<fim_suffix>"
+    for r in out:
+        src = orig[r["path"]]
+        if r["fim_mode"] == "ar":
+            assert r["content"] == src
+            assert r["n_prefix"] == 0 and r["n_middle"] == 0
+            continue
+        if r["fim_mode"] == "psm":
+            body = r["content"].removeprefix(P)
+            prefix, rest = body.split(S, 1)
+            suffix, middle = rest.split(M, 1)
+        else:  # spm: <p><s>suffix<m>prefix+middle
+            body = r["content"].removeprefix(P + S)
+            suffix, rest = body.split(M, 1)
+            prefix, middle = rest[:r["n_prefix"]], rest[r["n_prefix"]:]
+        assert prefix + middle + suffix == src  # lossless split
+        assert len(prefix) == r["n_prefix"]
+        assert len(middle) == r["n_middle"]
+    # partition-independence: same verdicts at a different layout
+    again = {
+        (r["path"], r["content"])
+        for r in A_code.fim_transform(
+            _files(spark, rows).repartition(7)).collect()
+    }
+    assert again == {(r["path"], r["content"]) for r in out}
