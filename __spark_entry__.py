@@ -995,6 +995,28 @@ def code_fim_transform(spark, sf):
     )
 
 
+def code_lang_mix(spark, sf):
+    """Temperature-based language mixing (analytics/text.py
+    temperature_weights — the XLM / StarCoder per-language resampling
+    recipe): resample toward q_l ∝ p_l^0.5, flattening the head langs
+    and boosting the tail, materialized at ~half the corpus.  The cut
+    integers derive from IEEE-exact ops only (sqrt + ordered sums), so
+    the oracle recomputes them bit-identically in SQL; per-row keep
+    decisions are the md5 hash_bucket convention.  Checked rows pin
+    the kept count AND the applied weight per language."""
+    from airbyte_spark.analytics import text as A_text
+
+    files = _code_files(spark, sf)
+    out = A_text.temperature_weights(
+        files, strata_col="lang", target_rows=files.count() // 2,
+        key_col="path", salt="temp",
+    )
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("mix_weight").alias("mix_weight"),
+    )
+
+
 def cdc_outbox_route(spark, sf):
     """Outbox event routing (engine/outbox.py — Debezium EventRouter
     parity): synthesize an outbox changelog from the events table
@@ -3169,6 +3191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_curate_incremental": code_curate_incremental,
         "code_function_spans": code_function_spans,
         "code_fim_transform": code_fim_transform,
+        "code_lang_mix": code_lang_mix,
         "cdc_outbox_route": cdc_outbox_route,
         "cdc_debezium_decode": cdc_debezium_decode,
         "events_airbyte_roundtrip": events_airbyte_roundtrip,
@@ -4526,6 +4549,29 @@ SELECT 'full' AS mode_first, 'incremental' AS mode_second,
   sha256(string_agg('### ' || path || chr(10) || content,
                     chr(10) || chr(10) ORDER BY path)) AS packed_sha256
 FROM k GROUP BY repo
+""",
+        "code_lang_mix": f"""
+WITH cf AS ({_CODE_FILES_SQL}),
+tgt AS (SELECT count(*) // 2 AS t_rows FROM cf),
+n AS (SELECT lang, count(*) AS n FROM cf GROUP BY lang),
+tot AS (SELECT sum(n) AS t FROM n),
+p AS (
+  SELECT lang, n, sqrt(CAST(n AS DOUBLE) / CAST(t AS DOUBLE)) AS pw
+  FROM n, tot
+),
+z AS (SELECT sum(pw ORDER BY lang) AS z FROM p),
+c AS (
+  SELECT lang,
+    least(10000, CAST(floor(t_rows * (pw / z) / n * 10000) AS BIGINT)) AS cut
+  FROM p, z, tgt
+),
+k AS (
+  SELECT cf.lang, c.cut
+  FROM cf JOIN c USING (lang)
+  WHERE ('0x' || substr(md5('temp' || path), 1, 8))::BIGINT % 10000 < c.cut
+)
+SELECT lang, count(*) AS n_kept, round(cut / 10000.0, 4) AS mix_weight
+FROM k GROUP BY lang, cut
 """,
         "code_fim_transform": f"""
 WITH cf AS ({_CODE_FILES_SQL}),

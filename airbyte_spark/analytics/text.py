@@ -749,3 +749,63 @@ def span_dedup(
             F.concat_ws(" ", F.coalesce(F.col("_body"), F.lit("")), F.col("_tail"))
         ).alias(text_col),
     )
+
+
+def temperature_weights(
+    df: DataFrame,
+    *,
+    strata_col: str,
+    target_rows: int,
+    alpha: float = 0.5,
+    key_col: str = "doc_id",
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-based corpus mixing (the XLM / multilingual-LM
+    recipe, Conneau & Lample 2019 §3.1; StarCoder reweights languages
+    the same way): resample strata toward q_s ∝ p_s^alpha — flattening
+    head strata and boosting the tail — then materialize ~target_rows
+    rows by keeping each stratum at fraction min(1, target·q_s/n_s),
+    decided per row by the hash_bucket convention (md5-deterministic,
+    partitioning-independent; rand() is neither).
+
+    Adds ``mix_weight`` (the per-stratum keep fraction, rounded to the
+    1/10000 bucket grid actually applied).  Default alpha=0.5 computes
+    p^alpha as sqrt, which IEEE 754 rounds exactly — with the stratum
+    sum taken in sorted-stratum order, every engine derives the SAME
+    cut integers, so cross-engine parity is bit-exact, not approximate
+    (pow() carries no such guarantee; other alphas remain available
+    where one engine computes the weights).
+
+    Scale: one map-side-combined count per stratum (a handful of rows
+    to the driver), then one md5 filter fused into the scan — no
+    shuffle of the corpus itself.
+    """
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total = sum(counts[s] for s in sorted(counts))
+    if alpha == 0.5:
+        import math
+
+        powed = {s: math.sqrt(counts[s] / total) for s in counts}
+    else:
+        powed = {s: (counts[s] / total) ** alpha for s in counts}
+    z = sum(powed[s] for s in sorted(powed))
+    # floor, not round: Python round() is banker's, SQL round() is
+    # half-away — floor agrees everywhere on the (bit-identical) input
+    cuts = {
+        s: min(10000, int(target_rows * (powed[s] / z) / counts[s] * 10000))
+        for s in counts
+    }
+    bucket = hash_bucket(F.col(key_col), salt=salt)
+    cut = F.lit(0)
+    for stratum in sorted(cuts):
+        cut = F.when(
+            F.col(strata_col) == stratum, F.lit(cuts[stratum])
+        ).otherwise(cut)
+    return df.filter(bucket < cut).withColumn(
+        "mix_weight", F.round(cut / F.lit(10000.0), 4)
+    )

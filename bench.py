@@ -170,6 +170,9 @@ BENCH_QUERIES = [
     # round 4: FIM training transform (md5-derived cuts + sentinel
     # re-serialization, all JVM, fuses into the scan)
     "code_fim_transform",
+    # round 4: temperature-based language mixing (IEEE-exact cuts,
+    # one stratum count + one fused md5 filter)
+    "code_lang_mix",
     # round 4: outbox event routing (filter + template + JSON expand,
     # one fused projection then a small agg)
     "cdc_outbox_route",

@@ -900,3 +900,36 @@ def test_chunk_documents_boundaries(spark):
     plan = text.chunk_documents(docs)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_temperature_weights_flattens_skew(spark):
+    rows = spark.createDataFrame(
+        [Row(doc_id=i, src="head" if i < 1800 else "tail")
+         for i in range(2000)]
+    )
+    out = text.temperature_weights(
+        rows, strata_col="src", target_rows=1000
+    )
+    w = {r["src"]: r["mix_weight"]
+         for r in out.select("src", "mix_weight").distinct().collect()}
+    # alpha=0.5: q_head ∝ sqrt(.9), q_tail ∝ sqrt(.1) — the tail's KEEP
+    # fraction must exceed the head's (that's the flattening)
+    assert w["tail"] > w["head"]
+    import math
+    z = math.sqrt(0.9) + math.sqrt(0.1)
+    assert abs(w["head"] - 1000 * (math.sqrt(0.9) / z) / 1800) < 1e-3
+    # tail's uncapped fraction is 1.25 -> clamped to keep-everything
+    assert w["tail"] == 1.0
+    n = {r[0]: r[1] for r in out.groupBy("src").count().collect()}
+    # realized counts track the weights (md5 buckets are ~uniform)
+    assert abs(n["head"] - 1800 * w["head"]) < 100
+    assert abs(n["tail"] - 200 * w["tail"]) < 40
+    # deterministic under a different partitioning
+    again = sorted(r["doc_id"] for r in text.temperature_weights(
+        rows.repartition(7), strata_col="src", target_rows=1000
+    ).collect())
+    assert again == sorted(r["doc_id"] for r in out.collect())
+    # a stratum above target keeps everything (cut capped at 1.0)
+    cap = text.temperature_weights(
+        rows, strata_col="src", target_rows=10**9)
+    assert cap.count() == 2000
