@@ -1017,6 +1017,37 @@ def code_lang_mix(spark, sf):
     )
 
 
+def code_license_propagate(spark, sf):
+    """Repo-level license inheritance (analytics/code.py
+    propagate_license): untagged files take the repo's LICENSE-file
+    class — how The Stack assigns most files (Kocetkov et al. 2022
+    §3.3).  The fixture plants a LICENSE file for 2 of every 3 repos
+    (MIT / GPL-3.0 split, every 3rd repo bare), so all three
+    license_source arms and both inheritance directions are pinned;
+    the repo-license table is a tiny filtered agg broadcast back —
+    the corpus never shuffles."""
+    from airbyte_spark.analytics import code as A_code
+
+    files = _code_files(spark, sf)
+    idx = F.regexp_extract("repo", r"repo_(\d+)", 1).cast("long")
+    lic = (
+        files.select("repo").distinct()
+        .filter(idx % 3 != 2)
+        .select(
+            "repo",
+            F.lit("LICENSE").alias("path"),
+            F.lit("text").alias("lang"),
+            F.when(idx % 3 == 0, F.lit("SPDX-License-Identifier: MIT"))
+            .otherwise(F.lit("SPDX-License-Identifier: GPL-3.0"))
+            .alias("content"),
+        )
+    )
+    out = A_code.propagate_license(files.unionByName(lic))
+    return out.groupBy("repo", "effective_class", "license_source").agg(
+        F.count(F.lit(1)).alias("n_files")
+    )
+
+
 def cdc_outbox_route(spark, sf):
     """Outbox event routing (engine/outbox.py — Debezium EventRouter
     parity): synthesize an outbox changelog from the events table
@@ -3192,6 +3223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_function_spans": code_function_spans,
         "code_fim_transform": code_fim_transform,
         "code_lang_mix": code_lang_mix,
+        "code_license_propagate": code_license_propagate,
         "cdc_outbox_route": cdc_outbox_route,
         "cdc_debezium_decode": cdc_debezium_decode,
         "events_airbyte_roundtrip": events_airbyte_roundtrip,
@@ -4549,6 +4581,54 @@ SELECT 'full' AS mode_first, 'incremental' AS mode_second,
   sha256(string_agg('### ' || path || chr(10) || content,
                     chr(10) || chr(10) ORDER BY path)) AS packed_sha256
 FROM k GROUP BY repo
+""",
+        "code_license_propagate": f"""
+WITH cf AS ({_CODE_FILES_SQL}),
+reps AS (SELECT DISTINCT repo FROM cf),
+lic AS (
+  SELECT repo, 'LICENSE' AS path, 'text' AS lang,
+    CASE WHEN CAST(regexp_extract(repo, 'repo_(\d+)', 1) AS BIGINT) % 3 = 0
+         THEN 'SPDX-License-Identifier: MIT'
+         ELSE 'SPDX-License-Identifier: GPL-3.0' END AS content
+  FROM reps
+  WHERE CAST(regexp_extract(repo, 'repo_(\d+)', 1) AS BIGINT) % 3 <> 2
+),
+allf AS (
+  SELECT repo, path, content FROM cf
+  UNION ALL SELECT repo, path, content FROM lic
+),
+cls AS (
+  SELECT repo, path,
+    CASE WHEN lid = '' THEN 'none'
+         WHEN lid IN ('MIT','Apache-2.0','BSD-2-Clause','BSD-3-Clause',
+                      'ISC','Unlicense') THEN 'permissive'
+         WHEN lid IN ('GPL-2.0','GPL-3.0','AGPL-3.0','LGPL-2.1',
+                      'LGPL-3.0','MPL-2.0') THEN 'copyleft'
+         ELSE 'unknown' END AS c
+  FROM (
+    SELECT repo, path,
+      regexp_extract(content,
+        'SPDX-License-Identifier:\s*([A-Za-z0-9.+-]+)', 1) AS lid
+    FROM allf
+  )
+),
+rl AS (
+  SELECT repo, min_by(c, path) AS repo_class
+  FROM cls
+  WHERE lower(string_split(path, '/')[-1]) IN
+        ('license', 'license.txt', 'license.md', 'copying')
+    AND c <> 'none'
+  GROUP BY repo
+)
+SELECT cls.repo,
+  CASE WHEN c <> 'none' THEN c
+       ELSE coalesce(repo_class, 'none') END AS effective_class,
+  CASE WHEN c <> 'none' THEN 'file'
+       WHEN repo_class IS NOT NULL THEN 'repo'
+       ELSE 'none' END AS license_source,
+  count(*) AS n_files
+FROM cls LEFT JOIN rl USING (repo)
+GROUP BY 1, 2, 3
 """,
         "code_lang_mix": f"""
 WITH cf AS ({_CODE_FILES_SQL}),

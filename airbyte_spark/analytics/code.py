@@ -780,3 +780,59 @@ def fim_transform(
             F.when(~apply_fim, c).when(spm, spm_doc).otherwise(psm_doc),
         )
     )
+
+
+_LICENSE_FILENAMES = ["license", "license.txt", "license.md", "copying"]
+
+
+def propagate_license(
+    df: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    content_col: str = "content",
+) -> DataFrame:
+    """Repo-level license inheritance — closes detect_license's
+    documented per-file gap: most source files carry no SPDX tag and
+    are covered by the repo's LICENSE/COPYING file instead (how The
+    Stack's license detection actually assigns most files, Kocetkov
+    et al. 2022 §3.3: go-license-detector on repo license files).
+
+    A file's ``effective_class`` is its own tag when present, else the
+    repo's (from the lexicographically-first classifiable LICENSE-named
+    file — min_by, a deterministic tie rule), else 'none';
+    ``license_source`` records which level decided ('file' / 'repo' /
+    'none').
+
+    Scale: the repo-license table is one filtered aggregation over
+    only LICENSE-named rows (tiny — ~1 per repo) broadcast back; the
+    corpus itself never shuffles.
+    """
+    files = detect_license(df, content_col)
+    base = F.lower(F.element_at(F.split(F.col(path_col), "/"), -1))
+    repo_lic = (
+        files.filter(
+            base.isin(_LICENSE_FILENAMES)
+            & (F.col("license_class") != "none")
+        )
+        .groupBy(repo_col)
+        .agg(
+            F.min_by("license_class", path_col).alias("_repo_class")
+        )
+    )
+    out = files.join(F.broadcast(repo_lic), repo_col, "left")
+    own = F.col("license_class") != "none"
+    return (
+        out.withColumn(
+            "effective_class",
+            F.when(own, F.col("license_class")).otherwise(
+                F.coalesce(F.col("_repo_class"), F.lit("none"))
+            ),
+        )
+        .withColumn(
+            "license_source",
+            F.when(own, F.lit("file"))
+            .when(F.col("_repo_class").isNotNull(), F.lit("repo"))
+            .otherwise(F.lit("none")),
+        )
+        .drop("_repo_class")
+    )

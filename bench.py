@@ -173,6 +173,9 @@ BENCH_QUERIES = [
     # round 4: temperature-based language mixing (IEEE-exact cuts,
     # one stratum count + one fused md5 filter)
     "code_lang_mix",
+    # round 4: repo-level license inheritance (tiny LICENSE-file agg
+    # broadcast back; corpus never shuffles)
+    "code_license_propagate",
     # round 4: outbox event routing (filter + template + JSON expand,
     # one fused projection then a small agg)
     "cdc_outbox_route",

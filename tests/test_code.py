@@ -491,3 +491,33 @@ def test_fim_transform_reconstructs_and_is_deterministic(spark):
             _files(spark, rows).repartition(7)).collect()
     }
     assert again == {(r["path"], r["content"]) for r in out}
+
+
+def test_propagate_license_inheritance(spark):
+    rows = [
+        # repo with a permissive LICENSE: untagged file inherits it
+        {"repo": "a", "path": "LICENSE", "lang": "text",
+         "content": "SPDX-License-Identifier: MIT"},
+        {"repo": "a", "path": "src/x.py", "lang": "python",
+         "content": "print(1)"},
+        # file-level tag beats the repo default
+        {"repo": "a", "path": "src/y.py", "lang": "python",
+         "content": "# SPDX-License-Identifier: GPL-3.0\nprint(2)"},
+        # two LICENSE-ish files: min_by path is the deterministic pick
+        {"repo": "b", "path": "COPYING", "lang": "text",
+         "content": "SPDX-License-Identifier: GPL-3.0"},
+        {"repo": "b", "path": "LICENSE.md", "lang": "text",
+         "content": "SPDX-License-Identifier: MIT"},
+        {"repo": "b", "path": "z.go", "lang": "go", "content": "package z"},
+        # repo without any license file
+        {"repo": "c", "path": "w.sql", "lang": "sql", "content": "SELECT 1"},
+    ]
+    out = {
+        r["path"]: (r["effective_class"], r["license_source"])
+        for r in A_code.propagate_license(_files(spark, rows)).collect()
+    }
+    assert out["src/x.py"] == ("permissive", "repo")   # inherited
+    assert out["src/y.py"] == ("copyleft", "file")     # own tag wins
+    assert out["LICENSE"] == ("permissive", "file")
+    assert out["z.go"] == ("copyleft", "repo")         # COPYING < LICENSE.md
+    assert out["w.sql"] == ("none", "none")
