@@ -1048,6 +1048,36 @@ def code_license_propagate(spark, sf):
     )
 
 
+def code_doc_pairs(spark, sf):
+    """(documentation, code) pair mining (analytics/code.py doc_pairs
+    — the CodeSearchNet corpus construction, Husain et al. 2019 §2):
+    python functions whose body opens with a triple-quoted docstring
+    emit one (name, docstring, exact-code-sha) pair; functions without
+    docstrings emit nothing.  The fixture plants one documented and
+    one bare function per python file so both arms are pinned; rides
+    function_spans' per-file array scan plus one anchored RE2-safe
+    regex per span."""
+    from airbyte_spark.analytics import code as A_code
+
+    files = _code_files(spark, sf)
+    did = F.regexp_extract("path", r"f_(\d+)\.", 1)
+    m = (did.cast("long") % 7).cast("string")
+    block = F.when(
+        F.col("lang") == "python",
+        F.concat(
+            F.lit("\ndef doc_fn_"), did,
+            F.lit('(x):\n    """Return x plus '), m,
+            F.lit('."""\n    return x + '), m,
+            F.lit("\ndef bare_fn_"), did, F.lit("(y):\n    return y"),
+        ),
+    ).otherwise(F.lit(""))
+    planted = files.withColumn("content", F.concat("content", block))
+    return A_code.doc_pairs(planted).select(
+        "repo", "path", "name", "docstring", "start_line", "end_line",
+        "n_span_lines", "span_sha256",
+    )
+
+
 def cdc_outbox_route(spark, sf):
     """Outbox event routing (engine/outbox.py — Debezium EventRouter
     parity): synthesize an outbox changelog from the events table
@@ -3224,6 +3254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_fim_transform": code_fim_transform,
         "code_lang_mix": code_lang_mix,
         "code_license_propagate": code_license_propagate,
+        "code_doc_pairs": code_doc_pairs,
         "cdc_outbox_route": cdc_outbox_route,
         "cdc_debezium_decode": cdc_debezium_decode,
         "events_airbyte_roundtrip": events_airbyte_roundtrip,
@@ -4581,6 +4612,58 @@ SELECT 'full' AS mode_first, 'incremental' AS mode_second,
   sha256(string_agg('### ' || path || chr(10) || content,
                     chr(10) || chr(10) ORDER BY path)) AS packed_sha256
 FROM k GROUP BY repo
+""",
+        "code_doc_pairs": f"""
+WITH cf AS ({_CODE_FILES_SQL}),
+ids AS (
+  SELECT repo, path, content,
+    regexp_extract(path, 'f_(\\d+)\\.', 1) AS did
+  FROM cf WHERE lang = 'python'
+),
+pl AS (
+  SELECT repo, path, content || chr(10) ||
+    'def doc_fn_' || did || '(x):' || chr(10) ||
+    '    \"\"\"Return x plus ' || (CAST(did AS BIGINT) % 7) || '.\"\"\"' ||
+    chr(10) || '    return x + ' || (CAST(did AS BIGINT) % 7) || chr(10) ||
+    'def bare_fn_' || did || '(y):' || chr(10) || '    return y' AS content
+  FROM ids
+),
+l AS (SELECT repo, path, string_split(content, chr(10)) AS lines FROM pl),
+x AS (
+  SELECT repo, path, lines, unnest(lines) AS line,
+         unnest(range(1, len(lines) + 1)) AS i
+  FROM l
+),
+st AS (
+  SELECT repo, path, lines, i,
+    regexp_extract(line, '^(def|class)\\s+([A-Za-z_][A-Za-z0-9_]*)', 1)
+      AS kind,
+    regexp_extract(line, '^(def|class)\\s+([A-Za-z_][A-Za-z0-9_]*)', 2)
+      AS name
+  FROM x
+),
+sp AS (
+  SELECT repo, path, lines, kind, name, i AS start_line,
+    coalesce(lead(i) OVER (PARTITION BY path ORDER BY i) - 1,
+             len(lines)) AS end_line
+  FROM st WHERE kind <> ''
+),
+bod AS (
+  SELECT repo, path, kind, name, start_line, end_line,
+    end_line - start_line + 1 AS n_span_lines,
+    array_to_string(lines[start_line:end_line], chr(10)) AS body
+  FROM sp
+)
+SELECT repo, path, name,
+  trim(regexp_extract(body,
+    '(?s)^def[^' || chr(10) || ']*' || chr(10) || '\\s+\"\"\"(.*?)\"\"\"',
+    1)) AS docstring,
+  start_line, end_line, n_span_lines, sha256(body) AS span_sha256
+FROM bod
+WHERE kind = 'def'
+  AND trim(regexp_extract(body,
+    '(?s)^def[^' || chr(10) || ']*' || chr(10) || '\\s+\"\"\"(.*?)\"\"\"',
+    1)) <> ''
 """,
         "code_license_propagate": f"""
 WITH cf AS ({_CODE_FILES_SQL}),

@@ -613,6 +613,8 @@ def function_spans(
     df: DataFrame,
     content_col: str = "content",
     lang_col: str = "lang",
+    *,
+    emit_body: bool = False,
 ) -> DataFrame:
     """Definition-level corpus splitting (the function-level dataset
     cut of CodeSearchNet / The Stack v2's function extracts): each
@@ -623,7 +625,9 @@ def function_spans(
     Adds one output row per span: ``kind``, ``name``, ``start_line``/
     ``end_line`` (1-based, inclusive), ``n_span_lines``,
     ``span_sha256`` (exact body pin).  Files with no definition emit
-    nothing.
+    nothing.  ``emit_body=True`` additionally carries the span text
+    itself (for downstream extracts like docstring pairing) — off by
+    default so the common inventory case ships hashes, not bodies.
 
     Scale: all span discovery is per-file array work in-task (filter/
     transform over the line array — no line-level explode, so no
@@ -696,6 +700,7 @@ def function_spans(
                 F.col("_span.end_line") - F.col("_span.start_line") + 1
             ).alias("n_span_lines"),
             F.sha2(body, 256).alias("span_sha256"),
+            *([body.alias("body")] if emit_body else []),
         )
     )
 
@@ -835,4 +840,40 @@ def propagate_license(
             .otherwise(F.lit("none")),
         )
         .drop("_repo_class")
+    )
+
+
+# docstring right after the def line: (?s) + lazy body, no
+# backreference (RE2 has none) — triple-double-quote form only
+_DOCSTRING_RE = r'(?s)^def[^\n]*\n\s+"""(.*?)"""'
+
+
+def doc_pairs(
+    df: DataFrame,
+    content_col: str = "content",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """(documentation, code) pair mining — the CodeSearchNet corpus
+    construction (Husain et al. 2019 §2: function-level code paired
+    with its docstring, the standard code-search / code-explanation
+    training set).  Python functions from :func:`function_spans` whose
+    body opens with a triple-quoted docstring emit one pair:
+    ``name``, ``docstring`` (trimmed), ``span_sha256``/``n_span_lines``
+    pin the exact paired code.  Functions without docstrings emit
+    nothing (CodeSearchNet drops them too).
+
+    Scale: rides function_spans' per-file array scan (no line-level
+    explode) plus one anchored RE2-safe regex per span.
+    """
+    spans = function_spans(
+        df, content_col=content_col, lang_col=lang_col, emit_body=True
+    )
+    doc = F.regexp_extract(F.col("body"), _DOCSTRING_RE, 1)
+    return (
+        spans.filter(
+            (F.col(lang_col) == "python") & (F.col("kind") == "def")
+        )
+        .withColumn("docstring", F.trim(doc))
+        .filter(F.col("docstring") != "")
+        .drop("body")
     )

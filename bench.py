@@ -176,6 +176,9 @@ BENCH_QUERIES = [
     # round 4: repo-level license inheritance (tiny LICENSE-file agg
     # broadcast back; corpus never shuffles)
     "code_license_propagate",
+    # round 4: CodeSearchNet (docstring, code) pair mining over the
+    # span scan (one anchored regex per span)
+    "code_doc_pairs",
     # round 4: outbox event routing (filter + template + JSON expand,
     # one fused projection then a small agg)
     "cdc_outbox_route",

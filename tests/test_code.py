@@ -521,3 +521,28 @@ def test_propagate_license_inheritance(spark):
     assert out["LICENSE"] == ("permissive", "file")
     assert out["z.go"] == ("copyleft", "repo")         # COPYING < LICENSE.md
     assert out["w.sql"] == ("none", "none")
+
+
+def test_doc_pairs_extracts_docstrings(spark):
+    py = (
+        "def documented(a, b):\n"
+        '    """Add two numbers.\n\n    Longer description.\n    """\n'
+        "    return a + b\n"
+        "def bare(x):\n"
+        "    return x\n"
+        "class K:\n"
+        '    """class docstrings do not pair (kind != def)."""\n'
+        "    pass"
+    )
+    rows = [{"repo": "r", "path": "m.py", "lang": "python", "content": py},
+            {"repo": "r", "path": "g.go", "lang": "go",
+             "content": 'func f() {\n\t// """not python"""\n}'}]
+    out = A_code.doc_pairs(_files(spark, rows)).collect()
+    assert [(p["name"], p["start_line"], p["end_line"]) for p in out] == [
+        ("documented", 1, 6)
+    ]
+    # trim strips spaces only — the docstring's closing-quote line
+    # leaves its newline behind (both engines agree on this)
+    assert out[0]["docstring"] == (
+        "Add two numbers.\n\n    Longer description.\n"
+    )
