@@ -160,6 +160,7 @@ def maintain_filtered(
     view: LakeTable,
     *,
     predicate,
+    project: list | None = None,
     stream: str = FILTER_STREAM,
 ) -> dict:
     """Row-level FILTERED view — a curated subset of ``src`` kept in
@@ -179,6 +180,13 @@ def maintain_filtered(
     curated corpus that follows the source under CDC (the reference's
     dbt models recompute such derived tables from scratch every sync).
 
+    ``project``: optional row-local projection (Columns/names over the
+    source schema) applied to surviving rows — a curated view that
+    also TRANSFORMS (e.g. secret-redacted content).  Row-local maps
+    are self-maintainable for the same reason filters are; the key
+    columns must pass through unrenamed (they route the merge).  The
+    view schema must match the projection's output.
+
     Cursor/fallback rules are maintain_sums's: the view's epoch gate
     IS the cursor (new rows + cursor land in one atomic snapshot); a
     history-folding source commit or vacuum-expired cursor falls back
@@ -196,11 +204,19 @@ def maintain_filtered(
             f"got {v_snap.key_cols}"
         )
     names = [f["name"] for f in s_snap.fields]
-    if [f["name"] for f in v_snap.fields] != names:
-        raise ValueError("filtered view schema must equal the source schema")
+    out_cols = project if project is not None else names
+    view_names = [f["name"] for f in v_snap.fields]
+    # schema-only probe (no job): the projection must produce exactly
+    # the view's columns, keys included
+    probed = src.read(spark).select(*out_cols).columns
+    if probed != view_names:
+        raise ValueError(
+            f"filtered view schema must equal the projected source "
+            f"columns {probed}, got {view_names}"
+        )
 
     def _full(until: int) -> dict:
-        kept = src.read(spark).filter(predicate).select(*names)
+        kept = src.read(spark).filter(predicate).select(*out_cols)
         n = kept.count()
         view.overwrite(spark, kept, epoch=until, stream=stream)
         return {"mode": "full", "until": until, "rows_touched": n}
@@ -221,7 +237,7 @@ def maintain_filtered(
         return {"since": since, **_full(until)}
 
     batch = net.select(
-        *names,
+        *out_cols,
         F.when(F.col("_change_type") == "delete", F.lit("d"))
         .when(predicate, F.lit("u"))
         .otherwise(F.lit("d"))

@@ -310,3 +310,51 @@ def test_filtered_view_schema_and_key_validation(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="schema must equal"):
         maintain_filtered(spark, src, badschema, predicate=_gate())
+
+
+def test_filtered_view_with_projection(spark, tmp_path):
+    from airbyte_spark.lake.matview import maintain_filtered
+
+    src, _ = _filtered_pair(spark, tmp_path)
+    view = LakeTable.create(
+        str(tmp_path / "pv"),
+        StructType([
+            StructField("repo", StringType()),
+            StructField("path", StringType()),
+            StructField("tag", StringType()),
+        ]),
+        ["repo", "path"], n_buckets=4,
+    )
+    proj = ["repo", "path",
+            F.concat(F.col("repo"), F.lit(":"), F.col("lsn")).alias("tag")]
+
+    def recompute():
+        return {(r["path"], r["tag"]) for r in src.read(spark)
+                .filter(_gate()).select(*proj).collect()}
+
+    r = maintain_filtered(spark, src, view, predicate=_gate(), project=proj)
+    assert r["mode"] == "full"
+    state = {(r["path"], r["tag"]) for r in view.read(spark).collect()}
+    assert state == recompute() and ("p0", "r0:0") in state
+
+    op_schema = StructType(list(SCHEMA.fields)).add("op", StringType())
+    src.merge_mor(
+        spark,
+        spark.createDataFrame(
+            [Row(repo="r0", path="p0", lsn=40, ts=T0, op="u"),  # new tag
+             Row(repo="r2", path="p2", lsn=9, ts=T0, op="u")],  # gate OFF
+            op_schema,
+        ),
+        order_cols=["lsn"], op_col="op", delete_value="d", epoch=2,
+    )
+    r = maintain_filtered(spark, src, view, predicate=_gate(), project=proj)
+    assert r["mode"] == "incremental" and r["rows_touched"] == 2
+    state = {(r["path"], r["tag"]) for r in view.read(spark).collect()}
+    assert state == recompute()
+    assert ("p0", "r0:40") in state and not any(p == "p2" for p, _ in state)
+
+    # projection/view schema mismatch is refused before any write
+    bad = LakeTable.create(str(tmp_path / "pb"), SCHEMA, ["repo", "path"],
+                           n_buckets=2)
+    with pytest.raises(ValueError, match="schema must equal"):
+        maintain_filtered(spark, bad, view, predicate=_gate())
