@@ -1078,6 +1078,19 @@ def code_doc_pairs(spark, sf):
     )
 
 
+def code_repo_pack_parts(spark, sf):
+    """Context-budgeted repo packing (analytics/code.py
+    pack_repo_parts): a repo whose packed stream exceeds the context
+    budget splits into parts by the pack_sequences prefix-sum rule —
+    ONE hash-aggregation keyed by repo, with cums/part-ids/per-part
+    joins all in the projection (a window-then-regroup plan would
+    shuffle the corpus twice).  The per-part sha256 pins exact split
+    points and content against the oracle's window recompute."""
+    from airbyte_spark.analytics import code as A_code
+
+    return A_code.pack_repo_parts(_code_files(spark, sf), budget_chars=4000)
+
+
 def cdc_outbox_route(spark, sf):
     """Outbox event routing (engine/outbox.py — Debezium EventRouter
     parity): synthesize an outbox changelog from the events table
@@ -3255,6 +3268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_lang_mix": code_lang_mix,
         "code_license_propagate": code_license_propagate,
         "code_doc_pairs": code_doc_pairs,
+        "code_repo_pack_parts": code_repo_pack_parts,
         "cdc_outbox_route": cdc_outbox_route,
         "cdc_debezium_decode": cdc_debezium_decode,
         "events_airbyte_roundtrip": events_airbyte_roundtrip,
@@ -4612,6 +4626,24 @@ SELECT 'full' AS mode_first, 'incremental' AS mode_second,
   sha256(string_agg('### ' || path || chr(10) || content,
                     chr(10) || chr(10) ORDER BY path)) AS packed_sha256
 FROM k GROUP BY repo
+""",
+        "code_repo_pack_parts": f"""
+WITH cf AS ({_CODE_FILES_SQL}),
+e AS (
+  SELECT repo, path, '### ' || path || chr(10) || content AS t FROM cf
+),
+c AS (
+  SELECT repo, path, t,
+    coalesce(sum(length(t)) OVER (PARTITION BY repo ORDER BY path
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM e
+),
+p AS (SELECT repo, path, t,
+      CAST(cum // 4000 AS BIGINT) AS part FROM c)
+SELECT repo, part, count(*) AS n_files,
+  length(string_agg(t, chr(10) || chr(10) ORDER BY path)) AS packed_chars,
+  sha256(string_agg(t, chr(10) || chr(10) ORDER BY path)) AS packed_sha256
+FROM p GROUP BY repo, part
 """,
         "code_doc_pairs": f"""
 WITH cf AS ({_CODE_FILES_SQL}),

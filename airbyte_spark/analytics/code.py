@@ -877,3 +877,86 @@ def doc_pairs(
         .filter(F.col("docstring") != "")
         .drop("body")
     )
+
+
+def pack_repo_parts(
+    df: DataFrame,
+    budget_chars: int,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    content_col: str = "content",
+    header_prefix: str = "### ",
+) -> DataFrame:
+    """Context-budgeted repo packing: like :func:`pack_repo` but the
+    per-repo stream splits into PARTS bounded by ``budget_chars`` —
+    real repo-context training cannot exceed the model's context
+    window, so a large repo becomes several packed documents (the
+    StarCoder v2 data pipeline caps repo contexts the same way).
+
+    Part assignment is the pack_sequences rule — entry i lands in
+    part floor(chars_before_i / budget) over the path-ordered stream —
+    one deterministic window any engine reproduces (a greedy reset-fill
+    is NOT a prefix-sum and would force an order-dependent fold).
+    Separators are excluded from the accounting (documented rule).
+
+    Scale: ONE hash-aggregation keyed by repo, identical to pack_repo
+    — cums, part ids, and per-part joins all happen in the projection
+    over the per-repo array (no second content shuffle; a
+    window-then-regroup plan would shuffle the corpus twice).  The
+    per-part filter pass costs O(parts × files) interpreted
+    comparisons per repo — parts is bounded by repo_chars/budget, so
+    keep budgets of context-window magnitude, not tiny.
+
+    Returns (repo, part, n_files, packed_chars, packed_sha256).
+    """
+    entry = F.struct(
+        F.col(path_col).alias("path"), F.col(content_col).alias("content")
+    )
+    texts = F.transform(
+        F.sort_array(F.collect_list(entry)),
+        lambda s: F.concat(
+            F.lit(header_prefix), s["path"], F.lit("\n"), s["content"]
+        ),
+    )
+    # chars BEFORE each entry (exclusive prefix sum via fold)
+    cums = F.aggregate(
+        texts,
+        F.struct(
+            F.lit(0).cast("long").alias("c"),
+            F.array().cast("array<bigint>").alias("arr"),
+        ),
+        lambda a, x: F.struct(
+            (a["c"] + F.length(x)).alias("c"),
+            F.array_append(a["arr"], a["c"]).alias("arr"),
+        ),
+    )["arr"]
+    idx = F.transform(cums, lambda c: F.floor(c / F.lit(budget_chars)))
+    zipped = F.arrays_zip(texts.alias("t"), idx.alias("p"))
+    parts = F.transform(
+        F.array_distinct(idx),
+        lambda p: F.struct(
+            p.alias("part"),
+            F.filter(zipped, lambda z: z["p"] == p).alias("zs"),
+        ),
+    )
+    return (
+        df.groupBy(F.col(repo_col).alias("repo"))
+        .agg(parts.alias("_parts"))
+        .select("repo", F.explode("_parts").alias("_part"))
+        .select(
+            "repo",
+            F.col("_part.part").cast("long").alias("part"),
+            F.size("_part.zs").alias("n_files"),
+            F.length(
+                F.array_join(
+                    F.transform(F.col("_part.zs"), lambda z: z["t"]), "\n\n"
+                )
+            ).alias("packed_chars"),
+            F.sha2(
+                F.array_join(
+                    F.transform(F.col("_part.zs"), lambda z: z["t"]), "\n\n"
+                ),
+                256,
+            ).alias("packed_sha256"),
+        )
+    )

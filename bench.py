@@ -179,6 +179,9 @@ BENCH_QUERIES = [
     # round 4: CodeSearchNet (docstring, code) pair mining over the
     # span scan (one anchored regex per span)
     "code_doc_pairs",
+    # round 4: context-budgeted repo packing (one repo-keyed agg;
+    # cums/parts/joins all in the projection — no second shuffle)
+    "code_repo_pack_parts",
     # round 4: outbox event routing (filter + template + JSON expand,
     # one fused projection then a small agg)
     "cdc_outbox_route",

@@ -546,3 +546,23 @@ def test_doc_pairs_extracts_docstrings(spark):
     assert out[0]["docstring"] == (
         "Add two numbers.\n\n    Longer description.\n"
     )
+
+
+def test_pack_repo_parts_splits_on_budget(spark):
+    rows = [{"repo": "r", "path": f"p{i}", "lang": "python",
+             "content": "x" * 30} for i in range(5)]
+    out = sorted(
+        A_code.pack_repo_parts(_files(spark, rows), budget_chars=80)
+        .collect(),
+        key=lambda r: r["part"],
+    )
+    # entries are 37 chars ('### pN\n' + 30); cums 0,37,74,111,148
+    # -> parts 0,0,0,1,1 by the prefix-sum rule
+    assert [(r["part"], r["n_files"], r["packed_chars"]) for r in out] == [
+        (0, 3, 115), (1, 2, 76)
+    ]
+    # a budget larger than the repo yields exactly pack_repo's output
+    one = A_code.pack_repo_parts(_files(spark, rows), budget_chars=10**9)
+    whole = A_code.pack_repo(_files(spark, rows))
+    assert one.select("repo", "n_files", "packed_chars", "packed_sha256") \
+        .collect() == whole.collect()
