@@ -16,6 +16,7 @@ re-imagined as lakehouse-ingest verbs).
   python -m airbyte_spark.cli files|history --table /t
   python -m airbyte_spark.cli appends|changes --table /t --since 3
   python -m airbyte_spark.cli tail --table /t --checkpoint /cp --out /sink
+  python -m airbyte_spark.cli curate --src /t --view /v [--where 'lsn>=0']
   python -m airbyte_spark.cli profile --data-dir /data
   python -m airbyte_spark.cli ingest --in /dump --table /t --stream s \
       --properties '{"id":"integer","name":"string"}' --key id --epoch 0
@@ -207,6 +208,18 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--keep-metadata", action="store_true",
                     help="skip snapshot-JSON expiry (kept by default "
                          "maintenance runs)")
+
+    sp = sub.add_parser(
+        "curate",
+        help="advance a curated view of a lake table (gate only "
+             "net-changed keys; default gate = Stack line gates + "
+             "redistributable license over content/lang columns)",
+    )
+    sp.add_argument("--src", required=True)
+    sp.add_argument("--view", required=True)
+    sp.add_argument("--where", default=None,
+                    help="SQL boolean gate over source columns "
+                         "(replaces the default curation gate)")
 
     sp = sub.add_parser(
         "export",
@@ -629,6 +642,36 @@ def main(argv: list[str] | None = None) -> int:
             expire_metadata=not args.keep_metadata,
         )
         print(json.dumps(report))
+    elif args.cmd == "curate":
+        from pyspark.sql import functions as F
+
+        from airbyte_spark.lake import LakeTable
+        from airbyte_spark.lake.matview import maintain_filtered
+
+        src = LakeTable(args.src)
+        snap = src.snapshot()
+        if args.where:
+            gate = F.expr(args.where)
+        else:
+            names = {f["name"] for f in snap.fields}
+            if not {"content", "lang"} <= names:
+                raise SystemExit(
+                    "curate: default gate needs content+lang columns — "
+                    "pass --where for other schemas"
+                )
+            from airbyte_spark.analytics.code import curation_gate
+
+            gate = curation_gate()
+        if not LakeTable.exists(args.view):
+            from airbyte_spark.lake.table import struct_from_fields
+
+            LakeTable.create(
+                args.view, struct_from_fields(snap.fields),
+                snap.key_cols, n_buckets=snap.n_buckets,
+            )
+        print(json.dumps(maintain_filtered(
+            spark, src, LakeTable(args.view), predicate=gate,
+        )))
     elif args.cmd == "compact":
         from airbyte_spark.lake import LakeTable
 

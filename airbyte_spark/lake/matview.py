@@ -187,6 +187,14 @@ def maintain_filtered(
     columns must pass through unrenamed (they route the merge).  The
     view schema must match the projection's output.
 
+    Relation to :func:`lake.replicate.replicate`: a partial replica
+    (``where=``/``columns=``) is the table-to-table SYNC surface —
+    string predicates, name-only projections, DDL propagation, resync
+    modes.  This is the derived-VIEW surface: unbound-Column gates
+    (e.g. analytics.code.curation_gate) and COMPUTED projections,
+    which a replica deliberately refuses (its shape is pinned to the
+    source's).
+
     Cursor/fallback rules are maintain_sums's: the view's epoch gate
     IS the cursor (new rows + cursor land in one atomic snapshot); a
     history-folding source commit or vacuum-expired cursor falls back

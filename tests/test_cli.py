@@ -556,3 +556,24 @@ def test_export_verb_zero_copy(tmp_path):
         f"SELECT count(*) FROM read_parquet({r['files']})"
     ).fetchone()[0]
     assert n > 0
+
+
+def test_curate_verb_maintains_filtered_view(tmp_path):
+    """The A+B operational loop from the CLI: init a code table, then
+    `curate` keeps a gated view in sync — full on first call, noop
+    when current, and the view holds exactly the gate's rows."""
+    table = os.path.join(tmp_path, "t")
+    view = os.path.join(tmp_path, "v")
+    json.loads(_cli(
+        "init", "--table", table, "--base-rows", "200",
+        "--buckets", "4", "--repos", "5", "--paths-per-repo", "50",
+    ))
+    gate = "length(content) > 120"
+    r = json.loads(_cli("curate", "--src", table, "--view", view,
+                        "--where", gate))
+    assert r["mode"] == "full" and r["rows_touched"] > 0
+    assert json.loads(_cli("curate", "--src", table, "--view", view,
+                           "--where", gate))["mode"] == "noop"
+    got = json.loads(_cli("scan", "--table", view, "--limit", "100000"))
+    assert len(got["rows"]) == r["rows_touched"]
+    assert all(len(row["content"]) > 120 for row in got["rows"])
