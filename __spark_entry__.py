@@ -1091,6 +1091,28 @@ def code_repo_pack_parts(spark, sf):
     return A_code.pack_repo_parts(_code_files(spark, sf), budget_chars=4000)
 
 
+def code_decontaminate(spark, sf):
+    """Benchmark decontamination for CODE (The Stack removes
+    HumanEval/MBPP overlaps the same way, Kocetkov et al. 2022 §5):
+    files with doc id < 50 play the eval benchmark, the rest the
+    training corpus, BOTH comment/layout-stripped first so cosmetic
+    edits can't hide contamination — then the existing bipartite
+    inverted-index join flags every corpus file sharing >= 3 distinct
+    5-gram shingles with an eval file.  Never corpus × corpus; the
+    eval side broadcasts at real scale."""
+    from airbyte_spark.analytics import code as A_code
+
+    stripped = A_code.strip_comments(_code_files(spark, sf)).withColumn(
+        "_did", F.regexp_extract("path", r"f_(\d+)\.", 1).cast("long")
+    )
+    return A_dedup.contamination_pairs(
+        stripped.filter(F.col("_did") >= 50),
+        stripped.filter(F.col("_did") < 50),
+        text_col="content_stripped", id_col="path",
+        n=5, min_shared=3, max_gram_df=50,
+    )
+
+
 def cdc_outbox_route(spark, sf):
     """Outbox event routing (engine/outbox.py — Debezium EventRouter
     parity): synthesize an outbox changelog from the events table
@@ -3269,6 +3291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_license_propagate": code_license_propagate,
         "code_doc_pairs": code_doc_pairs,
         "code_repo_pack_parts": code_repo_pack_parts,
+        "code_decontaminate": code_decontaminate,
         "cdc_outbox_route": cdc_outbox_route,
         "cdc_debezium_decode": cdc_debezium_decode,
         "events_airbyte_roundtrip": events_airbyte_roundtrip,
@@ -4644,6 +4667,32 @@ SELECT repo, part, count(*) AS n_files,
   length(string_agg(t, chr(10) || chr(10) ORDER BY path)) AS packed_chars,
   sha256(string_agg(t, chr(10) || chr(10) ORDER BY path)) AS packed_sha256
 FROM p GROUP BY repo, part
+""",
+        "code_decontaminate": f"""
+WITH cf AS ({_CODE_FILES_SQL}),
+st AS (
+  SELECT path,
+    CAST(regexp_extract(path, 'f_(\\d+)\\.', 1) AS BIGINT) AS did,
+    COALESCE(array_to_string(
+      list_filter(
+        list_transform(string_split(content, chr(10)),
+                       l -> trim(regexp_replace(l, '[ \\t]+', ' ', 'g'))),
+        l -> l <> '' AND NOT starts_with(l,
+          CASE lang WHEN 'python' THEN '#' WHEN 'sql' THEN '--' ELSE '//' END)
+      ), chr(10)), '') AS text
+  FROM cf
+),
+d AS (
+  SELECT path, did, {_grams_sql(5)} AS grams
+  FROM st WHERE length(trim(text)) > 0
+),
+invc0 AS (SELECT path AS cid, unnest(grams) AS g FROM d WHERE did >= 50),
+hot AS (SELECT g FROM invc0 GROUP BY g HAVING count(*) > 50),
+invc AS (SELECT invc0.* FROM invc0 ANTI JOIN hot USING (g)),
+inve AS (SELECT path AS eid, unnest(grams) AS g FROM d WHERE did < 50)
+SELECT cid, eid, CAST(count(*) AS BIGINT) AS shared
+FROM invc JOIN inve USING (g)
+GROUP BY cid, eid HAVING count(*) >= 3
 """,
         "code_doc_pairs": f"""
 WITH cf AS ({_CODE_FILES_SQL}),

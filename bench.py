@@ -182,6 +182,9 @@ BENCH_QUERIES = [
     # round 4: context-budgeted repo packing (one repo-keyed agg;
     # cums/parts/joins all in the projection — no second shuffle)
     "code_repo_pack_parts",
+    # round 4: code benchmark decontamination (comment-stripped
+    # 5-gram bipartite inverted-index join, never corpus x corpus)
+    "code_decontaminate",
     # round 4: outbox event routing (filter + template + JSON expand,
     # one fused projection then a small agg)
     "cdc_outbox_route",
