@@ -358,3 +358,82 @@ def test_filtered_view_with_projection(spark, tmp_path):
                            n_buckets=2)
     with pytest.raises(ValueError, match="schema must equal"):
         maintain_filtered(spark, bad, view, predicate=_gate())
+
+
+def test_filtered_view_matches_recompute_any_history(spark, tmp_path):
+    """Property: for ANY history of appends / MOR deltas (upserts that
+    flip the gate either way, deletes) / compacts, with maintenance
+    interleaved at arbitrary points, the curated view equals a
+    from-scratch filter of the source after every sync."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from airbyte_spark.lake.matview import maintain_filtered
+
+    ops = st.lists(
+        st.tuples(
+            st.sampled_from(["append", "delta", "compact", "sync"]),
+            st.lists(
+                st.tuples(st.integers(0, 9), st.booleans()),
+                min_size=1, max_size=4, unique_by=lambda t: t[0],
+            ),
+        ),
+        min_size=1, max_size=4,
+    )
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                     HealthCheck.too_slow])
+    @given(ops=ops)
+    def run(ops):
+        import uuid as _uuid
+
+        root = str(tmp_path / _uuid.uuid4().hex[:12])
+        src = LakeTable.create(root + "_s", SCHEMA, ["repo", "path"],
+                               n_buckets=2)
+        view = LakeTable.create(root + "_v", SCHEMA, ["repo", "path"],
+                                n_buckets=2)
+        src.append(spark, _batch(spark, 0, 6), epoch=1)
+        maintain_filtered(spark, src, view, predicate=_gate())
+        op_schema = StructType(list(SCHEMA.fields)).add("op", StringType())
+        lsn = [100]
+        appended = set(range(6))
+        epoch = [1]
+        for kind, keys in ops:
+            if kind == "compact":
+                src.compact(spark)
+            elif kind == "sync":
+                maintain_filtered(spark, src, view, predicate=_gate())
+                assert (_filter_state(spark, view)
+                        == _filter_recompute(spark, src))
+            elif kind == "append":
+                fresh = [k for k, _ in keys if k not in appended]
+                if not fresh:
+                    continue
+                appended.update(fresh)
+                epoch[0] += 1
+                src.append(
+                    spark,
+                    spark.createDataFrame(
+                        [Row(repo=f"r{k % 3}", path=f"p{k}", lsn=k, ts=T0)
+                         for k in fresh],
+                        SCHEMA,
+                    ),
+                    epoch=epoch[0],
+                )
+            else:  # delta: lsn parity flips the gate arbitrarily
+                rows = []
+                for k, is_del in keys:
+                    lsn[0] += 1
+                    appended.add(k)
+                    rows.append(Row(repo=f"r{k % 3}", path=f"p{k}",
+                                    lsn=lsn[0], ts=T0,
+                                    op="d" if is_del else "u"))
+                epoch[0] += 1
+                src.merge_mor(spark, spark.createDataFrame(rows, op_schema),
+                              order_cols=["lsn"], op_col="op",
+                              delete_value="d", epoch=epoch[0])
+        maintain_filtered(spark, src, view, predicate=_gate())
+        assert _filter_state(spark, view) == _filter_recompute(spark, src)
+
+    run()
