@@ -1113,6 +1113,73 @@ def code_decontaminate(spark, sf):
     )
 
 
+def code_corpus_pipeline(spark, sf):
+    """The COMPLETE code-training-data pipeline — the code twin of
+    doc_clean_corpus_full, every stage a verified operator, composed
+    as one declarative plan: Stack line gates + repo-level license
+    inheritance (planted LICENSE files; license boilerplate itself
+    excluded from the corpus) -> benchmark decontamination over
+    comment-stripped streams (files with id < 50 play the eval set)
+    -> Type-2 clone collapse (min-path survivor per (lang,
+    fingerprint)) -> near-dup removal (LSH-verified pairs, drop the
+    larger path of every pair) -> context-budgeted repo packing.
+    Cheap JVM gates run first so the shingling stages see the reduced
+    corpus; one localCheckpoint at the decontamination stage boundary
+    (a real table write at 100 TB).  The oracle recomputes all five
+    stages in SQL; the per-part sha256 pins every surviving byte."""
+    from airbyte_spark.analytics import code as A_code
+
+    files = _code_files(spark, sf)
+    idx = F.regexp_extract("repo", r"repo_(\d+)", 1).cast("long")
+    lic = (
+        files.select("repo").distinct().filter(idx % 3 != 2)
+        .select(
+            "repo", F.lit("LICENSE").alias("path"),
+            F.lit("text").alias("lang"),
+            F.when(idx % 3 == 0, F.lit("SPDX-License-Identifier: MIT"))
+            .otherwise(F.lit("SPDX-License-Identifier: GPL-3.0"))
+            .alias("content"),
+        )
+    )
+    eff = A_code.propagate_license(
+        A_code.line_stats(files.unionByName(lic))
+    )
+    base = F.lower(F.element_at(F.split(F.col("path"), "/"), -1))
+    kept = eff.filter(
+        F.col("keep_code")
+        & F.col("effective_class").isin("permissive", "none")
+        & ~base.isin(A_code._LICENSE_FILENAMES)
+    ).select("repo", "path", "lang", "content")
+    stripped = A_code.strip_comments(kept)
+    # nullif-guard: Catalyst may evaluate this cast BEFORE the
+    # LICENSE-file exclusion filter, and ANSI mode refuses ''::long
+    did_s = F.regexp_extract("path", r"f_(\d+)\.", 1)
+    did = F.when(did_s != "", did_s).cast("long")
+    ev = A_code.strip_comments(
+        files.filter(
+            F.regexp_extract("path", r"f_(\d+)\.", 1).cast("long") < 50
+        )
+    )
+    decon = A_dedup.decontaminate(
+        stripped.filter(did >= 50), ev,
+        text_col="content_stripped", id_col="path",
+        n=5, min_shared=3, max_gram_df=50,
+    ).localCheckpoint(eager=True)
+    fps = A_code.clone_fingerprints(decon)
+    w = Window.partitionBy("lang", "fp_type2")
+    t2 = (
+        fps.withColumn("_rep", F.min("path").over(w))
+        .where(F.col("path") == F.col("_rep")).drop("_rep")
+    )
+    pairs = A_dedup.minhash_lsh_verified_pairs(
+        t2, text_col="content_stripped", id_col="path",
+        shingle=3, bands=32, threshold=0.5,
+    )
+    losers = pairs.select(F.col("id2").alias("path")).distinct()
+    surv = t2.join(losers, "path", "left_anti")
+    return A_code.pack_repo_parts(surv, budget_chars=4000)
+
+
 def cdc_outbox_route(spark, sf):
     """Outbox event routing (engine/outbox.py — Debezium EventRouter
     parity): synthesize an outbox changelog from the events table
@@ -3292,6 +3359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_doc_pairs": code_doc_pairs,
         "code_repo_pack_parts": code_repo_pack_parts,
         "code_decontaminate": code_decontaminate,
+        "code_corpus_pipeline": code_corpus_pipeline,
         "cdc_outbox_route": cdc_outbox_route,
         "cdc_debezium_decode": cdc_debezium_decode,
         "events_airbyte_roundtrip": events_airbyte_roundtrip,
@@ -4667,6 +4735,156 @@ SELECT repo, part, count(*) AS n_files,
   length(string_agg(t, chr(10) || chr(10) ORDER BY path)) AS packed_chars,
   sha256(string_agg(t, chr(10) || chr(10) ORDER BY path)) AS packed_sha256
 FROM p GROUP BY repo, part
+""",
+
+        "code_corpus_pipeline": f"""
+WITH cf AS ({_CODE_FILES_SQL}),
+reps AS (SELECT DISTINCT repo FROM cf),
+lic AS (
+  SELECT repo, 'LICENSE' AS path, 'text' AS lang,
+    CASE WHEN CAST(regexp_extract(repo, 'repo_(\\d+)', 1) AS BIGINT) % 3 = 0
+         THEN 'SPDX-License-Identifier: MIT'
+         ELSE 'SPDX-License-Identifier: GPL-3.0' END AS content
+  FROM reps
+  WHERE CAST(regexp_extract(repo, 'repo_(\\d+)', 1) AS BIGINT) % 3 <> 2
+),
+allf AS (
+  SELECT repo, path, lang, content FROM cf
+  UNION ALL SELECT repo, path, lang, content FROM lic
+),
+cls AS (
+  SELECT repo, path, lang, content,
+    CASE WHEN lid = '' THEN 'none'
+         WHEN lid IN ('MIT','Apache-2.0','BSD-2-Clause','BSD-3-Clause',
+                      'ISC','Unlicense') THEN 'permissive'
+         WHEN lid IN ('GPL-2.0','GPL-3.0','AGPL-3.0','LGPL-2.1',
+                      'LGPL-3.0','MPL-2.0') THEN 'copyleft'
+         ELSE 'unknown' END AS c
+  FROM (
+    SELECT repo, path, lang, content,
+      regexp_extract(content,
+        'SPDX-License-Identifier:\\s*([A-Za-z0-9.+-]+)', 1) AS lid
+    FROM allf
+  )
+),
+rl AS (
+  SELECT repo, min_by(c, path) AS repo_class
+  FROM cls
+  WHERE lower(string_split(path, '/')[-1]) IN
+        ('license', 'license.txt', 'license.md', 'copying')
+    AND c <> 'none'
+  GROUP BY repo
+),
+k AS (
+  SELECT cls.repo, path, lang, content
+  FROM cls LEFT JOIN rl USING (repo)
+  WHERE (CASE WHEN c <> 'none' THEN c
+              ELSE coalesce(repo_class, 'none') END)
+        IN ('permissive', 'none')
+    AND lower(string_split(path, '/')[-1]) NOT IN
+        ('license', 'license.txt', 'license.md', 'copying')
+    AND (list_max(list_transform(string_split(content, chr(10)),
+                             x -> length(x))) <= 1000
+     AND round((length(content) - (len(string_split(content, chr(10))) - 1))
+               / len(string_split(content, chr(10))), 4) <= 100.0
+     AND round(length(regexp_replace(content, '[^A-Za-z0-9]', '', 'g'))
+               / length(content), 4) >= 0.25)
+),
+st AS (
+  SELECT repo, path, lang, content,
+    CAST(regexp_extract(path, 'f_(\\d+)\\.', 1) AS BIGINT) AS did,
+    COALESCE(array_to_string(
+      list_filter(
+        list_transform(string_split(content, chr(10)),
+                       l -> trim(regexp_replace(l, '[ \\t]+', ' ', 'g'))),
+        l -> l <> '' AND NOT starts_with(l,
+          CASE lang WHEN 'python' THEN '#' WHEN 'sql' THEN '--' ELSE '//' END)
+      ), chr(10)), '') AS text
+  FROM k
+),
+evst AS (
+  SELECT path, COALESCE(array_to_string(
+      list_filter(
+        list_transform(string_split(content, chr(10)),
+                       l -> trim(regexp_replace(l, '[ \\t]+', ' ', 'g'))),
+        l -> l <> '' AND NOT starts_with(l,
+          CASE lang WHEN 'python' THEN '#' WHEN 'sql' THEN '--' ELSE '//' END)
+      ), chr(10)), '') AS text
+  FROM cf
+  WHERE CAST(regexp_extract(path, 'f_(\\d+)\\.', 1) AS BIGINT) < 50
+),
+corp AS (SELECT * FROM st WHERE did >= 50),
+d5c AS (
+  SELECT path, {_grams_sql(5)} AS grams
+  FROM corp WHERE length(trim(text)) > 0
+),
+d5e AS (
+  SELECT path, {_grams_sql(5)} AS grams
+  FROM evst WHERE length(trim(text)) > 0
+),
+invc0 AS (SELECT path AS cid, unnest(grams) AS g FROM d5c),
+hot AS (SELECT g FROM invc0 GROUP BY g HAVING count(*) > 50),
+invc AS (SELECT invc0.* FROM invc0 ANTI JOIN hot USING (g)),
+inve AS (SELECT path AS eid, unnest(grams) AS g FROM d5e),
+flagged AS (
+  SELECT cid FROM invc JOIN inve USING (g)
+  GROUP BY cid, eid HAVING count(*) >= 3
+),
+decon AS (
+  SELECT corp.* FROM corp
+  ANTI JOIN (SELECT DISTINCT cid FROM flagged) f ON corp.path = f.cid
+),
+fp AS (
+  SELECT repo, path, lang, content, text,
+    md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(text, '[A-Za-z_][A-Za-z0-9_]*', 'I', 'g'),
+        '[0-9]+(\\.[0-9]+)?', 'N', 'g'),
+        '''[^''' || chr(10) || ''']*''', '''S''', 'g'),
+        '"[^"' || chr(10) || ']*"', '"S"', 'g'),
+        '[ \\t]+', ' ', 'g')) AS fp_type2
+  FROM decon
+),
+t2 AS (
+  SELECT repo, path, lang, content, text FROM (
+    SELECT *, min(path) OVER (PARTITION BY lang, fp_type2) AS rep FROM fp
+  ) WHERE path = rep
+),
+d3 AS (
+  SELECT path AS id, {_GRAMS3} AS grams
+  FROM t2 WHERE length(trim(text)) > 0
+),
+s3 AS (SELECT id, len(grams) AS sz FROM d3),
+inv3 AS (SELECT id, unnest(grams) AS g FROM d3),
+inter AS (
+  SELECT a.id AS id1, b.id AS id2, count(*) AS inter
+  FROM inv3 a JOIN inv3 b ON a.g = b.g AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+losers AS (
+  SELECT DISTINCT id2 FROM inter
+  JOIN s3 s1 ON id1 = s1.id
+  JOIN s3 s2 ON id2 = s2.id
+  WHERE round(inter / (s1.sz + s2.sz - inter), 4) >= 0.5
+),
+surv AS (
+  SELECT repo, path, content FROM t2
+  ANTI JOIN losers ON t2.path = losers.id2
+),
+e AS (
+  SELECT repo, path, '### ' || path || chr(10) || content AS t FROM surv
+),
+c2 AS (
+  SELECT repo, path, t,
+    coalesce(sum(length(t)) OVER (PARTITION BY repo ORDER BY path
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM e
+),
+p2 AS (SELECT repo, path, t,
+       CAST(cum // 4000 AS BIGINT) AS part FROM c2)
+SELECT repo, part, count(*) AS n_files,
+  length(string_agg(t, chr(10) || chr(10) ORDER BY path)) AS packed_chars,
+  sha256(string_agg(t, chr(10) || chr(10) ORDER BY path)) AS packed_sha256
+FROM p2 GROUP BY repo, part
 """,
         "code_decontaminate": f"""
 WITH cf AS ({_CODE_FILES_SQL}),

@@ -185,6 +185,10 @@ BENCH_QUERIES = [
     # round 4: code benchmark decontamination (comment-stripped
     # 5-gram bipartite inverted-index join, never corpus x corpus)
     "code_decontaminate",
+    # round 4: the COMPLETE composed code pipeline (gates + license
+    # inheritance -> decontaminate -> clone collapse -> near-dup
+    # removal -> budgeted pack), sha256-pinned end to end
+    "code_corpus_pipeline",
     # round 4: outbox event routing (filter + template + JSON expand,
     # one fused projection then a small agg)
     "cdc_outbox_route",
