@@ -1180,6 +1180,56 @@ def code_corpus_pipeline(spark, sf):
     return A_code.pack_repo_parts(surv, budget_chars=4000)
 
 
+def code_notebook_convert(spark, sf):
+    """nbconvert-style .ipynb -> script conversion (the Stack-v2 /
+    StarCoder2 notebook-to-script ingestion step, analytics/code.py
+    convert_notebooks): parse nbformat JSON with one from_json, keep
+    code cells verbatim, re-emit markdown as line-commented text,
+    drop raw cells, join with a blank line.  Every 9th notebook is
+    deliberately truncated JSON and must surface as nb_ok=false with
+    NULL script, not an error.  The fixture notebook is built with
+    to_json (lossless round-trip), so the oracle reconstructs the
+    expected script directly from the same document columns — pure
+    JVM on the Spark side, no Python, fuses into the scan."""
+    from airbyte_spark.analytics import code as A_code
+
+    d = _t(spark, sf, "documents")
+
+    def cell(kind, src):
+        return F.struct(F.lit(kind).alias("cell_type"), src.alias("source"))
+
+    did = F.col("doc_id").cast("string")
+    nb_json = F.to_json(
+        F.struct(
+            F.lit(4).alias("nbformat"),
+            F.array(
+                cell("markdown", F.array(
+                    F.concat(F.lit("# "), F.col("source")),
+                    F.lit("\n"),
+                    F.concat(F.lit("doc "), did),
+                )),
+                cell("code", F.array(F.substring("text", 1, 60))),
+                cell("raw", F.array(F.lit("skip me"))),
+                cell("code", F.array(
+                    F.lit("print("), did, F.lit(")"))),
+            ).alias("cells"),
+        )
+    )
+    files = d.select(
+        F.concat(F.lit("nb/"), "source", F.lit("/f_"), did,
+                 F.lit(".ipynb")).alias("path"),
+        F.when(F.col("doc_id") % 9 == 0,
+               F.lit('{"nbformat": 4, "cells": ')).otherwise(nb_json)
+        .alias("content"),
+    )
+    out = A_code.convert_notebooks(files)
+    return out.select(
+        "script_path", "nb_ok", "n_cells", "n_code", "n_md",
+        F.length("script").alias("n_script_chars"),
+        "script_sha256",
+    )
+
+
 def cdc_outbox_route(spark, sf):
     """Outbox event routing (engine/outbox.py — Debezium EventRouter
     parity): synthesize an outbox changelog from the events table
@@ -3360,6 +3410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_repo_pack_parts": code_repo_pack_parts,
         "code_decontaminate": code_decontaminate,
         "code_corpus_pipeline": code_corpus_pipeline,
+        "code_notebook_convert": code_notebook_convert,
         "cdc_outbox_route": cdc_outbox_route,
         "cdc_debezium_decode": cdc_debezium_decode,
         "events_airbyte_roundtrip": events_airbyte_roundtrip,
@@ -4885,6 +4936,30 @@ SELECT repo, part, count(*) AS n_files,
   length(string_agg(t, chr(10) || chr(10) ORDER BY path)) AS packed_chars,
   sha256(string_agg(t, chr(10) || chr(10) ORDER BY path)) AS packed_sha256
 FROM p2 GROUP BY repo, part
+""",
+        "code_notebook_convert": """
+WITH d AS (SELECT doc_id, source, text FROM documents),
+c AS (
+  SELECT
+    'nb/' || source || '/f_' || CAST(doc_id AS VARCHAR) || '.py'
+      AS script_path,
+    doc_id % 9 <> 0 AS nb_ok,
+    doc_id, source, text,
+    -- markdown cell text '# {source}\\ndoc {id}', line-commented,
+    -- then the two code cells verbatim, joined by blank lines
+    '# # ' || source || chr(10) || '# doc ' || CAST(doc_id AS VARCHAR)
+      || chr(10) || chr(10) || substr(text, 1, 60)
+      || chr(10) || chr(10) || 'print(' || CAST(doc_id AS VARCHAR) || ')'
+      AS script
+  FROM d
+)
+SELECT script_path, nb_ok,
+  CASE WHEN nb_ok THEN 4 END AS n_cells,
+  CASE WHEN nb_ok THEN 2 END AS n_code,
+  CASE WHEN nb_ok THEN 1 END AS n_md,
+  CASE WHEN nb_ok THEN length(script) END AS n_script_chars,
+  CASE WHEN nb_ok THEN sha256(script) END AS script_sha256
+FROM c
 """,
         "code_decontaminate": f"""
 WITH cf AS ({_CODE_FILES_SQL}),

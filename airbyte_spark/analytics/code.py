@@ -960,3 +960,90 @@ def pack_repo_parts(
             ).alias("packed_sha256"),
         )
     )
+
+
+# nbformat v4 shape (public spec, jupyter.org/nbformat): we read only
+# the fields the conversion needs; unknown fields are ignored by
+# from_json.  `source` is a list of line strings (the canonical
+# on-disk form); a non-canonical bare-string source parses to a NULL
+# array, so that cell is counted but contributes no text — tolerated,
+# never a crash (tested).
+NOTEBOOK_SCHEMA = (
+    "struct<nbformat: int, "
+    "cells: array<struct<cell_type: string, source: array<string>>>>"
+)
+
+
+def convert_notebooks(
+    df: DataFrame,
+    content_col: str = "content",
+    path_col: str = "path",
+    cell_sep: str = "\n\n",
+    comment_prefix: str = "# ",
+) -> DataFrame:
+    """Jupyter-notebook -> script conversion (the nbconvert
+    ``--to script`` step of a code-training pipeline: The Stack v2 /
+    StarCoder2, Lozhkov et al. 2024 §2, convert notebooks to scripts
+    before the per-file gates so notebook code is curated with the
+    same rules as plain source).
+
+    Per ``.ipynb`` file: parse the nbformat JSON, keep code cells
+    verbatim, re-emit markdown cells as line-commented text, drop
+    other cell types (raw/heading), and join cells with
+    ``cell_sep``.  Malformed JSON (or a JSON doc with no cells array)
+    yields ``nb_ok = false`` with NULL script instead of an error —
+    a web-scale corpus always contains broken notebooks, and one bad
+    file must not kill the scan (the reference's schema-mismatch
+    tolerance rule, airbyte-protocol.md:431-442).
+
+    Everything is JVM-side: one from_json per file plus higher-order
+    functions over the bounded per-file cell array — no Python, no
+    shuffle; the operator fuses into the enclosing scan.  Returns
+    (repo?, path, script_path, nb_ok, n_cells, n_code, n_md, script,
+    script_sha256) preserving all input columns except the content.
+    """
+    nb = F.from_json(F.col(content_col), NOTEBOOK_SCHEMA)
+    cells = nb["cells"]
+    ok = nb.isNotNull() & cells.isNotNull()
+
+    def cell_text(c: Column) -> Column:
+        return F.array_join(c["source"], "")
+
+    def commented(c: Column) -> Column:
+        return F.array_join(
+            F.transform(
+                F.split(cell_text(c), "\n"),
+                lambda ln: F.concat(F.lit(comment_prefix), ln),
+            ),
+            "\n",
+        )
+
+    kept = F.filter(
+        cells, lambda c: c["cell_type"].isin("code", "markdown")
+    )
+    script = F.array_join(
+        F.transform(
+            kept,
+            lambda c: F.when(c["cell_type"] == "code", cell_text(c)).otherwise(
+                commented(c)
+            ),
+        ),
+        cell_sep,
+    )
+
+    def count(kind: str) -> Column:
+        return F.size(F.filter(cells, lambda c: c["cell_type"] == kind))
+
+    passthrough = [c for c in df.columns if c != content_col]
+    return df.select(
+        *passthrough,
+        F.regexp_replace(F.col(path_col), r"\.ipynb$", ".py").alias(
+            "script_path"
+        ),
+        ok.alias("nb_ok"),
+        F.when(ok, F.size(cells)).alias("n_cells"),
+        F.when(ok, count("code")).alias("n_code"),
+        F.when(ok, count("markdown")).alias("n_md"),
+        F.when(ok, script).alias("script"),
+        F.when(ok, F.sha2(script, 256)).alias("script_sha256"),
+    )

@@ -189,6 +189,9 @@ BENCH_QUERIES = [
     # inheritance -> decontaminate -> clone collapse -> near-dup
     # removal -> budgeted pack), sha256-pinned end to end
     "code_corpus_pipeline",
+    # round 4: notebook -> script conversion (one from_json + bounded
+    # per-file cell arrays, fully JVM, fuses into the scan)
+    "code_notebook_convert",
     # round 4: outbox event routing (filter + template + JSON expand,
     # one fused projection then a small agg)
     "cdc_outbox_route",

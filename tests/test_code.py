@@ -566,3 +566,55 @@ def test_pack_repo_parts_splits_on_budget(spark):
     whole = A_code.pack_repo(_files(spark, rows))
     assert one.select("repo", "n_files", "packed_chars", "packed_sha256") \
         .collect() == whole.collect()
+
+
+def test_convert_notebooks_cells_and_comments(spark):
+    nb = (
+        '{"nbformat":4,"cells":['
+        '{"cell_type":"markdown","source":["# t","\\n","line2"]},'
+        '{"cell_type":"code","source":["x=1\\n","y=2"]},'
+        '{"cell_type":"raw","source":["skip me"]},'
+        '{"cell_type":"code","source":["z=3"]}]}'
+    )
+    out = A_code.convert_notebooks(_files(spark, [
+        {"repo": "r", "path": "nb/a.ipynb", "lang": "python", "content": nb},
+    ])).collect()[0]
+    assert out["script_path"] == "nb/a.py"
+    assert out["nb_ok"] is True
+    assert (out["n_cells"], out["n_code"], out["n_md"]) == (4, 2, 1)
+    # markdown joined then line-commented; code verbatim; raw dropped
+    assert out["script"] == "# # t\n# line2\n\nx=1\ny=2\n\nz=3"
+    assert out["script_sha256"] == hashlib.sha256(
+        out["script"].encode()).hexdigest()
+
+
+def test_convert_notebooks_malformed_flags_not_crashes(spark):
+    rows = [
+        {"repo": "r", "path": "b.ipynb", "lang": "python",
+         "content": "not json {"},
+        {"repo": "r", "path": "c.ipynb", "lang": "python",
+         "content": '{"nbformat": 4}'},          # valid JSON, no cells
+        {"repo": "r", "path": "e.ipynb", "lang": "python",
+         "content": '{"nbformat":4,"cells":[]}'},  # empty but well-formed
+    ]
+    by_path = {r["path"]: r for r in
+               A_code.convert_notebooks(_files(spark, rows)).collect()}
+    assert by_path["b.ipynb"]["nb_ok"] is False
+    assert by_path["b.ipynb"]["script"] is None
+    assert by_path["c.ipynb"]["nb_ok"] is False
+    assert by_path["e.ipynb"]["nb_ok"] is True
+    assert by_path["e.ipynb"]["n_cells"] == 0
+    assert by_path["e.ipynb"]["script"] == ""
+
+
+def test_convert_notebooks_bare_string_source_is_tolerated(spark):
+    # non-canonical bare-string source: from_json nulls the array
+    # field; the cell is counted but contributes no text — one odd
+    # notebook must never kill a corpus-wide scan
+    nb = '{"nbformat":4,"cells":[{"cell_type":"code","source":"bare"}]}'
+    out = A_code.convert_notebooks(_files(spark, [
+        {"repo": "r", "path": "d.ipynb", "lang": "python", "content": nb},
+    ])).collect()[0]
+    assert out["nb_ok"] is True
+    assert (out["n_cells"], out["n_code"]) == (1, 1)
+    assert out["script"] == ""
