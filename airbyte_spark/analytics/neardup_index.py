@@ -1,0 +1,389 @@
+"""Incremental near-duplicate dedup: a PERSISTENT MinHash-LSH index
+maintained per sync, so each incremental batch is deduplicated against
+everything already retained WITHOUT re-shingling the corpus.
+
+The at-scale problem this solves: every one-shot near-dup operator
+(minhash_lsh_verified_pairs and friends) recomputes signatures for the
+whole corpus per run — at 100 TB that is a full-corpus pass per sync.
+A CDC/incremental ingest engine instead keeps the signatures and band
+postings as lake tables and, per batch, does work proportional to the
+BATCH: sign the new docs (Arrow-vectorized), probe the postings index
+by (band, bucket) — the index side is file-pruned via per-file bucket
+bloom sidecars, the batch side broadcasts — then estimate Jaccard
+slot-agreement against only the candidate signatures (fetched with
+key-bloom pruning) and drop matches.  Reference analog: Airbyte's
+incremental dedup runs per-sync over the new records against the
+destination state (dbt incremental models in base-normalization);
+the signature store here is the same idea applied to near-dup state.
+
+Decision semantics per batch (deterministic, order-free):
+  1. deletes remove ids from the index first;
+  2. an upsert doc is DROPPED if its estimated Jaccard against any
+     retained index doc (excluding ids updated/deleted in this batch)
+     reaches ``threshold`` — matched_id is the best match (highest
+     estimate, ties to the smallest id);
+  3. among the remaining batch docs, candidate pairs (id1 < id2) with
+     estimate >= threshold drop id2 — the repo-wide "drop the larger
+     id of every pair" rule (see code_corpus_pipeline);
+  4. survivors are appended to the index; batch ids NOT retained
+     (dropped, or now too short to sign) are deleted from the index,
+     so index membership always equals "currently retained".
+
+Estimate-only decisions (no exact re-verification against stored
+text) are the scale choice: the index holds signatures, never
+content, so a probe touches O(batch) data.  With 128 hashes the
+binomial margin between true near-dups (J >= 0.9 in every corpus this
+engine targets) and non-dups (J < 0.2) makes estimate-vs-exact
+disagreement astronomically unlikely (P < 1e-8 per pair at
+threshold 0.7); the driver oracle replays the same epochs with exact
+Jaccard and the gate pins the agreement.
+
+Exactly-once: both index tables are merged with the same epoch tag on
+stream "neardup" (LakeTable's epoch gate, the engine-wide replay
+rule).  On crash-resume the merges no-op; recomputed decisions keep
+the same kept/matched_id (a doc never probes itself — its own id is
+excluded from the index side), though a pair dropped as a batch-dup
+may re-report as an index-dup once its partner is visible in the
+index.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..lake.table import LakeTable
+from .dedup import minhash_signatures
+
+# driver-side probe bound: above this many distinct values the code
+# falls back to a full (broadcast-joined) index scan instead of
+# per-file bloom checks — same bound as the merge coverage probe
+PROBE_CAP = 4096
+
+_PARAMS = "neardup_index.json"
+
+
+def _band_struct(sig_col, bands: int, r: int):
+    """(band, bucket) postings for one signature: bucket = xxhash64 of
+    the band's slice — identical formula to minhash_lsh_pairs, so an
+    index built here agrees with the one-shot operator's banding."""
+    return F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.cast("int").alias("band"),
+                F.xxhash64(
+                    F.concat_ws(",", F.slice(sig_col, b * r + 1, r))
+                ).alias("bucket"),
+            ),
+        )
+    )
+
+
+class NearDupIndex:
+    """Persistent LSH index over two lake tables under ``root``:
+
+    - ``sigs``  (id, sig array<bigint>, n_grams)      key: id
+    - ``posts`` (id, band, bucket)                    key: (id, band),
+      bloom sidecars on ``bucket`` (the probe column).
+
+    Construct with :meth:`create` once, then :meth:`open` per run;
+    :meth:`apply_batch` is the per-sync entrypoint.
+    """
+
+    def __init__(self, root: str, params: dict[str, Any]):
+        self.root = root
+        self.shingle = int(params["shingle"])
+        self.num_hashes = int(params["num_hashes"])
+        self.bands = int(params["bands"])
+        self.threshold = float(params["threshold"])
+        self.sigs = LakeTable(os.path.join(root, "sigs"))
+        self.posts = LakeTable(os.path.join(root, "posts"))
+
+    # -- lifecycle ----------------------------------------------------
+    @staticmethod
+    def create(
+        root: str,
+        *,
+        id_type: str = "bigint",
+        shingle: int = 3,
+        num_hashes: int = 128,
+        bands: int = 32,
+        threshold: float = 0.7,
+        n_buckets: int = 32,
+    ) -> "NearDupIndex":
+        if num_hashes % bands:
+            raise ValueError("num_hashes must divide into bands")
+        from pyspark.sql.types import StructType
+
+        os.makedirs(root, exist_ok=True)
+        params = {
+            "shingle": shingle,
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "threshold": threshold,
+            "id_type": id_type,
+        }
+        with open(os.path.join(root, _PARAMS), "w") as fh:
+            json.dump(params, fh)
+        sig_schema = StructType.fromDDL(
+            f"id {id_type}, sig array<bigint>, n_grams bigint"
+        )
+        post_schema = StructType.fromDDL(
+            f"id {id_type}, band int, bucket bigint"
+        )
+        LakeTable.create(
+            os.path.join(root, "sigs"), sig_schema, ["id"],
+            n_buckets=n_buckets, bloom_cols=["id"],
+        )
+        LakeTable.create(
+            os.path.join(root, "posts"), post_schema, ["id", "band"],
+            n_buckets=n_buckets, bloom_cols=["bucket"],
+        )
+        return NearDupIndex(root, params)
+
+    @staticmethod
+    def open(root: str) -> "NearDupIndex":
+        with open(os.path.join(root, _PARAMS)) as fh:
+            return NearDupIndex(root, json.load(fh))
+
+    # -- probe helpers ------------------------------------------------
+    def _pruned(
+        self, spark: SparkSession, table: LakeTable, col: str,
+        probe: DataFrame,
+    ) -> tuple[DataFrame, int, int]:
+        """Scan ``table`` restricted to ``col IN probe`` rows: collect
+        the distinct probe values up to PROBE_CAP and bloom-prune
+        files; past the cap, read everything (the residual semi-join
+        still applies) — an adaptive probe, never unbounded driver
+        state.  Returns (df, files_total, files_read)."""
+        vals = [r[0] for r in probe.distinct().limit(PROBE_CAP + 1).collect()]
+        snap = table.snapshot()
+        if len(vals) > PROBE_CAP:
+            return table.read(spark), len(snap.files), len(snap.files)
+        snap, kept = table.plan_scan_in(col, vals)
+        df = table._read_resolved(spark, snap, kept).filter(
+            F.col(col).isin(vals) if vals else F.lit(False)
+        )
+        return df, len(snap.files), len(kept)
+
+    def _est(self, s1, s2):
+        return F.round(
+            F.size(
+                F.filter(
+                    F.zip_with(s1, s2, lambda x, y: (x == y).cast("int")),
+                    lambda v: v == 1,
+                )
+            ) / F.lit(float(self.num_hashes)),
+            4,
+        )
+
+    # -- the per-sync entrypoint --------------------------------------
+    def apply_batch(
+        self,
+        spark: SparkSession,
+        batch: DataFrame,
+        *,
+        id_col: str = "id",
+        text_col: str = "text",
+        op_col: str | None = None,
+        delete_value: str = "d",
+        epoch: int | None = None,
+    ) -> DataFrame:
+        """Deduplicate one LWW-deduped batch (one row per id) against
+        the index and commit the index updates (epoch-idempotent).
+
+        Returns the decision frame, one row per batch id:
+        (id, op, kept, indexed, reason, matched_id, jaccard_est) with
+        reason in {kept, index_dup, batch_dup, short, delete}.  The
+        frame is materialized (persisted + counted) BEFORE the merges,
+        so consuming it never re-runs the probe against the updated
+        index."""
+        r = self.num_hashes // self.bands
+        idc = F.col(id_col)
+        if op_col is not None:
+            deletes = batch.filter(F.col(op_col) == delete_value)
+            upserts = batch.filter(F.col(op_col) != delete_value)
+        else:
+            deletes = batch.limit(0)
+            upserts = batch
+        del_ids = deletes.select(idc.alias("id"))
+        up_ids = upserts.select(idc.alias("id"))
+
+        # 1. sign the batch (Arrow-vectorized; short docs fall out)
+        sigs_new = minhash_signatures(
+            upserts, text_col=text_col, id_col=id_col,
+            shingle=self.shingle, num_hashes=self.num_hashes,
+        ).persist()
+        posts_new = sigs_new.select(
+            "id", _band_struct(F.col("sig"), self.bands, r).alias("bb")
+        ).select("id", "bb.band", "bb.bucket")
+
+        # 2. probe the postings index on (band, bucket); the index side
+        # is bloom-pruned by the batch's bucket set and excludes every
+        # id this batch touches (self-updates and deletes)
+        posts_idx, _, _ = self._pruned(
+            spark, self.posts, "bucket", posts_new.select("bucket")
+        )
+        touched = up_ids.unionByName(del_ids)
+        posts_idx = posts_idx.join(touched, "id", "left_anti")
+        cand = (
+            F.broadcast(posts_new.alias("n"))
+            .join(
+                posts_idx.alias("o"),
+                (F.col("n.band") == F.col("o.band"))
+                & (F.col("n.bucket") == F.col("o.bucket")),
+            )
+            .select(
+                F.col("n.id").alias("new_id"), F.col("o.id").alias("old_id")
+            )
+            .dropDuplicates(["new_id", "old_id"])
+        )
+
+        # 3. estimate vs index: fetch only candidate signatures
+        # (key-bloom pruned), score slot agreement
+        sigs_idx, _, _ = self._pruned(
+            spark, self.sigs, "id", cand.select("old_id")
+        )
+        vs_idx = (
+            cand.join(
+                sigs_idx.select(
+                    F.col("id").alias("old_id"), F.col("sig").alias("osig")
+                ),
+                "old_id",
+            )
+            .join(
+                sigs_new.select(
+                    F.col("id").alias("new_id"), F.col("sig").alias("nsig")
+                ),
+                "new_id",
+            )
+            .withColumn("est", self._est(F.col("nsig"), F.col("osig")))
+            .filter(F.col("est") >= self.threshold)
+            .groupBy("new_id")
+            .agg(
+                F.expr(
+                    "min_by(old_id, struct(-est, old_id))"
+                ).alias("matched_id"),
+                F.max("est").alias("jaccard_est"),
+            )
+        )
+        drop1 = vs_idx.select(F.col("new_id").alias("id"),
+                              "matched_id", "jaccard_est")
+
+        # 4. batch-internal pairs among index-stage survivors: the
+        # slim (id, band, bucket) self-join, id1 < id2 drops id2
+        surv1 = sigs_new.join(drop1.select("id"), "id", "left_anti")
+        posts_s = posts_new.join(drop1.select("id"), "id", "left_anti")
+        a, b = posts_s.alias("a"), posts_s.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+            .dropDuplicates(["id1", "id2"])
+            .join(
+                surv1.select(F.col("id").alias("id1"),
+                             F.col("sig").alias("sig1")), "id1",
+            )
+            .join(
+                surv1.select(F.col("id").alias("id2"),
+                             F.col("sig").alias("sig2")), "id2",
+            )
+            .withColumn("est", self._est(F.col("sig1"), F.col("sig2")))
+            .filter(F.col("est") >= self.threshold)
+        )
+        drop2 = (
+            pairs.groupBy("id2")
+            .agg(
+                F.expr("min_by(id1, struct(-est, id1))").alias("matched_id"),
+                F.max("est").alias("jaccard_est"),
+            )
+            .select(F.col("id2").alias("id"), "matched_id", "jaccard_est")
+        )
+
+        # 5. decisions for every batch id (materialized before commit)
+        signed = sigs_new.select("id", F.lit(True).alias("_signed"))
+        dec = (
+            up_ids.join(signed, "id", "left")
+            .join(drop1.withColumnRenamed("matched_id", "m1")
+                  .withColumnRenamed("jaccard_est", "j1"), "id", "left")
+            .join(drop2.withColumnRenamed("matched_id", "m2")
+                  .withColumnRenamed("jaccard_est", "j2"), "id", "left")
+            .select(
+                "id",
+                F.lit("u").alias("op"),
+                (F.col("m1").isNull() & F.col("m2").isNull()).alias("kept"),
+                (
+                    F.col("m1").isNull() & F.col("m2").isNull()
+                    & F.col("_signed").isNotNull()
+                ).alias("indexed"),
+                F.when(F.col("m1").isNotNull(), F.lit("index_dup"))
+                .when(F.col("m2").isNotNull(), F.lit("batch_dup"))
+                .when(F.col("_signed").isNull(), F.lit("short"))
+                .otherwise(F.lit("kept")).alias("reason"),
+                F.coalesce("m1", "m2").alias("matched_id"),
+                F.coalesce("j1", "j2").alias("jaccard_est"),
+            )
+            .unionByName(
+                del_ids.select(
+                    "id",
+                    F.lit("d").alias("op"),
+                    F.lit(False).alias("kept"),
+                    F.lit(False).alias("indexed"),
+                    F.lit("delete").alias("reason"),
+                    F.lit(None).cast(
+                        dict(up_ids.dtypes)["id"]
+                    ).alias("matched_id"),
+                    F.lit(None).cast("double").alias("jaccard_est"),
+                )
+            )
+            .persist()
+        )
+        dec.count()
+
+        # 6. commit: retained rows upsert, everything else this batch
+        # touched deletes — one epoch-gated merge per table, sigs first
+        # (so a crash-resume probe always finds signatures for any
+        # posting it can see)
+        retained = dec.filter(F.col("indexed")).select("id")
+        out_ids = dec.filter(~F.col("indexed")).select("id")
+        sig_up = (
+            sigs_new.join(retained, "id")
+            .select("id", "sig", "n_grams", F.lit("u").alias("_op"))
+        )
+        sig_del = out_ids.select(
+            "id", F.lit(None).cast("array<bigint>").alias("sig"),
+            F.lit(None).cast("bigint").alias("n_grams"),
+            F.lit("d").alias("_op"),
+        )
+        self.sigs.merge(
+            spark, sig_up.unionByName(sig_del),
+            op_col="_op", epoch=epoch, stream="neardup",
+        )
+        band_seq = F.explode(
+            F.sequence(F.lit(0), F.lit(self.bands - 1))
+        ).alias("band")
+        post_up = (
+            posts_new.join(retained, "id")
+            .select("id", F.col("band").cast("int").alias("band"),
+                    "bucket", F.lit("u").alias("_op"))
+        )
+        post_del = out_ids.select("id", band_seq).select(
+            "id", F.col("band").cast("int").alias("band"),
+            F.lit(None).cast("bigint").alias("bucket"),
+            F.lit("d").alias("_op"),
+        )
+        self.posts.merge(
+            spark, post_up.unionByName(post_del),
+            op_col="_op", epoch=epoch, stream="neardup",
+        )
+        sigs_new.unpersist()
+        return dec

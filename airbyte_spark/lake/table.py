@@ -722,6 +722,85 @@ class LakeTable:
             )
         return df
 
+    def plan_scan_in(
+        self,
+        col: str,
+        values: list[Any],
+        version: int | str | None = None,
+    ) -> tuple["Snapshot", list["FileEntry"]]:
+        """IN-list manifest pruning (Iceberg's plan-files with an IN
+        predicate): keep every file that may contain ANY of ``values``
+        by its recorded column bounds, then reject survivors whose
+        bloom sidecar proves every value absent.  Same MOR safety rule
+        as plan_scan (with live deltas only key columns prune).
+        Driver cost is O(files x values) in the worst case, so callers
+        cap len(values) — the near-dup index uses the same 4096
+        adaptive-probe bound as the merge coverage probe."""
+        snap = self.snapshot(version)
+        if version is not None:
+            self._check_readable(snap)
+        fields_by_name = {f["name"]: f for f in snap.fields}
+        if col not in fields_by_name:
+            raise ValueError(f"unknown column {col!r}")
+        fld = fields_by_name[col]
+        temporal = fld["type"] in ("date", "timestamp", "timestamp_ntz")
+        fid = fld["id"]
+        if not values:
+            return snap, []  # IN () matches nothing
+        encoded = [_encode_bound(v) for v in values]
+        if any(v is None for v in encoded):
+            return snap, list(snap.files)  # untracked type: no pruning
+        has_delta = any(f.delta for f in snap.files)
+        if has_delta and col not in snap.key_cols:
+            return snap, list(snap.files)
+        sidecars: dict[str, dict[str, Any] | None] = {}
+
+        def _bloom_hits(f: FileEntry, value: Any) -> bool:
+            if f.bloom is None or str(fid) not in f.bloom:
+                return True
+            if f.path not in sidecars:
+                try:
+                    with open(
+                        os.path.join(self.root, f.path + _BLOOM_SUFFIX)
+                    ) as fh:
+                        side = json.load(fh)
+                    sidecars[f.path] = {
+                        k: {**v, "_bits": _bloom_bits(v)}
+                        for k, v in side.items()
+                    }
+                except (OSError, ValueError):
+                    sidecars[f.path] = None  # lost sidecar: never prune
+            side = sidecars[f.path]
+            if side is None or str(fid) not in side:
+                return True
+            b = side[str(fid)]
+            return _bloom_may_contain(b, b["_bits"], value)
+
+        kept = []
+        for f in snap.files:
+            for v in encoded:
+                if _entry_may_match(f, fid, "=", v, temporal=temporal) and (
+                    temporal or _bloom_hits(f, v)
+                ):
+                    kept.append(f)
+                    break
+        return snap, kept
+
+    def scan_in(
+        self,
+        spark: SparkSession,
+        col: str,
+        values: list[Any],
+        version: int | str | None = None,
+    ) -> DataFrame:
+        """``read`` restricted to ``col IN values``: IN-list manifest
+        + bloom pruning, then the residual isin filter after MOR
+        resolution — equals ``read(...).filter(col.isin(values))``
+        exactly."""
+        snap, files = self.plan_scan_in(col, values, version)
+        df = self._read_resolved(spark, snap, files)
+        return df.filter(F.col(col).isin(values))
+
     def read_appends(
         self,
         spark: SparkSession,

@@ -1,0 +1,145 @@
+"""Incremental near-dup index (analytics/neardup_index.py): decision
+semantics across epochs, delete re-admittance, epoch idempotency,
+bloom-pruned probes, and agreement with the one-shot LSH operator."""
+
+from pyspark.sql import Row
+
+from airbyte_spark.analytics.dedup import minhash_lsh_pairs
+from airbyte_spark.analytics.neardup_index import NearDupIndex
+
+
+def _text(seed: str, n: int = 40) -> str:
+    return " ".join(f"tok{i}{seed}" for i in range(n))
+
+
+def _near(seed: str) -> str:
+    return _text(seed) + " zz qq"
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        [Row(id=i, text=t, **({"op": o} if o else {}))
+         for i, t, o in rows]
+    )
+
+
+def _apply(idx, spark, rows, epoch, op=False):
+    return idx.apply_batch(
+        spark, _batch(spark, rows), epoch=epoch,
+        op_col="op" if op else None,
+    )
+
+
+def _decisions(dec):
+    return {r["id"]: r for r in dec.collect()}
+
+
+def _index_ids(spark, idx):
+    return {r["id"] for r in idx.sigs.read(spark).select("id").collect()}
+
+
+def test_epochs_index_and_batch_dups(spark, tmp_path):
+    idx = NearDupIndex.create(str(tmp_path / "i"))
+    # epoch 1: 1 kept; 2 is its near-dup in the SAME batch -> batch_dup
+    d1 = _decisions(_apply(idx, spark, [
+        (1, _text("a"), None), (2, _near("a"), None),
+        (5, _text("b"), None),
+    ], epoch=1))
+    assert d1[1]["kept"] and d1[1]["reason"] == "kept"
+    assert not d1[2]["kept"] and d1[2]["reason"] == "batch_dup"
+    assert d1[2]["matched_id"] == 1
+    assert d1[5]["kept"]
+    assert _index_ids(spark, idx) == {1, 5}
+    # epoch 2: 7 near-dups 1 (now in the index) -> index_dup; 9 is new
+    d2 = _decisions(_apply(idx, spark, [
+        (7, _near("a"), None), (9, _text("c"), None),
+    ], epoch=2))
+    assert not d2[7]["kept"] and d2[7]["reason"] == "index_dup"
+    assert d2[7]["matched_id"] == 1
+    assert d2[7]["jaccard_est"] >= idx.threshold
+    assert d2[9]["kept"]
+    assert _index_ids(spark, idx) == {1, 5, 9}
+
+
+def test_delete_readmits_near_dup(spark, tmp_path):
+    idx = NearDupIndex.create(str(tmp_path / "i"))
+    _apply(idx, spark, [(1, _text("a"), "u")], epoch=1, op=True)
+    # same batch: delete the original, insert its near-dup -> kept
+    # (deletes apply before upserts probe)
+    d = _decisions(_apply(idx, spark, [
+        (1, None, "d"), (3, _near("a"), "u"),
+    ], epoch=2, op=True))
+    assert d[1]["reason"] == "delete"
+    assert d[3]["kept"]
+    assert _index_ids(spark, idx) == {3}
+
+
+def test_update_to_dup_leaves_index(spark, tmp_path):
+    idx = NearDupIndex.create(str(tmp_path / "i"))
+    _apply(idx, spark, [(1, _text("a"), None), (4, _text("d"), None)],
+           epoch=1)
+    assert _index_ids(spark, idx) == {1, 4}
+    # 4's content becomes a near-dup of 1: dropped AND de-indexed
+    d = _decisions(_apply(idx, spark, [(4, _near("a"), None)], epoch=2))
+    assert not d[4]["kept"] and d[4]["reason"] == "index_dup"
+    assert d[4]["matched_id"] == 1
+    assert _index_ids(spark, idx) == {1}
+    # a doc never matches its own stale index entry: update 1 with
+    # near-identical content -> still kept (self excluded from probe)
+    d2 = _decisions(_apply(idx, spark, [(1, _near("a"), None)], epoch=3))
+    assert d2[1]["kept"]
+    assert _index_ids(spark, idx) == {1}
+
+
+def test_epoch_replay_is_idempotent(spark, tmp_path):
+    idx = NearDupIndex.create(str(tmp_path / "i"))
+    _apply(idx, spark, [(1, _text("a"), None)], epoch=1)
+    _apply(idx, spark, [(2, _near("a"), None), (3, _text("b"), None)],
+           epoch=2)
+    v_sig, v_post = idx.sigs.snapshot().version, idx.posts.snapshot().version
+    # at-least-once replay of epoch 2: merges no-op, kept set stable
+    d = _decisions(_apply(idx, spark, [
+        (2, _near("a"), None), (3, _text("b"), None),
+    ], epoch=2))
+    assert not d[2]["kept"] and d[2]["matched_id"] == 1
+    assert d[3]["kept"]
+    assert idx.sigs.snapshot().version == v_sig
+    assert idx.posts.snapshot().version == v_post
+    assert _index_ids(spark, idx) == {1, 3}
+
+
+def test_short_doc_kept_not_indexed(spark, tmp_path):
+    idx = NearDupIndex.create(str(tmp_path / "i"))
+    d = _decisions(_apply(idx, spark, [(1, "  ", None)], epoch=1))
+    assert d[1]["kept"] and not d[1]["indexed"]
+    assert d[1]["reason"] == "short"
+    assert _index_ids(spark, idx) == set()
+
+
+def test_probe_bloom_prunes_posting_files(spark, tmp_path):
+    idx = NearDupIndex.create(str(tmp_path / "i"), n_buckets=8)
+    _apply(idx, spark,
+           [(i, _text(f"s{i}"), None) for i in range(40)], epoch=1)
+    snap = idx.posts.snapshot()
+    one = idx.posts.read(spark).select("bucket").limit(1).collect()[0][0]
+    _, kept = idx.posts.plan_scan_in("bucket", [one])
+    assert 0 < len(kept) < len(snap.files)
+    # IN () matches nothing and plans nothing
+    _, none = idx.posts.plan_scan_in("bucket", [])
+    assert none == []
+
+
+def test_single_batch_agrees_with_oneshot_lsh(spark, tmp_path):
+    idx = NearDupIndex.create(
+        str(tmp_path / "i"), num_hashes=64, bands=16, threshold=0.5
+    )
+    rows = [(i, _text(f"g{i % 7}") + (" uniq" + str(i)) * (i % 3), None)
+            for i in range(30)]
+    df = _batch(spark, rows)
+    dec = _decisions(idx.apply_batch(spark, df, epoch=1))
+    pairs = minhash_lsh_pairs(
+        df, text_col="text", id_col="id",
+        shingle=3, num_hashes=64, bands=16, threshold=0.5,
+    )
+    dropped = {r["id2"] for r in pairs.collect()}
+    assert {i for i, r in dec.items() if not r["kept"]} == dropped
