@@ -1230,6 +1230,71 @@ def code_notebook_convert(spark, sf):
     )
 
 
+def doc_neardup_index(spark, sf):
+    """INCREMENTAL near-dup dedup (analytics/neardup_index.py): a
+    persistent MinHash-LSH index over two lake tables, maintained
+    across three epoch batches — per batch, only the batch is signed;
+    the index is probed by (band, bucket) and candidate signatures
+    score slot agreement.  Fixture: docs arrive in epoch doc_id%3;
+    every decade's 7-doc and 9-doc are planted near-dups of its 3-doc
+    (one-token suffixes, exact Jaccard >= 0.8), and epoch 3 deletes
+    the ids with doc_id%30==13 BEFORE its upserts — so a near-dup
+    arriving after its original's deletion is re-admitted.  The
+    oracle replays the same epochs with exact 3-gram Jaccard; with
+    128 hashes the estimate-vs-exact margin around threshold 0.5 is
+    >= 8 sigma everywhere in this corpus (pairs are >=0.8 or <0.2),
+    so the decisions agree deterministically.  Outputs exclude the
+    estimate itself (epoch, id, op, kept, reason, in_index)."""
+    from airbyte_spark.analytics.neardup_index import NearDupIndex
+
+    d = _t(spark, sf, "documents")
+    base = d.select(F.col("doc_id").alias("bid"), F.col("text").alias("bt"))
+    anchor = F.col("doc_id") - F.col("doc_id") % 10 + 3
+    fx = (
+        d.join(base, base.bid == anchor, "left")
+        .select(
+            F.col("doc_id").alias("id"),
+            F.when(
+                F.col("doc_id") % 10 == 7,
+                F.concat(F.coalesce("bt", "text"), F.lit(" zz")),
+            )
+            .when(
+                F.col("doc_id") % 10 == 9,
+                F.concat(F.coalesce("bt", "text"), F.lit(" ww")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    idx = NearDupIndex.create(
+        os.path.join(tempfile.mkdtemp(prefix="ndidx_"), "i"),
+        num_hashes=128, bands=32, threshold=0.5, n_buckets=8,
+    )
+    outs = []
+    for ep in (0, 1, 2):
+        b = fx.filter(F.col("id") % 3 == ep).withColumn("op", F.lit("u"))
+        if ep == 2:
+            b = b.unionByName(
+                fx.filter(F.col("id") % 30 == 13)
+                .select("id", F.lit(None).cast("string").alias("text"),
+                        F.lit("d").alias("op"))
+            )
+        dec = idx.apply_batch(
+            spark, b, id_col="id", text_col="text",
+            op_col="op", epoch=ep + 1,
+        )
+        outs.append(dec.withColumn("epoch", F.lit(ep + 1).cast("int")))
+    all_dec = outs[0].unionByName(outs[1]).unionByName(outs[2])
+    member = idx.sigs.read(spark).select("id", F.lit(True).alias("m"))
+    return (
+        all_dec.join(member, "id", "left")
+        .select(
+            "epoch", "id", "op", "kept", "reason",
+            F.coalesce("m", F.lit(False)).alias("in_index"),
+        )
+    )
+
+
 def cdc_outbox_route(spark, sf):
     """Outbox event routing (engine/outbox.py — Debezium EventRouter
     parity): synthesize an outbox changelog from the events table
@@ -3411,6 +3476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_decontaminate": code_decontaminate,
         "code_corpus_pipeline": code_corpus_pipeline,
         "code_notebook_convert": code_notebook_convert,
+        "doc_neardup_index": doc_neardup_index,
         "cdc_outbox_route": cdc_outbox_route,
         "cdc_debezium_decode": cdc_debezium_decode,
         "events_airbyte_roundtrip": events_airbyte_roundtrip,
@@ -4936,6 +5002,90 @@ SELECT repo, part, count(*) AS n_files,
   length(string_agg(t, chr(10) || chr(10) ORDER BY path)) AS packed_chars,
   sha256(string_agg(t, chr(10) || chr(10) ORDER BY path)) AS packed_sha256
 FROM p2 GROUP BY repo, part
+""",
+        "doc_neardup_index": f"""
+WITH base AS (SELECT doc_id, text FROM documents),
+fx AS (
+  SELECT d.doc_id AS id,
+    CASE WHEN d.doc_id % 10 = 7 THEN coalesce(o.text, d.text) || ' zz'
+         WHEN d.doc_id % 10 = 9 THEN coalesce(o.text, d.text) || ' ww'
+         ELSE d.text END AS text
+  FROM base d
+  LEFT JOIN base o ON o.doc_id = d.doc_id - d.doc_id % 10 + 3
+),
+g AS (SELECT id, {_GRAMS3} AS grams FROM fx),
+s AS (SELECT id, len(grams) AS sz FROM g WHERE len(grams) > 0),
+inv AS (SELECT id, unnest(grams) AS gm FROM g),
+inter AS (
+  SELECT x.id AS a, y.id AS b, count(*) AS c
+  FROM inv x JOIN inv y ON x.gm = y.gm AND x.id < y.id
+  GROUP BY x.id, y.id
+),
+pr AS (
+  SELECT a, b FROM inter
+  JOIN s sa ON sa.id = a JOIN s sb ON sb.id = b
+  WHERE c / (sa.sz + sb.sz - c) >= 0.5
+),
+pru AS (SELECT a, b FROM pr UNION ALL SELECT b AS a, a AS b FROM pr),
+e0 AS (SELECT id FROM s WHERE id % 3 = 0),
+k0 AS (
+  SELECT d.id FROM e0 d WHERE NOT EXISTS (
+    SELECT 1 FROM pr p JOIN e0 x ON p.a = x.id WHERE p.b = d.id)
+),
+e1 AS (SELECT id FROM s WHERE id % 3 = 1),
+s1 AS (
+  SELECT d.id FROM e1 d WHERE NOT EXISTS (
+    SELECT 1 FROM pru p JOIN k0 x ON p.b = x.id WHERE p.a = d.id)
+),
+k1 AS (
+  SELECT d.id FROM s1 d WHERE NOT EXISTS (
+    SELECT 1 FROM pr p JOIN s1 x ON p.a = x.id WHERE p.b = d.id)
+),
+del2 AS (SELECT doc_id AS id FROM base WHERE doc_id % 30 = 13),
+i2 AS (
+  SELECT id FROM k0 UNION SELECT id FROM k1
+  EXCEPT SELECT id FROM del2
+),
+e2 AS (SELECT id FROM s WHERE id % 3 = 2),
+s2 AS (
+  SELECT d.id FROM e2 d WHERE NOT EXISTS (
+    SELECT 1 FROM pru p JOIN i2 x ON p.b = x.id WHERE p.a = d.id)
+),
+k2 AS (
+  SELECT d.id FROM s2 d WHERE NOT EXISTS (
+    SELECT 1 FROM pr p JOIN s2 x ON p.a = x.id WHERE p.b = d.id)
+),
+fin AS (SELECT id FROM i2 UNION SELECT id FROM k2),
+res_u AS (
+  SELECT CAST(f.id % 3 + 1 AS INT) AS epoch, f.id, 'u' AS op,
+    CASE WHEN f.id NOT IN (SELECT id FROM s) THEN TRUE
+         WHEN f.id % 3 = 0 THEN f.id IN (SELECT id FROM k0)
+         WHEN f.id % 3 = 1 THEN f.id IN (SELECT id FROM k1)
+         ELSE f.id IN (SELECT id FROM k2) END AS kept,
+    CASE WHEN f.id NOT IN (SELECT id FROM s) THEN 'short'
+         WHEN f.id % 3 = 0 THEN
+           CASE WHEN f.id IN (SELECT id FROM k0) THEN 'kept'
+                ELSE 'batch_dup' END
+         WHEN f.id % 3 = 1 THEN
+           CASE WHEN f.id IN (SELECT id FROM k1) THEN 'kept'
+                WHEN f.id NOT IN (SELECT id FROM s1) THEN 'index_dup'
+                ELSE 'batch_dup' END
+         ELSE
+           CASE WHEN f.id IN (SELECT id FROM k2) THEN 'kept'
+                WHEN f.id NOT IN (SELECT id FROM s2) THEN 'index_dup'
+                ELSE 'batch_dup' END
+    END AS reason
+  FROM fx f
+),
+res AS (
+  SELECT * FROM res_u
+  UNION ALL
+  SELECT 3 AS epoch, id, 'd' AS op, FALSE AS kept, 'delete' AS reason
+  FROM del2
+)
+SELECT epoch, id, op, kept, reason,
+  id IN (SELECT id FROM fin) AND op = 'u' AS in_index
+FROM res
 """,
         "code_notebook_convert": """
 WITH d AS (SELECT doc_id, source, text FROM documents),

@@ -192,6 +192,10 @@ BENCH_QUERIES = [
     # round 4: notebook -> script conversion (one from_json + bounded
     # per-file cell arrays, fully JVM, fuses into the scan)
     "code_notebook_convert",
+    # round 4: incremental near-dup dedup — persistent LSH index over
+    # lake tables, three epoch batches probed + merged (the per-sync
+    # alternative to re-shingling the corpus)
+    "doc_neardup_index",
     # round 4: outbox event routing (filter + template + JSON expand,
     # one fused projection then a small agg)
     "cdc_outbox_route",
