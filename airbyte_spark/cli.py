@@ -222,6 +222,31 @@ def main(argv: list[str] | None = None) -> int:
                          "(replaces the default curation gate)")
 
     sp = sub.add_parser(
+        "dedup-index",
+        help="incremental near-dup dedup: create/apply a persistent "
+             "MinHash-LSH index (per-sync batches probed against "
+             "everything retained, no corpus re-shingle)",
+    )
+    sp.add_argument("--root", required=True)
+    sp.add_argument("--create", action="store_true",
+                    help="initialize the index tables")
+    sp.add_argument("--id-type", default="bigint")
+    sp.add_argument("--shingle", type=int, default=3)
+    sp.add_argument("--num-hashes", type=int, default=128)
+    sp.add_argument("--bands", type=int, default=32)
+    sp.add_argument("--threshold", type=float, default=0.7)
+    sp.add_argument("--buckets", type=int, default=32)
+    sp.add_argument("--apply", metavar="PARQUET_DIR",
+                    help="apply one LWW-deduped batch")
+    sp.add_argument("--id-col", default="id")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--op-col", default=None,
+                    help="op column ('d' rows delete ids from the index)")
+    sp.add_argument("--epoch", type=int, default=None)
+    sp.add_argument("--out", default=None,
+                    help="write per-id decisions parquet here")
+
+    sp = sub.add_parser(
         "export",
         help="external-engine snapshot handoff: zero-copy parquet file "
              "list (pure-COW at current schema), or materialize the "
@@ -672,6 +697,38 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(maintain_filtered(
             spark, src, LakeTable(args.view), predicate=gate,
         )))
+    elif args.cmd == "dedup-index":
+        from pyspark.sql import functions as F
+
+        from airbyte_spark.analytics.neardup_index import NearDupIndex
+
+        if args.create:
+            NearDupIndex.create(
+                args.root, id_type=args.id_type, shingle=args.shingle,
+                num_hashes=args.num_hashes, bands=args.bands,
+                threshold=args.threshold, n_buckets=args.buckets,
+            )
+            print(json.dumps({"created": args.root}))
+        elif args.apply:
+            idx = NearDupIndex.open(args.root)
+            dec = idx.apply_batch(
+                spark, spark.read.parquet(args.apply),
+                id_col=args.id_col, text_col=args.text_col,
+                op_col=args.op_col, epoch=args.epoch,
+            )
+            if args.out:
+                dec.write.mode("overwrite").parquet(args.out)
+            counts = {
+                r["reason"]: r["n"]
+                for r in dec.groupBy("reason")
+                .agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+            print(json.dumps({
+                "decisions": counts,
+                "index_size": idx.sigs.read(spark).count(),
+            }))
+        else:
+            raise SystemExit("dedup-index: pass --create or --apply")
     elif args.cmd == "compact":
         from airbyte_spark.lake import LakeTable
 

@@ -577,3 +577,41 @@ def test_curate_verb_maintains_filtered_view(tmp_path):
     got = json.loads(_cli("scan", "--table", view, "--limit", "100000"))
     assert len(got["rows"]) == r["rows_touched"]
     assert all(len(row["content"]) > 120 for row in got["rows"])
+
+
+def test_cli_dedup_index_create_apply(tmp_path):
+    import pandas as pd
+
+    root = str(tmp_path / "idx")
+    out = json.loads(_cli("dedup-index", "--root", root, "--create",
+                          "--buckets", "4"))
+    assert out == {"created": root}
+
+    def _write(p, rows):
+        pd.DataFrame(rows).to_parquet(p)
+        return str(p)
+
+    t = " ".join(f"w{i}" for i in range(30))
+    b1 = _write(tmp_path / "b1.parquet", [
+        {"id": 1, "text": t, "op": "u"},
+        {"id": 2, "text": t + " zz", "op": "u"},   # batch dup of 1
+        {"id": 3, "text": " ".join(f"x{i}" for i in range(30)), "op": "u"},
+    ])
+    r1 = json.loads(_cli(
+        "dedup-index", "--root", root, "--apply", b1,
+        "--op-col", "op", "--epoch", "1",
+        "--out", str(tmp_path / "d1"),
+    ))
+    assert r1["decisions"] == {"kept": 2, "batch_dup": 1}
+    assert r1["index_size"] == 2
+    # epoch 2: near-dup of the retained doc 1 -> index_dup; delete 3
+    b2 = _write(tmp_path / "b2.parquet", [
+        {"id": 9, "text": t + " qq", "op": "u"},
+        {"id": 3, "text": None, "op": "d"},
+    ])
+    r2 = json.loads(_cli(
+        "dedup-index", "--root", root, "--apply", b2,
+        "--op-col", "op", "--epoch", "2",
+    ))
+    assert r2["decisions"] == {"index_dup": 1, "delete": 1}
+    assert r2["index_size"] == 1
