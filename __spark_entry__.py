@@ -526,6 +526,19 @@ def doc_span_dedup(spark, sf):
     return A_text.span_dedup(_t(spark, sf, "documents"))
 
 
+def doc_substring_dedup(spark, sf):
+    """ExactSubstr-style duplicate-substring removal (analytics/text.py
+    substring_dedup; Lee et al. 2022, arXiv:2107.06499): every 16-token
+    window occurring more than once in the corpus — at any offset,
+    including within one document — is deleted except its globally
+    first occurrence, so shifted duplicates that positional span
+    chunking (doc_span_dedup) cannot align on are still caught.  The
+    oracle re-derives duplicated windows by grouping on the gram
+    string, ranks occurrences by (doc_id, pos), and replays the
+    coverage deletion with a running-max window scan."""
+    return A_text.substring_dedup(_t(spark, sf, "documents"))
+
+
 def doc_token_stats(spark, sf):
     return A_text.token_count(_t(spark, sf, "documents")).select(
         "doc_id", "n_tokens", "n_tokens_bpe", "n_tokens_regex"
@@ -3451,6 +3464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_datetime_slices": events_datetime_slices,
         "doc_dedup_exact": doc_dedup_exact,
         "doc_span_dedup": doc_span_dedup,
+        "doc_substring_dedup": doc_substring_dedup,
         "doc_token_stats": doc_token_stats,
         "doc_quality": doc_quality,
         "doc_bm25_rank": doc_bm25_rank,
@@ -4250,6 +4264,47 @@ body AS (
 tails AS (SELECT doc_id, array_to_string(toks[nf*8+1 : nf*8+8], ' ') AS tail FROM base)
 SELECT d.doc_id, trim(concat_ws(' ', coalesce(b, ''), tail)) AS text
 FROM tails d LEFT JOIN body USING (doc_id)
+""",
+        "doc_substring_dedup": """
+WITH t AS (
+  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+         ELSE string_split_regex(trim(text), '\\s+') END AS toks
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         array_to_string(toks[CAST(i AS INT)+1 : CAST(i AS INT)+16], ' ') AS gram
+  FROM t, UNNEST(range(len(toks) - 16 + 1)) AS u(i)
+),
+r AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY gram) AS c,
+         row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+  FROM occ
+),
+marked AS (SELECT doc_id, pos FROM r WHERE c > 1 AND rn > 1),
+tok AS (
+  SELECT doc_id, CAST(i AS INT) AS i, toks[CAST(i AS INT)+1] AS w
+  FROM t, UNNEST(range(len(toks))) AS u(i)
+),
+ev AS (
+  SELECT doc_id, i AS p, 1 AS kind, i, w FROM tok
+  UNION ALL
+  SELECT doc_id, pos AS p, 0 AS kind, NULL AS i, NULL AS w FROM marked
+),
+scan AS (
+  SELECT doc_id, kind, i, w,
+    max(CASE WHEN kind = 0 THEN p END) OVER
+      (PARTITION BY doc_id ORDER BY p, kind ROWS UNBOUNDED PRECEDING) AS last_mark
+  FROM ev
+),
+body AS (
+  SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS b
+  FROM scan
+  WHERE kind = 1 AND (last_mark IS NULL OR last_mark < i - 15)
+  GROUP BY doc_id
+)
+SELECT t.doc_id, coalesce(b, '') AS text FROM t LEFT JOIN body USING (doc_id)
 """,
         "doc_token_stats": f"""
 SELECT doc_id,

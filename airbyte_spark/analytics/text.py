@@ -809,3 +809,144 @@ def temperature_weights(
     return df.filter(bucket < cut).withColumn(
         "mix_weight", F.round(cut / F.lit(10000.0), 4)
     )
+
+
+def substring_dedup(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 16,
+) -> DataFrame:
+    """ExactSubstr-style duplicate-substring removal (Lee et al. 2022,
+    arXiv:2107.06499 §4.1; reference scope: the mandated LLM-pipeline
+    additions): every occurrence of a ``min_tokens``-token window that
+    appears more than once in the corpus — at ANY offset, in any
+    document, including a repeat inside the same document — is deleted
+    EXCEPT the globally first occurrence (min ``(doc_id, pos)``), so
+    exactly one copy of each duplicated string survives.  This is the
+    offset-invariant upgrade of :func:`span_dedup`: C4's positional
+    chunks miss a duplicate shifted by a single token, while the
+    sliding windows here catch it at every alignment, which is why the
+    paper's suffix-array formulation became the standard over chunk
+    hashing.  A duplicated region longer than ``min_tokens`` is covered
+    by consecutive marked windows, so the whole region is removed from
+    every non-canonical copy, mirroring the paper's maximal-match
+    semantics without materializing a suffix array.
+
+    Shape at scale (the suffix array is single-node; this is not):
+    posexplode the sliding windows into slim ``(id, pos, xxhash64)``
+    rows — O(total tokens) rows, O(k) hash input each, the same cost
+    class as suffix-array construction's O(n log n) — then ONE
+    map-side-combined agg per gram (count + min(struct(doc,pos)), both
+    combine), an equi-join back on the 64-bit hash (the duplicated-gram
+    set is the small side; AQE broadcasts it), and a per-document
+    JVM fold that merges marked windows into disjoint intervals and
+    reassembles the kept gaps with slices — O(tokens + intervals) per
+    doc, no per-token Python, no shuffle wider than the gram rows.
+    xxhash64 stands in for the gram string exactly as in
+    :func:`span_dedup`; the oracle re-derives duplicates by grouping on
+    the gram STRING, so a hash collision would surface as a mismatch.
+
+    Returns (id_col, text): every input document survives as a row
+    (one consisting entirely of non-canonical duplicated windows keeps
+    an empty text — filter on length downstream, as the composed
+    pipelines' quality gate does)."""
+    k = int(min_tokens)
+    if k < 2:
+        raise ValueError("min_tokens must be >= 2")
+    toks = tokens_expr(F.col(text_col))
+    base = df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
+    win_hashes = F.transform(
+        F.sequence(F.lit(0), F.size("_toks") - k),
+        lambda p: F.xxhash64(F.concat_ws(" ", F.slice("_toks", p + 1, k))),
+    )
+    occ = (
+        base.filter(F.size("_toks") >= k)
+        .select("_id", F.posexplode(win_hashes).alias("pos", "h"))
+    )
+    dup = (
+        occ.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min(F.struct(F.col("_id"), F.col("pos"))).alias("first"),
+        )
+        .filter(F.col("c") > 1)
+        .select("h", "first")
+    )
+    marked = (
+        occ.join(dup, "h")
+        .filter(
+            ~(
+                (F.col("_id") == F.col("first._id"))
+                & (F.col("pos") == F.col("first.pos"))
+            )
+        )
+        .groupBy("_id")
+        .agg(F.sort_array(F.collect_set("pos")).alias("_starts"))
+    )
+    iv_type = "array<struct<lo:int,hi:int>>"
+    # fold the sorted marked starts into disjoint [lo, hi] intervals
+    # (each start covers [s, s+k-1]; merge when s <= prev hi + 1 —
+    # adjacent windows delete one contiguous region)
+    intervals = F.aggregate(
+        F.coalesce(F.col("_starts"), F.array().cast("array<int>")),
+        F.array().cast(iv_type),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (s <= F.element_at(acc, -1)["hi"] + 1),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["lo"].alias("lo"),
+                        (s + k - 1).cast("int").alias("hi"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        s.cast("int").alias("lo"),
+                        (s + k - 1).cast("int").alias("hi"),
+                    )
+                ),
+            )
+        ),
+    )
+    out = base.join(marked, "_id", "left").withColumn("_iv", intervals)
+    # kept gaps between deleted intervals: before each interval the gap
+    # starts at the previous interval's hi+1 (element_at(_iv, i) is the
+    # PREVIOUS interval for 0-based lambda index i), plus the tail gap
+    n = F.size("_toks")
+    gaps = F.concat(
+        F.transform(
+            F.col("_iv"),
+            lambda x, i: F.struct(
+                F.when(i == 0, F.lit(0))
+                .otherwise(F.element_at("_iv", i)["hi"] + 1)
+                .cast("int")
+                .alias("lo"),
+                (x["lo"] - 1).cast("int").alias("hi"),
+            ),
+        ),
+        F.array(
+            F.struct(
+                F.when(F.size("_iv") > 0, F.element_at("_iv", -1)["hi"] + 1)
+                .otherwise(F.lit(0))
+                .cast("int")
+                .alias("lo"),
+                (n - 1).cast("int").alias("hi"),
+            )
+        ),
+    )
+    kept = F.flatten(
+        F.transform(
+            F.filter(gaps, lambda g: g["hi"] >= g["lo"]),
+            lambda g: F.slice("_toks", g["lo"] + 1, g["hi"] - g["lo"] + 1),
+        )
+    )
+    return out.select(
+        F.col("_id").alias(id_col), F.array_join(kept, " ").alias("text")
+    )

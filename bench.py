@@ -77,6 +77,9 @@ BENCH_QUERIES = [
     # clean->span->re-gate pipeline
     "doc_span_dedup",
     "doc_clean_corpus_spans",
+    # round 4 (session 9): ExactSubstr-style offset-invariant duplicate
+    # substring removal (sliding 16-token windows, global-first survivor)
+    "doc_substring_dedup",
     # round 4: change-consumption of a row-level DELETE (before-images)
     "cdc_changelog_delete",
     # round 4: SCD2 point-in-time read (history build + interval filter)

@@ -135,6 +135,87 @@ def test_span_dedup_semantics(spark):
     assert out2[0] == docs[0].text
 
 
+def test_substring_dedup_semantics(spark):
+    """ExactSubstr-style dedup: a duplicated run is removed at ANY
+    offset (the case positional span chunks miss), the globally first
+    occurrence survives, within-doc repeats collapse, and every doc
+    stays present as a row."""
+    from airbyte_spark.analytics.text import substring_dedup
+
+    docs = [
+        Row(doc_id=1, text="a b c d e f g h"),
+        # same run shifted by three tokens -> offset-invariant removal
+        Row(doc_id=2, text="x y z a b c d e f g h q r"),
+        Row(doc_id=3, text="p q r s"),
+        Row(doc_id=4, text="m m m m m m m m"),  # within-doc repeat
+        Row(doc_id=5, text=""),
+        Row(doc_id=6, text="u v w"),  # shorter than min_tokens
+    ]
+    out = {
+        r.doc_id: r.text
+        for r in substring_dedup(
+            spark.createDataFrame(docs), min_tokens=4
+        ).collect()
+    }
+    assert out == {
+        1: "a b c d e f g h",  # canonical (first) copy kept verbatim
+        2: "x y z q r",  # whole shifted run removed, flanks kept
+        3: "p q r s",
+        4: "m",  # windows 1..4 non-canonical -> positions 1..7 covered
+        5: "",
+        6: "u v w",
+    }
+
+
+def test_substring_dedup_matches_bruteforce(spark):
+    """Seeded random corpus with planted shared runs: the JVM
+    interval-fold output equals an independent brute-force reference
+    (every duplicated k-window marked unless globally first, covered
+    tokens deleted) on all docs."""
+    import random
+    from collections import defaultdict
+
+    from airbyte_spark.analytics.text import substring_dedup
+
+    rng = random.Random(7)
+    K = 5
+    shared = ["s%d" % i for i in range(12)]
+    docs = []
+    for i in range(40):
+        toks = ["d%d_%d" % (i, j) for j in range(rng.randrange(0, 20))]
+        if i % 3 == 0:  # plant the shared run at a random offset
+            at = rng.randrange(0, len(toks) + 1)
+            toks = toks[:at] + shared + toks[at:]
+        if i % 7 == 0 and len(toks) >= K:  # plant a within-doc repeat
+            toks = toks + toks[:K]
+        docs.append((i, " ".join(toks)))
+
+    toks_by_id = {i: (t.split() if t.strip() else []) for i, t in docs}
+    occ = defaultdict(list)
+    for i in sorted(toks_by_id):
+        ts = toks_by_id[i]
+        for p in range(len(ts) - K + 1):
+            occ[tuple(ts[p : p + K])].append((i, p))
+    dead = defaultdict(set)
+    for lst in occ.values():
+        if len(lst) > 1:
+            first = min(lst)
+            for i, p in lst:
+                if (i, p) != first:
+                    dead[i].update(range(p, p + K))
+    ref = {
+        i: " ".join(t for j, t in enumerate(ts) if j not in dead[i])
+        for i, ts in toks_by_id.items()
+    }
+    out = {
+        r.doc_id: r.text
+        for r in substring_dedup(
+            spark.createDataFrame(docs, ["doc_id", "text"]), min_tokens=K
+        ).collect()
+    }
+    assert out == ref
+
+
 def test_stratified_sample_deterministic(spark):
     rows = spark.createDataFrame(
         [Row(doc_id=i, src="a" if i % 2 == 0 else "b") for i in range(2000)]
