@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from airbyte_spark.analytics import dedup as A_dedup
+from airbyte_spark.analytics import tokenizer as A_tok
 from airbyte_spark.analytics import similarity as A_sim
 from airbyte_spark.analytics import text as A_text
 from airbyte_spark.engine.dedup import lww_dedup
@@ -537,6 +538,48 @@ def doc_substring_dedup(spark, sf):
     string, ranks occurrences by (doc_id, pos), and replays the
     coverage deletion with a running-max window scan."""
     return A_text.substring_dedup(_t(spark, sf, "documents"))
+
+
+def doc_bpe_words(spark, sf):
+    """The corpus-side heavy lift of BPE tokenizer training
+    (analytics/tokenizer.py word_histogram): GPT2-ish regex
+    pre-tokenization fused into the scan, one map-side-combined count
+    agg, top-100 by (count desc, word asc).  This is the exact input
+    the merge loop trains on; the oracle recomputes it with the same
+    regex in DuckDB."""
+    return (
+        A_tok.word_histogram(_t(spark, sf, "documents"))
+        .select("word", F.col("count").alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(100)
+    )
+
+
+def doc_bpe_vocab(spark, sf):
+    """BPE tokenizer training (analytics/tokenizer.py train_bpe;
+    Sennrich et al. 2016, arXiv:1508.07909, the HF/SentencePiece
+    word-histogram formulation): Spark reduces the corpus to a word
+    histogram once, the driver runs the deterministic merge loop on
+    the bounded counts, and the learned merge table comes back as a
+    DataFrame.  Iterative (each merge depends on the last), hence no
+    SQL oracle — tests/test_tokenizer.py pins the trainer against an
+    independent naive reference instead."""
+    merges = A_tok.train_bpe(
+        _t(spark, sf, "documents"), num_merges=60, min_freq=2
+    )
+    return A_tok.merges_df(spark, merges)
+
+
+def doc_bpe_encode(spark, sf):
+    """Subword statistics under the corpus-trained BPE vocab
+    (analytics/tokenizer.py bpe_encode): Arrow-batched mapInPandas
+    with per-batch distinct-word caching — the real-tokenizer token
+    count every budgeting pass needs.  Depends on the trained merges,
+    hence rows-only at the gate; the per-doc counts are pinned in
+    tests/test_tokenizer.py against a word-by-word re-encode."""
+    d = _t(spark, sf, "documents")
+    merges = A_tok.train_bpe(d, num_merges=60, min_freq=2)
+    return A_tok.bpe_encode(d, merges)
 
 
 def doc_token_stats(spark, sf):
@@ -3465,6 +3508,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_exact": doc_dedup_exact,
         "doc_span_dedup": doc_span_dedup,
         "doc_substring_dedup": doc_substring_dedup,
+        "doc_bpe_words": doc_bpe_words,
+        "doc_bpe_vocab": doc_bpe_vocab,
+        "doc_bpe_encode": doc_bpe_encode,
         "doc_token_stats": doc_token_stats,
         "doc_quality": doc_quality,
         "doc_bm25_rank": doc_bm25_rank,
@@ -4264,6 +4310,16 @@ body AS (
 tails AS (SELECT doc_id, array_to_string(toks[nf*8+1 : nf*8+8], ' ') AS tail FROM base)
 SELECT d.doc_id, trim(concat_ws(' ', coalesce(b, ''), tail)) AS text
 FROM tails d LEFT JOIN body USING (doc_id)
+""",
+        "doc_bpe_words": """
+WITH w AS (
+  SELECT unnest(regexp_extract_all(lower(text),
+         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS word
+  FROM documents
+)
+SELECT word, CAST(count(*) AS BIGINT) AS n
+FROM w GROUP BY word
+ORDER BY n DESC, word LIMIT 100
 """,
         "doc_substring_dedup": """
 WITH t AS (

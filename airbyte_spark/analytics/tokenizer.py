@@ -1,0 +1,223 @@
+"""BPE tokenizer training + encoding over the corpus.
+
+Reference scope: the mandated LLM-pipeline additions — tokenizer
+training is a standard stage of a 100-TB training-data pipeline
+(every corpus ships with the vocab trained on it).  The algorithm is
+the public byte-pair-encoding recipe (Sennrich et al. 2016,
+arXiv:1508.07909) in the form every production trainer (HF
+tokenizers, SentencePiece BPE) actually runs it: the corpus is
+reduced to a WORD HISTOGRAM once, and the merge loop iterates over
+the histogram's distinct words — never over the corpus again.
+
+Scale split:
+* ``word_histogram`` is the only corpus-touching step — pre-tokenize
+  with the GPT2-ish ASCII regex (JVM ``regexp_extract_all``, fuses
+  into the scan), posexplode, ONE map-side-combined count agg.  At
+  100 TB this is a single shuffle of (word, partial-count) rows.
+* ``train_bpe`` collects the TOP ``max_words`` histogram rows
+  (count desc, word asc — deterministic) to the driver and runs the
+  classic merge loop there: O(max_words × num_merges) work on counts,
+  zero corpus I/O.  The bounded collect is the same pattern as the
+  k-means codebook sample in analytics/similarity.py — the trainer's
+  input IS a sketch, by construction of the algorithm.
+* ``bpe_encode`` broadcasts the learned merge ranks and encodes with
+  an Arrow-batched ``mapInPandas`` — per batch each DISTINCT word is
+  encoded once (web text repeats words heavily), the classic
+  lowest-rank-first merge scan per word; no per-row Python against
+  the JVM boundary anywhere else.
+
+Training is iterative (each merge depends on the last), hence not
+SQL-expressible: the driver gate records the vocab query rows-only,
+while the histogram query carries a full DuckDB oracle and
+tests/test_tokenizer.py pins the trainer against an independent
+naive reference plus the classic encode/train consistency property.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, NamedTuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .text import BPE_SPLIT_REGEX
+
+# end-of-word sentinel (Sennrich-style): lets the vocab distinguish
+# "low" the word from "low" the prefix of "lower"
+EOW = "</w>"
+
+
+class Merge(NamedTuple):
+    rank: int
+    left: str
+    right: str
+    merged: str
+    freq: int  # pair frequency at the moment it was selected
+
+
+def word_histogram(
+    df: DataFrame, *, text_col: str = "text", lowercase: bool = True
+) -> DataFrame:
+    """(word, count) over the whole corpus — the trainer's input and
+    the only corpus-wide job.  Pre-tokenization is the GPT2-style
+    ASCII split (letter runs / digit runs / symbol runs) shared with
+    ``token_count``'s ``n_tokens_regex`` so the two surfaces agree on
+    what a word is."""
+    col = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    words = F.explode(F.regexp_extract_all(col, F.lit(BPE_SPLIT_REGEX), 0))
+    return (
+        df.select(words.alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def _top_words(
+    df: DataFrame, max_words: int, min_freq: int, text_col: str, lowercase: bool
+) -> list[tuple[str, int]]:
+    rows = (
+        word_histogram(df, text_col=text_col, lowercase=lowercase)
+        .filter(F.col("count") >= min_freq)
+        .orderBy(F.col("count").desc(), F.col("word"))
+        .limit(max_words)
+        .collect()
+    )
+    return [(r["word"], r["count"]) for r in rows]
+
+
+def train_bpe(
+    df: DataFrame,
+    *,
+    num_merges: int = 200,
+    max_words: int = 50_000,
+    min_freq: int = 2,
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> list[Merge]:
+    """Learn ``num_merges`` BPE merges from the corpus.  Deterministic:
+    the histogram cut orders (count desc, word asc), and each round
+    picks the most frequent symbol pair with ties broken by the
+    lexicographically smallest (left, right).  Stops early when no
+    pair occurs twice (nothing left worth merging)."""
+    vocab = _top_words(df, max_words, min_freq, text_col, lowercase)
+    # word -> symbol tuple; counts ride along
+    words: list[tuple[list[str], int]] = [
+        (list(w) + [EOW], c) for w, c in vocab
+    ]
+    merges: list[Merge] = []
+    for rank in range(num_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, c in words:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        # tie-break: max count, then lexicographically SMALLEST pair
+        top = max(pairs.values())
+        if top < 2:
+            break
+        best_pair = min(p for p, c in pairs.items() if c == top)
+        left, right = best_pair
+        merged = left + right
+        merges.append(Merge(rank, left, right, merged, top))
+        for syms, _ in words:
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == left and syms[i + 1] == right:
+                    syms[i : i + 2] = [merged]
+                else:
+                    i += 1
+    return merges
+
+
+def merges_df(spark: SparkSession, merges: Iterable[Merge]) -> DataFrame:
+    """The learned merge table as a DataFrame (the artifact a real
+    pipeline writes next to the corpus snapshot)."""
+    from pyspark.sql.types import (
+        IntegerType, LongType, StringType, StructField, StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("rank", IntegerType(), False),
+            StructField("left", StringType(), False),
+            StructField("right", StringType(), False),
+            StructField("merged", StringType(), False),
+            StructField("freq", LongType(), False),
+        ]
+    )
+    return spark.createDataFrame(
+        [(m.rank, m.left, m.right, m.merged, int(m.freq)) for m in merges],
+        schema,
+    )
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Classic BPE encode of one word: repeatedly apply the
+    lowest-rank merge present until none applies.  Matches training by
+    construction (training applied merges in exactly rank order)."""
+    syms = list(word) + [EOW]
+    while len(syms) > 1:
+        best_rank = None
+        best_i = -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[Merge],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Per-document subword statistics under the trained vocab:
+    (id, n_words, n_subwords, compression) — the number every
+    data-budgeting pass needs (tokens-per-doc under the REAL
+    tokenizer, not a proxy).  Arrow-batched; each distinct word in a
+    batch is encoded once and cached."""
+    import re
+
+    import pandas as pd
+
+    ranks = {(m.left, m.right): m.rank for m in merges}
+    pat = re.compile(BPE_SPLIT_REGEX)
+    id_field = df.schema[id_col].dataType.simpleString()
+
+    def batches(it):
+        cache: dict[str, int] = {}
+
+        def n_sub(w: str) -> int:
+            n = cache.get(w)
+            if n is None:
+                n = len(encode_word(w, ranks))
+                cache[w] = n
+            return n
+
+        for pdf in it:
+            texts = pdf[text_col].fillna("")
+            if lowercase:
+                texts = texts.str.lower()
+            words = texts.map(pat.findall)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_words": words.map(len).astype("int64"),
+                    "n_subwords": words.map(
+                        lambda ws: sum(n_sub(w) for w in ws)
+                    ).astype("int64"),
+                }
+            )
+
+    out_schema = (
+        f"{id_col} {id_field}, n_words long, n_subwords long"
+    )
+    return df.select(id_col, text_col).mapInPandas(batches, out_schema)

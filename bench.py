@@ -80,6 +80,9 @@ BENCH_QUERIES = [
     # round 4 (session 9): ExactSubstr-style offset-invariant duplicate
     # substring removal (sliding 16-token windows, global-first survivor)
     "doc_substring_dedup",
+    # round 4 (session 9): BPE tokenizer training — corpus word
+    # histogram (one agg) + driver merge loop on the bounded counts
+    "doc_bpe_vocab",
     # round 4: change-consumption of a row-level DELETE (before-images)
     "cdc_changelog_delete",
     # round 4: SCD2 point-in-time read (history build + interval filter)
