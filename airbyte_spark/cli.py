@@ -17,6 +17,7 @@ re-imagined as lakehouse-ingest verbs).
   python -m airbyte_spark.cli appends|changes --table /t --since 3
   python -m airbyte_spark.cli tail --table /t --checkpoint /cp --out /sink
   python -m airbyte_spark.cli curate --src /t --view /v [--where 'lsn>=0']
+  python -m airbyte_spark.cli train-bpe --in /corpus --out /merges --merges 200
   python -m airbyte_spark.cli profile --data-dir /data
   python -m airbyte_spark.cli ingest --in /dump --table /t --stream s \
       --properties '{"id":"integer","name":"string"}' --key id --epoch 0
@@ -245,6 +246,21 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--epoch", type=int, default=None)
     sp.add_argument("--out", default=None,
                     help="write per-id decisions parquet here")
+
+    sp = sub.add_parser(
+        "train-bpe",
+        help="train a BPE tokenizer on a parquet text column (one "
+             "corpus-wide word-histogram agg + driver merge loop) and "
+             "write the merge table as parquet",
+    )
+    sp.add_argument("--in", dest="src", required=True,
+                    help="parquet dir/file with the text column")
+    sp.add_argument("--out", required=True,
+                    help="merge-table parquet destination")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--merges", type=int, default=200)
+    sp.add_argument("--max-words", type=int, default=50000)
+    sp.add_argument("--min-freq", type=int, default=2)
 
     sp = sub.add_parser(
         "export",
@@ -729,6 +745,22 @@ def main(argv: list[str] | None = None) -> int:
             }))
         else:
             raise SystemExit("dedup-index: pass --create or --apply")
+    elif args.cmd == "train-bpe":
+        from airbyte_spark.analytics.tokenizer import merges_df, train_bpe
+
+        merges = train_bpe(
+            spark.read.parquet(args.src), text_col=args.text_col,
+            num_merges=args.merges, max_words=args.max_words,
+            min_freq=args.min_freq,
+        )
+        merges_df(spark, merges).coalesce(1).write.mode("overwrite").parquet(
+            args.out
+        )
+        print(json.dumps({
+            "merges": len(merges),
+            "out": args.out,
+            "top": [m.merged for m in merges[:10]],
+        }))
     elif args.cmd == "compact":
         from airbyte_spark.lake import LakeTable
 

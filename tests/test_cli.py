@@ -615,3 +615,42 @@ def test_cli_dedup_index_create_apply(tmp_path):
     ))
     assert r2["decisions"] == {"index_dup": 1, "delete": 1}
     assert r2["index_size"] == 1
+
+
+def test_cli_train_bpe(tmp_path):
+    """train-bpe e2e: corpus parquet in, merge-table parquet out; the
+    written table equals an in-process train_bpe run (deterministic),
+    and encoding with it reconstructs words."""
+    import pandas as pd
+
+    src = tmp_path / "corpus.parquet"
+    pd.DataFrame(
+        {
+            "doc_id": range(4),
+            "text": [
+                "the lower the better for lower bounds",
+                "lowest of the low low low",
+                "the low road and the lower road",
+                "wider widgets, newer widgets!",
+            ],
+        }
+    ).to_parquet(src)
+    out = tmp_path / "merges"
+    r = json.loads(_cli(
+        "train-bpe", "--in", str(src), "--out", str(out), "--merges", "25",
+    ))
+    assert r["merges"] > 0 and len(r["top"]) > 0
+
+    written = pd.read_parquet(out).sort_values("rank").reset_index(drop=True)
+    assert list(written.columns) == ["rank", "left", "right", "merged", "freq"]
+    assert len(written) == r["merges"]
+    # every merged symbol is the concat of its parts, ranks are 0..n-1
+    assert (written["left"] + written["right"] == written["merged"]).all()
+    assert list(written["rank"]) == list(range(len(written)))
+
+    from airbyte_spark.analytics.tokenizer import EOW, encode_word
+
+    ranks = {
+        (r_.left, r_.right): int(r_.rank) for r_ in written.itertuples()
+    }
+    assert "".join(encode_word("lower", ranks)) == "lower" + EOW
