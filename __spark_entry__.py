@@ -1554,6 +1554,37 @@ def doc_clean_corpus_spans(spark, sf):
     )
 
 
+def doc_clean_corpus_substr(spark, sf):
+    """Cleaning pipeline with ExactSubstr-style dedup composed in:
+    the doc_clean_corpus stages (quality gate + english lang-ID +
+    exact dedup), then offset-invariant duplicate-substring removal
+    (analytics/text.py substring_dedup) over the survivors, then a
+    minimum-length re-gate.  The sliding-window gram aggregation sees
+    only documents that already passed the cheap filters — the same
+    reduced-corpus composition rule as the spans/neardup variants.
+    Returns (doc_id, n_tokens_after) for survivors, value-verified in
+    SQL (the oracle replays clean + gram ranking + coverage scan)."""
+    from airbyte_spark.analytics.text import substring_dedup, tokens_expr
+
+    d = A_dedup._widen(_t(spark, sf, "documents"))
+    q = A_text.quality_score(
+        A_text.lang_id(d, engine="arrow", keep_scores=True), engine="arrow"
+    )
+    kept = q.filter(F.col("quality_ok") & (F.col("lang_pred") == "en"))
+    clean = A_dedup.dedup_exact(kept).select("doc_id", "text")
+    sub = substring_dedup(clean)
+    return (
+        sub.select(
+            "doc_id",
+            F.when(F.length(F.trim(F.col("text"))) == 0, 0)
+            .otherwise(F.size(tokens_expr(F.col("text"))))
+            .cast("long")
+            .alias("n_tokens_after"),
+        )
+        .filter(F.col("n_tokens_after") >= 5)
+    )
+
+
 def doc_clean_corpus_neardup(spark, sf):
     """The FULL C4-style cleaning pipeline: quality gate + english
     lang-ID + exact-dup removal, then NEAR-dup removal over the
@@ -3553,6 +3584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": doc_fingerprint,
         "doc_clean_corpus": doc_clean_corpus,
         "doc_clean_corpus_spans": doc_clean_corpus_spans,
+        "doc_clean_corpus_substr": doc_clean_corpus_substr,
         "doc_clean_corpus_neardup": doc_clean_corpus_neardup,
         "doc_clean_corpus_full": doc_clean_corpus_full,
         "doc_jaccard_pairs": doc_jaccard_pairs,
@@ -5611,6 +5643,51 @@ SELECT doc_id,
 FROM dedup
 WHERE (CASE WHEN length(trim(text)) = 0 THEN 0
        ELSE len(string_split_regex(trim(text), '\\s+')) END) >= 5
+""",
+        "doc_clean_corpus_substr": f"""
+WITH clean AS ({_clean_corpus_sql()}),
+ct AS (SELECT d.doc_id, d.text FROM documents d JOIN clean USING (doc_id)),
+t AS (
+  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+         ELSE string_split_regex(trim(text), '\\s+') END AS toks
+  FROM ct
+),
+occ AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         array_to_string(toks[CAST(i AS INT)+1 : CAST(i AS INT)+16], ' ') AS gram
+  FROM t, UNNEST(range(len(toks) - 16 + 1)) AS u(i)
+),
+r AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY gram) AS c,
+         row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+  FROM occ
+),
+marked AS (SELECT doc_id, pos FROM r WHERE c > 1 AND rn > 1),
+tok AS (
+  SELECT doc_id, CAST(i AS INT) AS i
+  FROM t, UNNEST(range(len(toks))) AS u(i)
+),
+ev AS (
+  SELECT doc_id, i AS p, 1 AS kind, i FROM tok
+  UNION ALL
+  SELECT doc_id, pos AS p, 0 AS kind, NULL AS i FROM marked
+),
+scan AS (
+  SELECT doc_id, kind, i,
+    max(CASE WHEN kind = 0 THEN p END) OVER
+      (PARTITION BY doc_id ORDER BY p, kind ROWS UNBOUNDED PRECEDING) AS last_mark
+  FROM ev
+),
+counts AS (
+  SELECT t.doc_id,
+         (SELECT count(*) FROM scan s
+          WHERE s.doc_id = t.doc_id AND s.kind = 1
+            AND (s.last_mark IS NULL OR s.last_mark < s.i - 15)) AS n_tokens_after
+  FROM t
+)
+SELECT doc_id, CAST(n_tokens_after AS BIGINT) AS n_tokens_after
+FROM counts WHERE n_tokens_after >= 5
 """,
         "doc_clean_corpus_neardup": _clean_corpus_neardup_sql(),
         "doc_clean_corpus_full": _clean_corpus_full_sql(),

@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     # round 4 (session 9): ExactSubstr-style offset-invariant duplicate
     # substring removal (sliding 16-token windows, global-first survivor)
     "doc_substring_dedup",
+    "doc_clean_corpus_substr",
     # round 4 (session 9): BPE tokenizer training — corpus word
     # histogram (one agg) + driver merge loop on the bounded counts
     "doc_bpe_vocab",
