@@ -252,3 +252,60 @@ def test_any_replay_scd2_history_matches_interval_fold(
         for r in pipe.read_history(spark).collect()
     }
     assert got == _fold_history(base, events)
+
+
+# --- substring dedup: any corpus over a tiny token alphabet ----------------
+
+from collections import defaultdict
+
+from hypothesis import given as _given
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(list("abc")), min_size=0, max_size=14),
+    min_size=0,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@_given(docs=docs_strategy, k=st.integers(2, 4))
+def test_any_corpus_substring_dedup_matches_fold(spark, docs, k):
+    """ANY corpus over a 3-token alphabet (maximally collision-prone:
+    shared windows everywhere, within-doc repeats, empty docs), any
+    window size: the JVM interval-fold output equals the brute-force
+    mark-and-delete fold."""
+    from airbyte_spark.analytics.text import substring_dedup
+
+    rows = [(i, " ".join(ts)) for i, ts in enumerate(docs)]
+    occ = defaultdict(list)
+    for i, ts in sorted((i, tuple(ts)) for i, ts in enumerate(docs)):
+        for p in range(len(ts) - k + 1):
+            occ[ts[p : p + k]].append((i, p))
+    dead = defaultdict(set)
+    for lst in occ.values():
+        if len(lst) > 1:
+            first = min(lst)
+            for i, p in lst:
+                if (i, p) != first:
+                    dead[i].update(range(p, p + k))
+    ref = {
+        i: " ".join(t for j, t in enumerate(ts) if j not in dead[i])
+        for i, ts in enumerate(docs)
+    }
+    if not rows:
+        return
+    out = {
+        r["doc_id"]: r["text"]
+        for r in substring_dedup(
+            spark.createDataFrame(rows, "doc_id int, text string"),
+            min_tokens=k,
+        ).collect()
+    }
+    assert out == ref
