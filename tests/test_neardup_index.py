@@ -143,3 +143,45 @@ def test_single_batch_agrees_with_oneshot_lsh(spark, tmp_path):
     )
     dropped = {r["id2"] for r in pairs.collect()}
     assert {i for i, r in dec.items() if not r["kept"]} == dropped
+
+
+def test_crash_between_table_commits_resumes_exactly_once(spark, tmp_path):
+    """The adversarial window in the two-table commit: a crash AFTER
+    the signatures merge but BEFORE the postings merge leaves the
+    tables at different epochs.  A same-epoch resume must recompute
+    identical decisions (the probe reads the not-yet-updated postings
+    and excludes every touched id, so the torn signature rows are
+    invisible to it), no-op the already-committed sigs merge, apply
+    the postings merge — and land byte-for-byte on the state a
+    crash-free twin reaches."""
+    import pytest
+
+    idx = NearDupIndex.create(str(tmp_path / "i"))
+    twin = NearDupIndex.create(str(tmp_path / "t"))
+    e1 = [(1, _text("a"), None), (5, _text("b"), None)]
+    e2 = [(2, _near("a"), None), (3, _text("c"), None)]
+    _apply(idx, spark, e1, epoch=1)
+    _apply(twin, spark, e1, epoch=1)
+
+    real_merge = idx.posts.merge
+    idx.posts.merge = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("crash before postings commit")
+    )
+    with pytest.raises(RuntimeError, match="postings"):
+        _apply(idx, spark, e2, epoch=2)
+    idx.posts.merge = real_merge
+
+    # torn state is real: sigs already carry epoch 2's survivor,
+    # postings don't
+    assert _index_ids(spark, idx) == {1, 5, 3}
+    assert {r["id"] for r in idx.posts.read(spark).select("id").collect()} \
+        == {1, 5}
+
+    d = _decisions(_apply(idx, spark, e2, epoch=2))
+    assert not d[2]["kept"] and d[2]["matched_id"] == 1
+    assert d[3]["kept"]
+    _apply(twin, spark, e2, epoch=2)
+    for a, b in ((idx.sigs, twin.sigs), (idx.posts, twin.posts)):
+        got = sorted(map(tuple, a.read(spark).collect()))
+        want = sorted(map(tuple, b.read(spark).collect()))
+        assert got == want
