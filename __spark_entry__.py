@@ -2553,6 +2553,90 @@ def cdc_demux_replay_mini(spark, sf):
     return _state_digest(union)
 
 
+def cdc_signal_replay_mini(spark, sf):
+    """In-band signal collection (engine/signals.py — Debezium's
+    ``signal.data.collection``): the demuxed alpha/beta replay where
+    alpha's tail is LOSSY (every 5th alpha event silently dropped),
+    and the final microbatch carries an ``execute-snapshot`` signal
+    row for alpha IN the log itself, exactly as an operator INSERTs
+    one into the production signal table.  The signal's own lsn is
+    the resnapshot's idempotency epoch (monotone, replay-stable), the
+    repair reads alpha's registered snapshot source at the end
+    position, and the union content digest must land on the SAME
+    constant as the clean monolithic replay — the in-band control
+    path restores what the lossy data path lost, without touching
+    beta."""
+    import json as _json
+
+    from airbyte_spark.engine.changelog import base_table, changelog
+    from airbyte_spark.engine.dedup import lww_dedup
+    from airbyte_spark.engine.pipeline import CdcPipeline
+    from airbyte_spark.engine.signals import apply_batch_demux_signaled
+
+    def stamp(df):
+        return df.withColumn(
+            "collection",
+            F.when(F.pmod(F.xxhash64("repo"), F.lit(2)) == 0, F.lit("alpha"))
+            .otherwise(F.lit("beta")),
+        )
+
+    root = tempfile.mkdtemp(prefix="cdc_entry_")
+    base = stamp(base_table(spark, 300, n_repos=10, paths_per_repo=30))
+    pipes = {}
+    for coll in ("alpha", "beta"):
+        p = CdcPipeline(os.path.join(root, coll), n_buckets=8)
+        p.bootstrap(
+            spark, base.filter(F.col("collection") == coll).drop("collection")
+        )
+        pipes[coll] = p
+    ev = stamp(changelog(spark, 900, n_repos=10, paths_per_repo=30))
+    # alpha's slice is lossy; beta's is intact
+    lossy = ev.filter(
+        (F.col("collection") != "alpha")
+        | (F.pmod(F.xxhash64("lsn"), F.lit(5)) != 0)
+    )
+    # alpha's snapshot source: the clean point-in-time image at the
+    # end position (what a fresh source read would return)
+    ba = base.filter(F.col("collection") == "alpha").select(
+        "repo", "path", "commit", "lang", "content",
+        F.lit(-1).cast("long").alias("lsn"), F.lit("i").alias("op"),
+    )
+    ea = ev.filter(F.col("collection") == "alpha").select(
+        "repo", "path", "commit", "lang", "content", "lsn", "op"
+    )
+    fresh = (
+        lww_dedup(ba.unionByName(ea), ["repo", "path"], ["lsn"])
+        .filter(F.col("op") != "d")
+        .select("repo", "path", "commit", "lang", "content")
+    )
+    sig_payload = _json.dumps(
+        {"type": "execute-snapshot",
+         "data": {"collections": ["alpha"], "snapshot_lsn": 900}}
+    )
+    template = ev.limit(1).collect()[0].asDict()
+    template.update(
+        lsn=900, op="u", path="repair-alpha", repo="__ops",
+        content=sig_payload, collection="__signals",
+    )
+    sig = spark.createDataFrame(
+        [tuple(template[c] for c in ev.columns)], ev.schema
+    )
+    for epoch, lo in enumerate((0, 300, 600)):
+        batch = lossy.filter(
+            (F.col("lsn") >= lo) & (F.col("lsn") < lo + 300)
+        )
+        if epoch == 2:
+            batch = batch.unionByName(sig)
+        apply_batch_demux_signaled(
+            pipes, spark, batch, epoch,
+            snapshot_sources={"alpha": fresh},
+        )
+    union = pipes["alpha"].table().read(spark).unionByName(
+        pipes["beta"].table().read(spark)
+    )
+    return _content_digest(union)
+
+
 def cdc_demux_consistent_read(spark, sf):
     """Cross-table snapshot isolation (engine/demux.py
     read_consistent): after the full 3-epoch demux replay, BOTH
@@ -3615,6 +3699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_oplog_replay_mini": cdc_oplog_replay_mini,
         "cdc_sparse_lww_events": cdc_sparse_lww_events,
         "cdc_demux_replay_mini": cdc_demux_replay_mini,
+        "cdc_signal_replay_mini": cdc_signal_replay_mini,
         "cdc_demux_consistent_read": cdc_demux_consistent_read,
         "cdc_demux_txn_replay_mini": cdc_demux_txn_replay_mini,
         "cdc_resnapshot_repair_mini": cdc_resnapshot_repair_mini,
@@ -5888,6 +5973,10 @@ WHERE w.rn = 1 AND w.op <> 'd'
         "cdc_demux_replay_mini": f"""
 SELECT CAST(275 AS BIGINT) AS final_rows,
        '{_CDC_MINI_DIGEST}' AS state_sha256
+""",
+        "cdc_signal_replay_mini": f"""
+SELECT CAST(275 AS BIGINT) AS final_rows,
+       '{_CDC_CONTENT_DIGEST}' AS content_sha256_digest
 """,
         "cdc_demux_consistent_read": f"""
 SELECT CAST(259 AS BIGINT) AS final_rows,

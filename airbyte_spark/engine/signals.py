@@ -1,0 +1,138 @@
+"""In-band signal collection: control commands that arrive THROUGH
+the change-event tail.
+
+Reference (Newton-School/airbyte): the Debezium embedding the
+platform's CDC sources inherit supports a *signal table* — a
+designated source collection whose rows are commands, read in-band so
+each command has a definite position in the log relative to the data
+events around it (``signal.data.collection``; the signal row carries
+``id``, ``type``, ``data`` JSON).  The ad-hoc blocking snapshot the
+``resnapshot`` verb exposes out-of-band is, in production, usually
+*triggered* this way: an operator INSERTs an ``execute-snapshot`` row
+into the signal table and the connector picks it up from the WAL.
+
+Spark mapping — signals are just another collection in the
+multiplexed tail (`engine/demux.py`), split out before the data demux
+and dispatched AFTER the batch's data slices apply:
+
+* a signal row rides the changelog shape: ``collection`` names the
+  signal stream, ``path`` is the signal id, ``content`` the JSON
+  payload ``{"type": ..., "data": {...}}``, ``lsn`` its log position;
+* ``execute-snapshot`` re-snapshots the named collections from their
+  registered snapshot sources via ``CdcPipeline.resnapshot`` —
+  idempotent under at-least-once batch replay because the signal's
+  OWN LSN is the ``signal_id`` epoch: monotone across signals (log
+  order) and stable across replays of the same batch, so the
+  ``<stream>::resnapshot`` gate skips a committed repair exactly like
+  any other epoch (an arbitrary string id, Debezium's shape, would
+  break the monotone gate — the log position is the honest key);
+* dispatch order is data-first-then-signals-by-lsn: blocking-snapshot
+  semantics demand the fresh image be at-or-past the applied
+  high-water mark, and LWW on ``last_lsn`` makes within-epoch
+  ordering irrelevant to final state, so applying the batch's data
+  before a mid-batch signal is equivalent to the in-log interleaving
+  (resnapshot itself enforces ``snapshot_lsn >= hwm``);
+* ``log`` signals surface their message in the result (Debezium
+  writes them to the connector log); unknown types and unknown
+  collections are reported-and-skipped, malformed JSON likewise —
+  in-band control must never poison the data path (the dead-letter
+  rule).
+
+Scale: the signal slice is collected driver-side — signals are
+operator-issued control rows, a handful per batch by construction;
+the data path cost is exactly :func:`apply_batch_demux`'s.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airbyte_spark.engine.demux import COLLECTION_COL, apply_batch_demux
+
+SIGNAL_COLLECTION = "__signals"
+
+SnapshotSource = "Callable[[], DataFrame] | DataFrame"
+
+
+def apply_batch_demux_signaled(
+    pipes: "dict[str, Any]",
+    spark: SparkSession,
+    batch: DataFrame,
+    epoch: int,
+    *,
+    snapshot_sources: dict[str, Any] | None = None,
+    signal_collection: str = SIGNAL_COLLECTION,
+    collection_col: str = COLLECTION_COL,
+    strict: bool = False,
+) -> dict[str, Any]:
+    """Demux one microbatch with in-band signal handling.  Returns
+    ``{"streams": {name: BatchStats}, "signals": [per-signal dicts]}``.
+
+    ``snapshot_sources`` maps collection name -> a DataFrame or a
+    zero-arg callable producing one: the fresh point-in-time image an
+    ``execute-snapshot`` signal repairs from (the same contract as
+    ``config.StreamSpec.snapshot_source``, which reads it from
+    parquet).  The image must be consistent with a source position
+    at-or-past the signal — ``resnapshot`` enforces this against the
+    applied high-water mark and refuses otherwise.
+    """
+    sig_rows = (
+        batch.filter(F.col(collection_col) == signal_collection)
+        .select("lsn", "path", "content")
+        .collect()
+    )
+    data = batch.filter(F.col(collection_col) != signal_collection)
+    stats = apply_batch_demux(
+        pipes, spark, data, epoch,
+        collection_col=collection_col, strict=strict,
+    )
+
+    results: list[dict[str, Any]] = []
+    for row in sorted(sig_rows, key=lambda r: r["lsn"]):
+        res: dict[str, Any] = {"id": row["path"], "lsn": row["lsn"]}
+        try:
+            payload = json.loads(row["content"])
+            if not isinstance(payload, dict):
+                raise ValueError("signal payload is not an object")
+        except (TypeError, ValueError) as exc:
+            res.update(type=None, status="malformed", error=str(exc))
+            results.append(res)
+            continue
+        stype = payload.get("type")
+        sdata = payload.get("data") or {}
+        res["type"] = stype
+        if stype == "log":
+            res.update(status="logged", message=sdata.get("message", ""))
+        elif stype == "execute-snapshot":
+            res["collections"] = []
+            for coll in sdata.get("collections", []):
+                one: dict[str, Any] = {"collection": coll}
+                pipe = pipes.get(coll)
+                src = (snapshot_sources or {}).get(coll)
+                if pipe is None:
+                    one["status"] = "unknown_collection"
+                elif src is None:
+                    one["status"] = "no_snapshot_source"
+                else:
+                    fresh = src() if callable(src) else src
+                    mr = pipe.resnapshot(
+                        spark, fresh,
+                        snapshot_lsn=int(
+                            sdata.get("snapshot_lsn", row["lsn"])
+                        ),
+                        signal_id=int(row["lsn"]),
+                    )
+                    one["status"] = (
+                        "snapshotted" if mr.committed
+                        else f"skipped ({mr.reason})"
+                    )
+                res["collections"].append(one)
+            res["status"] = "dispatched"
+        else:
+            res.update(status="skipped_unknown_type")
+        results.append(res)
+    return {"streams": stats, "signals": results}

@@ -209,6 +209,9 @@ BENCH_QUERIES = [
     # round 4: non-blocking chunked re-snapshot interleaved with a
     # live tail (4 chunk merges + 3 tail batches, all bucket-pruned)
     "cdc_resnapshot_incremental_mini",
+    # round 4 (session 9): in-band execute-snapshot signal through the
+    # demuxed tail (lossy alpha slice + repair in the last microbatch)
+    "cdc_signal_replay_mini",
     # round 4: replay under schema evolution — add/widen/rename via
     # op='s' events, each epoch shipping its own batch schema
     "cdc_schema_evolution_mini",

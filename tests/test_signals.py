@@ -1,0 +1,173 @@
+"""In-band signal collection (engine/signals.py): execute-snapshot
+through the demuxed tail repairs a diverged table exactly-once, log /
+malformed / unknown signals report-and-skip without touching data."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from airbyte_spark.engine.changelog import base_table, changelog
+from airbyte_spark.engine.pipeline import CdcPipeline
+from airbyte_spark.engine.signals import apply_batch_demux_signaled
+from tests.oracle import assert_states_equal, replay_oracle, table_state
+
+
+def _stamp(df):
+    return df.withColumn(
+        "collection",
+        F.when(F.pmod(F.xxhash64("repo"), F.lit(2)) == 0, F.lit("alpha"))
+        .otherwise(F.lit("beta")),
+    )
+
+
+def _signal_row(spark, events, lsn, sid, payload):
+    # ride the changelog shape exactly (non-nullable fields included):
+    # clone a real event row and overwrite the signal-bearing columns
+    cols = events.columns
+    row = events.limit(1).collect()[0].asDict()
+    row.update(
+        lsn=lsn, op="u", path=sid, repo="__ops", content=json.dumps(payload),
+        collection="__signals",
+    )
+    return spark.createDataFrame([tuple(row[c] for c in cols)], events.schema)
+
+
+@pytest.fixture()
+def world(spark, tmp_path):
+    base = _stamp(base_table(spark, 200, n_repos=8, paths_per_repo=20))
+    events = _stamp(changelog(spark, 300, n_repos=8, paths_per_repo=20))
+    pipes = {}
+    for coll in ("alpha", "beta"):
+        p = CdcPipeline(str(tmp_path / coll), n_buckets=4)
+        p.bootstrap(
+            spark, base.filter(F.col("collection") == coll).drop("collection")
+        )
+        pipes[coll] = p
+    return base, events, pipes
+
+
+def test_execute_snapshot_signal_repairs_diverged_table(spark, world):
+    base, events, pipes = world
+    # diverge alpha: a rogue direct write the tail knows nothing about
+    rogue = (
+        base.filter(F.col("collection") == "alpha").drop("collection")
+        .limit(20)
+        .withColumn("content", F.lit("corrupted by operator error"))
+    )
+    pipes["alpha"].apply_batch(
+        spark,
+        rogue.withColumn("lsn", F.lit(1).cast("long"))
+        .withColumn("op", F.lit("u"))
+        .withColumn("ts", F.lit(None).cast("timestamp")),
+        epoch=0,
+    )
+    max_lsn = events.agg(F.max("lsn")).collect()[0][0]
+    fresh = base.filter(F.col("collection") == "alpha").drop("collection")
+    sig = _signal_row(
+        spark, events, max_lsn + 1, "repair-alpha",
+        {"type": "execute-snapshot", "data": {"collections": ["alpha"]}},
+    )
+    batch = events.unionByName(sig)
+    out = apply_batch_demux_signaled(
+        pipes, spark, batch, epoch=1,
+        snapshot_sources={"alpha": lambda: fresh},
+    )
+    assert out["streams"]["beta"].committed
+    [s] = out["signals"]
+    assert s["type"] == "execute-snapshot"
+    assert s["collections"] == [
+        {"collection": "alpha", "status": "snapshotted"}
+    ]
+    # alpha's final state IS the fresh image (the signal's repair wins
+    # over both the rogue write and this batch's own alpha events —
+    # blocking semantics: the image position is past the batch)
+    expected = replay_oracle(
+        [r.asDict() for r in fresh.collect()], []
+    )
+    for row in expected.values():  # the repair stamps the snapshot lsn
+        row["last_lsn"] = max_lsn + 1
+    assert_states_equal(expected, table_state(pipes["alpha"].table(), spark))
+
+    # at-least-once replay of the whole batch: data gates AND the
+    # signal gate (keyed by the signal's own lsn) all no-op
+    v = pipes["alpha"].table().snapshot().version
+    out2 = apply_batch_demux_signaled(
+        pipes, spark, batch, epoch=1,
+        snapshot_sources={"alpha": lambda: fresh},
+    )
+    assert not out2["streams"]["beta"].committed
+    [s2] = out2["signals"]
+    assert s2["collections"][0]["status"] == "skipped (signal-already-applied)"
+    assert pipes["alpha"].table().snapshot().version == v
+
+
+def test_later_signal_passes_the_monotone_gate(spark, world):
+    base, events, pipes = world
+    fresh = base.filter(F.col("collection") == "alpha").drop("collection")
+    max_lsn = events.agg(F.max("lsn")).collect()[0][0]
+    for i, epoch in ((1, 1), (2, 2)):
+        sig = _signal_row(
+            spark, events, max_lsn + i, f"repair-{i}",
+            {"type": "execute-snapshot", "data": {"collections": ["alpha"]}},
+        )
+        out = apply_batch_demux_signaled(
+            pipes, spark, events.limit(0).unionByName(sig), epoch=epoch,
+            snapshot_sources={"alpha": fresh},
+        )
+        [s] = out["signals"]
+        # a LATER signal (higher lsn) re-snapshots again; same-lsn
+        # replays are the only thing the gate suppresses
+        assert s["collections"][0]["status"] == "snapshotted", (i, s)
+
+
+def test_control_signals_never_poison_the_data_path(spark, world):
+    base, events, pipes = world
+    max_lsn = events.agg(F.max("lsn")).collect()[0][0]
+    sigs = [
+        _signal_row(spark, events, max_lsn + 1, "s-log",
+                    {"type": "log", "data": {"message": "hello"}}),
+        _signal_row(spark, events, max_lsn + 2, "s-unknown",
+                    {"type": "pause-snapshot"}),
+        _signal_row(spark, events, max_lsn + 4, "s-nocoll",
+                    {"type": "execute-snapshot",
+                     "data": {"collections": ["gamma", "alpha"]}}),
+    ]
+    bad = _signal_row(spark, events, max_lsn + 3, "s-bad", {})
+    bad = bad.withColumn("content", F.lit("{not json"))
+    batch = events.unionByName(sigs[0]).unionByName(sigs[1]) \
+        .unionByName(bad).unionByName(sigs[2])
+    out = apply_batch_demux_signaled(pipes, spark, batch, epoch=1)
+    # data applied normally for both collections
+    assert out["streams"]["alpha"].committed
+    assert out["streams"]["beta"].committed
+    by_id = {s["id"]: s for s in out["signals"]}
+    assert by_id["s-log"]["status"] == "logged"
+    assert by_id["s-log"]["message"] == "hello"
+    assert by_id["s-unknown"]["status"] == "skipped_unknown_type"
+    assert by_id["s-bad"]["status"] == "malformed"
+    assert by_id["s-nocoll"]["collections"] == [
+        {"collection": "gamma", "status": "unknown_collection"},
+        {"collection": "alpha", "status": "no_snapshot_source"},
+    ]
+    # signals arrive ordered by log position
+    assert [s["lsn"] for s in out["signals"]] == sorted(
+        s["lsn"] for s in out["signals"]
+    )
+    # the data state matches a signal-free demux oracle
+    for coll in ("alpha", "beta"):
+        b = [
+            r.asDict()
+            for r in base.filter(F.col("collection") == coll)
+            .drop("collection").collect()
+        ]
+        e = [
+            r.asDict()
+            for r in events.filter(F.col("collection") == coll)
+            .drop("collection").collect()
+        ]
+        assert_states_equal(
+            replay_oracle(b, e), table_state(pipes[coll].table(), spark)
+        )
