@@ -90,6 +90,11 @@ class StreamSpec:
     # ignore = freeze the destination schema, batches narrow to it;
     # disable = pause the sync (SchemaChangePaused) on any change.
     # Breaking changes (key/cursor drift) pause under every policy.
+    signal_collection: str | None = None  # in-band signal stream
+    # (engine/signals.py — Debezium signal.data.collection): rows of
+    # this collection in a demuxed tail are control commands, not
+    # data; execute-snapshot repairs the named streams from their
+    # snapshot_source images.  Must agree across a shared tail.
     backfill_new_columns: bool = False  # after a sync whose
     # reconciliation added columns, re-sync from snapshot_source so
     # old rows carry values instead of nulls (the platform's
@@ -313,12 +318,34 @@ class PipelineSpec:
             group = {
                 (s.collection or s.name): pipes[s.name] for s in specs
             }
+            sig_colls = {s.signal_collection for s in specs}
+            if len(sig_colls) > 1:
+                raise ValueError(
+                    f"streams sharing tail {tail} disagree on "
+                    f"signal_collection {sorted(map(str, sig_colls))} — one "
+                    f"signal stream per log"
+                )
+            signal_collection = sig_colls.pop()
+            snapshot_sources = {
+                (s.collection or s.name): (
+                    lambda src=s.snapshot_source: spark.read.parquet(src)
+                )
+                for s in specs
+                if s.snapshot_source
+            } if signal_collection else None
             demux_stats = run_stream_demux(
                 spark, group, tail,
                 specs[0].checkpoint or f"{tail}/_checkpoint_demux",
                 max_files_per_trigger=specs[0].max_files_per_trigger,
                 decode=decode, source_ddl=source_ddl,
+                signal_collection=signal_collection,
+                snapshot_sources=snapshot_sources,
             )
+            if signal_collection is not None:
+                results.setdefault("__signals__", []).extend(
+                    s for st in demux_stats for s in st["signals"]
+                )
+                demux_stats = [st["streams"] for st in demux_stats]
             for s in specs:
                 coll = s.collection or s.name
                 per = [st[coll] for st in demux_stats if coll in st]

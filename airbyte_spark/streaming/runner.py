@@ -222,6 +222,8 @@ def run_stream_demux(
     on_batch: Callable[[dict], None] | None = None,
     decode: Callable[[DataFrame], DataFrame] | None = None,
     source_ddl: str | None = None,
+    signal_collection: str | None = None,
+    snapshot_sources: "dict[str, object] | None" = None,
 ) -> list[dict]:
     """One bounded sync of a MULTIPLEXED tail (engine/demux.py): the
     changelog carries a ``collection`` column and each microbatch is
@@ -239,7 +241,15 @@ def run_stream_demux(
     the decode must emit ``collection_col``, which the Debezium
     envelope carries natively (source.schema|db + source.table), so
     from_debezium_avro/json demux with no glue.  The footer
-    continuity guard is typed-tail-only, as in run_stream."""
+    continuity guard is typed-tail-only, as in run_stream.
+
+    ``signal_collection``: treat that collection's rows as IN-BAND
+    control commands (engine/signals.py — Debezium's signal table):
+    each batch dispatches them after its data slices apply, with
+    ``snapshot_sources`` naming each stream's fresh-image provider.
+    When set, each returned element is the signaled shape
+    ``{"streams": {name: BatchStats}, "signals": [...]}`` instead of
+    the bare per-collection stats dict."""
     gap_min = tail_min_lsn(changelog_dir) if decode is None else None
     for pipe in pipes.values():
         if pipe.check_offset_continuity(gap_min):
@@ -250,14 +260,23 @@ def run_stream_demux(
                 f"re-snapshot via the batch replay path"
             )
     from airbyte_spark.engine.demux import apply_batch_demux
+    from airbyte_spark.engine.signals import apply_batch_demux_signaled
 
     stats: list[dict] = []
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        st = apply_batch_demux(
-            pipes, batch_df.sparkSession, batch_df, int(batch_id),
-            collection_col=collection_col,
-        )
+        if signal_collection is not None:
+            st = apply_batch_demux_signaled(
+                pipes, batch_df.sparkSession, batch_df, int(batch_id),
+                collection_col=collection_col,
+                signal_collection=signal_collection,
+                snapshot_sources=snapshot_sources,
+            )
+        else:
+            st = apply_batch_demux(
+                pipes, batch_df.sparkSession, batch_df, int(batch_id),
+                collection_col=collection_col,
+            )
         stats.append(st)
         if on_batch is not None:
             on_batch(st)

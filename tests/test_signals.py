@@ -171,3 +171,78 @@ def test_control_signals_never_poison_the_data_path(spark, world):
         assert_states_equal(
             replay_oracle(b, e), table_state(pipes[coll].table(), spark)
         )
+
+
+def test_declarative_spec_dispatches_in_band_signals(spark, tmp_path):
+    """config.py wiring: a manifest's demux group with
+    ``signal_collection`` set runs the signaled apply — the tail's
+    signal row repairs the lossy stream from its declared
+    snapshot_source, and the sync result surfaces the signal
+    outcomes."""
+    from airbyte_spark.config import PipelineSpec
+    from airbyte_spark.engine.dedup import lww_dedup
+    from airbyte_spark.streaming.runner import write_changelog_chunks
+
+    base = _stamp(base_table(spark, 200, n_repos=8, paths_per_repo=20))
+    ev = _stamp(changelog(spark, 300, n_repos=8, paths_per_repo=20))
+    # alpha's slice is lossy in the tail; the clean image repairs it
+    lossy = ev.filter(
+        (F.col("collection") != "alpha")
+        | (F.pmod(F.xxhash64("lsn"), F.lit(5)) != 0)
+    )
+    ba = base.filter(F.col("collection") == "alpha").select(
+        "repo", "path", "commit", "lang", "content",
+        F.lit(-1).cast("long").alias("lsn"), F.lit("i").alias("op"),
+    )
+    ea = ev.filter(F.col("collection") == "alpha").select(
+        "repo", "path", "commit", "lang", "content", "lsn", "op"
+    )
+    fresh = (
+        lww_dedup(ba.unionByName(ea), ["repo", "path"], ["lsn"])
+        .filter(F.col("op") != "d")
+        .select("repo", "path", "commit", "lang", "content")
+    )
+    img = str(tmp_path / "alpha_image")
+    fresh.write.parquet(img)
+    sig = _signal_row(
+        spark, ev, 300, "repair-alpha",
+        {"type": "execute-snapshot",
+         "data": {"collections": ["alpha"], "snapshot_lsn": 301}},
+    )
+    tail = str(tmp_path / "tail")
+    write_changelog_chunks(
+        lossy.unionByName(sig), tail, chunk_lsns=150, lo=0, hi=300
+    )
+    doc = {
+        "streams": {
+            name: {
+                "table": str(tmp_path / name),
+                "tail": tail,
+                "collection": name,
+                "n_buckets": 4,
+                "signal_collection": "__signals",
+                **({"snapshot_source": img} if name == "alpha" else {}),
+            }
+            for name in ("alpha", "beta")
+        }
+    }
+    spec = PipelineSpec.from_dict(doc)
+    pipes = spec.build_pipelines()
+    for name in ("alpha", "beta"):
+        pipes[name].bootstrap(
+            spark,
+            base.filter(F.col("collection") == name).drop("collection"),
+        )
+    res = spec.run(spark)
+    assert res["beta"]["committed"] >= 1
+    snap = [
+        c for s in res["__signals__"]
+        if s["type"] == "execute-snapshot"
+        for c in s["collections"]
+    ]
+    assert snap == [{"collection": "alpha", "status": "snapshotted"}]
+    # alpha's final state IS the clean image, lossy tail repaired
+    expected = replay_oracle([r.asDict() for r in fresh.collect()], [])
+    for row in expected.values():
+        row["last_lsn"] = 301
+    assert_states_equal(expected, table_state(pipes["alpha"].table(), spark))
