@@ -18,6 +18,9 @@ re-imagined as lakehouse-ingest verbs).
   python -m airbyte_spark.cli tail --table /t --checkpoint /cp --out /sink
   python -m airbyte_spark.cli curate --src /t --view /v [--where 'lsn>=0']
   python -m airbyte_spark.cli train-bpe --in /corpus --out /merges --merges 200
+  python -m airbyte_spark.cli tokenize --in /corpus --merges /merges --out /tok
+  python -m airbyte_spark.cli signal --tail /tail --id repair-1 \
+      --type execute-snapshot --collections alpha
   python -m airbyte_spark.cli profile --data-dir /data
   python -m airbyte_spark.cli ingest --in /dump --table /t --stream s \
       --properties '{"id":"integer","name":"string"}' --key id --epoch 0
@@ -261,6 +264,40 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--merges", type=int, default=200)
     sp.add_argument("--max-words", type=int, default=50000)
     sp.add_argument("--min-freq", type=int, default=2)
+
+    sp = sub.add_parser(
+        "tokenize",
+        help="encode a parquet text column with a trained BPE merge "
+             "table (train-bpe output); writes per-doc subword stats",
+    )
+    sp.add_argument("--in", dest="src", required=True)
+    sp.add_argument("--merges", required=True,
+                    help="merge-table parquet from train-bpe")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--text-col", default="text")
+
+    sp = sub.add_parser(
+        "signal",
+        help="append an in-band signal row to a demuxed tail "
+             "(engine/signals.py — the operator's INSERT into the "
+             "Debezium signal table)",
+    )
+    sp.add_argument("--tail", required=True,
+                    help="changelog-tail dir the signal chunk lands in")
+    sp.add_argument("--id", dest="signal_id", required=True,
+                    help="signal id (rides the path column)")
+    sp.add_argument("--type", dest="signal_type", required=True,
+                    help="execute-snapshot | log | ...")
+    sp.add_argument("--collections", default=None,
+                    help="comma-separated collections (execute-snapshot)")
+    sp.add_argument("--data", default=None,
+                    help="raw JSON for the signal's data object "
+                         "(overrides --collections)")
+    sp.add_argument("--lsn", type=int, default=None,
+                    help="log position; default: 1 past the tail's max "
+                         "(footer stats, no Spark job)")
+    sp.add_argument("--signal-collection", default="__signals")
 
     sp = sub.add_parser(
         "export",
@@ -549,6 +586,52 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"wap_id": args.wap_id, "committed_version": v}))
         return 0
 
+    if args.cmd == "signal":
+        # spark-free: the signal row is one parquet chunk appended to
+        # the tail, exactly what an operator's INSERT into the source
+        # signal table turns into once it reaches the WAL
+        import glob as _glob
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if args.data is not None:
+            data = json.loads(args.data)
+        else:
+            data = {}
+            if args.collections:
+                data["collections"] = args.collections.split(",")
+        lsn = args.lsn
+        if lsn is None:
+            hi = -1
+            for p in _glob.glob(
+                os.path.join(args.tail, "**", "*.parquet"), recursive=True
+            ):
+                pf = pq.ParquetFile(p)
+                idx = pf.schema_arrow.get_field_index("lsn")
+                for rg in range(pf.metadata.num_row_groups):
+                    st = pf.metadata.row_group(rg).column(idx).statistics
+                    if st is not None and st.has_min_max:
+                        hi = max(hi, st.max)
+            lsn = hi + 1
+        payload = json.dumps({"type": args.signal_type, "data": data})
+        chunk = os.path.join(args.tail, f"signal-{lsn:012d}")
+        os.makedirs(chunk, exist_ok=True)
+        tbl = pa.table({
+            "lsn": pa.array([lsn], pa.int64()),
+            "op": ["u"], "repo": ["__ops"], "path": [args.signal_id],
+            "commit": [""], "lang": [""], "content": [payload],
+            "ts": pa.array([None], pa.timestamp("us")),
+            "collection": [args.signal_collection],
+        })
+        pq.write_table(tbl, os.path.join(chunk, "part-0.parquet"))
+        print(json.dumps({
+            "signal": args.signal_id, "type": args.signal_type,
+            "lsn": lsn, "chunk": chunk, "data": data,
+        }))
+        return 0
+
     from airbyte_spark.engine.changelog import base_table, changelog
     from airbyte_spark.engine.pipeline import CdcPipeline
     from airbyte_spark.session import get_spark
@@ -760,6 +843,33 @@ def main(argv: list[str] | None = None) -> int:
             "merges": len(merges),
             "out": args.out,
             "top": [m.merged for m in merges[:10]],
+        }))
+    elif args.cmd == "tokenize":
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from airbyte_spark.analytics.tokenizer import Merge, bpe_encode
+
+        mt = pd.read_parquet(args.merges).sort_values("rank")
+        merges = [
+            Merge(int(r.rank), r.left, r.right, r.merged, int(r.freq))
+            for r in mt.itertuples()
+        ]
+        out = bpe_encode(
+            spark.read.parquet(args.src), merges,
+            id_col=args.id_col, text_col=args.text_col,
+        )
+        out.write.mode("overwrite").parquet(args.out)
+        row = out.agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_words").alias("words"),
+            F.sum("n_subwords").alias("subwords"),
+        ).collect()[0]
+        print(json.dumps({
+            "docs": row["docs"],
+            "n_words": int(row["words"] or 0),
+            "n_subwords": int(row["subwords"] or 0),
+            "out": args.out,
         }))
     elif args.cmd == "compact":
         from airbyte_spark.lake import LakeTable

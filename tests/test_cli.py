@@ -654,3 +654,75 @@ def test_cli_train_bpe(tmp_path):
         (r_.left, r_.right): int(r_.rank) for r_ in written.itertuples()
     }
     assert "".join(encode_word("lower", ranks)) == "lower" + EOW
+
+
+def test_cli_signal_appends_in_band_row(tmp_path):
+    """signal verb e2e (spark-free): the appended chunk rides the
+    demuxed changelog shape, lands 1 past the tail's max lsn (footer
+    stats), and carries the JSON command payload."""
+    import pandas as pd
+
+    tail = tmp_path / "tail"
+    (tail / "chunk-000000").mkdir(parents=True)
+    pd.DataFrame({
+        "lsn": [0, 1, 41], "op": ["u"] * 3,
+        "repo": ["r"] * 3, "path": ["p"] * 3, "commit": ["c"] * 3,
+        "lang": ["l"] * 3, "content": ["x"] * 3,
+        "ts": pd.to_datetime([None] * 3),
+        "collection": ["alpha"] * 3,
+    }).to_parquet(tail / "chunk-000000" / "part-0.parquet")
+    r = json.loads(_cli(
+        "signal", "--tail", str(tail), "--id", "repair-1",
+        "--type", "execute-snapshot", "--collections", "alpha,beta",
+    ))
+    assert r["lsn"] == 42
+    assert r["data"] == {"collections": ["alpha", "beta"]}
+    row = pd.read_parquet(r["chunk"]).iloc[0]
+    assert row["collection"] == "__signals"
+    assert row["path"] == "repair-1"
+    assert json.loads(row["content"]) == {
+        "type": "execute-snapshot",
+        "data": {"collections": ["alpha", "beta"]},
+    }
+
+
+def test_cli_train_bpe_then_tokenize(tmp_path):
+    """train-bpe -> tokenize lifecycle: the written merge table drives
+    the encode verb; subword totals match an in-process re-encode."""
+    import pandas as pd
+
+    src = tmp_path / "corpus.parquet"
+    pd.DataFrame({
+        "doc_id": range(3),
+        "text": [
+            "the lower the better for lower bounds",
+            "lowest of the low low low",
+            "the low road and the lower road",
+        ],
+    }).to_parquet(src)
+    merges = tmp_path / "merges"
+    _cli("train-bpe", "--in", str(src), "--out", str(merges),
+         "--merges", "20")
+    out = tmp_path / "tok"
+    r = json.loads(_cli(
+        "tokenize", "--in", str(src), "--merges", str(merges),
+        "--out", str(out),
+    ))
+    assert r["docs"] == 3
+    got = pd.read_parquet(out).set_index("doc_id")
+
+    import re
+
+    from airbyte_spark.analytics.text import BPE_SPLIT_REGEX
+    from airbyte_spark.analytics.tokenizer import encode_word
+
+    mt = pd.read_parquet(merges)
+    ranks = {(m.left, m.right): int(m.rank) for m in mt.itertuples()}
+    texts = pd.read_parquet(src).set_index("doc_id")["text"]
+    for i, t in texts.items():
+        ws = re.findall(BPE_SPLIT_REGEX, t.lower())
+        assert got.loc[i, "n_words"] == len(ws)
+        assert got.loc[i, "n_subwords"] == sum(
+            len(encode_word(w, ranks)) for w in ws
+        )
+    assert r["n_subwords"] == int(got["n_subwords"].sum())
