@@ -1014,3 +1014,35 @@ def test_temperature_weights_flattens_skew(spark):
     cap = text.temperature_weights(
         rows, strata_col="src", target_rows=10**9)
     assert cap.count() == 2000
+
+
+def test_substring_dedup_plan_shape(spark):
+    """Pin substring_dedup's scale shape: exactly TWO shuffles (the
+    gram count+min agg and the per-doc marked-starts agg), the gram
+    agg reduced map-side before its exchange, every join broadcast —
+    a sort-merge join here would mean the whole gram table shuffles a
+    third time."""
+    from airbyte_spark.analytics.text import substring_dedup
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(f"w{j % 7}" for j in range(i + 20)))
+         for i in range(30)]
+    )
+    out = substring_dedup(docs, min_tokens=4)
+    out.collect()  # AQE finalizes join strategies at runtime
+    phys = (
+        out._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]  # judge the FINAL adaptive plan
+    )
+    # both joins broadcast in the final plan (the left-outer's base
+    # side may keep an AQE-localized exchange — that's the adaptive
+    # middle ground; with a HUGE marked set SMJ there would be the
+    # right plan, and AQE is what makes that call from real sizes)
+    assert "SortMergeJoin" not in phys
+    assert phys.count("BroadcastHashJoin") >= 2
+    # the slim-row aggs reduce map-side (partial_* below an exchange);
+    # exchange COUNT is fixture-dependent (unknown-stats inputs plan
+    # SMJ statically and AQE localizes the orphaned exchanges; parquet
+    # inputs with stats plan 2 exchanges directly — the sf0.1 explain
+    # audit in BASELINE.md pins that) so it is not asserted here
+    assert "partial_collect_set" in phys
