@@ -118,18 +118,28 @@ def apply_batch_demux_signaled(
                 elif src is None:
                     one["status"] = "no_snapshot_source"
                 else:
-                    fresh = src() if callable(src) else src
-                    mr = pipe.resnapshot(
-                        spark, fresh,
-                        snapshot_lsn=int(
-                            sdata.get("snapshot_lsn", row["lsn"])
-                        ),
-                        signal_id=int(row["lsn"]),
-                    )
-                    one["status"] = (
-                        "snapshotted" if mr.committed
-                        else f"skipped ({mr.reason})"
-                    )
+                    # a repair that cannot apply (image behind the
+                    # HWM, unreadable source) must not wedge the
+                    # stream in a crash loop — the data epochs are
+                    # already committed, so a raising signal would
+                    # re-raise on every checkpoint replay forever.
+                    # Report-and-skip, like every other control error
+                    try:
+                        fresh = src() if callable(src) else src
+                        mr = pipe.resnapshot(
+                            spark, fresh,
+                            snapshot_lsn=int(
+                                sdata.get("snapshot_lsn", row["lsn"])
+                            ),
+                            signal_id=int(row["lsn"]),
+                        )
+                        one["status"] = (
+                            "snapshotted" if mr.committed
+                            else f"skipped ({mr.reason})"
+                        )
+                    except Exception as exc:  # noqa: BLE001
+                        one["status"] = "error"
+                        one["error"] = str(exc)
                 res["collections"].append(one)
             res["status"] = "dispatched"
         else:

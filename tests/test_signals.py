@@ -246,3 +246,28 @@ def test_declarative_spec_dispatches_in_band_signals(spark, tmp_path):
     for row in expected.values():
         row["last_lsn"] = 301
     assert_states_equal(expected, table_state(pipes["alpha"].table(), spark))
+
+
+def test_failed_repair_reports_instead_of_wedging(spark, world):
+    """A repair that cannot apply (snapshot position behind the
+    applied HWM — resnapshot's blocking rule) must surface as a
+    per-collection error, NOT raise: the batch's data epochs are
+    already committed, so a raising signal would re-raise on every
+    checkpoint replay forever."""
+    base, events, pipes = world
+    fresh = base.filter(F.col("collection") == "alpha").drop("collection")
+    # apply all data first so the HWM is past the signal's stale lsn
+    apply_batch_demux_signaled(pipes, spark, events, epoch=1)
+    sig = _signal_row(
+        spark, events, 5, "stale-repair",
+        {"type": "execute-snapshot",
+         "data": {"collections": ["alpha"], "snapshot_lsn": 5}},
+    )
+    out = apply_batch_demux_signaled(
+        pipes, spark, events.limit(0).unionByName(sig), epoch=2,
+        snapshot_sources={"alpha": fresh},
+    )
+    [s] = out["signals"]
+    [c] = s["collections"]
+    assert c["status"] == "error"
+    assert "high-water mark" in c["error"]
