@@ -602,6 +602,16 @@ def doc_lm_score(spark, sf):
     return A_text.lm_score(_t(spark, sf, "documents"))
 
 
+def doc_lm_buckets(spark, sf):
+    """CCNet head/middle/tail perplexity split (analytics/text.py
+    lm_buckets; Wenzek et al. 2020 §4.3): tercile cutoffs of the
+    bigram-LM bits-per-token, computed as two scalars and applied as
+    a scan-fused comparison — no global sort.  The oracle retrains
+    the same LM and derives the same 4dp-rounded cutoffs with
+    quantile_cont."""
+    return A_text.lm_buckets(_t(spark, sf, "documents"))
+
+
 def doc_dsir_sample(spark, sf):
     """DSIR data selection (analytics/text.py dsir_sample; Xie et al.
     2023, arXiv:2302.03169): hashed unigram+bigram importance weights
@@ -3630,6 +3640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": doc_quality,
         "doc_bm25_rank": doc_bm25_rank,
         "doc_lm_score": doc_lm_score,
+        "doc_lm_buckets": doc_lm_buckets,
         "doc_dsir_sample": doc_dsir_sample,
         "doc_chunk_windows": doc_chunk_windows,
         "code_quality_signals": code_quality_signals,
@@ -4543,6 +4554,52 @@ FROM d LEFT JOIN (
   SELECT doc_id, count(*) AS n, round(avg(bits), 4) AS bits_per_token
   FROM sc GROUP BY doc_id
 ) s ON d.doc_id = s.doc_id
+""",
+        "doc_lm_buckets": f"""
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN [] ELSE {_TOKS} END AS toks
+  FROM documents
+),
+tk AS (
+  SELECT d.doc_id, g.i AS i, d.toks[g.i] AS w
+  FROM d, LATERAL (SELECT unnest(generate_series(1, len(d.toks))) AS i) g
+),
+bg AS (
+  SELECT a.doc_id, a.w AS prev, b.w AS w
+  FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+),
+c2 AS (SELECT prev, w, count(*) AS c2 FROM bg GROUP BY prev, w),
+c1 AS (SELECT prev, count(*) AS c1 FROM bg GROUP BY prev),
+v AS (SELECT count(DISTINCT w) AS v FROM tk),
+sc AS (
+  SELECT g.doc_id,
+    -log2((coalesce(c2.c2, 0) + 0.5) / (coalesce(c1.c1, 0) + 0.5 * v.v)) AS bits
+  FROM bg g
+  LEFT JOIN c2 ON g.prev = c2.prev AND g.w = c2.w
+  LEFT JOIN c1 ON g.prev = c1.prev
+  CROSS JOIN v
+),
+scored AS (
+  SELECT d.doc_id,
+         CAST(coalesce(s.n, 0) AS BIGINT) AS n_bigrams,
+         s.bits_per_token
+  FROM d LEFT JOIN (
+    SELECT doc_id, count(*) AS n, round(avg(bits), 4) AS bits_per_token
+    FROM sc GROUP BY doc_id
+  ) s ON d.doc_id = s.doc_id
+),
+cut AS (
+  SELECT round(quantile_cont(bits_per_token, 1.0/3), 4) AS k1,
+         round(quantile_cont(bits_per_token, 2.0/3), 4) AS k2
+  FROM scored
+)
+SELECT doc_id, n_bigrams, bits_per_token,
+  CASE WHEN bits_per_token IS NULL THEN 'unscored'
+       WHEN bits_per_token <= k1 THEN 'head'
+       WHEN bits_per_token <= k2 THEN 'middle'
+       ELSE 'tail' END AS lm_bucket
+FROM scored CROSS JOIN cut
 """,
         "cdc_debezium_decode": """
 SELECT event_id AS lsn,

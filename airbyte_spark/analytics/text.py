@@ -950,3 +950,42 @@ def substring_dedup(
     return out.select(
         F.col("_id").alias(id_col), F.array_join(kept, " ").alias("text")
     )
+
+
+def lm_buckets(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_df: DataFrame | None = None,
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020,
+    arXiv:1911.00359 §4.3): the corpus is partitioned into terciles of
+    LM bits-per-token — 'head' is the most Wikipedia-like third that
+    CCNet keeps for high-quality training, 'tail' the junk third it
+    drops, 'middle' the judgment call.  Docs too short to score (no
+    bigrams) bucket as 'unscored'.
+
+    Shape at scale — exactly CCNet's: the cutoffs are TWO scalars
+    computed once (here an exact distributed ``percentile`` agg over
+    the 4dp scores; CCNet computes them on a sample and ships
+    constants), and assignment is a scan-fused comparison — no global
+    sort, no single-partition window, the corpus never shuffles for
+    the split.  Cutoffs round to 4dp like the scores so the SQL
+    oracle's ``quantile_cont`` derives the identical boundary."""
+    scored = lm_score(
+        df, id_col=id_col, text_col=text_col, train_df=train_df
+    )
+    cuts = scored.agg(
+        F.expr(
+            "percentile(bits_per_token, array(1.0D/3.0D, 2.0D/3.0D))"
+        ).alias("c")
+    ).collect()[0]["c"]
+    c1, c2 = (round(float(c), 4) for c in cuts)
+    bucket = (
+        F.when(F.col("bits_per_token").isNull(), F.lit("unscored"))
+        .when(F.col("bits_per_token") <= c1, F.lit("head"))
+        .when(F.col("bits_per_token") <= c2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored.withColumn("lm_bucket", bucket)

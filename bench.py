@@ -84,6 +84,9 @@ BENCH_QUERIES = [
     # round 4 (session 9): BPE tokenizer training — corpus word
     # histogram (one agg) + driver merge loop on the bounded counts
     "doc_bpe_vocab",
+    # round 4 (session 9): CCNet head/middle/tail perplexity split
+    # (LM retrain + two percentile scalars + scan-fused assignment)
+    "doc_lm_buckets",
     # round 4: change-consumption of a row-level DELETE (before-images)
     "cdc_changelog_delete",
     # round 4: SCD2 point-in-time read (history build + interval filter)

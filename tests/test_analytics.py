@@ -1046,3 +1046,33 @@ def test_substring_dedup_plan_shape(spark):
     # inputs with stats plan 2 exchanges directly — the sf0.1 explain
     # audit in BASELINE.md pins that) so it is not asserted here
     assert "partial_collect_set" in phys
+
+
+def test_lm_buckets_tercile_semantics(spark):
+    """CCNet split: scored docs land in head/middle/tail terciles of
+    bits-per-token (boundary docs to the LOWER bucket), unscoreable
+    docs in 'unscored', and bucket sizes are within one of each other
+    on a tie-free corpus."""
+    from airbyte_spark.analytics.text import lm_buckets, lm_score
+
+    rows = [(i, " ".join(f"t{j}" for j in range(2 + (i * 7) % 11)) +
+             (" common words here" * (i % 4)))
+            for i in range(30)] + [(98, ""), (99, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in lm_buckets(df).collect()}
+    assert out[98]["lm_bucket"] == "unscored"
+    assert out[99]["lm_bucket"] == "unscored"
+    scored = {i: r for i, r in out.items() if r["lm_bucket"] != "unscored"}
+    by_bits = sorted(scored.values(), key=lambda r: r["bits_per_token"])
+    order = {"head": 0, "middle": 1, "tail": 2}
+    labels = [order[r["lm_bucket"]] for r in by_bits]
+    assert labels == sorted(labels)  # buckets are contiguous in score
+    from collections import Counter
+
+    sizes = Counter(r["lm_bucket"] for r in scored.values())
+    assert set(sizes) == {"head", "middle", "tail"}
+    assert max(sizes.values()) - min(sizes.values()) <= 2
+    # consistency with lm_score: same scores ride through
+    base = {r["doc_id"]: r["bits_per_token"] for r in lm_score(df).collect()}
+    for i, r in scored.items():
+        assert r["bits_per_token"] == base[i]
