@@ -973,9 +973,11 @@ def lm_buckets(
     sort, no single-partition window, the corpus never shuffles for
     the split.  Cutoffs round to 4dp like the scores so the SQL
     oracle's ``quantile_cont`` derives the identical boundary."""
+    # persisted: consumed twice (the cutoff agg and the output) and
+    # each execution would otherwise retrain-join the whole LM
     scored = lm_score(
         df, id_col=id_col, text_col=text_col, train_df=train_df
-    )
+    ).persist()
     cuts = scored.agg(
         F.expr(
             "percentile(bits_per_token, array(1.0D/3.0D, 2.0D/3.0D))"
