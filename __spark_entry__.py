@@ -561,9 +561,10 @@ def doc_bpe_vocab(spark, sf):
     word-histogram formulation): Spark reduces the corpus to a word
     histogram once, the driver runs the deterministic merge loop on
     the bounded counts, and the learned merge table comes back as a
-    DataFrame.  Iterative (each merge depends on the last), hence no
-    SQL oracle — tests/test_tokenizer.py pins the trainer against an
-    independent naive reference instead."""
+    DataFrame.  The oracle unrolls the same merge loop as 60 DuckDB
+    CTE rounds (_bpe_train_ctes, the _kmeans_train_ctes style);
+    tests/test_tokenizer.py additionally pins the trainer against an
+    independent naive reference."""
     merges = A_tok.train_bpe(
         _t(spark, sf, "documents"), num_merges=60, min_freq=2
     )
@@ -574,9 +575,11 @@ def doc_bpe_encode(spark, sf):
     """Subword statistics under the corpus-trained BPE vocab
     (analytics/tokenizer.py bpe_encode): Arrow-batched mapInPandas
     with per-batch distinct-word caching — the real-tokenizer token
-    count every budgeting pass needs.  Depends on the trained merges,
-    hence rows-only at the gate; the per-doc counts are pinned in
-    tests/test_tokenizer.py against a word-by-word re-encode."""
+    count every budgeting pass needs.  The oracle re-trains the vocab
+    with the unrolled-CTE loop and joins the final segmentation back
+    to every document's word list (_bpe_encode_sql); the per-doc
+    counts are also pinned in tests/test_tokenizer.py against a
+    word-by-word re-encode."""
     d = _t(spark, sf, "documents")
     merges = A_tok.train_bpe(d, num_merges=60, min_freq=2)
     return A_tok.bpe_encode(d, merges)
@@ -3611,7 +3614,61 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordered so the driver's 50-slot correctness window lands on
+    # first-time hard-signal entries: the two re-oracled BPE rows,
+    # then the 48 queries never driver-checked in rounds 1-4; the
+    # long-green TPC-H/events/doc/code families follow.
     return {
+        "doc_bpe_vocab": doc_bpe_vocab,
+        "doc_bpe_encode": doc_bpe_encode,
+        "doc_neardup_index": doc_neardup_index,
+        "cdc_outbox_route": cdc_outbox_route,
+        "cdc_debezium_decode": cdc_debezium_decode,
+        "events_airbyte_roundtrip": events_airbyte_roundtrip,
+        "events_profile": events_profile,
+        "events_windowed_agg": events_windowed_agg,
+        "events_mapped": events_mapped,
+        "cdc_oplog_decode": cdc_oplog_decode,
+        "events_sessionize": events_sessionize,
+        "doc_clean_corpus_spans": doc_clean_corpus_spans,
+        "doc_clean_corpus_substr": doc_clean_corpus_substr,
+        "doc_dup_clusters": doc_dup_clusters,
+        "emb_topk_sq": emb_topk_sq,
+        "emb_semdedup": emb_semdedup,
+        "emb_topk_pq": emb_topk_pq,
+        "cdc_debezium_replay_mini": cdc_debezium_replay_mini,
+        "cdc_avro_replay_mini": cdc_avro_replay_mini,
+        "cdc_avro_schema_evolution_mini": cdc_avro_schema_evolution_mini,
+        "cdc_replay_chunked_mini": cdc_replay_chunked_mini,
+        "cdc_txn_replay_mini": cdc_txn_replay_mini,
+        "cdc_toast_replay_mini": cdc_toast_replay_mini,
+        "cdc_sparse_replay_mini": cdc_sparse_replay_mini,
+        "cdc_oplog_replay_mini": cdc_oplog_replay_mini,
+        "cdc_sparse_lww_events": cdc_sparse_lww_events,
+        "cdc_demux_replay_mini": cdc_demux_replay_mini,
+        "cdc_signal_replay_mini": cdc_signal_replay_mini,
+        "cdc_demux_consistent_read": cdc_demux_consistent_read,
+        "cdc_demux_txn_replay_mini": cdc_demux_txn_replay_mini,
+        "cdc_resnapshot_repair_mini": cdc_resnapshot_repair_mini,
+        "cdc_resnapshot_incremental_mini": cdc_resnapshot_incremental_mini,
+        "cdc_schema_evolution_mini": cdc_schema_evolution_mini,
+        "cdc_schema_policy_mini": cdc_schema_policy_mini,
+        "cdc_soft_delete_replay_mini": cdc_soft_delete_replay_mini,
+        "cdc_toast_lww_events": cdc_toast_lww_events,
+        "cdc_zorder_scan": cdc_zorder_scan,
+        "cdc_bloom_lookup": cdc_bloom_lookup,
+        "cdc_delete_where": cdc_delete_where,
+        "cdc_changelog_delete": cdc_changelog_delete,
+        "cdc_rebucket_read": cdc_rebucket_read,
+        "cdc_concurrent_appends": cdc_concurrent_appends,
+        "cdc_lake_sink_write": cdc_lake_sink_write,
+        "cdc_wap_publish": cdc_wap_publish,
+        "cdc_lake_source_mor": cdc_lake_source_mor,
+        "cdc_changelog_prepost": cdc_changelog_prepost,
+        "cdc_matview_incremental": cdc_matview_incremental,
+        "cdc_changelog_net": cdc_changelog_net,
+        "cdc_stream_changes": cdc_stream_changes,
+        "cdc_replicate": cdc_replicate,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_segment_revenue": q3_segment_revenue,
         "q5_nation_revenue": q5_nation_revenue,
@@ -3634,8 +3691,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_span_dedup": doc_span_dedup,
         "doc_substring_dedup": doc_substring_dedup,
         "doc_bpe_words": doc_bpe_words,
-        "doc_bpe_vocab": doc_bpe_vocab,
-        "doc_bpe_encode": doc_bpe_encode,
         "doc_token_stats": doc_token_stats,
         "doc_quality": doc_quality,
         "doc_bm25_rank": doc_bm25_rank,
@@ -3662,15 +3717,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_decontaminate": code_decontaminate,
         "code_corpus_pipeline": code_corpus_pipeline,
         "code_notebook_convert": code_notebook_convert,
-        "doc_neardup_index": doc_neardup_index,
-        "cdc_outbox_route": cdc_outbox_route,
-        "cdc_debezium_decode": cdc_debezium_decode,
-        "events_airbyte_roundtrip": events_airbyte_roundtrip,
-        "events_profile": events_profile,
-        "events_windowed_agg": events_windowed_agg,
-        "events_mapped": events_mapped,
-        "cdc_oplog_decode": cdc_oplog_decode,
-        "events_sessionize": events_sessionize,
         "doc_repetition": doc_repetition,
         "doc_pii_scrub": doc_pii_scrub,
         "doc_sample_mix": doc_sample_mix,
@@ -3678,65 +3724,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": doc_lang_id,
         "doc_fingerprint": doc_fingerprint,
         "doc_clean_corpus": doc_clean_corpus,
-        "doc_clean_corpus_spans": doc_clean_corpus_spans,
-        "doc_clean_corpus_substr": doc_clean_corpus_substr,
         "doc_clean_corpus_neardup": doc_clean_corpus_neardup,
         "doc_clean_corpus_full": doc_clean_corpus_full,
         "doc_jaccard_pairs": doc_jaccard_pairs,
         "doc_decontaminate": doc_decontaminate,
         "doc_minhash_lsh_pairs": doc_minhash_lsh_pairs,
-        "doc_dup_clusters": doc_dup_clusters,
         "doc_simhash_pairs": doc_simhash_pairs,
         "emb_cosine_pairs": emb_cosine_pairs,
         "emb_neardup_dedup": emb_neardup_dedup,
         "emb_topk": emb_topk,
-        "emb_topk_sq": emb_topk_sq,
         "emb_topk_lsh": emb_topk_lsh,
         "emb_topk_ivf": emb_topk_ivf,
         "emb_topk_ivf_kmeans": emb_topk_ivf_kmeans,
-        "emb_semdedup": emb_semdedup,
-        "emb_topk_pq": emb_topk_pq,
         "multimodal_features": multimodal_features,
         "multimodal_frames": multimodal_frames,
         "cdc_replay_mini": cdc_replay_mini,
-        "cdc_debezium_replay_mini": cdc_debezium_replay_mini,
-        "cdc_avro_replay_mini": cdc_avro_replay_mini,
-        "cdc_avro_schema_evolution_mini": cdc_avro_schema_evolution_mini,
         "cdc_replay_mor_mini": cdc_replay_mor_mini,
-        "cdc_replay_chunked_mini": cdc_replay_chunked_mini,
-        "cdc_txn_replay_mini": cdc_txn_replay_mini,
-        "cdc_toast_replay_mini": cdc_toast_replay_mini,
-        "cdc_sparse_replay_mini": cdc_sparse_replay_mini,
-        "cdc_oplog_replay_mini": cdc_oplog_replay_mini,
-        "cdc_sparse_lww_events": cdc_sparse_lww_events,
-        "cdc_demux_replay_mini": cdc_demux_replay_mini,
-        "cdc_signal_replay_mini": cdc_signal_replay_mini,
-        "cdc_demux_consistent_read": cdc_demux_consistent_read,
-        "cdc_demux_txn_replay_mini": cdc_demux_txn_replay_mini,
-        "cdc_resnapshot_repair_mini": cdc_resnapshot_repair_mini,
-        "cdc_resnapshot_incremental_mini": cdc_resnapshot_incremental_mini,
-        "cdc_schema_evolution_mini": cdc_schema_evolution_mini,
-        "cdc_schema_policy_mini": cdc_schema_policy_mini,
-        "cdc_soft_delete_replay_mini": cdc_soft_delete_replay_mini,
-        "cdc_toast_lww_events": cdc_toast_lww_events,
         "cdc_pruned_scan": cdc_pruned_scan,
-        "cdc_zorder_scan": cdc_zorder_scan,
-        "cdc_bloom_lookup": cdc_bloom_lookup,
-        "cdc_delete_where": cdc_delete_where,
-        "cdc_changelog_delete": cdc_changelog_delete,
-        "cdc_rebucket_read": cdc_rebucket_read,
-        "cdc_concurrent_appends": cdc_concurrent_appends,
-        "cdc_lake_sink_write": cdc_lake_sink_write,
-        "cdc_wap_publish": cdc_wap_publish,
         "cdc_lake_source_scan": cdc_lake_source_scan,
-        "cdc_lake_source_mor": cdc_lake_source_mor,
         "cdc_incremental_appends": cdc_incremental_appends,
         "cdc_changelog_scan": cdc_changelog_scan,
-        "cdc_changelog_prepost": cdc_changelog_prepost,
-        "cdc_matview_incremental": cdc_matview_incremental,
-        "cdc_changelog_net": cdc_changelog_net,
-        "cdc_stream_changes": cdc_stream_changes,
-        "cdc_replicate": cdc_replicate,
     }
 
 
@@ -4030,6 +4037,109 @@ SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
   FROM asg a JOIN probes p ON a.cell = p.cell
   WHERE p.query_id != a.vec_id
 ) WHERE rank <= {k}
+"""
+
+
+_BPE_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def _bpe_train_ctes(
+    num_merges: int, min_freq: int, max_words: int
+) -> tuple[str, str, int]:
+    """The BPE merge loop (analytics/tokenizer.py train_bpe) unrolled
+    as ``num_merges`` DuckDB CTE rounds — the same unrolled-iteration
+    oracle style as ``_kmeans_train_ctes``.  Each round computes pair
+    counts over the histogram words, picks the argmax pair (ties to
+    the lexicographically smallest, exactly Python's ``min`` over
+    (left, right) tuples — UTF-8 byte order == code-point order), and
+    re-segments every word.
+
+    Re-segmentation trick: a word's symbol list is a space-joined
+    string with sentinel spaces at both ends (tokens can never contain
+    whitespace — the pre-tokenizer's classes all exclude ``\\s``), so
+    applying a merge is ``replace(' l r ', ' lr ')``.  One ``replace``
+    pass misses an occurrence immediately following a replaced one
+    (the shared boundary space is consumed), but two consecutive
+    misses are impossible, so a second pass catches every remainder —
+    making double-replace exactly the trainer's left-to-right greedy
+    scan.  Encoding-by-rank equals training segmentation (classic BPE
+    property: lowest-rank-first reproduces the rank-order application,
+    pinned in tests/test_tokenizer.py), so the final round's symbol
+    table is also the encode oracle's segmentation.
+
+    Returns (sql_prefix, last_state_cte, num_merges)."""
+    sql = f"""WITH hist AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '{_BPE_REGEX}')) AS word
+        FROM documents)
+  GROUP BY word HAVING count(*) >= {min_freq}
+  ORDER BY cnt DESC, word LIMIT {max_words}
+),
+allw AS MATERIALIZED (
+  SELECT DISTINCT word
+  FROM (SELECT unnest(regexp_extract_all(lower(coalesce(text, '')), '{_BPE_REGEX}')) AS word
+        FROM documents)
+),
+s0 AS MATERIALIZED (
+  SELECT a.word,
+         ' ' || array_to_string(list_append(string_split(a.word, ''), '</w>'), ' ') || ' ' AS syms,
+         coalesce(h.cnt, 0) AS cnt
+  FROM allw a LEFT JOIN hist h USING (word)
+)"""
+    prev = "s0"
+    for k in range(1, num_merges + 1):
+        sql += f""",
+p{k} AS MATERIALIZED (
+  SELECT l, r, sum(cnt) AS total FROM (
+    SELECT t.cnt, t.toks[u.i] AS l, t.toks[u.i + 1] AS r
+    FROM (SELECT cnt, string_split(trim(syms), ' ') AS toks
+          FROM {prev} WHERE cnt > 0) t,
+         UNNEST(range(1, len(t.toks))) AS u(i)
+  ) GROUP BY l, r
+),
+b{k} AS MATERIALIZED (SELECT l, r, total FROM p{k} WHERE total >= 2
+         ORDER BY total DESC, l, r LIMIT 1),
+s{k} AS MATERIALIZED (
+  SELECT s.word,
+    CASE WHEN b.l IS NULL THEN s.syms
+         ELSE replace(replace(s.syms,
+                ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' '),
+                ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' ')
+    END AS syms, s.cnt
+  FROM {prev} s LEFT JOIN b{k} b ON TRUE
+)"""
+        prev = f"s{k}"
+    return sql, prev, num_merges
+
+
+def _bpe_vocab_sql(num_merges: int, min_freq: int, max_words: int) -> str:
+    """The learned merge table: one row per round whose best-pair CTE
+    is non-empty (empty == the trainer's early stop)."""
+    sql, _, n = _bpe_train_ctes(num_merges, min_freq, max_words)
+    rounds = "\nUNION ALL\n".join(
+        f"SELECT {k} AS k, l, r, total FROM b{k}" for k in range(1, n + 1)
+    )
+    return f"""{sql}
+SELECT CAST(k - 1 AS INT) AS rank, l AS "left", r AS "right",
+       l || r AS merged, CAST(total AS BIGINT) AS freq
+FROM ({rounds})
+"""
+
+
+def _bpe_encode_sql(num_merges: int, min_freq: int, max_words: int) -> str:
+    """Per-doc subword stats under the trained vocab: the final
+    round's segmentation joined back to every document's word list."""
+    sql, last, _ = _bpe_train_ctes(num_merges, min_freq, max_words)
+    return f"""{sql},
+seg AS (SELECT word, len(string_split(trim(syms), ' ')) AS n_sub FROM {last}),
+d AS (SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '{_BPE_REGEX}') AS ws
+      FROM documents),
+u AS (SELECT doc_id, unnest(ws) AS word FROM d),
+agg AS (SELECT u.doc_id, count(*) AS nw, sum(seg.n_sub) AS ns
+        FROM u JOIN seg USING (word) GROUP BY u.doc_id)
+SELECT d.doc_id, CAST(coalesce(agg.nw, 0) AS BIGINT) AS n_words,
+       CAST(coalesce(agg.ns, 0) AS BIGINT) AS n_subwords
+FROM d LEFT JOIN agg USING (doc_id)
 """
 
 
@@ -4449,6 +4559,8 @@ SELECT word, CAST(count(*) AS BIGINT) AS n
 FROM w GROUP BY word
 ORDER BY n DESC, word LIMIT 100
 """,
+        "doc_bpe_vocab": _bpe_vocab_sql(60, 2, 50_000),
+        "doc_bpe_encode": _bpe_encode_sql(60, 2, 50_000),
         "doc_substring_dedup": """
 WITH t AS (
   SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []

@@ -26,11 +26,14 @@ Scale split:
   lowest-rank-first merge scan per word; no per-row Python against
   the JVM boundary anywhere else.
 
-Training is iterative (each merge depends on the last), hence not
-SQL-expressible: the driver gate records the vocab query rows-only,
-while the histogram query carries a full DuckDB oracle and
-tests/test_tokenizer.py pins the trainer against an independent
-naive reference plus the classic encode/train consistency property.
+Training is iterative (each merge depends on the last), but the loop
+is bounded (top ``max_words`` histogram rows, fixed ``num_merges``),
+so the driver gate verifies it against an unrolled-CTE DuckDB oracle
+(``__spark_entry__._bpe_train_ctes`` — one materialized CTE round per
+merge, re-segmentation as a boundary-spaced double-``replace``) and
+tests/test_tokenizer.py additionally pins the trainer against an
+independent naive reference plus the classic encode/train
+consistency property.
 """
 
 from __future__ import annotations
