@@ -1314,12 +1314,29 @@ def doc_neardup_index(spark, sf):
     >= 8 sigma everywhere in this corpus (pairs are >=0.8 or <0.2),
     so the decisions agree deterministically.  Outputs exclude the
     estimate itself (epoch, id, op, kept, reason, in_index)."""
-    from airbyte_spark.analytics.neardup_index import NearDupIndex
+    fx = _neardup_fixture(spark, sf)
+    idx = _neardup_create_index(
+        os.path.join(tempfile.mkdtemp(prefix="ndidx_"), "i")
+    )
+    all_dec = _neardup_epochs(idx, spark, fx)
+    member = idx.sigs.read(spark).select("id", F.lit(True).alias("m"))
+    return (
+        all_dec.join(member, "id", "left")
+        .select(
+            "epoch", "id", "op", "kept", "reason",
+            F.coalesce("m", F.lit(False)).alias("in_index"),
+        )
+    )
 
+
+def _neardup_fixture(spark, sf):
+    """doc_neardup_index's corpus: epoch = doc_id%3; each decade's 7-
+    and 9-doc are planted near-dups of its 3-doc.  Split out so
+    bench.py can time fixture-build and apply_batch separately."""
     d = _t(spark, sf, "documents")
     base = d.select(F.col("doc_id").alias("bid"), F.col("text").alias("bt"))
     anchor = F.col("doc_id") - F.col("doc_id") % 10 + 3
-    fx = (
+    return (
         d.join(base, base.bid == anchor, "left")
         .select(
             F.col("doc_id").alias("id"),
@@ -1335,10 +1352,20 @@ def doc_neardup_index(spark, sf):
             .alias("text"),
         )
     )
-    idx = NearDupIndex.create(
-        os.path.join(tempfile.mkdtemp(prefix="ndidx_"), "i"),
-        num_hashes=128, bands=32, threshold=0.5, n_buckets=8,
+
+
+def _neardup_create_index(root: str):
+    from airbyte_spark.analytics.neardup_index import NearDupIndex
+
+    return NearDupIndex.create(
+        root, num_hashes=128, bands=32, threshold=0.5, n_buckets=8,
     )
+
+
+def _neardup_epochs(idx, spark, fx):
+    """The operator under test: three epoch batches probed against and
+    merged into the persistent index (epoch 3 deletes id%30==13 before
+    its upserts).  Returns the union of decision frames."""
     outs = []
     for ep in (0, 1, 2):
         b = fx.filter(F.col("id") % 3 == ep).withColumn("op", F.lit("u"))
@@ -1353,15 +1380,7 @@ def doc_neardup_index(spark, sf):
             op_col="op", epoch=ep + 1,
         )
         outs.append(dec.withColumn("epoch", F.lit(ep + 1).cast("int")))
-    all_dec = outs[0].unionByName(outs[1]).unionByName(outs[2])
-    member = idx.sigs.read(spark).select("id", F.lit(True).alias("m"))
-    return (
-        all_dec.join(member, "id", "left")
-        .select(
-            "epoch", "id", "op", "kept", "reason",
-            F.coalesce("m", F.lit(False)).alias("in_index"),
-        )
-    )
+    return outs[0].unionByName(outs[1]).unionByName(outs[2])
 
 
 def cdc_outbox_route(spark, sf):
@@ -1963,6 +1982,75 @@ def events_airbyte_roundtrip(spark, sf):
         enc,
         data_schema="event_id bigint, user_id bigint,"
                     " event_type string, value double",
+    )
+
+
+def events_trace_quarantine(spark, sf):
+    """AirbyteTraceMessage decode (engine/protocol.py trace_messages —
+    airbyte-protocol.md TRACE: the error/estimate side-channel a
+    failing source emits as its last words; the reference CDK's
+    entrypoint prints an ERROR trace on any uncaught exception).
+    Fixture: every 'error' event becomes an ERROR trace line, every
+    100th event an ESTIMATE line, everything else a RECORD line that
+    the trace decoder must ignore.  The oracle recomputes the decoded
+    quarantine rows directly from the base table, so the JSON
+    encode -> envelope parse -> per-arm flatten chain is pinned."""
+    from airbyte_spark.engine.protocol import trace_messages
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = _t(spark, sf, "events")
+    millis = F.unix_millis(F.col("ts").cast("timestamp"))
+    err = F.to_json(F.struct(
+        F.lit("TRACE").alias("type"),
+        F.struct(
+            F.lit("ERROR").alias("type"),
+            millis.cast("double").alias("emitted_at"),
+            F.struct(
+                F.concat(
+                    F.lit("worker failure #"),
+                    F.col("event_id").cast("string"),
+                ).alias("message"),
+                F.lit("boom").alias("internal_message"),
+                F.lit("Traceback (most recent call last)").alias(
+                    "stack_trace"
+                ),
+                F.lit("system_error").alias("failure_type"),
+                F.struct(F.lit("events").alias("name")).alias(
+                    "stream_descriptor"
+                ),
+            ).alias("error"),
+        ).alias("trace"),
+    ))
+    est = F.to_json(F.struct(
+        F.lit("TRACE").alias("type"),
+        F.struct(
+            F.lit("ESTIMATE").alias("type"),
+            millis.cast("double").alias("emitted_at"),
+            F.struct(
+                F.lit("events").alias("name"),
+                F.lit("STREAM").alias("type"),
+                F.col("event_id").alias("row_estimate"),
+                (F.col("event_id") * 1024).alias("byte_estimate"),
+            ).alias("estimate"),
+        ).alias("trace"),
+    ))
+    rec = F.to_json(F.struct(
+        F.lit("RECORD").alias("type"),
+        F.struct(
+            F.lit("events").alias("stream"),
+            millis.alias("emitted_at"),
+            F.to_json(F.struct("event_id")).alias("data"),
+        ).alias("record"),
+    ))
+    lines = e.select(
+        F.when(F.col("event_type") == "error", err)
+        .when(F.col("event_id") % 100 == 0, est)
+        .otherwise(rec)
+        .alias("value")
+    )
+    return trace_messages(lines).select(
+        "trace_type", "emitted_at", "stream", "failure_type",
+        "message", "row_estimate", "byte_estimate",
     )
 
 
@@ -3669,6 +3757,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_changelog_net": cdc_changelog_net,
         "cdc_stream_changes": cdc_stream_changes,
         "cdc_replicate": cdc_replicate,
+        # round-5 additions start here (position 51+: the 50-slot
+        # window above is reserved for the backlog of never-checked
+        # rounds-1-4 entries; these get sweep evidence this round)
+        "events_trace_quarantine": events_trace_quarantine,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_segment_revenue": q3_segment_revenue,
         "q5_nation_revenue": q5_nation_revenue,
@@ -4797,6 +4889,25 @@ SELECT 'events' AS stream,
        make_timestamp(epoch_ms(ts) * 1000) AS emitted_at,
        event_id, user_id, event_type, value
 FROM events
+""",
+        "events_trace_quarantine": """
+SELECT 'ERROR' AS trace_type,
+       make_timestamp(epoch_ms(ts) * 1000) AS emitted_at,
+       'events' AS stream,
+       'system_error' AS failure_type,
+       'worker failure #' || event_id AS message,
+       CAST(NULL AS BIGINT) AS row_estimate,
+       CAST(NULL AS BIGINT) AS byte_estimate
+FROM events WHERE event_type = 'error'
+UNION ALL
+SELECT 'ESTIMATE',
+       make_timestamp(epoch_ms(ts) * 1000),
+       'events',
+       CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR),
+       event_id,
+       event_id * 1024
+FROM events WHERE event_type != 'error' AND event_id % 100 = 0
 """,
         "cdc_oplog_decode": """
 SELECT CAST(floor(epoch(ts)) AS BIGINT) * 4294967296

@@ -7,7 +7,8 @@ ffmpeg, librosa) are NOT in this container, so the decode kernel is
 STUBBED: ``decode_stub=True`` (default) produces a deterministic fake
 decode derived from the payload bytes — the Spark-side plumbing
 (schema, batch shape, partitioning) is real and tested; a production
-deploy swaps `_decode_image_real` in.
+deploy passes its real codec as ``extract_features(decoder=...)``
+(any picklable ``(bytes, dim) -> ndarray``) with zero source edits.
 """
 
 from __future__ import annotations
@@ -75,10 +76,28 @@ def _decode_stub(payload: bytes, dim: int) -> np.ndarray:
 
 
 def extract_features(
-    assets: DataFrame, *, dim: int = 64, decode_stub: bool = True
+    assets: DataFrame,
+    *,
+    dim: int = 64,
+    decode_stub: bool = True,
+    decoder=None,
 ) -> DataFrame:
     """mapInPandas feature extraction: one Arrow batch in, one out.
-    Batches stay columnar end-to-end; per-batch numpy work only."""
+    Batches stay columnar end-to-end; per-batch numpy work only.
+
+    ``decoder`` is the production swap-in point: any picklable
+    ``(payload: bytes, dim: int) -> np.ndarray`` (a PIL/opencv/ffmpeg
+    wrapper in a deploy that has the codecs) is shipped to executors
+    inside the Arrow UDF — zero source edits to go real.  When None,
+    ``decode_stub`` selects the deterministic fake (default; the only
+    in-container option) or the NotImplementedError placeholder."""
+
+    if decoder is None:
+        decoder = (
+            (lambda payload, d: _decode_stub(payload, d))
+            if decode_stub
+            else (lambda payload, d: _decode_image_real(payload))
+        )
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -86,14 +105,17 @@ def extract_features(
             ok = []
             for payload in pdf["payload"]:
                 try:
-                    vec = (
-                        _decode_stub(bytes(payload), dim)
-                        if decode_stub
-                        else _decode_image_real(bytes(payload))
+                    vec = np.asarray(
+                        decoder(bytes(payload), dim), dtype=np.float32
                     )
+                    if vec.shape != (dim,):
+                        raise ValueError(
+                            f"decoder returned shape {vec.shape}, "
+                            f"expected ({dim},)"
+                        )
                     feats.append(vec.tolist())
                     ok.append(True)
-                except NotImplementedError:
+                except (NotImplementedError, ValueError):
                     feats.append([0.0] * dim)
                     ok.append(False)
             yield pd.DataFrame(

@@ -56,8 +56,40 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import pandas as pd
+
 from ..lake.table import LakeTable
 from .dedup import minhash_signatures
+
+
+from pyspark.sql.types import DoubleType
+
+
+# return type as a DataType instance, not a DDL string: the string
+# form parses eagerly and would demand an active SparkSession at
+# import time
+@F.pandas_udf(DoubleType())
+def _slot_agreement(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched MinHash slot-agreement estimate: fraction of
+    equal signature slots, rounded half-up at 4dp (``floor(x*1e4+.5)``
+    — exactly Spark's ``F.round`` HALF_UP, so this kernel is
+    value-identical to the interpreted ``zip_with`` expression it
+    replaced; pinned by test_neardup_index's parity test).  Signatures
+    are fixed-length per index, so each batch vectorizes as one
+    (n, num_hashes) comparison — no per-element lambda interpretation,
+    which was the probe's inner loop."""
+    import numpy as np
+
+    if len(a) == 0:
+        return pd.Series([], dtype="float64")
+    try:
+        eq = (np.vstack(a.to_numpy()) == np.vstack(b.to_numpy())).mean(axis=1)
+    except ValueError:  # ragged (mixed num_hashes) — per-row fallback
+        eq = np.array([
+            float((np.asarray(x) == np.asarray(y)).mean())
+            for x, y in zip(a, b)
+        ])
+    return pd.Series(np.floor(eq * 1e4 + 0.5) / 1e4)
 
 # driver-side probe bound: above this many distinct values the code
 # falls back to a full (broadcast-joined) index scan instead of
@@ -172,6 +204,16 @@ class NearDupIndex:
         return df, len(snap.files), len(kept)
 
     def _est(self, s1, s2):
+        """Slot-agreement estimate — the Arrow/numpy kernel (the
+        interpreted zip_with HOF it replaced lives on as
+        ``_est_reference`` for the parity pin)."""
+        return _slot_agreement(s1, s2)
+
+    def _est_reference(self, s1, s2):
+        """The original JVM higher-order-function estimate: correct
+        but interpreted per element (Spark evaluates lambda HOFs
+        outside codegen), kept only as the independent reference the
+        parity test compares the vectorized kernel against."""
         return F.round(
             F.size(
                 F.filter(

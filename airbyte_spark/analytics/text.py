@@ -973,17 +973,27 @@ def lm_buckets(
     sort, no single-partition window, the corpus never shuffles for
     the split.  Cutoffs round to 4dp like the scores so the SQL
     oracle's ``quantile_cont`` derives the identical boundary."""
-    # persisted: consumed twice (the cutoff agg and the output) and
-    # each execution would otherwise retrain-join the whole LM
-    scored = lm_score(
-        df, id_col=id_col, text_col=text_col, train_df=train_df
-    ).persist()
+    import math
+
+    # lm_score's output is an eager localCheckpoint (dedup._detach),
+    # so both consumers here (the cutoff agg and the returned frame)
+    # read materialized partitions — no LM retrain, and nothing stays
+    # pinned in the cache manager across repeated calls.
+    scored = lm_score(df, id_col=id_col, text_col=text_col, train_df=train_df)
     cuts = scored.agg(
         F.expr(
             "percentile(bits_per_token, array(1.0D/3.0D, 2.0D/3.0D))"
         ).alias("c")
     ).collect()[0]["c"]
-    c1, c2 = (round(float(c), 4) for c in cuts)
+    if cuts is None or any(c is None for c in cuts):
+        # no scorable document (every doc < 2 tokens): the percentile
+        # is NULL and there are no terciles — everything is unscored
+        return scored.withColumn("lm_bucket", F.lit("unscored"))
+    # half-up at 4dp on BOTH engines: Python round() is banker's but
+    # DuckDB round() is half-away-from-zero, and bits are >= 0, so an
+    # exact-half interpolated midpoint must round the same way here
+    # as in the oracle's round(quantile_cont(...), 4)
+    c1, c2 = (math.floor(float(c) * 1e4 + 0.5) / 1e4 for c in cuts)
     bucket = (
         F.when(F.col("bits_per_token").isNull(), F.lit("unscored"))
         .when(F.col("bits_per_token") <= c1, F.lit("head"))

@@ -309,7 +309,23 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--version", default=None, help="version number or tag")
     sp.add_argument("--out", default=None,
                     help="materialization dir (needed only for MOR/"
-                         "mixed-schema snapshots)")
+                         "mixed-schema snapshots, and for csv/jsonl/avro)")
+    sp.add_argument("--format", dest="export_format", default="parquet",
+                    choices=["parquet", "csv", "jsonl", "avro"],
+                    help="non-parquet formats materialize the resolved "
+                         "state via the file-sink writers (S3CsvWriter/"
+                         "S3JsonlWriter parity, sinks.py)")
+    sp.add_argument("--codec", default=None,
+                    help="compression codec (per-format default)")
+    sp.add_argument("--stream", default=None,
+                    help="stream name for path templating "
+                         "(default: the table dir name)")
+    sp.add_argument("--namespace", default="",
+                    help="namespace for path templating")
+    sp.add_argument("--path-template", default="${NAMESPACE}/${STREAM_NAME}",
+                    help="S3OutputPathHelper-style output template "
+                         "(${NAMESPACE} ${STREAM_NAME} ${YEAR} ${MONTH} "
+                         "${DAY} ${HOUR} ${EPOCH})")
 
     sp = sub.add_parser(
         "vacuum", help="expire unreferenced data files (retention)"
@@ -498,6 +514,42 @@ def main(argv: list[str] | None = None) -> int:
         ver = args.version
         if ver is not None and ver.lstrip("-").isdigit():
             ver = int(ver)
+        if args.export_format != "parquet":
+            # CSV/JSONL/Avro handoff (S3CsvWriter/S3JsonlWriter/
+            # S3AvroWriter parity): always a materialization of the
+            # RESOLVED snapshot through the file-sink writers with the
+            # reference's path templating
+            if not args.out:
+                print(json.dumps({
+                    "error": f"--format {args.export_format} materializes "
+                             "files; pass --out"
+                }))
+                return 1
+            import glob as _glob
+            import os as _os
+
+            from airbyte_spark.session import get_spark
+            from airbyte_spark.sinks import write_stream_files
+
+            stream = args.stream or _os.path.basename(
+                args.table.rstrip("/")
+            )
+            spark = get_spark("airbyte-spark-export")
+            out = write_stream_files(
+                t.read(spark, ver), args.out,
+                stream=stream, fmt=args.export_format,
+                codec=args.codec, namespace=args.namespace,
+                path_template=args.path_template, mode="error",
+            )
+            files = sorted(
+                p for p in _glob.glob(_os.path.join(out, "*"))
+                if not _os.path.basename(p).startswith("_")
+            )
+            print(json.dumps({
+                "format": args.export_format, "out": out,
+                "files": files, "materialized": True,
+            }))
+            return 0
         direct = t.external_files(ver)
         if direct is not None:
             # zero-copy handoff: no SparkSession, no JVM
@@ -602,12 +654,13 @@ def main(argv: list[str] | None = None) -> int:
             data = {}
             if args.collections:
                 data["collections"] = args.collections.split(",")
+        files = sorted(_glob.glob(
+            os.path.join(args.tail, "**", "*.parquet"), recursive=True
+        ))
         lsn = args.lsn
         if lsn is None:
             hi = -1
-            for p in _glob.glob(
-                os.path.join(args.tail, "**", "*.parquet"), recursive=True
-            ):
+            for p in files:
                 pf = pq.ParquetFile(p)
                 idx = pf.schema_arrow.get_field_index("lsn")
                 for rg in range(pf.metadata.num_row_groups):
@@ -617,14 +670,50 @@ def main(argv: list[str] | None = None) -> int:
             lsn = hi + 1
         payload = json.dumps({"type": args.signal_type, "data": data})
         chunk = os.path.join(args.tail, f"signal-{lsn:012d}")
+        # the stream reader applies ONE fixed schema across the tail,
+        # so the signal chunk must match the existing chunks exactly:
+        # take the schema from a real footer (signal columns set,
+        # everything else typed nulls / best-effort defaults) and only
+        # fall back to the stock repo-changelog layout on a fresh tail
+        sig_vals = {
+            "lsn": lsn, "op": "u", "repo": "__ops",
+            "path": args.signal_id, "content": payload,
+            "collection": args.signal_collection,
+        }
+        if files:
+            schema = pq.ParquetFile(files[0]).schema_arrow
+            missing = {"lsn", "path", "content", "collection"} - set(
+                schema.names
+            )
+            if missing:
+                raise SystemExit(
+                    f"signal: tail schema has no {sorted(missing)} "
+                    "column(s) — in-band signals need a demuxed tail "
+                    "carrying lsn/path/content/collection"
+                )
+            cols = {}
+            for field in schema:
+                if field.name in sig_vals:
+                    try:
+                        cols[field.name] = pa.array(
+                            [sig_vals[field.name]], field.type
+                        )
+                        continue
+                    except (pa.ArrowInvalid, pa.ArrowTypeError):
+                        if field.name in ("lsn", "path", "content",
+                                          "collection"):
+                            raise
+                cols[field.name] = pa.nulls(1, field.type)
+            tbl = pa.table(cols, schema=schema)
+        else:
+            tbl = pa.table({
+                "lsn": pa.array([lsn], pa.int64()),
+                "op": ["u"], "repo": ["__ops"], "path": [args.signal_id],
+                "commit": [""], "lang": [""], "content": [payload],
+                "ts": pa.array([None], pa.timestamp("us")),
+                "collection": [args.signal_collection],
+            })
         os.makedirs(chunk, exist_ok=True)
-        tbl = pa.table({
-            "lsn": pa.array([lsn], pa.int64()),
-            "op": ["u"], "repo": ["__ops"], "path": [args.signal_id],
-            "commit": [""], "lang": [""], "content": [payload],
-            "ts": pa.array([None], pa.timestamp("us")),
-            "collection": [args.signal_collection],
-        })
         pq.write_table(tbl, os.path.join(chunk, "part-0.parquet"))
         print(json.dumps({
             "signal": args.signal_id, "type": args.signal_type,
@@ -672,9 +761,24 @@ def main(argv: list[str] | None = None) -> int:
             "events": sum(s.events for s in stats if s.events > 0),
         }))
     elif args.cmd == "sync":
-        from airbyte_spark.config import PipelineSpec
+        from airbyte_spark.config import (
+            PipelineSpec, collect_secrets, mask_config, mask_secrets_text,
+        )
 
-        print(json.dumps(PipelineSpec.load(args.spec).run(spark)))
+        with open(args.spec) as fh:
+            doc = json.load(fh)
+        # entrypoint.py:26-147 semantics: spec-declared secrets never
+        # reach stdout/stderr — the report echoes a masked config and
+        # even a failure message is scrubbed of secret values
+        secrets = collect_secrets(doc)
+        try:
+            report = PipelineSpec.from_dict(doc).run(spark)
+        except Exception as exc:
+            raise SystemExit(
+                mask_secrets_text(f"sync failed: {exc}", secrets)
+            ) from None
+        report["_config"] = mask_config(doc)
+        print(mask_secrets_text(json.dumps(report), secrets))
     elif args.cmd == "resnapshot":
         from pyspark.sql import functions as F
 

@@ -95,6 +95,14 @@ class StreamSpec:
     # this collection in a demuxed tail are control commands, not
     # data; execute-snapshot repairs the named streams from their
     # snapshot_source images.  Must agree across a shared tail.
+    options: dict[str, Any] = field(default_factory=dict)  # free-form
+    # connector-specific config (the reference's per-connector config
+    # object: jdbc urls, tokens, credentials for a real deployment's
+    # transports and sinks).  Keys matching SECRET_KEY_MARKERS (or
+    # listed in the doc's top-level "airbyte_secret_keys") are treated
+    # as airbyte_secret: masked in every CLI echo and filtered out of
+    # error text (mask_config / collect_secrets below,
+    # entrypoint.py:26-147 semantics)
     backfill_new_columns: bool = False  # after a sync whose
     # reconciliation added columns, re-sync from snapshot_source so
     # old rows carry values instead of nulls (the platform's
@@ -195,6 +203,82 @@ def _wire_decode(s: StreamSpec, *, keep_collection: bool = False):
         return _project(from_debezium_json(sdf, image_schema=image))
 
     return dec, "value string"
+
+
+# ---------------------------------------------------------------------------
+# secret masking (airbyte_cdk/python/airbyte_cdk/entrypoint.py:26-147:
+# spec-declared airbyte_secret values are scrubbed from every log line
+# the connector prints)
+# ---------------------------------------------------------------------------
+
+# key-name convention for implicit secrets (the common airbyte_secret
+# fields across reference connector specs); explicit declaration wins
+# via the doc's top-level "airbyte_secret_keys" list
+SECRET_KEY_MARKERS = (
+    "password", "secret", "token", "api_key", "apikey", "credential",
+    "private_key", "access_key", "client_secret",
+)
+
+MASK = "****"
+
+
+def _is_secret_key(key: str, declared: set[str]) -> bool:
+    k = key.lower()
+    return key in declared or any(m in k for m in SECRET_KEY_MARKERS)
+
+
+def collect_secrets(doc: Any, declared: set[str] | None = None) -> list[str]:
+    """Every secret VALUE in a config document — what must never
+    appear in output.  ``declared`` defaults to the doc's own
+    ``airbyte_secret_keys`` list (the explicit airbyte_secret marking;
+    key-name convention applies on top)."""
+    if declared is None:
+        declared = set(
+            doc.get("airbyte_secret_keys", ()) if isinstance(doc, dict) else ()
+        )
+    out: list[str] = []
+    if isinstance(doc, dict):
+        for k, v in doc.items():
+            if _is_secret_key(str(k), declared) and isinstance(v, str) and v:
+                out.append(v)
+            else:
+                out.extend(collect_secrets(v, declared))
+    elif isinstance(doc, list):
+        for v in doc:
+            out.extend(collect_secrets(v, declared))
+    return out
+
+
+def mask_config(doc: Any, declared: set[str] | None = None) -> Any:
+    """Deep copy of a config document with secret values replaced by
+    ``****`` — the shape safe to echo/log/persist."""
+    if declared is None:
+        declared = set(
+            doc.get("airbyte_secret_keys", ()) if isinstance(doc, dict) else ()
+        )
+    if isinstance(doc, dict):
+        return {
+            k: (
+                MASK
+                if _is_secret_key(str(k), declared)
+                and isinstance(v, str) and v
+                else mask_config(v, declared)
+            )
+            for k, v in doc.items()
+        }
+    if isinstance(doc, list):
+        return [mask_config(v, declared) for v in doc]
+    return doc
+
+
+def mask_secrets_text(text: str, secrets: list[str]) -> str:
+    """Scrub every known secret value from arbitrary output text (the
+    entrypoint's log filter: applies to reports AND error messages, so
+    a stack trace quoting the config can't leak)."""
+    for s in secrets:
+        if s:
+            text = text.replace(s, MASK)
+    return text
 
 
 @dataclass

@@ -29,11 +29,54 @@ from pyspark.sql import functions as F
 # The RECORD envelope, schema-agnostic: ``data`` is declared STRING
 # so from_json hands back the raw JSON object text, flattened later
 # by the caller's schema (or engine/raw.py's drift-tolerant typing).
+# TRACE is the protocol's error/estimate side-channel
+# (airbyte-protocol.md "AirbyteTraceMessage": type ERROR|ESTIMATE|
+# STREAM_STATUS, emitted_at is a JSON number of epoch millis).
 AIRBYTE_MESSAGE_DDL = (
     "type string, "
     "record struct<stream:string,namespace:string,emitted_at:bigint,data:string>, "
-    "state string, log struct<level:string,message:string>"
+    "state string, log struct<level:string,message:string>, "
+    "trace struct<type:string,emitted_at:double,"
+    "error:struct<message:string,internal_message:string,"
+    "stack_trace:string,failure_type:string,stream_descriptor:struct<name:string>>,"
+    "estimate:struct<name:string,type:string,row_estimate:bigint,byte_estimate:bigint>,"
+    "stream_status:struct<stream_descriptor:struct<name:string>,status:string>>"
 )
+
+
+def trace_messages(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Decode AirbyteTraceMessage lines — the error reports and
+    estimates a failing source emits as its last words
+    (airbyte-protocol.md TRACE; the reference CDK's entrypoint emits
+    an ERROR trace on any uncaught exception before exiting).  These
+    are operational metadata, not row data: land them in a quarantine
+    table next to the stream so a failed sync's cause survives the
+    process (the same keep-the-evidence DLQ pattern as
+    formats/avro_wire.py debezium_avro_dead_letters).  One narrow
+    projection, no shuffle; the raw line rides along for replay."""
+    t = df.select(
+        F.col(value_col),
+        F.from_json(F.col(value_col), AIRBYTE_MESSAGE_DDL).alias("_m"),
+    ).filter(F.col("_m.type") == "TRACE")
+    return t.select(
+        F.col("_m.trace.type").alias("trace_type"),
+        F.timestamp_millis(
+            F.col("_m.trace.emitted_at").cast("long")
+        ).alias("emitted_at"),
+        F.coalesce(
+            F.col("_m.trace.error.stream_descriptor.name"),
+            F.col("_m.trace.stream_status.stream_descriptor.name"),
+            F.col("_m.trace.estimate.name"),
+        ).alias("stream"),
+        F.col("_m.trace.error.failure_type").alias("failure_type"),
+        F.col("_m.trace.error.message").alias("message"),
+        F.col("_m.trace.error.internal_message").alias("internal_message"),
+        F.col("_m.trace.error.stack_trace").alias("stack_trace"),
+        F.col("_m.trace.estimate.row_estimate").alias("row_estimate"),
+        F.col("_m.trace.estimate.byte_estimate").alias("byte_estimate"),
+        F.col("_m.trace.stream_status.status").alias("stream_status"),
+        F.col(value_col).alias("raw"),
+    )
 
 
 def to_airbyte_messages(
@@ -85,10 +128,12 @@ def from_airbyte_messages(
 ) -> DataFrame:
     """Decode AirbyteMessage JSON lines into (stream, namespace,
     emitted_at, data) rows — the ingest side of the protocol pipe.
-    Non-RECORD lines (STATE/LOG/TRACE) and garbage are dropped: state
-    is a control-plane signal consumed by the runner, not row data
-    (the reference's destination runners do the same split,
-    airbyte-protocol.md STATE semantics).
+    Non-RECORD lines (STATE/LOG/TRACE) and garbage are dropped here:
+    state is a control-plane signal consumed by the runner, not row
+    data (the reference's destination runners do the same split,
+    airbyte-protocol.md STATE semantics); TRACE lines are decoded by
+    :func:`trace_messages` and quarantined by :func:`ingest_lines`
+    rather than lost.
 
     ``data`` stays a raw JSON string unless ``data_schema`` (DDL)
     flattens it into typed columns; prefer engine/raw.py's
@@ -155,6 +200,12 @@ def ingest_lines(
 
     * RECORD lines for ``stream`` are decoded
       (:func:`from_airbyte_messages`); STATE/LOG/garbage drop.
+    * TRACE lines (error reports, estimates, stream status) are
+      quarantined into ``<table_root>/_trace`` with the raw line —
+      a failed source's last error report survives the ingest
+      instead of vanishing with the pipe (the reference persists
+      trace errors as the attempt's failure reason); the report
+      carries ``trace_rows``/``trace_errors`` counts.
     * typing is engine/raw.py's Destinations-V2 chain: declared
       ``properties`` (name -> type DDL), un-castable values recorded
       in ``_airbyte_meta`` change records instead of silently nulled,
@@ -171,8 +222,14 @@ def ingest_lines(
     from airbyte_spark.engine import raw as R
     from airbyte_spark.lake.table import LakeTable
 
-    rec = from_airbyte_messages(
-        spark.read.text(lines_path), streams=[stream]
+    lines = spark.read.text(lines_path)
+    rec = from_airbyte_messages(lines, streams=[stream])
+    traces = trace_messages(lines)
+    trace_rows = traces.count()
+    trace_errors = (
+        traces.filter(F.col("trace_type") == "ERROR").count()
+        if trace_rows
+        else 0
     )
     raw_env = rec.select(
         F.md5("data").alias("_airbyte_ab_id"),
@@ -190,9 +247,15 @@ def ingest_lines(
     else:
         t = LakeTable(table_root)
     version = t.append(spark, typed, epoch=epoch, stream=stream)
+    # quarantine rides the epoch gate: a replayed dump (version None)
+    # must not duplicate its trace rows either
+    if trace_rows and version is not None:
+        traces.write.mode("append").parquet(f"{table_root}/_trace")
     return {
         "stream": stream,
         "committed": version is not None,
         "version": version,
         "rows": typed.count() if version is not None else 0,
+        "trace_rows": trace_rows,
+        "trace_errors": trace_errors,
     }

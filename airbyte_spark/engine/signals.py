@@ -46,7 +46,7 @@ the data path cost is exactly :func:`apply_batch_demux`'s.
 from __future__ import annotations
 
 import json
-from typing import Any, Callable
+from typing import Any, Callable, TypeAlias
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -55,7 +55,9 @@ from airbyte_spark.engine.demux import COLLECTION_COL, apply_batch_demux
 
 SIGNAL_COLLECTION = "__signals"
 
-SnapshotSource = "Callable[[], DataFrame] | DataFrame"
+# the fresh point-in-time image an execute-snapshot signal repairs
+# from: a DataFrame, or a zero-arg callable producing one lazily
+SnapshotSource: TypeAlias = Callable[[], DataFrame] | DataFrame
 
 
 def apply_batch_demux_signaled(
@@ -64,7 +66,7 @@ def apply_batch_demux_signaled(
     batch: DataFrame,
     epoch: int,
     *,
-    snapshot_sources: dict[str, Any] | None = None,
+    snapshot_sources: dict[str, SnapshotSource] | None = None,
     signal_collection: str = SIGNAL_COLLECTION,
     collection_col: str = COLLECTION_COL,
     strict: bool = False,

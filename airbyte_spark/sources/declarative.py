@@ -7,7 +7,9 @@ paginator, record selector, and partition/slice router
 requesters/paginators/strategies/{offset_increment.py:15-57,
 page_increment.py, cursor_pagination_strategy.py:17-50},
 extractors/{dpath_extractor.py:17-45, record_filter.py},
-partition_routers/list_partition_router.py:15-40).  This module
+partition_routers/list_partition_router.py:15-40,
+partition_routers/substream_partition_router.py:38-96, and
+streams/http/rate_limiting.py for the backoff wrapper).  This module
 re-expresses that graph Spark-first:
 
 * the TRANSPORT is injected: any callable ``(request: dict) -> dict``
@@ -53,6 +55,66 @@ from dataclasses import dataclass, field
 from typing import Any, Callable, Iterable
 
 Transport = Callable[[dict], dict]
+
+
+# ---------------------------------------------------------------------------
+# transport backoff (streams/http/rate_limiting.py)
+# ---------------------------------------------------------------------------
+
+class TransportError(Exception):
+    """A failed transport call carrying the HTTP-ish status and the
+    server's optional Retry-After hint — the error shape the backoff
+    wrapper retries on (the reference's requests.HTTPError analog)."""
+
+    def __init__(self, status: int, message: str = "",
+                 retry_after: float | None = None):
+        super().__init__(message or f"transport error {status}")
+        self.status = status
+        self.retry_after = retry_after
+
+
+RETRYABLE_STATUSES = frozenset({429, 500, 502, 503, 504})
+
+
+def with_backoff(
+    transport: Transport,
+    *,
+    max_retries: int = 5,
+    backoff_factor: float = 0.5,
+    max_delay: float = 60.0,
+    retry_statuses: frozenset[int] = RETRYABLE_STATUSES,
+    sleep: Callable[[float], None] | None = None,
+) -> Transport:
+    """Exponential backoff on 429/5xx for an injected transport —
+    the semantics of the reference's
+    airbyte-cdk/python/airbyte_cdk/sources/streams/http/rate_limiting.py
+    (default_backoff_handler: 5 tries, expo factor, giveup on
+    non-retryable 4xx; rate-limit handler honors Retry-After).  A
+    ``TransportError`` with a retryable status sleeps
+    ``retry_after`` (when the server said so) or
+    ``backoff_factor * 2**attempt`` capped at ``max_delay``, then
+    retries the SAME request; anything else propagates.  Wraps any
+    transport, so every paginator/slicer composes with it unchanged."""
+    import time as _time
+
+    do_sleep = _time.sleep if sleep is None else sleep
+
+    def call(request: dict) -> dict:
+        for attempt in range(max_retries + 1):
+            try:
+                return transport(request)
+            except TransportError as exc:
+                if exc.status not in retry_statuses or attempt == max_retries:
+                    raise
+                delay = (
+                    exc.retry_after
+                    if exc.retry_after is not None
+                    else backoff_factor * (2 ** attempt)
+                )
+                do_sleep(min(delay, max_delay))
+        raise AssertionError("unreachable")  # pragma: no cover
+
+    return call
 
 
 # ---------------------------------------------------------------------------
@@ -196,6 +258,47 @@ def datetime_slices(cursor_field: str, start: str, end: str,
     return out
 
 
+@dataclass
+class SubstreamSlicer:
+    """Parent-child partition router
+    (partition_routers/substream_partition_router.py:38-96): every
+    record of the PARENT stream yields one child slice carrying the
+    parent's key under ``partition_field`` (orders -> per-order line
+    items, the nested-resource shape of every REST API).  Resolved at
+    read time because the slice list IS the parent's current data;
+    ``extra_fields`` copies additional parent columns into the slice
+    (the reference's parent_record passthrough) for request templating.
+
+    Scale note: the slice list is driver-side (same as the reference's
+    per-stream read loop) and the child reads fan out on the stream's
+    thread pool — the remote API, not Spark, is the ceiling; the
+    collected records land in one Arrow createDataFrame like every
+    other declarative read."""
+
+    parent: "DeclarativeStream"
+    parent_key: str
+    partition_field: str
+    extra_fields: tuple = ()
+
+    def slices(self, transport: Transport) -> list[dict]:
+        out = []
+        for rec in self.parent.read_records(transport):
+            if self.parent_key not in rec or rec[self.parent_key] is None:
+                continue  # keyless parent rows route nowhere (upstream drops them too)
+            s = {self.partition_field: rec[self.parent_key]}
+            for f_ in self.extra_fields:
+                s[f"parent_{f_}"] = rec.get(f_)
+            out.append(s)
+        return out
+
+
+def _slice_key(slice_: dict) -> str:
+    """Canonical identity of a slice for resume bookkeeping."""
+    import json
+
+    return json.dumps(slice_, sort_keys=True, default=str)
+
+
 # ---------------------------------------------------------------------------
 # retriever + stream
 # ---------------------------------------------------------------------------
@@ -244,31 +347,77 @@ class DeclarativeStream:
     slices: list[dict] = field(default_factory=lambda: [{}])
     cursor_field: str | None = None
     max_workers: int = 8
+    # read-time slice router (SubstreamSlicer): overrides the static
+    # ``slices`` list because its slices depend on the parent's data
+    slicer: SubstreamSlicer | None = None
 
-    def read_records(self, transport: Transport) -> list[dict]:
-        """All slices, fanned out on a thread pool (slice order is
-        restored so output is deterministic)."""
-        if len(self.slices) == 1:
-            return self.retriever.read_slice(transport, self.slices[0])
+    def resolve_slices(self, transport: Transport) -> list[dict]:
+        if self.slicer is not None:
+            return self.slicer.slices(transport)
+        return self.slices
+
+    def _read_slices(
+        self, transport: Transport, slices: list[dict]
+    ) -> list[list[dict]]:
+        """Per-slice record lists, fanned out on a thread pool (slice
+        order is restored so output is deterministic)."""
+        if len(slices) == 0:
+            return []
+        if len(slices) == 1:
+            return [self.retriever.read_slice(transport, slices[0])]
         with ThreadPoolExecutor(max_workers=self.max_workers) as pool:
-            parts = list(
+            return list(
                 pool.map(
                     lambda s: self.retriever.read_slice(transport, s),
-                    self.slices,
+                    slices,
                 )
             )
+
+    def read_records(
+        self, transport: Transport, state: dict | None = None
+    ) -> list[dict]:
+        """All not-yet-done slices' records.  ``state`` is the dict a
+        previous :meth:`read` returned: its ``slices_done`` list is
+        skipped, which is the reference's per-partition resume
+        (a killed sync re-reads only the partitions it never
+        checkpointed — substream_partition_router + per-partition
+        cursor semantics)."""
+        slices = self.resolve_slices(transport)
+        done = {_slice_key(s) for s in (state or {}).get("slices_done", [])}
+        todo = [s for s in slices if _slice_key(s) not in done]
+        parts = self._read_slices(transport, todo)
         return [r for part in parts for r in part]
 
-    def read(self, spark, transport: Transport, schema: str | None = None):
-        """Records -> DataFrame (+ state: max cursor seen, the
-        incremental handoff into engine.incremental)."""
-        records = self.read_records(transport)
-        state = None
-        if self.cursor_field:
-            vals = [r.get(self.cursor_field) for r in records]
-            vals = [v for v in vals if v is not None]
-            state = {"cursor_field": self.cursor_field,
-                     "max_cursor": max(vals) if vals else None}
+    def read(self, spark, transport: Transport, schema: str | None = None,
+             state: dict | None = None):
+        """Records -> DataFrame (+ state: max cursor seen and the
+        completed slice list — the incremental + slice-resume handoff
+        into engine.incremental / engine.state)."""
+        slices = self.resolve_slices(transport)
+        prev_done = (state or {}).get("slices_done", [])
+        done_keys = {_slice_key(s) for s in prev_done}
+        todo = [s for s in slices if _slice_key(s) not in done_keys]
+        parts = self._read_slices(transport, todo)
+        records = [r for part in parts for r in part]
+        track_slices = self.slicer is not None or state is not None
+        new_state: dict | None = None
+        if self.cursor_field or track_slices:
+            new_state = {}
+            if self.cursor_field:
+                vals = [r.get(self.cursor_field) for r in records]
+                vals = [v for v in vals if v is not None]
+                prev_max = (state or {}).get("max_cursor")
+                cur = max(vals) if vals else None
+                new_state.update({
+                    "cursor_field": self.cursor_field,
+                    "max_cursor": (
+                        max(v for v in (prev_max, cur) if v is not None)
+                        if (prev_max is not None or cur is not None)
+                        else None
+                    ),
+                })
+            if track_slices:
+                new_state["slices_done"] = list(prev_done) + todo
         if schema is not None:
             df = spark.createDataFrame(records, schema=schema)
         elif records:
@@ -277,7 +426,7 @@ class DeclarativeStream:
             raise ValueError(
                 f"stream {self.name}: empty result needs an explicit schema"
             )
-        return df, state
+        return df, new_state
 
 
 _PAGINATORS = {
@@ -312,8 +461,11 @@ def load_manifest(source: str) -> dict:
 def build_streams(manifest: dict) -> list[DeclarativeStream]:
     """Manifest dict -> wired DeclarativeStream objects
     (manifest_declarative_source.py / model_to_component_factory
-    analog, minus jinja interpolation)."""
+    analog, minus jinja interpolation).  Substream slicers are wired
+    in a second pass so a child may reference a parent declared in any
+    order, matching the reference's name-resolved parent_stream refs."""
     streams = []
+    substreams: list[tuple[DeclarativeStream, dict]] = []
     for s in manifest["streams"]:
         r = s["retriever"]
         pag_conf = dict(r.get("paginator") or {"type": "NoPagination"})
@@ -333,8 +485,9 @@ def build_streams(manifest: dict) -> list[DeclarativeStream]:
             request_params=dict(r.get("request_params") or {}),
         )
         sl_conf = s.get("slicer")
+        slices = [{}]
         if not sl_conf:
-            slices = [{}]
+            pass
         elif sl_conf["type"] == "List":
             slices = list_slices(sl_conf["cursor_field"], sl_conf["values"])
         elif sl_conf["type"] == "Datetime":
@@ -342,15 +495,31 @@ def build_streams(manifest: dict) -> list[DeclarativeStream]:
                 sl_conf["cursor_field"], sl_conf["start"], sl_conf["end"],
                 int(sl_conf.get("step_days", 1)),
             )
-        else:
+        elif sl_conf["type"] != "Substream":
             raise ValueError(f"unknown slicer type {sl_conf['type']}")
-        streams.append(
-            DeclarativeStream(
-                name=s["name"],
-                retriever=retriever,
-                primary_key=s.get("primary_key"),
-                slices=slices,
-                cursor_field=s.get("cursor_field"),
+        stream = DeclarativeStream(
+            name=s["name"],
+            retriever=retriever,
+            primary_key=s.get("primary_key"),
+            slices=slices,
+            cursor_field=s.get("cursor_field"),
+        )
+        if sl_conf and sl_conf["type"] == "Substream":
+            substreams.append((stream, sl_conf))
+        streams.append(stream)
+    by_name = {st.name: st for st in streams}
+    for stream, sl_conf in substreams:
+        parent_name = sl_conf["parent_stream"]
+        if parent_name not in by_name:
+            raise ValueError(
+                f"stream {stream.name}: unknown parent_stream {parent_name}"
             )
+        if parent_name == stream.name:
+            raise ValueError(f"stream {stream.name}: is its own parent")
+        stream.slicer = SubstreamSlicer(
+            parent=by_name[parent_name],
+            parent_key=sl_conf["parent_key"],
+            partition_field=sl_conf["partition_field"],
+            extra_fields=tuple(sl_conf.get("extra_fields") or ()),
         )
     return streams

@@ -402,6 +402,29 @@ def main() -> None:
             best = dt if best is None or dt < best else best
         timings[name] = best
 
+    # doc_neardup_index fixture/operator split: >70% of that entry's
+    # wall time is fixture (corpus synth + creating two lake tables),
+    # so a regression in the OPERATOR (probe+merge) would be masked by
+    # fixture noise — time them separately (fixture materialized to
+    # parquet first so the apply leg reads real files, like a sync)
+    nd_best = None
+    for _ in range(2):
+        workdir = tempfile.mkdtemp(prefix="bench_nd_", dir=tmpfs)
+        try:
+            t0 = time.time()
+            fx_dir = os.path.join(workdir, "fx")
+            E._neardup_fixture(spark, sf_dir).write.parquet(fx_dir)
+            idx = E._neardup_create_index(os.path.join(workdir, "i"))
+            t_fix = round(time.time() - t0, 3)
+            t1 = time.time()
+            _materialize(
+                E._neardup_epochs(idx, spark, spark.read.parquet(fx_dir))
+            )
+            t_apply = round(time.time() - t1, 3)
+            if nd_best is None or t_apply < nd_best["apply_sec"]:
+                nd_best = {"fixture_sec": t_fix, "apply_sec": t_apply}
+        finally:
+            shutil.rmtree(workdir, ignore_errors=True)
     wall = round(time.time() - total0, 3)
     total = round(sum(timings.values()), 3)
     print(
@@ -414,6 +437,10 @@ def main() -> None:
                 "sf": sf,
                 "extra": {
                     "cdc": cdc, "cdc_mor": mor, "cdc_chunked": chunked,
+                    # fixture-vs-operator split of doc_neardup_index
+                    # (kept out of the headline sum — the full entry
+                    # above already counts once)
+                    "neardup_split": nd_best,
                     "cpus": cpus, "wall_sec": wall, "reps": 2,
                 },
             }

@@ -1076,3 +1076,38 @@ def test_lm_buckets_tercile_semantics(spark):
     base = {r["doc_id"]: r["bits_per_token"] for r in lm_score(df).collect()}
     for i, r in scored.items():
         assert r["bits_per_token"] == base[i]
+
+
+def test_multimodal_decoder_injection(spark):
+    """The production swap-in point: a user-supplied decode callable
+    replaces the stub with zero source edits, and a decoder returning
+    the wrong shape degrades to decode_ok=False instead of failing
+    the job (per-asset error tolerance)."""
+    assets = multimodal.make_assets(spark, 9)
+
+    def fake_real_codec(payload: bytes, dim: int):
+        import numpy as _np
+
+        # trivially distinguishable from the stub: constant from the
+        # first payload byte
+        return _np.full(dim, payload[0] / 255.0, dtype=_np.float32)
+
+    feats = multimodal.extract_features(
+        assets, dim=8, decoder=fake_real_codec
+    ).collect()
+    assert all(r["decode_ok"] for r in feats)
+    payloads = {
+        r["asset_id"]: bytes(r["payload"])
+        for r in assets.collect()
+    }
+    for r in feats:
+        want = payloads[r["asset_id"]][0] / 255.0
+        assert all(abs(x - want) < 1e-6 for x in r["features"])
+
+    def bad_shape(payload: bytes, dim: int):
+        import numpy as _np
+
+        return _np.zeros(dim + 1, dtype=_np.float32)
+
+    bad = multimodal.extract_features(assets, dim=8, decoder=bad_shape)
+    assert all(not r["decode_ok"] for r in bad.collect())

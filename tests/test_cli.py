@@ -726,3 +726,21 @@ def test_cli_train_bpe_then_tokenize(tmp_path):
             len(encode_word(w, ranks)) for w in ws
         )
     assert r["n_subwords"] == int(got["n_subwords"].sum())
+
+
+def test_sync_verb_masks_spec_secrets(tmp_path):
+    """A spec-carried secret (options bag, airbyte_secret key-name
+    convention) never appears in the sync verb's output; the echoed
+    config is deep-masked (entrypoint.py secret filter parity)."""
+    spec = {"streams": {"s": {
+        "table": str(tmp_path / "t"), "n_buckets": 2,
+        "options": {"jdbc_password": "hunter2-xyz", "host": "db.local"},
+    }}}
+    spec_path = str(tmp_path / "spec.json")
+    with open(spec_path, "w") as fh:
+        json.dump(spec, fh)
+    out = _cli("sync", "--spec", spec_path)
+    assert "hunter2-xyz" not in out
+    rep = json.loads(out)
+    o = rep["_config"]["streams"]["s"]["options"]
+    assert o["jdbc_password"] == "****" and o["host"] == "db.local"

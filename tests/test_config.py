@@ -175,3 +175,32 @@ def test_spec_snapshot_modes(spark, tmp_path):
                           "snapshot_source": img_dir}}
     }).build_pipelines()
     assert pipes["c"].on_invalid_offset == "rebootstrap"
+
+
+def test_secret_masking_helpers():
+    """entrypoint.py:26-147 parity: spec-declared and convention-named
+    secrets are collected, deep-masked in config echoes, and scrubbed
+    from arbitrary output text."""
+    from airbyte_spark.config import (
+        collect_secrets, mask_config, mask_secrets_text,
+    )
+
+    doc = {
+        "airbyte_secret_keys": ["endpoint_token"],
+        "streams": {"s": {"table": "/t", "options": {
+            "jdbc_password": "hunter2", "host": "db.example",
+            "endpoint_token": "tok-42",
+            "nested": [{"api_key": "k9"}],
+        }}},
+    }
+    secrets = collect_secrets(doc)
+    assert set(secrets) == {"hunter2", "tok-42", "k9"}
+    masked = mask_config(doc)
+    o = masked["streams"]["s"]["options"]
+    assert o["jdbc_password"] == "****" and o["endpoint_token"] == "****"
+    assert o["nested"][0]["api_key"] == "****"
+    assert o["host"] == "db.example"  # non-secrets stay readable
+    assert (
+        mask_secrets_text("err hunter2 @db.example k9", secrets)
+        == "err **** @db.example ****"
+    )

@@ -218,3 +218,54 @@ def test_cli_ingest_protocol_lines(spark, tmp_path, capsys):
     out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert not out2["committed"] and out2["rows"] == 0
     assert LakeTable(str(tmp_path / "t")).read(spark).count() == 2
+
+
+def test_cli_ingest_quarantines_trace_messages(spark, tmp_path, capsys):
+    """TRACE lines (airbyte-protocol.md AirbyteTraceMessage) land in
+    the <table>/_trace quarantine with the raw line instead of being
+    dropped: a failed source's last error report survives the ingest.
+    The quarantine rides the epoch gate — replaying the dump must not
+    duplicate trace rows."""
+    import json
+
+    from airbyte_spark.cli import main
+
+    dump = tmp_path / "dump.jsonl"
+    rec = ('{"type":"RECORD","record":{"stream":"users","emitted_at":1000,'
+           '"data":{"id":1}}}')
+    err = json.dumps({"type": "TRACE", "trace": {
+        "type": "ERROR", "emitted_at": 1700000000000.0,
+        "error": {"message": "config error", "internal_message": "boom",
+                  "stack_trace": "Traceback ...",
+                  "failure_type": "config_error",
+                  "stream_descriptor": {"name": "users"}}}})
+    est = json.dumps({"type": "TRACE", "trace": {
+        "type": "ESTIMATE", "emitted_at": 1700000000001.0,
+        "estimate": {"name": "users", "type": "STREAM",
+                     "row_estimate": 100, "byte_estimate": 1048576}}})
+    dump.write_text("\n".join([rec, err, est]) + "\n")
+
+    argv = [
+        "ingest", "--in", str(dump), "--table", str(tmp_path / "t"),
+        "--stream", "users", "--properties", '{"id":"integer"}',
+        "--key", "id", "--epoch", "0", "--buckets", "2",
+    ]
+    assert main(argv) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 1
+    assert out["trace_rows"] == 2 and out["trace_errors"] == 1
+
+    tr = spark.read.parquet(str(tmp_path / "t" / "_trace"))
+    rows = {r["trace_type"]: r for r in tr.collect()}
+    assert set(rows) == {"ERROR", "ESTIMATE"}
+    assert rows["ERROR"]["message"] == "config error"
+    assert rows["ERROR"]["failure_type"] == "config_error"
+    assert rows["ERROR"]["stream"] == "users"
+    assert rows["ESTIMATE"]["row_estimate"] == 100
+    assert json.loads(rows["ERROR"]["raw"])["type"] == "TRACE"
+
+    # epoch-gated replay: no duplicate quarantine rows either
+    assert main(argv) == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert not out2["committed"] and out2["trace_rows"] == 2
+    assert spark.read.parquet(str(tmp_path / "t" / "_trace")).count() == 2

@@ -210,6 +210,160 @@ def test_runaway_pagination_guard():
         s.read_records(fake_api)
 
 
+# parent/child dataset for the substream router: 4 orders fanning out
+# to per-order line items
+ORDERS = [{"order_id": 100 + i, "customer": f"c{i % 2}"} for i in range(4)]
+LINE_ITEMS = {
+    100 + i: [
+        {"order_id": 100 + i, "line": j, "sku": f"sku-{i}-{j}"}
+        for j in range(i + 1)
+    ]
+    for i in range(4)
+}
+
+
+def parent_child_api(req: dict) -> dict:
+    if req["path"] == "/v1/orders":
+        return {"data": {"items": ORDERS}}
+    assert req["path"] == "/v1/line_items"
+    oid = req["slice"]["order_id"]
+    return {"data": {"items": LINE_ITEMS.get(oid, [])}}
+
+
+SUBSTREAM_MANIFEST = {
+    "streams": [
+        {
+            "name": "orders",
+            "primary_key": "order_id",
+            "retriever": {
+                "path": "/v1/orders",
+                "selector": {"field_path": ["data", "items"]},
+            },
+        },
+        {
+            "name": "line_items",
+            "retriever": {
+                "path": "/v1/line_items",
+                "selector": {"field_path": ["data", "items"]},
+            },
+            "slicer": {
+                "type": "Substream",
+                "parent_stream": "orders",
+                "parent_key": "order_id",
+                "partition_field": "order_id",
+                "extra_fields": ["customer"],
+            },
+        },
+    ]
+}
+
+
+def test_substream_router_fans_parent_records_into_child_slices():
+    """substream_partition_router.py semantics: each parent record is
+    one child partition; child reads carry the parent key (and any
+    extra fields) in the slice."""
+    orders, line_items = build_streams(SUBSTREAM_MANIFEST)
+    slices = line_items.resolve_slices(parent_child_api)
+    assert slices == [
+        {"order_id": 100 + i, "parent_customer": f"c{i % 2}"}
+        for i in range(4)
+    ]
+    recs = line_items.read_records(parent_child_api)
+    # slice order restored: order 100's 1 item, 101's 2, 102's 3, 103's 4
+    assert recs == [r for i in range(4) for r in LINE_ITEMS[100 + i]]
+
+
+def test_substream_slice_resume_skips_checkpointed_partitions(spark):
+    """A killed sync resumes from per-partition state: slices recorded
+    as done are not re-read (the reference's per-partition cursor)."""
+    calls: list[dict] = []
+
+    def spying_api(req):
+        if req["path"] == "/v1/line_items":
+            calls.append(dict(req["slice"]))
+        return parent_child_api(req)
+
+    _, line_items = build_streams(SUBSTREAM_MANIFEST)
+    df, state = line_items.read(spark, spying_api)
+    assert df.count() == sum(len(v) for v in LINE_ITEMS.values())
+    assert len(state["slices_done"]) == 4 and len(calls) == 4
+
+    calls.clear()
+    df2, state2 = line_items.read(
+        spark, spying_api, schema="order_id long, line long, sku string",
+        state=state,
+    )
+    assert calls == [] and df2.count() == 0  # everything already done
+    assert len(state2["slices_done"]) == 4
+
+    # drop one partition from the checkpoint: only that slice re-reads
+    partial = {"slices_done": state["slices_done"][:-1]}
+    df3, state3 = line_items.read(spark, spying_api, state=partial)
+    assert calls == [{"order_id": 103, "parent_customer": "c1"}]
+    assert df3.count() == len(LINE_ITEMS[103])
+    assert len(state3["slices_done"]) == 4
+
+
+def test_substream_unknown_parent_rejected():
+    bad = {"streams": [dict(SUBSTREAM_MANIFEST["streams"][1])]}
+    with pytest.raises(ValueError, match="unknown parent_stream"):
+        build_streams(bad)
+
+
+def test_backoff_retries_flaky_transport_preserving_order():
+    """rate_limiting.py semantics: 429/5xx retry with exponential
+    backoff (Retry-After honored), non-retryable errors propagate.
+    The wrapped transport fails twice then succeeds — page order and
+    cursor state must come out identical to a clean run."""
+    from airbyte_spark.sources.declarative import (
+        TransportError, with_backoff,
+    )
+
+    failures = {"n": 0}
+    sleeps: list[float] = []
+
+    def flaky(req):
+        if failures["n"] < 2:
+            failures["n"] += 1
+            raise TransportError(
+                429 if failures["n"] == 1 else 503,
+                retry_after=0.25 if failures["n"] == 1 else None,
+            )
+        return fake_api(req)
+
+    s = _stream(OffsetIncrement(page_size=10), "offset",
+                cursor="updated_at")
+    recs = s.read_records(with_backoff(flaky, sleep=sleeps.append))
+    assert recs == ITEMS  # same pages, same order, nothing skipped
+    # first delay is the server's Retry-After; second the expo default
+    assert sleeps == [0.25, 0.5 * 2]
+
+
+def test_backoff_gives_up_and_propagates_client_errors():
+    from airbyte_spark.sources.declarative import (
+        TransportError, with_backoff,
+    )
+
+    def always_503(req):
+        raise TransportError(503)
+
+    wrapped = with_backoff(always_503, max_retries=2, sleep=lambda s: None)
+    with pytest.raises(TransportError):
+        wrapped({"path": "/x", "params": {}, "slice": {}, "page_token": None})
+
+    calls = {"n": 0}
+
+    def count_forbidden(req):
+        calls["n"] += 1
+        raise TransportError(403)
+
+    with pytest.raises(TransportError):
+        with_backoff(count_forbidden, sleep=lambda s: None)({
+            "path": "/x", "params": {}, "slice": {}, "page_token": None,
+        })
+    assert calls["n"] == 1  # 4xx is not retryable
+
+
 def test_empty_result_requires_schema(spark):
     s = _stream(OffsetIncrement(page_size=10), "offset",
                 slices=[{"region": "nowhere"}])

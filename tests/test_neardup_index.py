@@ -185,3 +185,34 @@ def test_crash_between_table_commits_resumes_exactly_once(spark, tmp_path):
         got = sorted(map(tuple, a.read(spark).collect()))
         want = sorted(map(tuple, b.read(spark).collect()))
         assert got == want
+
+
+def test_slot_agreement_kernel_matches_hof_reference(spark, tmp_path):
+    """The vectorized Arrow estimate (_slot_agreement) is
+    value-identical to the interpreted zip_with reference it replaced
+    (_est_reference) — including the half-up 4dp rounding on exact
+    k/num_hashes binary fractions, where numpy's default half-even
+    would diverge from Spark's HALF_UP."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    idx = NearDupIndex.create(str(tmp_path / "ix"), num_hashes=128)
+    rng = random.Random(7)
+    rows = []
+    for i in range(300):
+        s1 = [rng.randrange(1 << 40) for _ in range(128)]
+        # force a controlled agreement count, hitting k = 4 mod 8
+        # (the exact .5-at-4dp rounding boundary) often
+        k = rng.choice([0, 4, 12, 20, 36, 64, 100, 124, 128])
+        s2 = list(s1[:k]) + [x + 1 for x in s1[k:]]
+        rows.append(Row(id=i, sig1=s1, sig2=s2, k=k))
+    df = spark.createDataFrame(rows)
+    got = df.select(
+        "id", "k",
+        idx._est(F.col("sig1"), F.col("sig2")).alias("vec"),
+        idx._est_reference(F.col("sig1"), F.col("sig2")).alias("ref"),
+    ).collect()
+    assert len(got) == 300
+    for r in got:
+        assert r["vec"] == r["ref"], (r["id"], r["k"], r["vec"], r["ref"])
