@@ -774,6 +774,16 @@ def main(argv: list[str] | None = None) -> int:
         try:
             report = PipelineSpec.from_dict(doc).run(spark)
         except Exception as exc:
+            # the reference's last-words contract (entrypoint.py:
+            # AirbyteTracedException → one TRACE line on stdout before
+            # exiting) — masked like everything else
+            from airbyte_spark.engine.protocol import trace_message
+
+            print(mask_secrets_text(
+                trace_message(error=f"sync failed: {exc}",
+                              failure_type="system_error"),
+                secrets,
+            ))
             raise SystemExit(
                 mask_secrets_text(f"sync failed: {exc}", secrets)
             ) from None

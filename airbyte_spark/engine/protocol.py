@@ -181,6 +181,50 @@ def state_message(stream: str, state: dict, *, namespace: str | None = None) -> 
     )
 
 
+def trace_message(
+    *,
+    error: str | None = None,
+    failure_type: str = "system_error",
+    internal_message: str | None = None,
+    stack_trace: str | None = None,
+    stream: str | None = None,
+    estimate_rows: int | None = None,
+    estimate_bytes: int | None = None,
+    emitted_at_ms: int = 0,
+) -> str:
+    """One TRACE JSON line — the emit side of the protocol's
+    error/estimate channel (airbyte-protocol.md AirbyteTraceMessage;
+    the reference CDK's entrypoint emits exactly this on an uncaught
+    exception, AirbyteTracedException.as_airbyte_message).  Pass
+    ``error`` for an ERROR trace or ``estimate_rows``/``estimate_bytes``
+    for an ESTIMATE; driver-side, deterministic (``emitted_at_ms`` is
+    caller-supplied, 0 by default, for reproducible dumps)."""
+    if (error is None) == (estimate_rows is None and estimate_bytes is None):
+        raise ValueError("pass exactly one of error= or estimate_*=")
+    trace: dict = {"emitted_at": float(emitted_at_ms)}
+    if error is not None:
+        trace["type"] = "ERROR"
+        err: dict = {"message": error, "failure_type": failure_type}
+        if internal_message is not None:
+            err["internal_message"] = internal_message
+        if stack_trace is not None:
+            err["stack_trace"] = stack_trace
+        if stream is not None:
+            err["stream_descriptor"] = {"name": stream}
+        trace["error"] = err
+    else:
+        trace["type"] = "ESTIMATE"
+        est: dict = {"name": stream or "", "type": "STREAM"}
+        if estimate_rows is not None:
+            est["row_estimate"] = int(estimate_rows)
+        if estimate_bytes is not None:
+            est["byte_estimate"] = int(estimate_bytes)
+        trace["estimate"] = est
+    return json.dumps(
+        {"type": "TRACE", "trace": trace}, separators=(",", ":")
+    )
+
+
 def ingest_lines(
     spark,
     lines_path: str,

@@ -744,3 +744,28 @@ def test_sync_verb_masks_spec_secrets(tmp_path):
     rep = json.loads(out)
     o = rep["_config"]["streams"]["s"]["options"]
     assert o["jdbc_password"] == "****" and o["host"] == "db.local"
+
+
+def test_sync_failure_emits_masked_trace_line(tmp_path):
+    """A failed sync prints one protocol TRACE ERROR line (the
+    reference entrypoint's last-words contract) and the failure text
+    is scrubbed of spec secrets."""
+    spec = {"streams": {"s": {
+        "table": str(tmp_path / "missing"), "n_buckets": 2,
+        "snapshot_mode": "never",
+        "options": {"api_key": "sekrit-99"},
+    }}}
+    spec_path = str(tmp_path / "spec.json")
+    with open(spec_path, "w") as fh:
+        json.dump(spec, fh)
+    env = dict(os.environ, SPARK_GRAFT_CPUS="2", PYTHONPATH=REPO)
+    r = subprocess.run(
+        [sys.executable, "-m", "airbyte_spark.cli", "sync",
+         "--spec", spec_path],
+        capture_output=True, text=True, timeout=240, cwd=REPO, env=env,
+    )
+    assert r.returncode != 0
+    assert "sekrit-99" not in r.stdout + r.stderr
+    trace = json.loads(r.stdout.strip().splitlines()[-1])
+    assert trace["type"] == "TRACE" and trace["trace"]["type"] == "ERROR"
+    assert "refuses to create" in trace["trace"]["error"]["message"]

@@ -204,3 +204,37 @@ def test_secret_masking_helpers():
         mask_secrets_text("err hunter2 @db.example k9", secrets)
         == "err **** @db.example ****"
     )
+
+
+def test_trace_message_builder_round_trips():
+    """The emit-side TRACE builder (engine/protocol.trace_message)
+    produces lines the decode side (trace_messages DDL) understands —
+    both protocol directions stay in sync."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from airbyte_spark.engine.protocol import trace_message
+
+    err = _json.loads(trace_message(
+        error="boom", failure_type="config_error",
+        internal_message="inner", stack_trace="tb", stream="users",
+        emitted_at_ms=1234,
+    ))
+    assert err["type"] == "TRACE" and err["trace"]["type"] == "ERROR"
+    assert err["trace"]["error"]["message"] == "boom"
+    assert err["trace"]["error"]["failure_type"] == "config_error"
+    assert err["trace"]["error"]["stream_descriptor"]["name"] == "users"
+    assert err["trace"]["emitted_at"] == 1234.0
+
+    est = _json.loads(trace_message(
+        stream="users", estimate_rows=10, estimate_bytes=2048,
+    ))
+    assert est["trace"]["type"] == "ESTIMATE"
+    assert est["trace"]["estimate"]["row_estimate"] == 10
+    assert est["trace"]["estimate"]["byte_estimate"] == 2048
+
+    with _pytest.raises(ValueError, match="exactly one"):
+        trace_message()
+    with _pytest.raises(ValueError, match="exactly one"):
+        trace_message(error="x", estimate_rows=1)
