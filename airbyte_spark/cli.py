@@ -121,6 +121,10 @@ def main(argv: list[str] | None = None) -> int:
         "streams sharing a tail demux in one pass",
     )
     sp.add_argument("--spec", required=True, help="path to the JSON spec")
+    sp.add_argument("--emit-state", action="store_true",
+                    help="print one protocol STATE line per stream "
+                         "(applied epoch + high-water mark) before the "
+                         "report — the platform's checkpoint contract")
 
     sp = sub.add_parser(
         "resnapshot",
@@ -771,8 +775,9 @@ def main(argv: list[str] | None = None) -> int:
         # reach stdout/stderr — the report echoes a masked config and
         # even a failure message is scrubbed of secret values
         secrets = collect_secrets(doc)
+        pipeline_spec = PipelineSpec.from_dict(doc)
         try:
-            report = PipelineSpec.from_dict(doc).run(spark)
+            report = pipeline_spec.run(spark)
         except Exception as exc:
             # the reference's last-words contract (entrypoint.py:
             # AirbyteTracedException → one TRACE line on stdout before
@@ -787,6 +792,27 @@ def main(argv: list[str] | None = None) -> int:
             raise SystemExit(
                 mask_secrets_text(f"sync failed: {exc}", secrets)
             ) from None
+        if args.emit_state:
+            # the protocol's per-stream STATE checkpoint (STREAM-scoped
+            # state_message), derived spark-free from manifest footers:
+            # applied epoch from the snapshot's epoch tags, high-water
+            # mark from the last_lsn column stats
+            from airbyte_spark.engine.protocol import state_message
+            from airbyte_spark.lake import LakeTable
+
+            for s in pipeline_spec.streams:
+                if not LakeTable.exists(s.table):
+                    continue
+                t = LakeTable(s.table)
+                snap = t.snapshot()
+                st: dict = {"epoch": snap.epochs.get(s.name, -1)}
+                try:
+                    hwm = t.stats_from_footers(snap.files, "last_lsn")["max"]
+                    if hwm is not None:
+                        st["hwm_lsn"] = int(hwm)
+                except Exception:
+                    pass
+                print(mask_secrets_text(state_message(s.name, st), secrets))
         report["_config"] = mask_config(doc)
         print(mask_secrets_text(json.dumps(report), secrets))
     elif args.cmd == "resnapshot":

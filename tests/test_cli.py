@@ -769,3 +769,29 @@ def test_sync_failure_emits_masked_trace_line(tmp_path):
     trace = json.loads(r.stdout.strip().splitlines()[-1])
     assert trace["type"] == "TRACE" and trace["trace"]["type"] == "ERROR"
     assert "refuses to create" in trace["trace"]["error"]["message"]
+
+
+def test_sync_emit_state_prints_protocol_state_lines(tmp_path):
+    """--emit-state: one STREAM-scoped STATE line per stream (applied
+    epoch + footer-derived high-water mark) before the report — the
+    protocol's checkpoint contract, derived spark-free from manifests."""
+    gen = str(tmp_path / "tail")
+    _cli("gen-tail", "--out", gen, "--events", "200", "--chunks", "2",
+         "--repos", "5", "--paths-per-repo", "8")
+    spec = {"streams": {"code": {
+        "table": str(tmp_path / "t"), "tail": gen, "n_buckets": 4,
+        "checkpoint": str(tmp_path / "ckpt"),
+    }}}
+    spec_path = str(tmp_path / "spec.json")
+    with open(spec_path, "w") as fh:
+        json.dump(spec, fh)
+    out = _cli("sync", "--spec", spec_path, "--emit-state")
+    lines = out.strip().splitlines()
+    report = json.loads(lines[-1])
+    assert report["code"]["committed"] >= 1
+    states = [json.loads(l) for l in lines[:-1]]
+    assert len(states) == 1 and states[0]["type"] == "STATE"
+    stream_state = states[0]["state"]["stream"]
+    assert stream_state["stream_descriptor"]["name"] == "code"
+    st = stream_state["stream_state"]
+    assert st["epoch"] >= 0 and st["hwm_lsn"] == 199
