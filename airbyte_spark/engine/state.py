@@ -120,6 +120,20 @@ class StateStore:
         self._write(stream, st)
         return st
 
+    def load_doc(self, stream: str) -> dict[str, Any] | None:
+        """Arbitrary per-stream state document (e.g. a declarative
+        source's cursor + slices_done), ``None`` when absent — the
+        shapeless sibling of :meth:`load`'s CDC record, sharing the
+        same atomic-replace write path."""
+        try:
+            with open(self._path(stream)) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return None
+
+    def save_doc(self, stream: str, doc: dict[str, Any]) -> None:
+        self._write(stream, doc)
+
     def _write(self, stream: str, st: dict[str, Any]) -> None:
         # atomic replace so a crash mid-write never corrupts state;
         # self-healing dir create — a stream reset may have removed

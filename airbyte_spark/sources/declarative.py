@@ -428,6 +428,20 @@ class DeclarativeStream:
             )
         return df, new_state
 
+    def read_resumable(self, spark, transport: Transport, store,
+                       schema: str | None = None):
+        """:meth:`read` with the state round-trip handled: prior state
+        loads from ``store`` (an ``engine.state.StateStore``), the new
+        state persists back atomically after the read plans — so a
+        killed sync's next run re-reads only never-checkpointed
+        partitions, the reference's per-stream state loop
+        (``airbyte_cdk`` connector state manager semantics)."""
+        state = store.load_doc(self.name)
+        df, new_state = self.read(spark, transport, schema, state=state)
+        if new_state is not None:
+            store.save_doc(self.name, new_state)
+        return df, new_state
+
 
 _PAGINATORS = {
     "NoPagination": NoPagination,

@@ -371,3 +371,32 @@ def test_empty_result_requires_schema(spark):
         s.read(spark, fake_api)
     df, _ = s.read(spark, fake_api, schema="id long, region string")
     assert df.count() == 0 and df.columns == ["id", "region"]
+
+
+def test_read_resumable_persists_slice_state(spark, tmp_path):
+    """read_resumable round-trips state through the engine's
+    StateStore: a second run re-reads nothing, and dropping the store
+    file replays from scratch (the per-stream state loop)."""
+    from airbyte_spark.engine.state import StateStore
+
+    calls: list[dict] = []
+
+    def spying_api(req):
+        if req["path"] == "/v1/line_items":
+            calls.append(dict(req["slice"]))
+        return parent_child_api(req)
+
+    store = StateStore(str(tmp_path / "state"))
+    _, line_items = build_streams(SUBSTREAM_MANIFEST)
+    df, st = line_items.read_resumable(spark, spying_api, store)
+    assert df.count() == sum(len(v) for v in LINE_ITEMS.values())
+    assert len(calls) == 4 and len(st["slices_done"]) == 4
+    assert store.load_doc("line_items")["slices_done"] == st["slices_done"]
+
+    calls.clear()
+    df2, st2 = line_items.read_resumable(
+        spark, spying_api, store,
+        schema="order_id long, line long, sku string",
+    )
+    assert calls == [] and df2.count() == 0
+    assert len(st2["slices_done"]) == 4
