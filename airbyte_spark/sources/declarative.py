@@ -258,6 +258,113 @@ def datetime_slices(cursor_field: str, start: str, end: str,
     return out
 
 
+# ---------------------------------------------------------------------------
+# record transformations (transformations/{add_fields,remove_fields}.py)
+# ---------------------------------------------------------------------------
+
+_TEMPLATE_SOURCES = ("record", "slice", "config")
+
+
+def _resolve_value(value, record: dict, slice_: dict, config: dict):
+    """Static values pass through; the template forms every
+    interpolated manifest reduces to — ``{{ record.a.b }}``,
+    ``{{ slice.k }}``, ``{{ config.k }}`` (dotted path walk) — resolve
+    without a jinja dependency, the same common-case reduction as
+    CursorPagination's path-only cursor.  Unknown templates and missing
+    paths resolve to None (the reference's undefined -> None)."""
+    if not (isinstance(value, str) and value.startswith("{{")
+            and value.endswith("}}")):
+        return value
+    expr = value[2:-2].strip()
+    head, _, rest = expr.partition(".")
+    if head not in _TEMPLATE_SOURCES:
+        return None
+    node: Any = {"record": record, "slice": slice_, "config": config}[head]
+    for part in rest.split(".") if rest else []:
+        if isinstance(node, dict):
+            node = node.get(part)
+        elif isinstance(node, list) and part.isdigit():
+            i = int(part)
+            node = node[i] if i < len(node) else None
+        else:
+            return None
+    return node
+
+
+@dataclass
+class AddFields:
+    """Add (possibly nested) fields to every record
+    (transformations/add_fields.py:33-124): parents are created
+    mkdir-p style; adding at a list index extends the list with
+    nulls.  ``fields`` is a list of ``{"path": [...], "value": ...}``
+    where value is static or one of the supported templates."""
+
+    fields: list = field(default_factory=list)
+
+    def transform(self, record: dict, *, slice_: dict, config: dict) -> dict:
+        for f_ in self.fields:
+            path = list(f_["path"])
+            val = _resolve_value(f_.get("value"), record, slice_, config)
+            node: Any = record
+            for i, key in enumerate(path):
+                last = i == len(path) - 1
+                if isinstance(key, int) and isinstance(node, list):
+                    while len(node) <= key:
+                        node.append(None)
+                    if last:
+                        node[key] = val
+                    else:
+                        if not isinstance(node[key], (dict, list)):
+                            node[key] = {}
+                        node = node[key]
+                else:
+                    if not isinstance(node, dict):
+                        break  # can't descend into a scalar
+                    if last:
+                        node[key] = val
+                    else:
+                        if not isinstance(node.get(key), (dict, list)):
+                            node[key] = {}
+                        node = node[key]
+        return record
+
+
+@dataclass
+class RemoveFields:
+    """Remove fields by pointer (transformations/remove_fields.py:
+    15-58): missing fields/parents are silently fine; a pointer into a
+    list index sets that slot to None (the reference's documented
+    behavior) rather than shrinking the list."""
+
+    field_pointers: list = field(default_factory=list)
+
+    def transform(self, record: dict, *, slice_: dict, config: dict) -> dict:
+        for pointer in self.field_pointers:
+            node: Any = record
+            ok = True
+            for key in pointer[:-1]:
+                if isinstance(node, dict) and key in node:
+                    node = node[key]
+                elif (isinstance(node, list) and isinstance(key, int)
+                      and key < len(node)):
+                    node = node[key]
+                else:
+                    ok = False
+                    break
+            if not ok:
+                continue
+            last = pointer[-1]
+            if isinstance(node, dict):
+                node.pop(last, None)
+            elif (isinstance(node, list) and isinstance(last, int)
+                  and last < len(node)):
+                node[last] = None
+        return record
+
+
+_TRANSFORMATIONS = {"AddFields": AddFields, "RemoveFields": RemoveFields}
+
+
 @dataclass
 class SubstreamSlicer:
     """Parent-child partition router
@@ -350,11 +457,25 @@ class DeclarativeStream:
     # read-time slice router (SubstreamSlicer): overrides the static
     # ``slices`` list because its slices depend on the parent's data
     slicer: SubstreamSlicer | None = None
+    # per-record transformations (AddFields / RemoveFields), applied
+    # in order after selection with the slice + connector config in
+    # scope (declarative_stream.py's transform loop)
+    transformations: list = field(default_factory=list)
+    config: dict = field(default_factory=dict)
 
     def resolve_slices(self, transport: Transport) -> list[dict]:
         if self.slicer is not None:
             return self.slicer.slices(transport)
         return self.slices
+
+    def _read_one(self, transport: Transport, slice_: dict) -> list[dict]:
+        records = self.retriever.read_slice(transport, slice_)
+        for t in self.transformations:
+            records = [
+                t.transform(r, slice_=slice_, config=self.config)
+                for r in records
+            ]
+        return records
 
     def _read_slices(
         self, transport: Transport, slices: list[dict]
@@ -364,11 +485,11 @@ class DeclarativeStream:
         if len(slices) == 0:
             return []
         if len(slices) == 1:
-            return [self.retriever.read_slice(transport, slices[0])]
+            return [self._read_one(transport, slices[0])]
         with ThreadPoolExecutor(max_workers=self.max_workers) as pool:
             return list(
                 pool.map(
-                    lambda s: self.retriever.read_slice(transport, s),
+                    lambda s: self._read_one(transport, s),
                     slices,
                 )
             )
@@ -472,12 +593,16 @@ def load_manifest(source: str) -> dict:
     return yaml.safe_load(text)
 
 
-def build_streams(manifest: dict) -> list[DeclarativeStream]:
+def build_streams(
+    manifest: dict, config: dict | None = None
+) -> list[DeclarativeStream]:
     """Manifest dict -> wired DeclarativeStream objects
     (manifest_declarative_source.py / model_to_component_factory
     analog, minus jinja interpolation).  Substream slicers are wired
     in a second pass so a child may reference a parent declared in any
-    order, matching the reference's name-resolved parent_stream refs."""
+    order, matching the reference's name-resolved parent_stream refs.
+    ``config`` is the connector config dict exposed to AddFields'
+    ``{{ config.x }}`` templates."""
     streams = []
     substreams: list[tuple[DeclarativeStream, dict]] = []
     for s in manifest["streams"]:
@@ -511,12 +636,21 @@ def build_streams(manifest: dict) -> list[DeclarativeStream]:
             )
         elif sl_conf["type"] != "Substream":
             raise ValueError(f"unknown slicer type {sl_conf['type']}")
+        transforms = []
+        for t_conf in s.get("transformations") or []:
+            t_conf = dict(t_conf)
+            ttype = t_conf.pop("type")
+            if ttype not in _TRANSFORMATIONS:
+                raise ValueError(f"unknown transformation type {ttype}")
+            transforms.append(_TRANSFORMATIONS[ttype](**t_conf))
         stream = DeclarativeStream(
             name=s["name"],
             retriever=retriever,
             primary_key=s.get("primary_key"),
             slices=slices,
             cursor_field=s.get("cursor_field"),
+            transformations=transforms,
+            config=dict(config or {}),
         )
         if sl_conf and sl_conf["type"] == "Substream":
             substreams.append((stream, sl_conf))

@@ -400,3 +400,57 @@ def test_read_resumable_persists_slice_state(spark, tmp_path):
     )
     assert calls == [] and df2.count() == 0
     assert len(st2["slices_done"]) == 4
+
+
+def test_record_transformations_add_and_remove_fields():
+    """AddFields/RemoveFields (transformations/{add_fields,
+    remove_fields}.py): mkdir-p nested adds, list-index extension,
+    record/slice/config templates; removes are silent on missing
+    parents and null out list slots."""
+    from airbyte_spark.sources.declarative import AddFields, RemoveFields
+
+    manifest = {
+        "streams": [{
+            "name": "items",
+            "retriever": {
+                "path": "/v1/items",
+                "request_params": {"page_size": 30, "mode": "offset"},
+                "paginator": {"type": "OffsetIncrement",
+                              "page_size": 30},
+                "selector": {"field_path": ["data", "items"]},
+            },
+            "slicer": {"type": "List", "cursor_field": "region",
+                       "values": ["eu"]},
+            "transformations": [
+                {"type": "AddFields", "fields": [
+                    {"path": ["shop_id"], "value": "{{ config.shop_id }}"},
+                    {"path": ["src", "region"], "value": "{{ slice.region }}"},
+                    {"path": ["id_copy"], "value": "{{ record.id }}"},
+                    {"path": ["const"], "value": 7},
+                ]},
+                {"type": "RemoveFields", "field_pointers": [
+                    ["status"], ["no", "such", "path"],
+                ]},
+            ],
+        }]
+    }
+    (s,) = build_streams(manifest, config={"shop_id": "shop-9"})
+    recs = s.read_records(fake_api)
+    eu = [r for r in ITEMS if r["region"] == "eu"]
+    assert len(recs) == len(eu)
+    for r in recs:
+        assert r["shop_id"] == "shop-9"
+        assert r["src"] == {"region": "eu"}
+        assert r["id_copy"] == r["id"] and r["const"] == 7
+        assert "status" not in r
+
+    # unit semantics: list extension + list-slot null-out + scalar guard
+    add = AddFields(fields=[{"path": ["arr", 3], "value": "x"}])
+    rec = add.transform({"arr": ["a"]}, slice_={}, config={})
+    assert rec["arr"] == ["a", None, None, "x"]
+    rm = RemoveFields(field_pointers=[["k", 0, "v"], ["k", 5]])
+    rec2 = rm.transform({"k": [{"v": 1, "w": 2}]}, slice_={}, config={})
+    assert rec2["k"] == [{"w": 2}]
+    assert AddFields(
+        fields=[{"path": ["a", "b"], "value": 1}]
+    ).transform({"a": 3}, slice_={}, config={}) == {"a": {"b": 1}}
