@@ -509,6 +509,82 @@ def events_props_child(spark, sf):
     )
 
 
+def events_nested_children(spark, sf):
+    """RECURSIVE nested normalization (engine/raw.py explode_children
+    — base-normalization's any-depth child-table walk,
+    stream_processor.py recursive child build): each event synthesizes
+    a depth-2 nested document (order -> items[] -> notes[]), rides the
+    raw-envelope JSON round trip, explodes into parent/child/
+    grandchild tables, and the FK chains join back to
+    (order_id, sku, txt).  The md5 hashids cancel in the joins, so the
+    oracle recomputes the flattened relation directly — wrong or
+    ambiguous FK hashing (e.g. identical items under different parents
+    colliding) would change the join's row multiset and fail the
+    value hash."""
+    from airbyte_spark.engine import raw as R
+
+    e = _t(spark, sf, "events")
+    items = F.array(
+        F.struct(
+            F.concat(
+                F.lit("s"), (F.col("event_id") % 5).cast("string")
+            ).alias("sku"),
+            F.array(
+                F.struct(
+                    F.concat(
+                        F.lit("a"), (F.col("event_id") % 3).cast("string")
+                    ).alias("txt")
+                ),
+                F.struct(F.lit("b").alias("txt")),
+            ).alias("notes"),
+        ),
+        F.struct(
+            F.lit("t").alias("sku"),
+            F.array(F.struct(F.lit("c").alias("txt"))).alias("notes"),
+        ),
+    )
+    raw = e.select(
+        F.col("event_id").cast("string").alias("_airbyte_ab_id"),
+        F.to_json(
+            F.struct(
+                F.col("event_id").alias("order_id"), items.alias("items")
+            )
+        ).alias("_airbyte_data"),
+        F.col("ts").cast("timestamp").alias("_airbyte_emitted_at"),
+    )
+    parent = R.normalize_raw(
+        raw, {"order_id": "integer", "items": "string"}, stream="orders"
+    )
+    spec = {
+        "items": {
+            "is_array": True,
+            "properties": {"sku": "string"},
+            "children": {
+                "notes": {"is_array": True,
+                          "properties": {"txt": "string"}},
+            },
+        },
+    }
+    tables = R.explode_children(parent, spec, stream="orders")
+    items_t = R.child_table_name("orders", ["items"])
+    notes_t = R.child_table_name("orders", ["items", "notes"])
+    child_hid = f"_airbyte_{items_t}_hashid"
+    return (
+        parent.select("_airbyte_orders_hashid", "order_id")
+        .join(
+            tables[items_t].select(
+                "_airbyte_orders_hashid", "sku", child_hid
+            ),
+            "_airbyte_orders_hashid",
+        )
+        .join(
+            tables[notes_t].select(child_hid, "txt"),
+            child_hid,
+        )
+        .select("order_id", "sku", "txt")
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data ops over documents / embeddings
 # ---------------------------------------------------------------------------
@@ -3761,6 +3837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window above is reserved for the backlog of never-checked
         # rounds-1-4 entries; these get sweep evidence this round)
         "events_trace_quarantine": events_trace_quarantine,
+        "events_nested_children": events_nested_children,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_segment_revenue": q3_segment_revenue,
         "q5_nation_revenue": q5_nation_revenue,
@@ -4908,6 +4985,15 @@ SELECT 'ESTIMATE',
        event_id,
        event_id * 1024
 FROM events WHERE event_type != 'error' AND event_id % 100 = 0
+""",
+        "events_nested_children": """
+SELECT event_id AS order_id,
+       's' || (event_id % 5) AS sku,
+       'a' || (event_id % 3) AS txt FROM events
+UNION ALL
+SELECT event_id, 's' || (event_id % 5), 'b' FROM events
+UNION ALL
+SELECT event_id, 't', 'c' FROM events
 """,
         "cdc_oplog_decode": """
 SELECT CAST(floor(epoch(ts)) AS BIGINT) * 4294967296

@@ -335,3 +335,55 @@ def explode_child(
         else:
             out.append(F.nullif(c, F.lit("")).cast(spark_t).alias(name))
     return child.select(F.col(fk), *out, "_airbyte_emitted_at")
+
+
+def explode_children(
+    parent: DataFrame,
+    spec: dict,
+    *,
+    stream: str,
+    _fk_stream: str | None = None,
+    _path: tuple = (),
+) -> dict[str, DataFrame]:
+    """RECURSIVE nested normalization — the reference's
+    base-normalization walks nested objects/arrays to ANY depth, one
+    child table per nested property (stream_processor.py's recursive
+    child-stream build over `find_children_streams`;
+    basic-normalization.md:237-284 naming).  ``spec`` maps property
+    name -> {"is_array": bool, "properties": {leaf: airbyte_type},
+    "children": {recursive spec}}.  Each child table keys on the
+    parent level's hashid; a child that itself has children gets its
+    OWN hashid over (parent FK + leaf columns) — the FK participates
+    so identical elements under different parents hash apart, keeping
+    grandchild joins unambiguous.  Depth-L nesting is L narrow
+    explode projections — no shuffle anywhere; each level's plan
+    fuses into its parent's scan."""
+    tables: dict[str, DataFrame] = {}
+    fk_stream = _fk_stream or stream
+    for prop, conf in spec.items():
+        path = list(_path) + [prop]
+        tname = child_table_name(stream, path)
+        leafs = dict(conf.get("properties") or {})
+        kids = conf.get("children") or {}
+        for k in kids:
+            # nested levels ride through as raw JSON text for the
+            # next explode
+            leafs.setdefault(k, "string")
+        child = explode_child(
+            parent, prop, leafs, stream=fk_stream,
+            is_array=bool(conf.get("is_array")),
+        )
+        if kids:
+            fk_col = f"_airbyte_{fk_stream}_hashid"
+            child = with_hash_id(
+                child, {fk_col: "string", **leafs}, tname
+            )
+        tables[tname] = child
+        if kids:
+            tables.update(
+                explode_children(
+                    child, kids, stream=stream,
+                    _fk_stream=tname, _path=tuple(path),
+                )
+            )
+    return tables

@@ -179,3 +179,75 @@ def test_name_transformer():
     assert len(t) <= 64 and t != N.normalize_name("x" * 99, max_length=64)
     cols = N.normalize_columns(["a b", "a-b", "ok"])
     assert cols["a b"] == "a_b" and cols["a-b"] == "a_b_1" and cols["ok"] == "ok"
+
+
+def test_explode_children_recursive_two_levels(spark):
+    """Depth-2 nested arrays -> parent, child, grandchild tables with
+    unambiguous FK chains: the child's own hashid includes the parent
+    FK, so identical grandchild-bearing elements under different
+    parents hash apart (stream_processor.py's recursive child build)."""
+    import json as _json
+
+    from airbyte_spark.engine.raw import (
+        child_table_name, explode_children, normalize_raw,
+    )
+
+    def order(oid, items):
+        return {"order_id": oid, "items": items}
+
+    # order 1 and 2 carry an IDENTICAL item (sku A) with different
+    # line notes below it — the grandchild must not cross-match
+    data = [
+        order(1, [{"sku": "A", "notes": [{"txt": "n1"}]}]),
+        order(2, [{"sku": "A", "notes": [{"txt": "n2"}]},
+                  {"sku": "B", "notes": []}]),
+    ]
+    raw = spark.createDataFrame(
+        [(str(i), _json.dumps(d)) for i, d in enumerate(data)],
+        "_airbyte_ab_id string, _airbyte_data string",
+    ).withColumn(
+        "_airbyte_emitted_at",
+        F.lit("2024-01-01 00:00:00").cast("timestamp"),
+    )
+    parent = normalize_raw(raw, {"order_id": "integer"}, stream="orders")
+    spec = {
+        "items": {
+            "is_array": True,
+            "properties": {"sku": "string"},
+            "children": {
+                "notes": {
+                    "is_array": True,
+                    "properties": {"txt": "string"},
+                },
+            },
+        },
+    }
+    # parent must still carry the raw nested JSON for the explode
+    parent = parent.join(
+        raw.select(
+            "_airbyte_ab_id",
+            F.get_json_object("_airbyte_data", "$.items").alias("items"),
+        ),
+        "_airbyte_ab_id",
+    )
+    tables = explode_children(parent, spec, stream="orders")
+    items_t = child_table_name("orders", ["items"])
+    notes_t = child_table_name("orders", ["items", "notes"])
+    assert set(tables) == {items_t, notes_t}
+
+    items = tables[items_t].collect()
+    assert sorted(r["sku"] for r in items) == ["A", "A", "B"]
+    # identical (sku A) elements under different parents: child
+    # hashids differ because the FK participates
+    a_rows = [r for r in items if r["sku"] == "A"]
+    hid = f"_airbyte_{items_t}_hashid"
+    assert a_rows[0][hid] != a_rows[1][hid]
+
+    notes = tables[notes_t].collect()
+    assert sorted(r["txt"] for r in notes) == ["n1", "n2"]
+    # each note hangs off exactly one item row's hashid
+    item_ids = {r[hid] for r in items}
+    fk = f"_airbyte_{items_t}_hashid"
+    assert all(r[fk] in item_ids for r in notes)
+    by_note = {r["txt"]: r[fk] for r in notes}
+    assert by_note["n1"] != by_note["n2"]
