@@ -297,13 +297,26 @@ def explode_child(
     *,
     stream: str,
     is_array: bool = False,
+    scalar_type: str | None = None,
 ) -> DataFrame:
     """Nested object/array property -> child table with the parent
     hash id as FK (stream_processor.py:347-384; array.sql
     cross_join_unnest).  ``parent`` must already carry
     ``_airbyte_<stream>_hashid``; object children yield one row per
-    parent, array children one row per element."""
+    parent, array children one row per element.  ``scalar_type``
+    handles arrays of SCALARS (``["a","b"]``): the child table gets
+    one column named after the property, typed accordingly — the
+    reference unnests scalar arrays the same way (array.sql over a
+    non-object element)."""
     fk = f"_airbyte_{stream}_hashid"
+    if scalar_type is not None:
+        spark_t = AIRBYTE_TO_SPARK[scalar_type]
+        elems = F.explode(
+            F.from_json(F.col(json_col), f"array<{spark_t}>")
+        ).alias(json_col)
+        return parent.select(F.col(fk), "_airbyte_emitted_at", elems).select(
+            F.col(fk), F.col(json_col), "_airbyte_emitted_at"
+        )
     if is_array:
         elems = F.explode(
             F.from_json(F.col(json_col), "array<string>")
@@ -372,7 +385,11 @@ def explode_children(
         child = explode_child(
             parent, prop, leafs, stream=fk_stream,
             is_array=bool(conf.get("is_array")),
+            scalar_type=conf.get("scalar"),
         )
+        if conf.get("scalar") is not None:
+            tables[tname] = child
+            continue  # scalar arrays have no nested levels below
         if kids:
             fk_col = f"_airbyte_{fk_stream}_hashid"
             child = with_hash_id(

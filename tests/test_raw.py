@@ -251,3 +251,44 @@ def test_explode_children_recursive_two_levels(spark):
     assert all(r[fk] in item_ids for r in notes)
     by_note = {r["txt"]: r[fk] for r in notes}
     assert by_note["n1"] != by_note["n2"]
+
+
+def test_explode_child_scalar_array(spark):
+    """Arrays of scalars unnest into a single-column child table
+    (array.sql over non-object elements), typed per the declared
+    scalar type; composes through explode_children via 'scalar'."""
+    import json as _json
+
+    from airbyte_spark.engine.raw import (
+        child_table_name, explode_children, normalize_raw,
+    )
+
+    data = [{"order_id": 1, "qtys": [3, 5]},
+            {"order_id": 2, "qtys": []},
+            {"order_id": 3, "qtys": [7]}]
+    raw = spark.createDataFrame(
+        [(str(i), _json.dumps(d)) for i, d in enumerate(data)],
+        "_airbyte_ab_id string, _airbyte_data string",
+    ).withColumn(
+        "_airbyte_emitted_at",
+        F.lit("2024-01-01 00:00:00").cast("timestamp"),
+    )
+    parent = normalize_raw(
+        raw, {"order_id": "integer", "qtys": "string"}, stream="orders"
+    )
+    tables = explode_children(
+        parent, {"qtys": {"is_array": True, "scalar": "integer"}},
+        stream="orders",
+    )
+    tname = child_table_name("orders", ["qtys"])
+    rows = tables[tname].collect()
+    assert sorted(r["qtys"] for r in rows) == [3, 5, 7]
+    assert all(isinstance(r["qtys"], int) for r in rows)
+    # FK joins back: each qty attaches to exactly one parent
+    joined = (
+        parent.select("_airbyte_orders_hashid", "order_id")
+        .join(tables[tname], "_airbyte_orders_hashid")
+        .collect()
+    )
+    got = sorted((r["order_id"], r["qtys"]) for r in joined)
+    assert got == [(1, 3), (1, 5), (3, 7)]
