@@ -259,6 +259,85 @@ def datetime_slices(cursor_field: str, start: str, end: str,
 
 
 # ---------------------------------------------------------------------------
+# schema inference (utils/schema_inferrer.py — the reference wraps
+# genson; this is a clean-room minimal JSON-schema builder with the
+# same output conventions: no "required" lists, type unions as sorted
+# lists, integer ∪ number -> number)
+# ---------------------------------------------------------------------------
+
+def _json_type(v: Any) -> str:
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "boolean"
+    if isinstance(v, int):
+        return "integer"
+    if isinstance(v, float):
+        return "number"
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, dict):
+        return "object"
+    if isinstance(v, list):
+        return "array"
+    return "string"
+
+
+def _schema_of(v: Any) -> dict:
+    t = _json_type(v)
+    if t == "object":
+        return {"type": "object",
+                "properties": {k: _schema_of(x) for k, x in v.items()}}
+    if t == "array":
+        node: dict = {"type": "array"}
+        items = None
+        for x in v:
+            items = _merge_schema(items, _schema_of(x))
+        if items is not None:
+            node["items"] = items
+        return node
+    return {"type": t}
+
+
+def _merge_types(a, b) -> Any:
+    ts = set(a if isinstance(a, list) else [a])
+    ts |= set(b if isinstance(b, list) else [b])
+    if "number" in ts:
+        ts.discard("integer")  # integer widens into number
+    out = sorted(ts)
+    return out[0] if len(out) == 1 else out
+
+
+def _merge_schema(a: dict | None, b: dict | None) -> dict | None:
+    if a is None:
+        return b
+    if b is None:
+        return a
+    out: dict = {"type": _merge_types(a["type"], b["type"])}
+    pa, pb = a.get("properties"), b.get("properties")
+    if pa or pb:
+        keys = set(pa or {}) | set(pb or {})
+        out["properties"] = {
+            k: _merge_schema((pa or {}).get(k), (pb or {}).get(k))
+            for k in sorted(keys)
+        }
+    ia, ib = a.get("items"), b.get("items")
+    if ia or ib:
+        out["items"] = _merge_schema(ia, ib)
+    return out
+
+
+def infer_json_schema(records: Iterable[dict]) -> dict:
+    """A JSON schema fitting every record seen — the connector
+    builder's discover path (the reference accumulates records into a
+    genson SchemaBuilder per stream and strips "required")."""
+    acc: dict | None = None
+    for r in records:
+        acc = _merge_schema(acc, _schema_of(r))
+    return acc or {"type": "object", "properties": {}}
+
+
+# ---------------------------------------------------------------------------
 # record transformations (transformations/{add_fields,remove_fields}.py)
 # ---------------------------------------------------------------------------
 
@@ -548,6 +627,32 @@ class DeclarativeStream:
                 f"stream {self.name}: empty result needs an explicit schema"
             )
         return df, new_state
+
+    def discover(self, transport: Transport, *, max_records: int = 100
+                 ) -> dict:
+        """Catalog entry for this stream with an INFERRED json_schema
+        (the connector-builder discover path: sample reads ->
+        schema_inferrer; caps at ``max_records`` records so discovery
+        stays a bounded probe, like the builder's test-read limit).
+        Output shape matches catalog.discover's stream entries."""
+        recs: list[dict] = []
+        for s in self.resolve_slices(transport):
+            recs.extend(self._read_one(transport, s))
+            if len(recs) >= max_records:
+                break
+        entry: dict = {
+            "name": self.name,
+            "json_schema": infer_json_schema(recs[:max_records]),
+            "supported_sync_modes": (
+                ["full_refresh", "incremental"] if self.cursor_field
+                else ["full_refresh"]
+            ),
+        }
+        if self.cursor_field:
+            entry["default_cursor_field"] = [self.cursor_field]
+        if self.primary_key:
+            entry["source_defined_primary_key"] = [[self.primary_key]]
+        return entry
 
     def read_resumable(self, spark, transport: Transport, store,
                        schema: str | None = None):

@@ -454,3 +454,34 @@ def test_record_transformations_add_and_remove_fields():
     assert AddFields(
         fields=[{"path": ["a", "b"], "value": 1}]
     ).transform({"a": 3}, slice_={}, config={}) == {"a": {"b": 1}}
+
+
+def test_discover_infers_schema_from_sampled_records():
+    """Connector-builder discover: sampled reads -> inferred JSON
+    schema (clean-room genson conventions: no required lists, sorted
+    type unions, integer widens into number, nested objects/arrays
+    recurse)."""
+    from airbyte_spark.sources.declarative import infer_json_schema
+
+    s = _stream(OffsetIncrement(page_size=10), "offset",
+                cursor="updated_at")
+    s.primary_key = "id"
+    entry = s.discover(fake_api)
+    assert entry["name"] == "items"
+    props = entry["json_schema"]["properties"]
+    assert props["id"]["type"] == "integer"
+    assert props["region"]["type"] == "string"
+    assert entry["supported_sync_modes"] == ["full_refresh", "incremental"]
+    assert entry["default_cursor_field"] == ["updated_at"]
+    assert entry["source_defined_primary_key"] == [["id"]]
+    assert "required" not in entry["json_schema"]
+
+    sch = infer_json_schema([
+        {"a": 1, "b": {"c": "x"}, "d": [1, 2]},
+        {"a": 2.5, "b": {"c": None}, "d": ["s"], "e": True},
+    ])
+    p = sch["properties"]
+    assert p["a"]["type"] == "number"            # integer widened
+    assert p["b"]["properties"]["c"]["type"] == ["null", "string"]
+    assert p["d"]["items"]["type"] == ["integer", "string"]
+    assert p["e"]["type"] == "boolean"
