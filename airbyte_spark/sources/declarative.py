@@ -654,6 +654,52 @@ class DeclarativeStream:
             entry["source_defined_primary_key"] = [[self.primary_key]]
         return entry
 
+    def read_incremental(self, spark, transport: Transport,
+                         state: dict | None = None,
+                         schema: str | None = None):
+        """Recurring incremental sync over a sliced/substream stream:
+        every partition re-reads, records at-or-below the partition's
+        stored cursor drop client-side, and the returned state carries
+        per-partition max cursors — the reference's PerPartitionCursor
+        (incremental/per_partition_cursor.py: one cursor per partition
+        of a substream/list router; the CDK filters client-side the
+        same way when the API can't).  ``read(state=)``'s slices_done
+        is the intra-attempt crash story; this is the cross-sync
+        story.  Partitions keyed by the canonical slice JSON, so a
+        parent record set that grows between syncs starts new
+        partitions from scratch while existing ones stay incremental."""
+        if not self.cursor_field:
+            raise ValueError(
+                f"stream {self.name}: read_incremental needs cursor_field"
+            )
+        pc = dict((state or {}).get("partition_cursors", {}))
+        slices = self.resolve_slices(transport)
+        parts = self._read_slices(transport, slices)
+        records: list[dict] = []
+        for s, recs in zip(slices, parts):
+            key = _slice_key(s)
+            cur = pc.get(key)
+            kept = [
+                r for r in recs
+                if r.get(self.cursor_field) is not None
+                and (cur is None or r[self.cursor_field] > cur)
+            ]
+            mx = max((r[self.cursor_field] for r in kept), default=cur)
+            if mx is not None:
+                pc[key] = mx
+            records.extend(kept)
+        new_state = {"cursor_field": self.cursor_field,
+                     "partition_cursors": pc}
+        if schema is not None:
+            df = spark.createDataFrame(records, schema=schema)
+        elif records:
+            df = spark.createDataFrame(records)
+        else:
+            raise ValueError(
+                f"stream {self.name}: empty result needs an explicit schema"
+            )
+        return df, new_state
+
     def read_resumable(self, spark, transport: Transport, store,
                        schema: str | None = None):
         """:meth:`read` with the state round-trip handled: prior state

@@ -485,3 +485,48 @@ def test_discover_infers_schema_from_sampled_records():
     assert p["b"]["properties"]["c"]["type"] == ["null", "string"]
     assert p["d"]["items"]["type"] == ["integer", "string"]
     assert p["e"]["type"] == "boolean"
+
+
+def test_read_incremental_per_partition_cursors(spark):
+    """PerPartitionCursor semantics: each partition keeps its own max
+    cursor; a second sync returns only records strictly newer than
+    that partition's cursor, and a brand-new partition (parent grew)
+    starts from scratch."""
+    lines = {
+        100: [{"order_id": 100, "line": 1, "seq": 10}],
+        101: [{"order_id": 101, "line": 1, "seq": 5}],
+    }
+    orders = [{"order_id": 100, "customer": "c0"},
+              {"order_id": 101, "customer": "c1"}]
+
+    def api(req):
+        if req["path"] == "/v1/orders":
+            return {"data": {"items": list(orders)}}
+        return {"data": {"items": list(lines.get(
+            req["slice"]["order_id"], []))}}
+
+    manifest = {"streams": [
+        dict(SUBSTREAM_MANIFEST["streams"][0]),
+        {**SUBSTREAM_MANIFEST["streams"][1], "cursor_field": "seq"},
+    ]}
+    _, li = build_streams(manifest)
+    df1, st1 = li.read_incremental(spark, api)
+    assert df1.count() == 2
+    assert sorted(st1["partition_cursors"].values()) == [5, 10]
+
+    # partition 100 gets a newer line, 101 unchanged, order 102 appears
+    lines[100].append({"order_id": 100, "line": 2, "seq": 12})
+    lines[102] = [{"order_id": 102, "line": 1, "seq": 3}]
+    orders.append({"order_id": 102, "customer": "c0"})
+    df2, st2 = li.read_incremental(spark, api, state=st1)
+    got = sorted((r["order_id"], r["seq"]) for r in df2.collect())
+    assert got == [(100, 12), (102, 3)]  # only-newer + fresh partition
+    assert sorted(st2["partition_cursors"].values()) == [3, 5, 12]
+
+    # third sync, nothing new: empty with explicit schema, state stable
+    df3, st3 = li.read_incremental(
+        spark, api, state=st2,
+        schema="order_id long, line long, seq long",
+    )
+    assert df3.count() == 0
+    assert st3["partition_cursors"] == st2["partition_cursors"]
