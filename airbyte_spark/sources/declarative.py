@@ -259,6 +259,91 @@ def datetime_slices(cursor_field: str, start: str, end: str,
 
 
 # ---------------------------------------------------------------------------
+# authenticators (requests_native_auth/token.py + oauth2 refresh flow)
+# ---------------------------------------------------------------------------
+
+class OAuth2TokenProvider:
+    """Cached access token with expiry + refresh through the SAME
+    injected-transport contract (the reference's Oauth2Authenticator:
+    POST the refresh grant to ``token_refresh_endpoint``, cache
+    ``access_token`` for ``expires_in`` seconds, re-grant when stale).
+    ``clock`` is injectable for deterministic tests."""
+
+    def __init__(self, transport: Transport, *, token_endpoint: str,
+                 client_id: str, client_secret: str, refresh_token: str,
+                 early_refresh_seconds: float = 30.0, clock=None):
+        import time as _time
+
+        self._transport = transport
+        self._endpoint = token_endpoint
+        self._grant = {
+            "grant_type": "refresh_token",
+            "client_id": client_id,
+            "client_secret": client_secret,
+            "refresh_token": refresh_token,
+        }
+        self._early = early_refresh_seconds
+        self._clock = clock or _time.time
+        self._token: str | None = None
+        self._expires_at = float("-inf")
+
+    def __call__(self, refresh: bool = False) -> str:
+        if refresh or self._token is None or (
+            self._clock() >= self._expires_at - self._early
+        ):
+            resp = self._transport({
+                "path": self._endpoint, "params": dict(self._grant),
+                "slice": {}, "page_token": None,
+            })
+            self._token = resp["access_token"]
+            self._expires_at = self._clock() + float(
+                resp.get("expires_in", 3600)
+            )
+        return self._token
+
+
+def with_auth(
+    transport: Transport,
+    token_provider: Callable[..., str],
+    *,
+    header: str = "Authorization",
+    scheme: str = "Bearer",
+    refresh_statuses: frozenset[int] = frozenset({401}),
+) -> Transport:
+    """Inject ``<scheme> <token>`` into every request's headers; on a
+    ``TransportError`` with a refresh status, force one token refresh
+    and retry the SAME request once (the reference's
+    TokenAuthenticator + refresh-on-expiry Oauth2 path).  The provider
+    is any zero-arg callable; one accepting ``refresh=True`` (like
+    :class:`OAuth2TokenProvider`) gets the forced-refresh signal.
+    Composes under :func:`with_backoff` so 401-refresh and 429/5xx
+    backoff stack."""
+
+    def _token(force: bool) -> str:
+        if force:
+            try:
+                return token_provider(refresh=True)
+            except TypeError:
+                pass
+        return token_provider()
+
+    def call(request: dict) -> dict:
+        for attempt in (0, 1):
+            r = dict(request)
+            headers = dict(r.get("headers") or {})
+            headers[header] = f"{scheme} {_token(attempt > 0)}"
+            r["headers"] = headers
+            try:
+                return transport(r)
+            except TransportError as exc:
+                if exc.status not in refresh_statuses or attempt:
+                    raise
+        raise AssertionError("unreachable")  # pragma: no cover
+
+    return call
+
+
+# ---------------------------------------------------------------------------
 # schema inference (utils/schema_inferrer.py — the reference wraps
 # genson; this is a clean-room minimal JSON-schema builder with the
 # same output conventions: no "required" lists, type unions as sorted

@@ -530,3 +530,58 @@ def test_read_incremental_per_partition_cursors(spark):
     )
     assert df3.count() == 0
     assert st3["partition_cursors"] == st2["partition_cursors"]
+
+
+def test_auth_wrapper_injects_and_refreshes_token():
+    """TokenAuthenticator + Oauth2 semantics: every request carries
+    the bearer header; an expired token refreshes through the same
+    injected transport; a 401 forces one refresh and retries the same
+    request; non-auth errors propagate."""
+    from airbyte_spark.sources.declarative import (
+        OAuth2TokenProvider, TransportError, with_auth,
+    )
+
+    clock = {"t": 1000.0}
+    grants = {"n": 0}
+    valid = {"token": "tok-1"}
+
+    def api(req):
+        if req["path"] == "/oauth/token":
+            grants["n"] += 1
+            assert req["params"]["grant_type"] == "refresh_token"
+            return {"access_token": f"tok-{grants['n']}",
+                    "expires_in": 100}
+        auth = (req.get("headers") or {}).get("Authorization")
+        if auth != f"Bearer {valid['token']}":
+            raise TransportError(401)
+        return fake_api(req)
+
+    provider = OAuth2TokenProvider(
+        api, token_endpoint="/oauth/token", client_id="c",
+        client_secret="s", refresh_token="r",
+        clock=lambda: clock["t"],
+    )
+    t = with_auth(api, provider)
+    s = _stream(OffsetIncrement(page_size=10), "offset")
+    assert s.read_records(t) == ITEMS and grants["n"] == 1
+
+    # expiry: clock passes expires_in - early margin -> re-grant
+    clock["t"] += 80
+    valid["token"] = "tok-2"
+    assert s.read_records(t) == ITEMS and grants["n"] == 2
+
+    # server-side revocation before local expiry: 401 -> forced
+    # refresh -> retry succeeds
+    valid["token"] = "tok-3"
+    assert s.read_records(t) == ITEMS and grants["n"] == 3
+
+    # non-auth errors propagate untouched
+    def broken(req):
+        if req["path"] == "/oauth/token":
+            return api(req)
+        raise TransportError(500)
+
+    with pytest.raises(TransportError):
+        with_auth(broken, provider)(
+            {"path": "/x", "params": {}, "slice": {}, "page_token": None}
+        )
