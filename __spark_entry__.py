@@ -589,6 +589,25 @@ def events_nested_children(spark, sf):
 # training-data ops over documents / embeddings
 # ---------------------------------------------------------------------------
 
+def doc_gopher_rules(spark, sf):
+    """The named Gopher quality rule battery (analytics/text.py
+    gopher_rules; Rae et al. 2021, arXiv:2112.11446 Appendix A1):
+    word-count/word-length windows, symbol and bullet/ellipsis line
+    ratios, alphabetic-word fraction, designated-stop-word floor, and
+    the conjunction gate.  The stop-word lexicon is the rule's
+    per-corpus parameter (the paper's 8-word list assumes web English;
+    this corpus' function-word profile is {'the','a'}, so the gate
+    exercises both arms).  One scan-fused JVM projection; the oracle
+    recomputes every signal and the gate in SQL."""
+    return A_text.gopher_rules(
+        _t(spark, sf, "documents"), stopwords=("the", "a")
+    ).select(
+        "doc_id", "word_count", "mean_word_len", "symbol_ratio",
+        "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+        "n_gopher_stopwords", "gopher_ok",
+    )
+
+
 def doc_dedup_exact(spark, sf):
     return A_dedup.exact_dups(_t(spark, sf, "documents"))
 
@@ -3838,6 +3857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rounds-1-4 entries; these get sweep evidence this round)
         "events_trace_quarantine": events_trace_quarantine,
         "events_nested_children": events_nested_children,
+        "doc_gopher_rules": doc_gopher_rules,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_segment_revenue": q3_segment_revenue,
         "q5_nation_revenue": q5_nation_revenue,
@@ -4994,6 +5014,49 @@ UNION ALL
 SELECT event_id, 's' || (event_id % 5), 'b' FROM events
 UNION ALL
 SELECT event_id, 't', 'c' FROM events
+""",
+        "doc_gopher_rules": """
+WITH d AS (
+  SELECT doc_id, text,
+    CASE WHEN length(trim(text)) = 0 THEN []
+         ELSE string_split_regex(trim(text), '\\s+') END AS toks,
+    string_split(text, chr(10)) AS lines
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+    len(toks) AS wc,
+    len(lines) AS nl,
+    length(text) - length(replace(text, '#', '')) AS n_hash,
+    (length(text) - length(replace(text, '...', ''))) / 3
+      + (length(text) - length(replace(text, '…', ''))) AS n_ell,
+    len(list_filter(lines,
+        l -> starts_with(l, '•') OR starts_with(l, '- '))) AS bullet,
+    len(list_filter(lines,
+        l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…'))) AS ell_end,
+    len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha,
+    len(list_intersect(
+        list_distinct(list_transform(toks, w -> lower(w))),
+        ['the','a'])) AS stops,
+    length(regexp_replace(text, '\\s+', '', 'g')) AS nonspace
+  FROM d
+)
+SELECT doc_id,
+  CAST(wc AS BIGINT) AS word_count,
+  round(CASE WHEN wc > 0 THEN nonspace / wc ELSE 0.0 END, 4) AS mean_word_len,
+  round(CASE WHEN wc > 0 THEN (n_hash + n_ell) / wc ELSE 0.0 END, 4) AS symbol_ratio,
+  round(CASE WHEN nl > 0 THEN bullet / nl ELSE 0.0 END, 4) AS bullet_line_frac,
+  round(CASE WHEN nl > 0 THEN ell_end / nl ELSE 0.0 END, 4) AS ellipsis_line_frac,
+  round(CASE WHEN wc > 0 THEN alpha / wc ELSE 0.0 END, 4) AS alpha_word_frac,
+  CAST(stops AS BIGINT) AS n_gopher_stopwords,
+  (wc >= 50 AND wc <= 100000
+   AND mean_word_len >= 3 AND mean_word_len <= 10
+   AND symbol_ratio <= 0.1
+   AND bullet_line_frac <= 0.9
+   AND ellipsis_line_frac <= 0.3
+   AND alpha_word_frac >= 0.8
+   AND n_gopher_stopwords >= 2) AS gopher_ok
+FROM m
 """,
         "cdc_oplog_decode": """
 SELECT CAST(floor(epoch(ts)) AS BIGINT) * 4294967296

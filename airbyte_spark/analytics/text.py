@@ -157,6 +157,90 @@ def quality_score(
     return out.drop("_lex_scores")  # no-op when the column is absent
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame, text_col: str = "text", *,
+    stopwords: tuple = GOPHER_STOPWORDS, min_stopwords: int = 2,
+) -> DataFrame:
+    """The named Gopher document-quality rule set (Rae et al. 2021,
+    arXiv:2112.11446 Appendix A1 — the filter battery most open
+    corpus pipelines cite verbatim): word count in [50, 100k], mean
+    word length in [3, 10], symbol-to-word ratio ('#' and ellipsis)
+    <= 0.1, <= 90%% of lines bullet-started, <= 30%% ellipsis-ended,
+    >= 80%% of words containing an alphabetic character, and at least
+    ``min_stopwords`` of the designated stop words present (the
+    paper's 2-of-8 English list by default; parameterized because
+    every production pipeline swaps the lexicon per language/domain —
+    CCNet/FineWeb do the same).  Emits every signal plus the
+    conjunction ``gopher_ok`` so downstream gates can re-weigh
+    individual rules.
+
+    Scale shape: one scan-fused projection — all signals are JVM
+    expressions over the token/line arrays (bounded per doc), zero
+    shuffle, zero Python.  Ratios round to 4dp so the SQL oracle
+    derives identical booleans."""
+    t = F.col(text_col)
+    toks = tokens_expr(t)
+    n_words = F.size(toks)
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    n_hash = F.length(t) - F.length(F.regexp_replace(t, "#", ""))
+    n_ell = (
+        (F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))) / 3
+        + (F.length(t) - F.length(F.regexp_replace(t, "…", "")))
+    )
+    bullet = F.size(F.filter(
+        lines,
+        lambda l: l.startswith("•") | l.startswith("- "),
+    ))
+    ell_end = F.size(F.filter(
+        lines,
+        lambda l: F.rtrim(l).endswith("...") | F.rtrim(l).endswith("…"),
+    ))
+    alpha = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    stops = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(toks, F.lower)),
+            F.array(*[F.lit(w) for w in stopwords]),
+        )
+    )
+    r4 = lambda c: F.round(c, 4)  # noqa: E731
+    mean_wl = r4(
+        F.when(n_words > 0,
+               F.length(F.regexp_replace(t, r"\s+", "")) / n_words)
+        .otherwise(F.lit(0.0))
+    )
+    sym = r4(F.when(n_words > 0, (n_hash + n_ell) / n_words)
+             .otherwise(F.lit(0.0)))
+    bullet_f = r4(F.when(n_lines > 0, bullet / n_lines)
+                  .otherwise(F.lit(0.0)))
+    ell_f = r4(F.when(n_lines > 0, ell_end / n_lines)
+               .otherwise(F.lit(0.0)))
+    alpha_f = r4(F.when(n_words > 0, alpha / n_words)
+                 .otherwise(F.lit(0.0)))
+    out = (
+        df.withColumn("word_count", n_words.cast("long"))
+        .withColumn("mean_word_len", mean_wl)
+        .withColumn("symbol_ratio", sym)
+        .withColumn("bullet_line_frac", bullet_f)
+        .withColumn("ellipsis_line_frac", ell_f)
+        .withColumn("alpha_word_frac", alpha_f)
+        .withColumn("n_gopher_stopwords", stops.cast("long"))
+    )
+    return out.withColumn(
+        "gopher_ok",
+        (F.col("word_count") >= 50) & (F.col("word_count") <= 100_000)
+        & (F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 10)
+        & (F.col("symbol_ratio") <= 0.1)
+        & (F.col("bullet_line_frac") <= 0.9)
+        & (F.col("ellipsis_line_frac") <= 0.3)
+        & (F.col("alpha_word_frac") >= 0.8)
+        & (F.col("n_gopher_stopwords") >= min_stopwords),
+    )
+
+
 def lang_id(
     df: DataFrame,
     text_col: str = "text",
