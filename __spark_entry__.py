@@ -608,6 +608,30 @@ def doc_gopher_rules(spark, sf):
     )
 
 
+def doc_paragraph_dedup(spark, sf):
+    """CCNet duplicated-paragraph removal (analytics/text.py
+    paragraph_dedup; Wenzek et al. 2020 §3.1): each non-blank line
+    keeps only its globally first (doc, position) occurrence.  The
+    corpus is single-line, so the fixture re-wraps every document at 6
+    tokens per line (deterministic in both engines) — the planted
+    near-dup pairs then share verbatim lines, firing the operator both
+    ways.  The engine dedupes on xxhash64 line hashes; the oracle
+    dedupes on the raw line strings, so a hash collision would fail
+    the gate."""
+    d = _t(spark, sf, "documents")
+    toks = A_text.tokens_expr(F.col("text"))
+    n_lines = F.ceil(F.size(toks) / F.lit(6.0)).cast("int")
+    lines = F.when(
+        n_lines > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * 6 + 1, 6)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    fx = d.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    return A_text.paragraph_dedup(fx)
+
+
 def doc_dedup_exact(spark, sf):
     return A_dedup.exact_dups(_t(spark, sf, "documents"))
 
@@ -3858,6 +3882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_trace_quarantine": events_trace_quarantine,
         "events_nested_children": events_nested_children,
         "doc_gopher_rules": doc_gopher_rules,
+        "doc_paragraph_dedup": doc_paragraph_dedup,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_segment_revenue": q3_segment_revenue,
         "q5_nation_revenue": q5_nation_revenue,
@@ -5057,6 +5082,39 @@ SELECT doc_id,
    AND alpha_word_frac >= 0.8
    AND n_gopher_stopwords >= 2) AS gopher_ok
 FROM m
+""",
+        "doc_paragraph_dedup": """
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN []
+         ELSE string_split_regex(trim(text), '\\s+') END AS toks
+  FROM documents
+),
+fx AS (
+  SELECT doc_id,
+    [array_to_string(toks[i*6+1 : i*6+6], ' ')
+     for i in range(0, CAST(ceil(len(toks) / 6.0) AS INT))] AS lines
+  FROM t
+),
+e AS (
+  SELECT doc_id, CAST(u.i - 1 AS INT) AS pos, lines[u.i] AS line
+  FROM fx, UNNEST(range(1, len(lines) + 1)) AS u(i)
+),
+keep AS (
+  SELECT doc_id, pos, line FROM (
+    SELECT doc_id, pos, line,
+      CASE WHEN length(trim(line)) = 0 THEN 1
+           ELSE row_number() OVER (PARTITION BY line
+                                   ORDER BY doc_id, pos) END AS rn
+    FROM e
+  ) WHERE rn = 1
+),
+body AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS b
+  FROM keep GROUP BY doc_id
+)
+SELECT t.doc_id, coalesce(body.b, '') AS text
+FROM t LEFT JOIN body ON t.doc_id = body.doc_id
 """,
         "cdc_oplog_decode": """
 SELECT CAST(floor(epoch(ts)) AS BIGINT) * 4294967296

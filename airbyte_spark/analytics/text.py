@@ -764,6 +764,67 @@ def chunk_documents(
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """CCNet-style duplicated-paragraph removal (Wenzek et al. 2020,
+    arXiv:1911.00359 §3.1 — CCNet hashes every paragraph and drops
+    duplicates corpus-wide): each non-blank line keeps only its
+    globally FIRST occurrence (min (doc, position) — deterministic and
+    order-free), every other copy is deleted; blank/whitespace lines
+    pass through (they are structure, not content).  Complements
+    span_dedup (fixed token windows) with the newline-delimited
+    boilerplate case: nav bars, footers, cookie banners repeat as
+    whole lines.
+
+    Shape at scale: posexplode into slim (id, pos, hash64) rows, ONE
+    map-side-combined min(struct) agg per line hash, an equi-join back
+    on the 64-bit hash, and one per-doc regroup — sub-quadratic, no
+    driver data.  Collisions: membership is by xxhash64 (the scale
+    choice, like span_dedup); the SQL oracle dedupes on the raw line
+    string, so a collision would surface as a gate mismatch.
+
+    Returns (id_col, text): every input document survives as a row
+    (possibly empty — filter downstream)."""
+    lines = F.split(F.col(text_col), sep)
+    e = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(lines).alias("_pos", "_line"),
+    ).withColumn("_h", F.xxhash64("_line"))
+    firsts = (
+        e.filter(F.length(F.trim(F.col("_line"))) > 0)
+        .groupBy("_h")
+        .agg(F.min(F.struct("_id", "_pos")).alias("_first"))
+    )
+    kept = e.join(firsts, "_h", "left").filter(
+        (F.length(F.trim(F.col("_line"))) == 0)
+        | (
+            (F.col("_first._id") == F.col("_id"))
+            & (F.col("_first._pos") == F.col("_pos"))
+        )
+    )
+    body = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+            sep,
+        ).alias("_body")
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(body.withColumnRenamed("_id", id_col), id_col, "left")
+        .select(
+            id_col, F.coalesce("_body", F.lit("")).alias(text_col)
+        )
+    )
+
+
 def span_dedup(
     df: DataFrame,
     *,
