@@ -215,6 +215,14 @@ BENCH_QUERIES = [
     # round 4 (session 9): in-band execute-snapshot signal through the
     # demuxed tail (lossy alpha slice + repair in the last microbatch)
     "cdc_signal_replay_mini",
+    # round 5: TRACE decode (narrow JSON projection), recursive
+    # nested-child normalization (depth-2 explode + FK joins), the
+    # Gopher rule battery (scan-fused signals), and corpus-wide
+    # paragraph dedup (hash agg + regroup)
+    "events_trace_quarantine",
+    "events_nested_children",
+    "doc_gopher_rules",
+    "doc_paragraph_dedup",
     # round 4: replay under schema evolution — add/widen/rename via
     # op='s' events, each epoch shipping its own batch schema
     "cdc_schema_evolution_mini",
