@@ -1860,6 +1860,49 @@ def doc_dup_clusters(spark, sf):
     )
 
 
+def doc_dedup_keep_best(spark, sf):
+    """Quality-retention dedup — the FineWeb/The-Stack survivor policy
+    (keep the BEST member of each near-dup cluster, not the smallest
+    id; The Stack keeps the longest file of a clone cluster): cluster
+    assignment (dup_clusters over LSH-verified pairs) composed with
+    token_count, survivor = argmax n_tokens with ties to the smallest
+    doc_id, unclustered docs surviving trivially with their own id as
+    cluster.  One extra edge-set-sized join + argmax agg on top of the
+    cluster labels — the corpus never reshuffles.  The oracle walks
+    the transitive closure recursively and picks the same argmax."""
+    d = _t(spark, sf, "documents")
+    pairs = A_dedup.minhash_lsh_verified_pairs(
+        d, shingle=3, bands=32, threshold=0.5
+    )
+    clusters = A_dedup.dup_clusters(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    nt = A_text.token_count(d).select("doc_id", "n_tokens")
+    best = (
+        clusters.join(nt, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.expr(
+                "max_by(doc_id, struct(n_tokens, -doc_id))"
+            ).alias("best_id")
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .join(best, "cluster_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+            .cast("long").alias("cluster_id"),
+            (
+                F.col("best_id").isNull()
+                | (F.col("best_id") == F.col("doc_id"))
+            ).alias("kept"),
+        )
+    )
+
+
 def doc_simhash_pairs(spark, sf):
     """Blocked SimHash pair search in the oracle-reproducible md5_60
     configuration: DuckDB brute-forces all-pairs Hamming over the same
@@ -3883,6 +3926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_nested_children": events_nested_children,
         "doc_gopher_rules": doc_gopher_rules,
         "doc_paragraph_dedup": doc_paragraph_dedup,
+        "doc_dedup_keep_best": doc_dedup_keep_best,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_segment_revenue": q3_segment_revenue,
         "q5_nation_revenue": q5_nation_revenue,
@@ -6371,6 +6415,39 @@ m AS (SELECT u, min(v) AS mn FROM reach GROUP BY u)
 SELECT CAST(u AS BIGINT) AS doc_id,
        CAST(least(u, mn) AS BIGINT) AS cluster_id
 FROM m
+""",
+        "doc_dedup_keep_best": f"""
+WITH RECURSIVE p AS (
+  SELECT id1, id2 FROM ({_jaccard3_sql(0.5, None)}) jp
+),
+e AS (SELECT id1 AS u, id2 AS v FROM p UNION SELECT id2, id1 FROM p),
+reach AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+),
+m AS (SELECT u, min(v) AS mn FROM reach GROUP BY u),
+cl AS (SELECT u AS doc_id, least(u, mn) AS cluster_id FROM m),
+nt AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+  FROM documents
+),
+best AS (
+  SELECT cluster_id, doc_id AS best_id FROM (
+    SELECT cl.cluster_id, cl.doc_id,
+      row_number() OVER (PARTITION BY cl.cluster_id
+                         ORDER BY nt.n_tokens DESC, cl.doc_id) AS rn
+    FROM cl JOIN nt USING (doc_id)
+  ) WHERE rn = 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(cl.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+       (cl.doc_id IS NULL OR best.best_id = d.doc_id) AS kept
+FROM documents d
+LEFT JOIN cl ON d.doc_id = cl.doc_id
+LEFT JOIN best ON cl.cluster_id = best.cluster_id
 """,
         "doc_simhash_pairs": _simhash60_sql(8),
         "emb_topk_lsh": _topk_lsh_sql(5, 4),
