@@ -1,0 +1,115 @@
+"""Streaming gap-based sessionization: a custom stateful operator
+with event-time TIMEOUTS.
+
+The batch twin (analytics/events.sessionize) numbers sessions with
+two windows over the whole history; a stream cannot wait for "the
+whole history", so the streaming form keeps ONE open session per key
+in Spark-managed ``GroupState`` and emits a session only when it
+CLOSES — either because a newer event arrived more than ``gap``
+after it (in-stream close) or because the watermark passed its
+last-event-time + gap with no successor (``EventTimeTimeout`` — the
+idle-key case no data-driven operator can cover).  This is the
+second half of the ``applyInPandasWithState`` contract the running
+HWM operator (streaming/stateful.py) does not exercise: state
+timeouts driven by the watermark.
+
+Reference scope: SURVEY §2.6 streaming semantics (the brief's
+"applyInPandasWithState for custom stateful operators");
+sessionization itself is the standard event-analytics operator
+(Spark's own session_window expresses the aggregate form; this
+operator emits the richer per-session record with full control over
+the close rule).
+
+Scale shape: state is O(1) per active key (start, last, count);
+every microbatch shuffles only on the grouping key — the same
+exchange any stateful operator pays — and Arrow-batches per group.
+Late events older than the watermark are dropped by the upstream
+``withWatermark`` contract before the operator sees them.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def streaming_sessions(
+    sdf: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Closed sessions as an append stream: one output row per
+    (key, session) with start/end timestamps and the event count.
+    ``sdf`` must carry a watermark on ``ts_col`` (the timeout clock).
+
+    Close rules (both emit the finished session and reset state):
+    * in-stream — a batch's event follows the open session's last
+      event by more than the gap;
+    * timeout — the watermark passes last + gap with no newer event
+      (``state.hasTimedOut``), covering keys that simply stop.
+    """
+    import pandas as pd
+
+    gap_us = gap_seconds * 1_000_000
+    out_schema = (
+        f"{key_col} long, session_start timestamp, session_end timestamp,"
+        " n_events long"
+    )
+    state_schema = "start_us long, last_us long, n long"
+
+    def fn(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        closed: list[tuple[int, int, int]] = []
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            closed.append((start_us, last_us, n))
+            state.remove()
+        else:
+            if state.exists:
+                start_us, last_us, n = state.get
+            else:
+                start_us = last_us = -1
+                n = 0
+            # one pass over the batch's events in time order; numpy
+            # int64 micros end-to-end
+            ts = pd.concat(
+                [pdf[ts_col] for pdf in pdfs], ignore_index=True
+            ).sort_values()
+            for t in ts.astype("datetime64[us]").astype("int64"):
+                t = int(t)
+                if start_us < 0:
+                    start_us, last_us, n = t, t, 1
+                elif t - last_us > gap_us:
+                    closed.append((start_us, last_us, n))
+                    start_us, last_us, n = t, t, 1
+                else:
+                    last_us = max(last_us, t)
+                    n += 1
+            if start_us >= 0:
+                state.update((start_us, last_us, n))
+                # the open session dies when the watermark passes its
+                # quiet period
+                state.setTimeoutTimestamp(last_us // 1000 + gap_seconds * 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(closed),
+                    "session_start": [
+                        pd.Timestamp(s, unit="us") for s, _, _ in closed
+                    ],
+                    "session_end": [
+                        pd.Timestamp(e, unit="us") for _, e, _ in closed
+                    ],
+                    "n_events": [c for _, _, c in closed],
+                }
+            )
+
+    return sdf.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )

@@ -1,0 +1,85 @@
+"""Streaming gap sessionization (applyInPandasWithState with
+EventTimeTimeout): in-stream closes emit as soon as a successor event
+exceeds the gap, idle sessions close when the WATERMARK passes their
+quiet period, and still-open sessions never emit."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import Row
+
+from airbyte_spark.streaming.sessions import streaming_sessions
+
+DDL = "user_id long, ts timestamp"
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _rows(user, *offsets_s):
+    return [
+        Row(user_id=user, ts=T0 + dt.timedelta(seconds=s))
+        for s in offsets_s
+    ]
+
+
+def test_streaming_sessions_close_rules(spark, tmp_path):
+    src = os.path.join(tmp_path, "src")
+    cp = os.path.join(tmp_path, "cp")
+
+    # chunk 0: user 1 has TWO bursts separated by > gap (1800s) — the
+    # second burst closes the first IN-STREAM within one microbatch
+    c0 = _rows(1, 0, 5, 10) + _rows(1, 2000, 2005)
+    # chunk 1: user 2 two hours later — advances the watermark
+    c1 = _rows(2, 7200, 7205)
+    # chunk 2: user 3 four hours later — the watermark (from chunk 1's
+    # max) now exceeds user 1's open-session quiet period, so user 1's
+    # second burst closes by TIMEOUT during this batch
+    c2 = _rows(3, 14400)
+    for i, rows in enumerate((c0, c1, c2)):
+        spark.createDataFrame(rows, DDL).coalesce(1).write.parquet(
+            os.path.join(src, f"c{i}")
+        )
+
+    sdf = (
+        spark.readStream.schema(DDL)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src)
+        .withWatermark("ts", "10 seconds")
+    )
+    out = []
+
+    def sink(df, _bid):
+        out.extend(df.collect())
+
+    q = (
+        streaming_sessions(sdf, key_col="user_id", ts_col="ts",
+                           gap_seconds=1800)
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in out
+    )
+    # user 1 burst 1: closed in-stream; burst 2: closed by timeout
+    # once chunk 2's watermark passed its quiet period.  User 2 closes
+    # in the FINAL no-data microbatch availableNow runs (watermark =
+    # global max - delay > 7205s + gap).  User 3 stays open — the
+    # watermark never passes its quiet period — so it never emits:
+    # exactly the at-most-once-per-session append contract.
+    assert got == [
+        (1, T0, T0 + dt.timedelta(seconds=10), 3),
+        (1, T0 + dt.timedelta(seconds=2000),
+         T0 + dt.timedelta(seconds=2005), 2),
+        (2, T0 + dt.timedelta(seconds=7200),
+         T0 + dt.timedelta(seconds=7205), 2),
+    ]
